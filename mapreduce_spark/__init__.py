@@ -1,0 +1,44 @@
+"""mapreduce_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of pouchdb/mapreduce (CouchDB-style incremental
+map/reduce views), re-designed Spark-first.
+
+Reference: github.com/pouchdb/mapreduce (moved into pouchdb/pouchdb — see
+/root/reference/readme.md). Blueprint: /root/repo/SURVEY.md.
+"""
+
+from mapreduce_spark.collate import (
+    collate,
+    normalize_key,
+    parse_indexable_string,
+    to_indexable_string,
+)
+from mapreduce_spark.errors import (
+    BuiltInError,
+    MapReduceError,
+    NotFoundError,
+    QueryParseError,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "collate",
+    "normalize_key",
+    "to_indexable_string",
+    "parse_indexable_string",
+    "MapReduceError",
+    "QueryParseError",
+    "NotFoundError",
+    "BuiltInError",
+    "Engine",
+]
+
+
+def __getattr__(name):
+    # Lazy import: keep `import mapreduce_spark` free of the pyspark import
+    # cost for pure-Python consumers (e.g. collation property tests).
+    if name == "Engine":
+        from mapreduce_spark.engine import Engine
+
+        return Engine
+    raise AttributeError(name)
