@@ -1,0 +1,442 @@
+"""Engine: the public API surface of the PySpark map/reduce view engine.
+
+Mirrors the reference's whole entry-point surface (SURVEY.md §2):
+
+    db.query(fun, opts)  → Engine.query(fun, **opts) -> QueryResult
+    db.viewCleanup()     → Engine.view_cleanup()
+
+with ``fun`` one of 'ddoc/view', 'view' (shorthand), a temporary view
+definition (MapSpec / (table, python_fn) / {'map':…, 'reduce':…}), and
+opts the validated QueryOptions set (reduce, group, group_level, key,
+keys, startkey, endkey, inclusive_end, descending, limit, skip,
+include_docs, stale, …).
+
+Query lifecycle (SURVEY.md §3 "Spark lifecycle"): validate → resolve
+view → refresh (incremental, unless stale) → assemble the LSM view →
+DataFrame pipeline: pushdown range filter on key_enc → optional
+group/reduce → order → offset/limit → optional doc join → envelope.
+
+Incremental maintenance (M1/M2/X2): the materialized view is a base
+(sorted, range-partitioned Parquet) plus an ordered stack of
+(tombstone, delta) layers; each refresh maps only changed docs,
+tombstones their previous emits by doc id, and appends a layer;
+compaction folds layers into a new base version.  ``last_seq`` in the
+registry is the exactly-once checkpoint (atomic JSON rename).  At 100 TB
+this mirrors an LSM / lakehouse MERGE: refresh cost is O(changes), the
+read path adds only broadcast anti-joins against small tombstone sets,
+and compaction restores pristine range-pruned scans.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_spark.errors import NotFoundError, QueryParseError
+from mapreduce_spark.operators.mapphase import (
+    VIEW_SCHEMA,
+    MapSpec,
+    build_view_python_on,
+    build_view_structured_on,
+)
+from mapreduce_spark.operators.query import (
+    attach_docs,
+    query_map,
+    query_reduced,
+    row_order,
+)
+from mapreduce_spark.operators.reduce import check_reduce
+from mapreduce_spark.plans.registry import Registry, signature
+from mapreduce_spark.plans.spec import UNSET, QueryOptions
+from mapreduce_spark.sources.docs import (
+    TABLES,
+    doc_id_col,
+    docs_df,
+    load_table,
+)
+
+log = logging.getLogger("mapreduce_spark.engine")
+
+MAP_RESULT_COLS = [
+    "id", "key_json", "value_json", "value_num", "value_num_arr",
+]
+REDUCED_RESULT_COLS = ["key_json", "value_json", "value_num",
+                       "value_num_arr"]
+
+
+@dataclass
+class ViewDef:
+    """In-memory view definition: map + reduce + source table."""
+
+    map_def: Any  # MapSpec | list[MapSpec] | (table, python_fn)
+    reduce_def: Any = None  # None | '_sum' | '_count' | … | callable
+
+    @property
+    def table(self) -> str:
+        m = self.map_def
+        if isinstance(m, MapSpec):
+            return m.table
+        if isinstance(m, list):
+            return m[0].table
+        return m[0]
+
+    @property
+    def sig(self) -> str:
+        return signature(self.map_def, self.reduce_def)
+
+
+class QueryResult:
+    """Result envelope: {total_rows, offset, rows} (SURVEY §2 P7)."""
+
+    def __init__(self, df: DataFrame, *, offset: int = 0,
+                 total_rows_df: DataFrame | None = None,
+                 reduced: bool = False) -> None:
+        self.df = df
+        self.offset = offset
+        self.reduced = reduced
+        self._total_df = total_rows_df
+
+    @property
+    def total_rows(self) -> int | None:
+        if self._total_df is None:
+            return None
+        return self._total_df.count()
+
+    def rows(self) -> list[dict]:
+        """Collect as reference-shaped row dicts (tests / small results)."""
+        out = []
+        for r in self.df.collect():
+            d = r.asDict()
+            row = {"key": json.loads(d["key_json"])}
+            row["value"] = (
+                json.loads(d["value_json"])
+                if d.get("value_json") is not None
+                else None
+            )
+            if "id" in d:
+                row["id"] = d["id"]
+            if "doc_json" in d:
+                row["doc"] = (
+                    json.loads(d["doc_json"])
+                    if d["doc_json"] is not None
+                    else None
+                )
+            out.append(row)
+        return out
+
+
+class Engine:
+    """A PySpark-native CouchDB-style map/reduce view engine."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        storage_dir: str | None = None,
+        *,
+        compact_after: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.storage_dir = storage_dir or tempfile.mkdtemp(
+            prefix="mrviews-"
+        )
+        self.registry = Registry(self.storage_dir)
+        self.compact_after = compact_after
+        self._defs: dict[str, ViewDef] = {}
+
+    # ------------------------------------------------------------------
+    # design docs
+    # ------------------------------------------------------------------
+
+    def put_design(self, ddoc: str, views: dict[str, dict]) -> None:
+        """Register views: {name: {'map': …, 'reduce': …}}."""
+        reg_views = {}
+        for name, v in views.items():
+            check_reduce(v.get("reduce"))
+            vd = ViewDef(v["map"], v.get("reduce"))
+            self._defs[vd.sig] = vd
+            reg_views[name] = {"sig": vd.sig}
+        self.registry.put_design(ddoc, reg_views)
+
+    def view_cleanup(self) -> dict:
+        res = self.registry.view_cleanup()
+        for sig in res["removed"]:
+            self._defs.pop(sig, None)
+        return res
+
+    # ------------------------------------------------------------------
+    # query
+    # ------------------------------------------------------------------
+
+    def query(self, fun: Any, *, doc_tables: list[str] | None = None,
+              **opts: Any) -> QueryResult:
+        vdef, persisted = self._resolve(fun)
+        check_reduce(vdef.reduce_def)
+        o = QueryOptions(**opts).validated(
+            has_reduce=vdef.reduce_def is not None
+        )
+
+        if persisted:
+            if o.stale != "ok":
+                self.update_view(vdef)
+            view = self._assemble_view(vdef.sig)
+        else:
+            view = self._build(vdef, self._source_df(vdef))
+
+        will_reduce = (
+            vdef.reduce_def is not None if o.reduce is None else o.reduce
+        )
+        if will_reduce:
+            red = query_reduced(view, o, vdef.reduce_def)
+            res = QueryResult(
+                red.select(*REDUCED_RESULT_COLS),
+                offset=o.skip,
+                reduced=True,
+            )
+        else:
+            rows = query_map(view, o)
+            keep_ord = "_key_ord" in rows.columns
+            if o.include_docs:
+                docs = self._docs_for_join(
+                    [vdef.table] + (doc_tables or [])
+                )
+                rows = attach_docs(rows, docs)
+                order = (["_key_ord"] if keep_ord else []) + row_order(
+                    o.descending
+                )
+                rows = rows.orderBy(*order)
+                cols = MAP_RESULT_COLS + ["doc_json"]
+            else:
+                cols = MAP_RESULT_COLS
+            res = QueryResult(
+                rows.select(*cols),
+                offset=o.skip,
+                total_rows_df=view,
+            )
+        if persisted and o.stale == "update_after":
+            self.update_view(vdef)  # refresh after; lazy dfs stay valid
+        return res
+
+    def _resolve(self, fun: Any) -> tuple[ViewDef, bool]:
+        if isinstance(fun, str):
+            ddoc, _, view = fun.partition("/")
+            if not view:
+                ddoc, view = fun, fun
+            sig = self.registry.resolve(ddoc, view)
+            if sig is None or sig not in self._defs:
+                raise NotFoundError(
+                    "missing_named_view",
+                    reason=f"ddoc {ddoc!r} has no view {view!r}",
+                )
+            return self._defs[sig], True
+        # temporary view (S7): ephemeral, never persisted
+        if isinstance(fun, dict):
+            return ViewDef(fun["map"], fun.get("reduce")), False
+        if isinstance(fun, (MapSpec, list, tuple)):
+            return ViewDef(fun), False
+        raise QueryParseError(f"cannot resolve view from {fun!r}")
+
+    # ------------------------------------------------------------------
+    # build / refresh / assemble
+    # ------------------------------------------------------------------
+
+    def _source_df(self, vdef: ViewDef, *, since: int | None = None,
+                   to_seq: int | None = None) -> DataFrame:
+        """Raw-schema source rows (the changes-feed scan, S1)."""
+        t = TABLES[vdef.table]
+        df = load_table(self.spark, self.sf_dir, vdef.table)
+        if since is not None:
+            df = df.filter(F.expr(t.seq_expr).cast("long") > since)
+        if to_seq is not None:
+            df = df.filter(F.expr(t.seq_expr).cast("long") <= to_seq)
+        return df
+
+    def _build(self, vdef: ViewDef, raw_df: DataFrame) -> DataFrame:
+        """Run the map phase over raw-schema rows (non-deleted only)."""
+        if "_deleted" in raw_df.columns:
+            raw_df = raw_df.filter(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+            )
+        m = vdef.map_def
+        if isinstance(m, MapSpec):
+            return build_view_structured_on(raw_df, m)
+        if isinstance(m, list):
+            out = None
+            for i, spec in enumerate(m):
+                d = build_view_structured_on(raw_df, spec).withColumn(
+                    "emit_ord", F.lit(i)
+                )
+                out = d if out is None else out.unionByName(d)
+            return out
+        table, fn = m
+        return build_view_python_on(raw_df, table, fn)
+
+    def update_view(self, vdef_or_name: Any,
+                    changes: DataFrame | None = None,
+                    to_seq: int | None = None) -> None:
+        """Incremental view refresh (M1): map changed docs, tombstone
+        their previous emits, append a (tomb, delta) layer; full build
+        on first touch; compact when the layer stack grows."""
+        vdef = (
+            vdef_or_name
+            if isinstance(vdef_or_name, ViewDef)
+            else self._resolve(vdef_or_name)[0]
+        )
+        sig = vdef.sig
+        t = TABLES[vdef.table]
+        with self.registry.view_lock(sig):
+            entry = self.registry.ensure_view(sig)
+            vdir = self.registry.view_dir(sig)
+
+            if entry["base"] is None and not entry["layers"]:
+                src = changes if changes is not None else self._source_df(
+                    vdef, to_seq=to_seq
+                )
+                seq_col = F.expr(t.seq_expr).cast("long")
+                max_seq = src.agg(F.max(seq_col)).collect()[0][0] or 0
+                base_rel = "base-v1"
+                self._write_sorted(self._build(vdef, src),
+                                   os.path.join(vdir, base_rel))
+                entry.update(
+                    base=base_rel, base_version=1, last_seq=int(max_seq)
+                )
+                self.registry.set_view(sig, entry)
+                return
+
+            src = changes if changes is not None else self._source_df(
+                vdef, since=entry["last_seq"], to_seq=to_seq
+            )
+            seq_col = F.expr(t.seq_expr).cast("long")
+            probe = src.agg(
+                F.max(seq_col).alias("mx"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]
+            if not probe["n"]:
+                return
+            batch = entry["next_batch"]
+            delta_rel, tomb_rel = f"delta-{batch}", f"tomb-{batch}"
+            self._build(vdef, src).write.mode("overwrite").parquet(
+                os.path.join(vdir, delta_rel)
+            )
+            src.select(
+                doc_id_col(vdef.table).alias("id")
+            ).distinct().write.mode("overwrite").parquet(
+                os.path.join(vdir, tomb_rel)
+            )
+            entry["layers"].append(
+                {"batch": batch, "delta": delta_rel, "tomb": tomb_rel}
+            )
+            entry["next_batch"] = batch + 1
+            entry["last_seq"] = max(entry["last_seq"], int(probe["mx"]))
+            self.registry.set_view(sig, entry)
+            if len(entry["layers"]) >= self.compact_after:
+                self._compact(sig, entry)
+
+    def _write_sorted(self, view: DataFrame, path: str) -> None:
+        """Persist a view sorted+range-partitioned by key_enc so Parquet
+        row-group min/max stats give index-like range pruning (X1/X3)."""
+        (
+            view.repartitionByRange("key_enc", "id")
+            .sortWithinPartitions("key_enc", "id", "emit_ord")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def _compact(self, sig: str, entry: dict) -> None:
+        """Fold base+layers into a new base version (X7 auto_compaction)."""
+        vdir = self.registry.view_dir(sig)
+        assembled = self._assemble_view(sig)
+        newv = entry["base_version"] + 1
+        base_rel = f"base-v{newv}"
+        self._write_sorted(assembled, os.path.join(vdir, base_rel))
+        old = [entry["base"]] + [
+            p for l in entry["layers"] for p in (l["delta"], l["tomb"])
+        ]
+        # old versions become unreferenced; GC is deferred (vacuum) so
+        # lazy DataFrames handed out before the compaction stay valid
+        entry.update(base=base_rel, base_version=newv, layers=[])
+        entry["garbage"] = entry.get("garbage", []) + old
+        self.registry.set_view(sig, entry)
+
+    def vacuum(self, sig: str | None = None) -> None:
+        """Delete storage versions orphaned by compaction."""
+        state = self.registry._read()
+        sigs = [sig] if sig else list(state["views"])
+        for s in sigs:
+            entry = state["views"].get(s)
+            if not entry:
+                continue
+            vdir = self.registry.view_dir(s)
+            for rel in entry.get("garbage", []):
+                shutil.rmtree(os.path.join(vdir, rel), ignore_errors=True)
+            entry["garbage"] = []
+            self.registry.set_view(s, entry)
+
+    def _assemble_view(self, sig: str) -> DataFrame:
+        """Effective view = ((base ⊖ t1) ⊕ d1) ⊖ t2 ⊕ d2 … — each layer
+        anti-joined against the union of strictly-later tombstones
+        (broadcast: tombstone sets are per-batch changed-doc ids)."""
+        entry = self.registry.get_view(sig)
+        vdir = self.registry.view_dir(sig)
+        if entry is None or (entry["base"] is None and not entry["layers"]):
+            return self.spark.createDataFrame([], VIEW_SCHEMA)
+        base = (
+            self.spark.read.parquet(os.path.join(vdir, entry["base"]))
+            if entry["base"]
+            else self.spark.createDataFrame([], VIEW_SCHEMA)
+        )
+        layers = entry["layers"]
+        if not layers:
+            return base
+        tombs = None
+        for l in layers:
+            tdf = self.spark.read.parquet(
+                os.path.join(vdir, l["tomb"])
+            ).withColumn("_tb", F.lit(l["batch"]))
+            tombs = tdf if tombs is None else tombs.unionByName(tdf)
+        pieces = []
+        srcs = [(0, base)] + [
+            (
+                l["batch"],
+                self.spark.read.parquet(os.path.join(vdir, l["delta"])),
+            )
+            for l in layers
+        ]
+        for b, df in srcs:
+            later = tombs.filter(F.col("_tb") > b).select("id")
+            pieces.append(
+                df.join(F.broadcast(later), "id", "left_anti")
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------------
+    # docs join side (J1/J2)
+    # ------------------------------------------------------------------
+
+    def _docs_for_join(self, tables: list[str]) -> DataFrame:
+        """(_id, doc_json) across the tables reachable by this query."""
+        out = None
+        for tbl in dict.fromkeys(tables):
+            d = docs_df(self.spark, self.sf_dir, tbl)
+            body_cols = [
+                c for c in d.columns if c not in ("_deleted", "seq")
+            ]
+            dj = d.select(
+                F.col("_id"),
+                F.to_json(F.struct(*[F.col(c) for c in body_cols])).alias(
+                    "doc_json"
+                ),
+            )
+            out = dj if out is None else out.unionByName(dj)
+        return out

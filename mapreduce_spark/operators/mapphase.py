@@ -1,0 +1,336 @@
+"""Map phase: documents → view index DataFrame.
+
+Reference semantics (SURVEY.md §2 P1, U1; upstream
+``pouchdb-abstract-mapreduce/src/index.js#updateView`` emit closure):
+a user map function runs once per non-deleted doc and ``emit(key,
+value)``s 0..N rows; keys are normalized; a throwing map fn skips that
+doc (logged, not fatal).
+
+Two execution paths, Spark-first:
+
+1. **Structured fast path** (``MapSpec``): when the map function is
+   expressible as column expressions — which covers every declared
+   fixture view — the whole build is JVM-side except the collation
+   encoding (vectorized Arrow/pandas UDFs over one column each).
+   Filters in ``MapSpec.where`` reference *raw* parquet columns, so
+   Catalyst pushes them into the scan; unused columns are pruned.
+   This is the 100 TB path: no Python row loop anywhere.
+
+2. **Generic Python path** (``build_view_python``): arbitrary Python
+   ``f(doc, emit)`` over ``mapInPandas`` — one Arrow batch of docs in,
+   0..N view rows out.  The per-doc ``try`` mirrors the reference's
+   ``tryMap`` (a throwing map fn skips the doc, logged).
+
+Both produce the same VIEW_SCHEMA, the engine's materialized-view
+layout (SURVEY.md §1.1 "materialized view index"):
+
+    id             doc id of the emitting document
+    emit_ord       ordinal of the emit within its doc (dup-key emits)
+    key_enc        order-preserving collation encoding — THE sort/range
+                   /group column; binary-comparable, parquet-stats-friendly
+    key_json       canonical JSON of the normalized key
+    key_parts_enc  per-element encodings when the key is an array
+                   (group_level = prefix-concat of N parts, pure JVM)
+    key_parts_json per-element JSON when the key is an array
+    value_json     JSON of the emitted value
+    value_num      value as double when numeric (native-agg fast lane)
+    value_num_arr  value as array<double> when numeric array (_sum arrays)
+    value_link_id  value['_id'] when the value is a linked-doc object
+                   (SURVEY.md §2 J2) — precomputed join key
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_spark.collate import (
+    normalize_key,
+    to_indexable_string,
+)
+from mapreduce_spark.functions.encode import (
+    enc_component_col,
+    enc_key_cols,
+    json_scalar_col,
+)
+from mapreduce_spark.sources.docs import (
+    ISO_FMT,
+    as_docs,
+    doc_id_col,
+    doc_records,
+    load_table,
+)
+
+log = logging.getLogger("mapreduce_spark.map")
+
+VIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("emit_ord", T.IntegerType(), False),
+        T.StructField("key_enc", T.StringType(), False),
+        T.StructField("key_json", T.StringType(), False),
+        T.StructField("key_parts_enc", T.ArrayType(T.StringType()), True),
+        T.StructField("key_parts_json", T.ArrayType(T.StringType()), True),
+        T.StructField("value_json", T.StringType(), True),
+        T.StructField("value_num", T.DoubleType(), True),
+        T.StructField("value_num_arr", T.ArrayType(T.DoubleType()), True),
+        T.StructField("value_link_id", T.StringType(), True),
+    ]
+)
+
+# a key component: (kind, column-expression-string)
+# kind: 'null' | 'bool' | 'num' | 'str' | 'iso'
+Component = tuple
+
+
+@dataclass(frozen=True)
+class MapSpec:
+    """Declarative map function over one source table (structured path).
+
+    key:   one Component, or a list of Components for an array key.
+    value: None, or ('num', expr) | ('num_arr', [exprs]) | ('str', expr)
+           | ('bool', expr) | ('link', expr) where 'link' yields the
+           linked doc id string (emitted value {'_id': <expr>}).
+    where: optional SQL predicate over RAW table columns (pushed down).
+    """
+
+    table: str
+    key: Any
+    value: Any = None
+    where: str | None = None
+
+    def key_components(self) -> tuple[list[Component], bool]:
+        if isinstance(self.key, list):
+            return self.key, True
+        return [self.key], False
+
+
+def _comp_cols(comp: Component) -> tuple[Column, Column]:
+    """(enc_col, json_col) for one component over the raw table."""
+    kind = comp[0]
+    if kind == "null":
+        return F.lit("1"), F.lit("null")
+    expr = F.expr(comp[1])
+    if kind == "iso":
+        expr = F.date_format(expr, ISO_FMT)
+        kind = "str"
+    if kind == "num":
+        expr = expr.cast("double")
+    return enc_component_col(expr, kind), json_scalar_col(expr, kind)
+
+
+def build_view_structured(
+    spark: SparkSession, sf_dir: str, spec: MapSpec
+) -> DataFrame:
+    """MapSpec → view DataFrame, raw-parquet-scan based (max pushdown)."""
+    return build_view_structured_on(
+        load_table(spark, sf_dir, spec.table), spec
+    )
+
+
+def build_view_structured_on(df: DataFrame, spec: MapSpec) -> DataFrame:
+    """MapSpec over an arbitrary raw-schema DataFrame (base table or a
+    changes batch — the incremental path, SURVEY §2 M1)."""
+    if spec.where:
+        df = df.filter(spec.where)
+
+    comps, is_array = spec.key_components()
+    encs, jsons = zip(*[_comp_cols(c) for c in comps])
+    key_enc = enc_key_cols(list(encs), as_array=is_array)
+    if is_array:
+        key_json = F.concat(
+            F.lit("["), F.concat_ws(",", *jsons), F.lit("]")
+        )
+        parts_enc = F.array(*encs)
+        parts_json = F.array(*jsons)
+    else:
+        key_json = jsons[0]
+        parts_enc = F.lit(None).cast("array<string>")
+        parts_json = F.lit(None).cast("array<string>")
+
+    null_s = F.lit(None).cast("string")
+    value_json, value_num = null_s, F.lit(None).cast("double")
+    value_num_arr = F.lit(None).cast("array<double>")
+    value_link_id = null_s
+    v = spec.value
+    if v is not None:
+        vkind = v[0]
+        if vkind == "num":
+            vc = F.expr(v[1]).cast("double")
+            value_num = vc
+            value_json = json_scalar_col(vc, "num")
+        elif vkind == "num_arr":
+            arr = F.array(*[F.expr(e).cast("double") for e in v[1]])
+            value_num_arr = arr
+            value_json = F.to_json(arr)
+        elif vkind == "str":
+            vc = F.expr(v[1]).cast("string")
+            value_json = json_scalar_col(vc, "str")
+        elif vkind == "bool":
+            vc = F.expr(v[1]).cast("boolean")
+            value_json = json_scalar_col(vc, "bool")
+        elif vkind == "link":
+            vc = F.expr(v[1]).cast("string")
+            value_link_id = vc
+            value_json = F.concat(
+                F.lit('{"_id":'), json_scalar_col(vc, "str"), F.lit("}")
+            )
+        else:
+            raise ValueError(f"unknown value kind {vkind!r}")
+
+    return df.select(
+        doc_id_col(spec.table).alias("id"),
+        F.lit(0).alias("emit_ord"),
+        key_enc.alias("key_enc"),
+        key_json.alias("key_json"),
+        parts_enc.alias("key_parts_enc"),
+        parts_json.alias("key_parts_json"),
+        value_json.alias("value_json"),
+        value_num.alias("value_num"),
+        value_num_arr.alias("value_num_arr"),
+        value_link_id.alias("value_link_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic Python map path
+# ---------------------------------------------------------------------------
+
+def _json_sanitize(v: Any) -> Any:
+    """JSON.stringify parity: NaN/±Inf → null (inside values)."""
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    if isinstance(v, (list, tuple)):
+        return [_json_sanitize(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_sanitize(x) for k, x in v.items()}
+    return v
+
+
+def emit_to_view_row(doc_id: str, ord_: int, key: Any, value: Any) -> dict:
+    """One emit → one VIEW_SCHEMA row (dict). Pure Python, reused by the
+    incremental maintainer and tests."""
+    nk = normalize_key(key)
+    key_enc = to_indexable_string(nk)
+    key_json = json.dumps(nk, separators=(",", ":"), ensure_ascii=False)
+    if isinstance(nk, list):
+        parts_enc = [to_indexable_string(e) for e in nk]
+        parts_json = [
+            json.dumps(e, separators=(",", ":"), ensure_ascii=False)
+            for e in nk
+        ]
+    else:
+        parts_enc = None
+        parts_json = None
+
+    value = _json_sanitize(value)
+    value_json = (
+        None
+        if value is None
+        else json.dumps(value, separators=(",", ":"), ensure_ascii=False)
+    )
+    value_num = (
+        float(value)
+        if isinstance(value, (int, float)) and not isinstance(value, bool)
+        else None
+    )
+    value_num_arr = None
+    if (
+        isinstance(value, list)
+        and value
+        and all(
+            isinstance(x, (int, float)) and not isinstance(x, bool)
+            for x in value
+        )
+    ):
+        value_num_arr = [float(x) for x in value]
+    value_link_id = None
+    if isinstance(value, dict) and isinstance(value.get("_id"), str):
+        value_link_id = value["_id"]
+    return {
+        "id": doc_id,
+        "emit_ord": ord_,
+        "key_enc": key_enc,
+        "key_json": key_json,
+        "key_parts_enc": parts_enc,
+        "key_parts_json": parts_json,
+        "value_json": value_json,
+        "value_num": value_num,
+        "value_num_arr": value_num_arr,
+        "value_link_id": value_link_id,
+    }
+
+
+def map_docs_to_rows(
+    docs: list[dict], map_fn: Callable[[dict, Callable], None]
+) -> list[dict]:
+    """Run the map function over doc dicts (tryMap semantics)."""
+    out: list[dict] = []
+    for doc in docs:
+        if doc.get("_deleted"):
+            continue
+        emits: list[tuple[Any, Any]] = []
+
+        def emit(key: Any, value: Any = None) -> None:
+            emits.append((key, value))
+
+        try:
+            map_fn(doc, emit)
+        except Exception as exc:  # tryMap: skip doc, log, not fatal
+            log.warning("map fn failed on doc %s: %s", doc.get("_id"), exc)
+            continue
+        for i, (k, v) in enumerate(emits):
+            out.append(emit_to_view_row(doc["_id"], i, k, v))
+    return out
+
+
+def build_view_python(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    map_fn: Callable[[dict, Callable], None],
+) -> DataFrame:
+    """Arbitrary Python map fn → view DataFrame via mapInPandas."""
+    return build_view_python_on(
+        load_table(spark, sf_dir, table), table, map_fn
+    )
+
+
+def build_view_python_on(
+    df: DataFrame, table: str, map_fn: Callable[[dict, Callable], None]
+) -> DataFrame:
+    """Python map path over an arbitrary raw-schema DataFrame."""
+    docs = as_docs(df, table)
+    col_order = [f.name for f in VIEW_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = map_docs_to_rows(doc_records(pdf, table), map_fn)
+            if rows:
+                yield pd.DataFrame(rows, columns=col_order)
+
+    return docs.mapInPandas(run, VIEW_SCHEMA)
+
+
+def build_view(spark: SparkSession, sf_dir: str, view_def) -> DataFrame:
+    """Dispatch: MapSpec (or list of MapSpecs → union) or Python callable
+    tagged with its source table (``(table, fn)``)."""
+    if isinstance(view_def, MapSpec):
+        return build_view_structured(spark, sf_dir, view_def)
+    if isinstance(view_def, list):  # multi-emit as unioned MapSpecs
+        dfs = [build_view_structured(spark, sf_dir, s) for s in view_def]
+        out = dfs[0]
+        for i, d in enumerate(dfs[1:], start=1):
+            out = out.unionAll(d.withColumn("emit_ord", F.lit(i)))
+        return out
+    if isinstance(view_def, tuple) and callable(view_def[1]):
+        return build_view_python(spark, sf_dir, view_def[0], view_def[1])
+    raise TypeError(f"unsupported view definition: {view_def!r}")

@@ -1,0 +1,163 @@
+"""View query: range scan, multi-key lookup, ordering, pagination,
+reduce orchestration, doc joins.
+
+Spark re-expression of upstream ``pouchdb-abstract-mapreduce/src/
+index.js#queryView`` / ``#reduceView`` (SURVEY.md §2 S2, P3-P7, O1-O3,
+A5-A8, J1/J2 and §3 stage 6-8):
+
+- All bounds are encoded driver-side into string constants, so the
+  range scan is ``key_enc >= lit AND key_enc <= lit`` — Catalyst pushes
+  both into the Parquet reader and row-group min/max stats prune files,
+  the distributed analog of the reference's sorted-KV range scan.
+- ``descending`` swaps the *roles* of startkey/endkey (caller passes
+  them reversed, upstream parity) and flips the sort.
+- ``keys=[...]`` joins against a broadcast inline table carrying the
+  request ordinal, preserving request order and duplicating repeated
+  keys (upstream keys path).
+- Top-k (descending+limit) compiles to Spark's TakeOrderedAndProject;
+  skip/limit use native offset/limit.
+- ``include_docs`` is a left equi-join on ``coalesce(value_link_id,
+  id)`` — linked documents (J2) and plain include_docs (J1) in one join.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_spark.collate import MAX_ENC, to_indexable_string
+from mapreduce_spark.plans.spec import UNSET, QueryOptions
+from mapreduce_spark.operators.reduce import (
+    reduce_builtin,
+    reduce_custom,
+)
+
+def asc_order() -> list[Column]:
+    return [F.col("key_enc"), F.col("id"), F.col("emit_ord")]
+
+
+def desc_order() -> list[Column]:
+    return [c.desc() for c in asc_order()]
+
+
+def row_order(descending: bool) -> list[Column]:
+    return desc_order() if descending else asc_order()
+
+
+def range_filter(opts: QueryOptions) -> Column | None:
+    """startkey/endkey/key → pushdown-friendly predicate on key_enc."""
+    preds: list[Column] = []
+    k = F.col("key_enc")
+    if opts.key is not UNSET:
+        return k == F.lit(to_indexable_string(opts.key))
+    lo = hi = UNSET
+    lo_incl = hi_incl = True
+    if not opts.descending:
+        lo, hi = opts.startkey, opts.endkey
+        hi_incl = opts.inclusive_end
+    else:
+        # descending: startkey is the HIGH end (upstream parity)
+        lo, hi = opts.endkey, opts.startkey
+        lo_incl = opts.inclusive_end
+    if lo is not UNSET:
+        b = F.lit(to_indexable_string(lo))
+        preds.append(k >= b if lo_incl else k > b)
+    if hi is not UNSET:
+        b = F.lit(to_indexable_string(hi))
+        preds.append(k <= b if hi_incl else k < b)
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def scan_rows(view: DataFrame, opts: QueryOptions) -> DataFrame:
+    """Filtered (but not yet ordered/paginated) view rows."""
+    pred = range_filter(opts)
+    return view.filter(pred) if pred is not None else view
+
+
+def query_map(view: DataFrame, opts: QueryOptions) -> DataFrame:
+    """Map-query path: ordered rows with skip/limit applied."""
+    if opts.keys is not UNSET:
+        rows = _keys_lookup(view, opts.keys, opts.descending)
+    else:
+        rows = scan_rows(view, opts).orderBy(
+            *row_order(opts.descending)
+        )
+    return _paginate(rows, opts)
+
+
+def _keys_lookup(view: DataFrame, keys: list, descending: bool) -> DataFrame:
+    """Multi-key fetch preserving request order & duplicates (P5)."""
+    spark = view.sparkSession
+    pairs = [(i, to_indexable_string(k)) for i, k in enumerate(keys)]
+    keys_df = spark.createDataFrame(pairs, "_key_ord int, _key_enc string")
+    rows = view.join(
+        F.broadcast(keys_df), view["key_enc"] == keys_df["_key_enc"], "inner"
+    ).drop("_key_enc")
+    order = [F.col("_key_ord")] + row_order(descending)
+    # _key_ord is kept so callers can re-establish request order after a
+    # doc join; the engine's final column selection drops it.
+    return rows.orderBy(*order)
+
+
+def _paginate(rows: DataFrame, opts: QueryOptions) -> DataFrame:
+    if opts.skip:
+        rows = rows.offset(opts.skip)
+    if opts.limit is not None:
+        rows = rows.limit(opts.limit)
+    return rows
+
+
+def query_reduced(
+    view: DataFrame, opts: QueryOptions, reduce_def: Any
+) -> DataFrame:
+    """Reduce-query path: filter → group/global reduce → order → slice."""
+    rows = (
+        _keys_rows_for_reduce(view, opts.keys)
+        if opts.keys is not UNSET
+        else scan_rows(view, opts)
+    )
+    if callable(reduce_def):
+        red = reduce_custom(
+            rows,
+            reduce_def,
+            grouped=opts.is_grouped,
+            group_level=opts.group_level,
+        )
+    else:
+        red = reduce_builtin(
+            rows,
+            reduce_def,
+            grouped=opts.is_grouped,
+            group_level=opts.group_level,
+        )
+    red = red.orderBy(
+        F.col("gk_enc").desc() if opts.descending else F.col("gk_enc")
+    )
+    return _paginate(red, opts).drop("gk_enc")
+
+
+def _keys_rows_for_reduce(view: DataFrame, keys: list) -> DataFrame:
+    encs = sorted({to_indexable_string(k) for k in keys})
+    return view.filter(F.col("key_enc").isin(encs))
+
+
+def attach_docs(rows: DataFrame, docs: DataFrame) -> DataFrame:
+    """include_docs / linked-docs join (J1/J2).
+
+    ``docs`` must have columns (_id STRING, doc_json STRING).  Left join:
+    a missing/deleted target doc yields doc_json null (upstream parity).
+    Broadcast is left to AQE: the docs side is a full table at scale, so
+    a sort-merge/shuffled-hash join on the doc id is the right default;
+    dimension-sized docs tables go broadcast automatically.
+    """
+    join_key = F.coalesce(F.col("value_link_id"), F.col("id"))
+    rows = rows.withColumn("_doc_key", join_key)
+    out = rows.join(docs, rows["_doc_key"] == docs["_id"], "left")
+    return out.drop("_doc_key", "_id")

@@ -1,0 +1,168 @@
+"""View registry: design docs, content-hash signatures, storage layout,
+checkpoints, build serialization.
+
+Reference parity (SURVEY.md §2 S5/S6, X6, M3; upstream
+``pouchdb-abstract-mapreduce/src/create-view.js#createView``,
+``#viewCleanup``, ``taskqueue.js``):
+
+- view identity = md5 of the map+reduce definition, so identical
+  definitions share one index (upstream ``createView`` signature);
+- a per-view lock serializes builds (upstream TaskQueue) — here a
+  driver-side mutex, since the engine is single-driver;
+- ``_local/lastSeq`` checkpoint → ``last_seq`` in the registry JSON;
+- ``viewCleanup()`` deletes storage of signatures no longer referenced
+  by any design doc.
+
+Storage layout (no ACID table format assumed — plain Parquet with
+versioned directories; a writer never mutates files a reader may hold
+open, so lazy DataFrames stay valid across refreshes):
+
+    <storage>/registry.json
+    <storage>/views/<sig>/base-v<N>/        sorted, range-partitioned
+    <storage>/views/<sig>/delta-<B>/        incremental emits, batch B
+    <storage>/views/<sig>/tomb-<B>/         doc-id tombstones, batch B
+
+The effective view is the LSM-style fold
+``((base ⊖ t1) ⊕ d1) ⊖ t2 ⊕ d2 …`` — see engine._assemble_view.
+Compaction folds layers back into a new base-v<N+1>; old versions are
+garbage-collected on cleanup, never in-place.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import shutil
+import threading
+from typing import Any
+
+
+def definition_repr(map_def: Any, reduce_def: Any) -> str:
+    """Stable textual identity of a view definition (md5'd for the sig)."""
+    if callable(map_def):
+        try:
+            m = inspect.getsource(map_def)
+        except (OSError, TypeError):
+            m = repr(map_def)
+    else:
+        m = repr(map_def)
+    if callable(reduce_def):
+        try:
+            r = inspect.getsource(reduce_def)
+        except (OSError, TypeError):
+            r = repr(reduce_def)
+    else:
+        r = repr(reduce_def)
+    return m + "\n--reduce--\n" + r
+
+
+def signature(map_def: Any, reduce_def: Any) -> str:
+    return hashlib.md5(definition_repr(map_def, reduce_def).encode()).hexdigest()
+
+
+class Registry:
+    """Driver-side view catalog persisted as JSON (atomic rename)."""
+
+    def __init__(self, storage_dir: str) -> None:
+        self.storage_dir = storage_dir
+        self.path = os.path.join(storage_dir, "registry.json")
+        self._lock = threading.Lock()
+        self._view_locks: dict[str, threading.Lock] = {}
+        os.makedirs(os.path.join(storage_dir, "views"), exist_ok=True)
+        if not os.path.exists(self.path):
+            self._write({"designs": {}, "views": {}})
+
+    # -- state ---------------------------------------------------------
+
+    def _read(self) -> dict:
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _write(self, state: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, self.path)  # atomic checkpoint (M1 exactly-once)
+
+    def update(self, fn) -> dict:
+        """Atomically read-modify-write the registry state."""
+        with self._lock:
+            state = self._read()
+            fn(state)
+            self._write(state)
+            return state
+
+    def view_lock(self, sig: str) -> threading.Lock:
+        """Per-view build serialization (upstream TaskQueue parity)."""
+        with self._lock:
+            return self._view_locks.setdefault(sig, threading.Lock())
+
+    # -- designs -------------------------------------------------------
+
+    def put_design(self, ddoc: str, views: dict[str, dict]) -> None:
+        def mut(state: dict) -> None:
+            state["designs"][ddoc] = {
+                "views": {
+                    name: {"sig": v["sig"]} for name, v in views.items()
+                }
+            }
+
+        self.update(mut)
+
+    def resolve(self, ddoc: str, view: str) -> str | None:
+        state = self._read()
+        d = state["designs"].get(ddoc)
+        if not d or view not in d["views"]:
+            return None
+        return d["views"][view]["sig"]
+
+    # -- view storage entries -------------------------------------------
+
+    def view_dir(self, sig: str) -> str:
+        return os.path.join(self.storage_dir, "views", sig)
+
+    def get_view(self, sig: str) -> dict | None:
+        return self._read()["views"].get(sig)
+
+    def ensure_view(self, sig: str) -> dict:
+        def mut(state: dict) -> None:
+            state["views"].setdefault(
+                sig,
+                {
+                    "last_seq": 0,
+                    "base": None,
+                    "base_version": 0,
+                    "layers": [],
+                    "next_batch": 1,
+                },
+            )
+
+        return self.update(mut)["views"][sig]
+
+    def set_view(self, sig: str, entry: dict) -> None:
+        self.update(lambda s: s["views"].__setitem__(sig, entry))
+
+    # -- cleanup (S6) ----------------------------------------------------
+
+    def view_cleanup(self) -> dict:
+        """Delete storage for signatures not referenced by any design."""
+        state = self._read()
+        live = {
+            v["sig"]
+            for d in state["designs"].values()
+            for v in d["views"].values()
+        }
+        removed = []
+        for sig in list(state["views"]):
+            if sig not in live:
+                removed.append(sig)
+                shutil.rmtree(self.view_dir(sig), ignore_errors=True)
+
+        def mut(s: dict) -> None:
+            for sig in removed:
+                s["views"].pop(sig, None)
+
+        self.update(mut)
+        return {"ok": True, "removed": removed}

@@ -1,0 +1,113 @@
+"""Query options: the engine's logical plan IR + validation (V1).
+
+The reference has no plan IR beyond the validated options object
+(SURVEY.md §3); we keep the same shape.  Validation mirrors upstream
+``pouchdb-abstract-mapreduce/src/index.js#checkQueryParseError`` +
+``coerceInteger``: error *classes* and trigger conditions are parity;
+message texts are ours.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+from mapreduce_spark.errors import QueryParseError
+
+
+class _Unset:
+    def __repr__(self) -> str:  # pragma: no cover
+        return "UNSET"
+
+    def __bool__(self) -> bool:
+        return False
+
+
+UNSET = _Unset()
+
+
+def _coerce_integer(v: Any, name: str) -> int:
+    # upstream coerceInteger: numeric strings and floats with integral
+    # value are accepted; anything else is a QueryParseError
+    try:
+        f = float(v)
+        i = int(f)
+        if f == i:
+            return i
+    except (TypeError, ValueError):
+        pass
+    raise QueryParseError(f"Invalid value for integer: {v!r}")
+
+
+@dataclass
+class QueryOptions:
+    """Validated options for one view query (SURVEY.md §2 entry-point)."""
+
+    reduce: bool | None = None  # None = reduce iff view has one
+    group: bool = False
+    group_level: int | None = None
+    key: Any = UNSET
+    keys: Any = UNSET
+    startkey: Any = UNSET
+    endkey: Any = UNSET
+    inclusive_end: bool = True
+    descending: bool = False
+    limit: int | None = None
+    skip: int = 0
+    include_docs: bool = False
+    conflicts: bool = False
+    attachments: bool = False
+    stale: str | None = None  # None | 'ok' | 'update_after'
+    update_seq: bool = False
+
+    def validated(self, *, has_reduce: bool) -> "QueryOptions":
+        o = replace(self)
+        if o.group_level is not None:
+            o.group_level = _coerce_integer(o.group_level, "group_level")
+            if o.group_level < 0:
+                raise QueryParseError(
+                    "Invalid value for positive integer: "
+                    f"{o.group_level!r}"
+                )
+        if o.limit is not None:
+            o.limit = _coerce_integer(o.limit, "limit")
+        o.skip = _coerce_integer(o.skip or 0, "skip")
+
+        will_reduce = has_reduce if o.reduce is None else (
+            o.reduce and has_reduce
+        )
+        if o.reduce and not has_reduce:
+            # explicit reduce=true on a map-only view
+            raise QueryParseError(
+                "Invalid use of reduce on a map-only view"
+            )
+        if (o.group or o.group_level is not None) and not will_reduce:
+            raise QueryParseError(
+                "Invalid use of grouping on a map view"
+            )
+
+        if o.keys is not UNSET:
+            if not isinstance(o.keys, list):
+                raise QueryParseError("`keys` must be an array")
+            if o.group_level is not None:
+                raise QueryParseError(
+                    "Multi-key fetches for a reduce view must use "
+                    "`group: true` (not `group_level`)"
+                )
+            if will_reduce and not o.group:
+                raise QueryParseError(
+                    "Multi-key fetches for reduce views must use "
+                    "`group: true`"
+                )
+            if o.startkey is not UNSET or o.endkey is not UNSET:
+                raise QueryParseError(
+                    "Multi-key fetches for views must not use "
+                    "startkey/endkey"
+                )
+        if o.stale not in (None, "ok", "update_after"):
+            raise QueryParseError(f"Invalid value for stale: {o.stale!r}")
+        return o
+
+    @property
+    def is_grouped(self) -> bool:
+        return self.group or self.group_level is not None

@@ -1,0 +1,168 @@
+"""Doc-model adapter: testdata parquet tables → document DataFrames.
+
+The reference's data model is an unordered collection of JSON documents
+with ``_id``/``_deleted`` and a monotone change sequence ``seq``
+(SURVEY.md §1.1; upstream pouchdb core).  FIXTURES.md pins the wrapping of
+the driver's relational testdata into that model:
+
+    _id  = '<table>:<zero-padded pk>'
+    seq  = deterministic monotone int (table order)
+    body = the row with numbers as IEEE-754 doubles and timestamps as
+           ISO-8601 strings; events.props parsed as a nested object
+
+Design notes (Spark-first, 100 TB-aware):
+
+- ``seq`` is computed as a *monotone arithmetic function of the primary
+  key*, never via a global window/row_number — a global ordering shuffle
+  on the base table would be a scale killer and is unnecessary because
+  the fixtures define table order == pk order.
+- The doc "body" is NOT materialized as a JSON string on the hot path.
+  Views built through the structured fast path never leave the JVM;
+  bodies only materialize (a) as typed struct columns for
+  ``include_docs`` joins and (b) as Python dicts inside ``mapInPandas``
+  for user Python map functions.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+@dataclass(frozen=True)
+class DocTable:
+    """Metadata for wrapping one relational table as documents."""
+
+    name: str
+    # printf-style pattern over pk columns, e.g. 'customer:%06d'
+    id_format: str
+    pk: tuple[str, ...]
+    # seq = arithmetic monotone function of pk (expression string)
+    seq_expr: str
+    timestamp_cols: tuple[str, ...] = ()
+    json_cols: tuple[str, ...] = ()  # JSON-string cols parsed into objects
+    array_cols: tuple[str, ...] = ()  # kept as typed arrays (embeddings)
+
+
+TABLES: dict[str, DocTable] = {
+    t.name: t
+    for t in [
+        DocTable("region", "region:%02d", ("r_regionkey",), "r_regionkey"),
+        DocTable("nation", "nation:%02d", ("n_nationkey",), "n_nationkey"),
+        DocTable("customer", "customer:%06d", ("c_custkey",), "c_custkey"),
+        DocTable("supplier", "supplier:%06d", ("s_suppkey",), "s_suppkey"),
+        DocTable("part", "part:%06d", ("p_partkey",), "p_partkey"),
+        DocTable(
+            "orders",
+            "orders:%09d",
+            ("o_orderkey",),
+            "o_orderkey",
+            timestamp_cols=("o_orderdate",),
+        ),
+        DocTable(
+            "lineitem",
+            "lineitem:%09d-%d",
+            ("l_orderkey", "l_linenumber"),
+            # TPC-H linenumber is 1..7, so *8 keeps seq strictly monotone
+            "l_orderkey * 8 + l_linenumber",
+            timestamp_cols=("l_shipdate",),
+        ),
+        DocTable(
+            "events",
+            "events:%06d",
+            ("event_id",),
+            "event_id",
+            timestamp_cols=("ts",),
+            json_cols=("props",),
+        ),
+        DocTable("documents", "documents:%06d", ("doc_id",), "doc_id"),
+        DocTable(
+            "embeddings",
+            "embeddings:%06d",
+            ("vec_id",),
+            "vec_id",
+            array_cols=("embedding",),
+        ),
+    ]
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Raw typed table, untouched (filters/pruning push into parquet)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_id_col(table: str) -> Column:
+    """The ``_id`` column expression for a table (JVM-side format_string)."""
+    t = TABLES[table]
+    return F.format_string(t.id_format, *[F.col(c) for c in t.pk])
+
+
+def as_docs(df: DataFrame, table: str, *, doc_space: bool = True) -> DataFrame:
+    """Raw-schema rows → documents: ``_id``, ``_deleted``, ``seq`` + body.
+
+    Works over the base table *or* any changes batch with the same raw
+    schema (the S1 changes-feed path).  With ``doc_space=True`` body
+    columns are converted to the reference's JSON doc space (numbers →
+    double, timestamps → ISO strings; JSON-string cols stay strings here
+    and are parsed to objects only in the Python map path, see
+    ``doc_records``).
+    """
+    t = TABLES[table]
+    have_deleted = "_deleted" in df.columns
+    cols: list[Column] = [
+        doc_id_col(table).alias("_id"),
+        (F.coalesce(F.col("_deleted"), F.lit(False)) if have_deleted
+         else F.lit(False)).alias("_deleted"),
+        F.expr(t.seq_expr).cast("long").alias("seq"),
+    ]
+    for f_ in df.schema.fields:
+        if f_.name in ("_id", "_deleted", "seq"):
+            continue
+        c = F.col(f_.name)
+        if doc_space:
+            if f_.name in t.timestamp_cols:
+                c = F.date_format(c, ISO_FMT)
+            elif f_.dataType.simpleString() in ("int", "bigint", "smallint",
+                                                "tinyint", "float"):
+                c = c.cast("double")
+            elif f_.dataType.simpleString() == "array<float>":
+                c = c.cast("array<double>")
+        cols.append(c.alias(f_.name))
+    return df.select(*cols)
+
+
+def docs_df(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    *,
+    doc_space: bool = True,
+) -> DataFrame:
+    """The full table as documents (see :func:`as_docs`)."""
+    return as_docs(load_table(spark, sf_dir, table), table,
+                   doc_space=doc_space)
+
+
+def doc_records(pdf, table: str) -> list[dict]:
+    """Arrow batch (pandas) of a docs DataFrame → list of doc dicts for the
+    Python map path.  Converts numpy scalars to Python and parses declared
+    JSON columns into nested objects (FIXTURES.md: events.props)."""
+    t = TABLES[table]
+    records = pdf.to_dict("records")
+    jc = t.json_cols
+    ac = t.array_cols
+    for r in records:
+        for k, v in list(r.items()):
+            if k in jc and isinstance(v, str):
+                r[k] = json.loads(v)
+            elif k in ac and v is not None:
+                r[k] = [float(x) for x in v]
+            elif hasattr(v, "item"):  # numpy scalar
+                r[k] = v.item()
+    return records
