@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose the SURVEY.md §2.1 inventory
+(Q1-Q20) plus the training-data extension operators, all implemented by
+the ``mapreduce_spark`` engine and checked against DuckDB at sf0.01.
 """
 
 from __future__ import annotations
@@ -16,23 +15,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from mapreduce_spark.inventory import q02
+
+    return q02(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from mapreduce_spark.inventory import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    try:
+        from mapreduce_spark.extensions.inventory import EXT_QUERIES
+
+        out.update(EXT_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for each query (same column aliases)."""
+    from mapreduce_spark.inventory import ORACLE_SQL
+
+    out = dict(ORACLE_SQL)
+    try:
+        from mapreduce_spark.extensions.inventory import EXT_ORACLE_SQL
+
+        out.update(EXT_ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

@@ -73,7 +73,9 @@ def enc_str_series(s: pd.Series) -> pd.Series:
         # rare path: full per-row codec (astral / U+D7FF.. chars need the
         # UTF-16 code-unit order transform before escaping)
         esc = esc.where(~edge, base[edge].map(encode_string_body))
-    out = "4" + esc + _TERM
+    # NB: `series + "\x00"` silently drops the NUL (numpy object-array
+    # add treats it as a C-string terminator) — str.cat preserves it.
+    out = ("4" + esc).str.cat([_TERM] * len(esc))
     out[mask] = "1"
     return out
 

@@ -1,0 +1,566 @@
+"""The declared query inventory (SURVEY.md §2.1 Q1-Q20) + DuckDB oracles.
+
+Each query exercises the engine through its PUBLIC API (temporary or
+persisted views) against the driver's testdata, and returns a DataFrame
+whose column names/types exactly match the paired oracle SQL (the
+driver compares row-count + schema + order-insensitive value-hash).
+
+Floating-point note: aggregate sums of non-integral doubles differ
+between Spark (tree/partial aggregation) and DuckDB (sequential) in the
+last few ulps, so both sides round those aggregates with a per-query
+fixed scale chosen so that scale >> accumulated fp error at sf ≤ 0.1
+(e.g. sum(o_totalprice) ~ 2e9 at sf0.01, fp noise ~1e-3 → ROUND(x, 0)).
+Integral-valued sums (l_quantity) are exact in IEEE-754 and compared
+unrounded.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_spark.engine import Engine
+from mapreduce_spark.errors import (
+    BuiltInError,
+    NotFoundError,
+    QueryParseError,
+)
+from mapreduce_spark.operators.mapphase import MapSpec
+
+# ---------------------------------------------------------------------------
+# Fixture views (FIXTURES.md "View fixtures")
+# ---------------------------------------------------------------------------
+
+V_FLAG_COUNT = {"map": MapSpec("lineitem", ("str", "l_returnflag")),
+                "reduce": "_count"}
+V_FLAG_STATUS_QTY = {
+    "map": MapSpec(
+        "lineitem",
+        [("str", "l_returnflag"), ("str", "l_linestatus")],
+        ("num", "l_quantity"),
+    ),
+    "reduce": "_sum",
+}
+V_PRIO_STATS = {
+    "map": MapSpec("orders", ("str", "o_orderpriority"),
+                   ("num", "o_totalprice")),
+    "reduce": "_stats",
+}
+V_ORDERDATE = MapSpec("orders", ("iso", "o_orderdate"),
+                      ("num", "o_totalprice"))
+V_BRAND_PRICE = MapSpec("part", ("str", "p_brand"),
+                        ("num", "p_retailprice"))
+V_MKTSEGMENT = MapSpec("customer", ("str", "c_mktsegment"))
+V_CUST_NATION = MapSpec("customer", ("num", "c_nationkey"))
+V_ORDER_CUST_LINK = MapSpec(
+    "orders",
+    ("num", "o_orderkey"),
+    ("link", "format_string('customer:%06d', o_custkey)"),
+)
+V_EVENT_ARR = {
+    "map": MapSpec("events", ("str", "event_type"),
+                   ("num_arr", ["1.0", "value"])),
+    "reduce": "_sum",
+}
+
+
+def reduce_max(keys, values, rereduce):
+    """Custom rereduce-safe max (SURVEY §2 A4/U2, Q14)."""
+    return max(values)
+
+
+V_EVENT_MAX = {
+    "map": MapSpec("events", ("str", "event_type"), ("num", "value")),
+    "reduce": reduce_max,
+}
+V_EVENT_HOURLY = {
+    "map": MapSpec(
+        "events",
+        [
+            ("str", "event_type"),
+            ("num", "year(ts)"),
+            ("num", "month(ts)"),
+            ("num", "day(ts)"),
+            ("num", "hour(ts)"),
+        ],
+        ("num", "value"),
+    ),
+    "reduce": "_sum",
+}
+V_SUPP_PART = {
+    "map": MapSpec("lineitem",
+                   [("num", "l_suppkey"), ("num", "l_partkey")]),
+    "reduce": "_count",
+}
+V_NATION_TMP = MapSpec("nation", ("num", "n_regionkey"),
+                       ("str", "n_name"))
+
+
+def map_mixed_keys(doc, emit):
+    """Q15: key cycles null/bool/number/string/array by doc_id % 5 —
+    exercises cross-type collation + the generic Python map path."""
+    m = int(doc["doc_id"]) % 5
+    if m == 0:
+        emit(None, None)
+    elif m == 1:
+        emit(int(doc["n_chars"]) % 2 == 0, None)
+    elif m == 2:
+        emit(doc["n_chars"], None)
+    elif m == 3:
+        emit(doc["lang"], None)
+    else:
+        emit([doc["lang"], doc["n_chars"]], None)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _eng(spark: SparkSession, sf_dir: str) -> Engine:
+    return Engine(spark, sf_dir, tempfile.mkdtemp(prefix="mrq-"))
+
+
+def _j(path: str, typ: str | None = None):
+    c = F.get_json_object(F.col("key_json"), path)
+    return c.cast(typ) if typ else c
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q01(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_FLAG_COUNT, group=True)
+    return res.df.select(
+        _j("$").alias("l_returnflag"),
+        F.col("value_num").cast("long").alias("cnt"),
+    )
+
+
+def q02(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_FLAG_STATUS_QTY, group_level=2)
+    return res.df.select(
+        _j("$[0]").alias("l_returnflag"),
+        _j("$[1]").alias("l_linestatus"),
+        F.col("value_num").alias("sum_qty"),
+    )
+
+
+def q03(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_FLAG_STATUS_QTY, group_level=1)
+    return res.df.select(
+        _j("$[0]").alias("l_returnflag"),
+        F.col("value_num").alias("sum_qty"),
+    )
+
+
+def q04(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_FLAG_STATUS_QTY)  # global reduce
+    return res.df.select(
+        F.col("key_json").alias("k_json"),
+        F.round(F.col("value_num"), 0).alias("sum_qty"),
+    )
+
+
+def q05(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_PRIO_STATS, group=True)
+    vj = F.col("value_json")
+    g = lambda p: F.get_json_object(vj, p).cast("double")  # noqa: E731
+    return res.df.select(
+        _j("$").alias("o_orderpriority"),
+        F.round(g("$.sum"), 0).alias("sum_p"),
+        g("$.count").cast("long").alias("count_p"),
+        g("$.min").alias("min_p"),
+        g("$.max").alias("max_p"),
+        F.round(g("$.sumsqr"), -2).alias("sumsqr_p"),
+    )
+
+
+def _orderdate_cols(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("id"),
+        _j("$").alias("k"),
+        F.col("value_num").alias("v"),
+    )
+
+
+def q06(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(
+        V_ORDERDATE, startkey="1995-01-01", endkey="1995-12-31"
+    )
+    return _orderdate_cols(res.df)
+
+
+def q07(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(
+        V_ORDERDATE,
+        startkey="1996-01-01",
+        endkey="1995-01-01",
+        descending=True,
+        limit=100,
+    )
+    return _orderdate_cols(res.df)
+
+
+def q08(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(
+        V_ORDERDATE, endkey="1995-06-30", inclusive_end=False
+    )
+    return _orderdate_cols(res.df)
+
+
+def q09(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(
+        V_BRAND_PRICE, keys=["Brand#13", "Brand#42", "Brand#13"]
+    )
+    return res.df.select(
+        F.col("id"),
+        _j("$").alias("k"),
+        F.col("value_num").alias("v"),
+    )
+
+
+def q10(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_MKTSEGMENT, limit=20, skip=35)
+    # total_rows/offset envelope (P7) folded into the result as columns
+    total = res.total_rows
+    return res.df.select(
+        F.col("id"),
+        _j("$").alias("k"),
+        F.lit(total).cast("long").alias("total_rows"),
+        F.lit(res.offset).cast("long").alias("off"),
+    )
+
+
+def q11(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(
+        V_CUST_NATION, key=7, include_docs=True
+    )
+    d = lambda p: F.get_json_object(F.col("doc_json"), p)  # noqa: E731
+    return res.df.select(
+        F.col("id"),
+        _j("$", "double").alias("k"),
+        d("$.c_custkey").cast("double").alias("c_custkey"),
+        d("$.c_name").alias("c_name"),
+        d("$.c_acctbal").cast("double").alias("c_acctbal"),
+        d("$.c_mktsegment").alias("c_mktsegment"),
+    )
+
+
+def q12(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(
+        V_ORDER_CUST_LINK,
+        include_docs=True,
+        limit=50,
+        doc_tables=["customer"],
+    )
+    d = lambda p: F.get_json_object(F.col("doc_json"), p)  # noqa: E731
+    return res.df.select(
+        F.col("id"),
+        _j("$", "double").alias("k"),
+        d("$._id").alias("doc_id"),
+        d("$.c_name").alias("c_name"),
+        d("$.c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
+def q13(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_EVENT_ARR, group=True)
+    return res.df.select(
+        _j("$").alias("event_type"),
+        F.element_at("value_num_arr", 1).cast("long").alias("cnt"),
+        F.round(F.element_at("value_num_arr", 2), 2).alias("sum_v"),
+    )
+
+
+def q14(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_EVENT_MAX, group=True)
+    return res.df.select(
+        _j("$").alias("event_type"),
+        F.col("value_num").alias("max_v"),
+    )
+
+
+def q15(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(("documents", map_mixed_keys))
+    return res.df.select(
+        F.col("id"), F.col("key_json").alias("k_json")
+    )
+
+
+def q16(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_EVENT_HOURLY, group_level=5)
+    return res.df.select(
+        _j("$[0]").alias("event_type"),
+        _j("$[1]", "double").alias("y"),
+        _j("$[2]", "double").alias("m"),
+        _j("$[3]", "double").alias("d"),
+        _j("$[4]", "double").alias("h"),
+        F.round(F.col("value_num"), 3).alias("sum_v"),
+    )
+
+
+def q16b(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(
+        V_EVENT_HOURLY,
+        group_level=5,
+        startkey=["purchase", 2024, 1, 1],
+        endkey=["purchase", 2024, 1, 8, {}],
+    )
+    return res.df.select(
+        _j("$[0]").alias("event_type"),
+        _j("$[1]", "double").alias("y"),
+        _j("$[2]", "double").alias("m"),
+        _j("$[3]", "double").alias("d"),
+        _j("$[4]", "double").alias("h"),
+        F.round(F.col("value_num"), 3).alias("sum_v"),
+    )
+
+
+def q17(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(V_NATION_TMP, reduce=False)
+    return res.df.select(
+        F.col("id"),
+        _j("$", "double").alias("n_regionkey"),
+        F.get_json_object(F.col("value_json"), "$").alias("n_name"),
+    )
+
+
+def q18(spark, sf_dir):
+    """Incremental == rebuild metamorphic query (M1/M2, SURVEY §5.2-3).
+
+    Build Q2's view from a PERTURBED first batch (seq ≤ s0, some
+    quantities shifted), then apply a correcting second batch through
+    the incremental path (tombstone + delta).  The final answer must
+    equal the plain Q2 oracle over the true table."""
+    from mapreduce_spark.sources.docs import load_table
+
+    eng = _eng(spark, sf_dir)
+    eng.put_design("inc", {"q2": V_FLAG_STATUS_QTY})
+    raw = load_table(spark, sf_dir, "lineitem")
+    seq = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    s0 = int(raw.agg(F.max(seq)).collect()[0][0] * 0.6)
+    batch1 = raw.filter(seq <= s0).withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 97 == 0,
+               F.col("l_quantity") + 77.0).otherwise(F.col("l_quantity")),
+    )
+    eng.update_view("inc/q2", changes=batch1)
+    batch2 = raw.filter(
+        (seq > s0) | ((seq <= s0) & (F.col("l_orderkey") % 97 == 0))
+    )
+    eng.update_view("inc/q2", changes=batch2)
+    res = eng.query("inc/q2", group_level=2, stale="ok")
+    return res.df.select(
+        _j("$[0]").alias("l_returnflag"),
+        _j("$[1]").alias("l_linestatus"),
+        F.col("value_num").alias("sum_qty"),
+    )
+
+
+def q19(spark, sf_dir):
+    res = _eng(spark, sf_dir).query(
+        V_SUPP_PART, group_level=1, skip=2, limit=5
+    )
+    return res.df.select(
+        _j("$[0]", "double").alias("l_suppkey"),
+        F.col("value_num").cast("long").alias("cnt"),
+    )
+
+
+def q20(spark, sf_dir):
+    """Error-contract cases (V1) surfaced as data so the oracle can
+    check them: each row = (check_name, raised error class)."""
+    eng = _eng(spark, sf_dir)
+    out = []
+
+    def attempt(name, fn):
+        try:
+            fn()
+            out.append((name, "NO_ERROR"))
+        except (QueryParseError, NotFoundError, BuiltInError) as e:
+            out.append((name, type(e).__name__))
+
+    attempt(
+        "group_level_negative",
+        lambda: eng.query(V_MKTSEGMENT, group_level=-1),
+    )
+    attempt(
+        "keys_with_group_level",
+        lambda: eng.query(V_FLAG_COUNT, keys=["A"], group_level=1),
+    )
+    attempt(
+        "keys_reduce_without_group",
+        lambda: eng.query(V_FLAG_COUNT, keys=["A"]),
+    )
+    attempt(
+        "bad_builtin",
+        lambda: eng.query(
+            {"map": V_MKTSEGMENT, "reduce": "_nope"}, group=True
+        ),
+    )
+    attempt("missing_view", lambda: eng.query("nosuch/view"))
+    return spark.createDataFrame(out, "check_name string, error string")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, runs on the same parquet views)
+# ---------------------------------------------------------------------------
+
+_ISO = "strftime({c}, '%Y-%m-%dT%H:%M:%S')"
+
+
+def _iso(c: str) -> str:
+    return _ISO.format(c=c)
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q01": (
+        "SELECT l_returnflag, count(*)::BIGINT AS cnt "
+        "FROM lineitem GROUP BY 1"
+    ),
+    "q02": (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(l_quantity::DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY 1, 2"
+    ),
+    "q03": (
+        "SELECT l_returnflag, sum(l_quantity::DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY 1"
+    ),
+    "q04": (
+        "SELECT 'null' AS k_json, "
+        "ROUND(sum(l_quantity::DOUBLE), 0) AS sum_qty FROM lineitem"
+    ),
+    "q05": (
+        "SELECT o_orderpriority, "
+        "ROUND(sum(o_totalprice::DOUBLE), 0) AS sum_p, "
+        "count(o_totalprice)::BIGINT AS count_p, "
+        "min(o_totalprice::DOUBLE) AS min_p, "
+        "max(o_totalprice::DOUBLE) AS max_p, "
+        "ROUND(sum(o_totalprice::DOUBLE * o_totalprice::DOUBLE), -2) "
+        "AS sumsqr_p FROM orders GROUP BY 1"
+    ),
+    "q06": (
+        f"SELECT printf('orders:%09d', o_orderkey) AS id, "
+        f"{_iso('o_orderdate')} AS k, o_totalprice::DOUBLE AS v "
+        f"FROM orders WHERE {_iso('o_orderdate')} >= '1995-01-01' "
+        f"AND {_iso('o_orderdate')} <= '1995-12-31'"
+    ),
+    "q07": (
+        f"SELECT printf('orders:%09d', o_orderkey) AS id, "
+        f"{_iso('o_orderdate')} AS k, o_totalprice::DOUBLE AS v "
+        f"FROM orders WHERE {_iso('o_orderdate')} <= '1996-01-01' "
+        f"AND {_iso('o_orderdate')} >= '1995-01-01' "
+        f"ORDER BY k DESC, id DESC LIMIT 100"
+    ),
+    "q08": (
+        f"SELECT printf('orders:%09d', o_orderkey) AS id, "
+        f"{_iso('o_orderdate')} AS k, o_totalprice::DOUBLE AS v "
+        f"FROM orders WHERE {_iso('o_orderdate')} < '1995-06-30'"
+    ),
+    "q09": (
+        "SELECT printf('part:%06d', p_partkey) AS id, p_brand AS k, "
+        "p_retailprice::DOUBLE AS v FROM part WHERE p_brand='Brand#13' "
+        "UNION ALL "
+        "SELECT printf('part:%06d', p_partkey), p_brand, "
+        "p_retailprice::DOUBLE FROM part WHERE p_brand='Brand#42' "
+        "UNION ALL "
+        "SELECT printf('part:%06d', p_partkey), p_brand, "
+        "p_retailprice::DOUBLE FROM part WHERE p_brand='Brand#13'"
+    ),
+    "q10": (
+        "SELECT printf('customer:%06d', c_custkey) AS id, "
+        "c_mktsegment AS k, "
+        "(SELECT count(*) FROM customer)::BIGINT AS total_rows, "
+        "35::BIGINT AS off "
+        "FROM customer ORDER BY k, id LIMIT 20 OFFSET 35"
+    ),
+    "q11": (
+        "SELECT printf('customer:%06d', c_custkey) AS id, "
+        "c_nationkey::DOUBLE AS k, c_custkey::DOUBLE AS c_custkey, "
+        "c_name, c_acctbal::DOUBLE AS c_acctbal, c_mktsegment "
+        "FROM customer WHERE c_nationkey = 7"
+    ),
+    "q12": (
+        "SELECT printf('orders:%09d', o_orderkey) AS id, "
+        "o_orderkey::DOUBLE AS k, "
+        "printf('customer:%06d', c_custkey) AS doc_id, c_name, "
+        "c_acctbal::DOUBLE AS c_acctbal "
+        "FROM orders JOIN customer ON c_custkey = o_custkey "
+        "ORDER BY o_orderkey LIMIT 50"
+    ),
+    "q13": (
+        "SELECT event_type, count(*)::BIGINT AS cnt, "
+        "ROUND(sum(value::DOUBLE), 2) AS sum_v "
+        "FROM events GROUP BY 1"
+    ),
+    "q14": (
+        "SELECT event_type, max(value::DOUBLE) AS max_v "
+        "FROM events GROUP BY 1"
+    ),
+    "q15": (
+        "SELECT printf('documents:%06d', doc_id) AS id, "
+        "CASE doc_id % 5 "
+        "WHEN 0 THEN 'null' "
+        "WHEN 1 THEN CASE WHEN n_chars % 2 = 0 THEN 'true' "
+        "ELSE 'false' END "
+        "WHEN 2 THEN to_json(n_chars::DOUBLE) "
+        "WHEN 3 THEN to_json(lang) "
+        "ELSE '[' || to_json(lang) || ',' || to_json(n_chars::DOUBLE) "
+        "|| ']' END AS k_json FROM documents"
+    ),
+    "q16": (
+        "SELECT event_type, "
+        "EXTRACT(year FROM ts)::DOUBLE AS y, "
+        "EXTRACT(month FROM ts)::DOUBLE AS m, "
+        "EXTRACT(day FROM ts)::DOUBLE AS d, "
+        "EXTRACT(hour FROM ts)::DOUBLE AS h, "
+        "ROUND(sum(value::DOUBLE), 3) AS sum_v "
+        "FROM events GROUP BY 1, 2, 3, 4, 5"
+    ),
+    "q16b": (
+        "SELECT event_type, "
+        "EXTRACT(year FROM ts)::DOUBLE AS y, "
+        "EXTRACT(month FROM ts)::DOUBLE AS m, "
+        "EXTRACT(day FROM ts)::DOUBLE AS d, "
+        "EXTRACT(hour FROM ts)::DOUBLE AS h, "
+        "ROUND(sum(value::DOUBLE), 3) AS sum_v "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND EXTRACT(year FROM ts) = 2024 AND EXTRACT(month FROM ts) = 1 "
+        "AND EXTRACT(day FROM ts) BETWEEN 1 AND 8 "
+        "GROUP BY 1, 2, 3, 4, 5"
+    ),
+    "q17": (
+        "SELECT printf('nation:%02d', n_nationkey) AS id, "
+        "n_regionkey::DOUBLE AS n_regionkey, n_name FROM nation"
+    ),
+    "q18": (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(l_quantity::DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY 1, 2"
+    ),
+    "q19": (
+        "SELECT l_suppkey::DOUBLE AS l_suppkey, count(*)::BIGINT AS cnt "
+        "FROM lineitem GROUP BY 1 ORDER BY 1 OFFSET 2 LIMIT 5"
+    ),
+    "q20": (
+        "SELECT * FROM (VALUES "
+        "('group_level_negative', 'QueryParseError'), "
+        "('keys_with_group_level', 'QueryParseError'), "
+        "('keys_reduce_without_group', 'QueryParseError'), "
+        "('bad_builtin', 'BuiltInError'), "
+        "('missing_view', 'NotFoundError')"
+        ") t(check_name, error)"
+    ),
+}
+
+QUERIES = {
+    "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
+    "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
+    "q11": q11, "q12": q12, "q13": q13, "q14": q14, "q15": q15,
+    "q16": q16, "q16b": q16b, "q17": q17, "q18": q18, "q19": q19,
+    "q20": q20,
+}

@@ -47,6 +47,9 @@ class DocTable:
     timestamp_cols: tuple[str, ...] = ()
     json_cols: tuple[str, ...] = ()  # JSON-string cols parsed into objects
     array_cols: tuple[str, ...] = ()  # kept as typed arrays (embeddings)
+    # parquet TIMESTAMP(NANOS) columns: Spark 4 has no nanos timestamp —
+    # read as long via the legacy conf and convert (exact integer DIV)
+    ns_timestamp_cols: tuple[str, ...] = ()
 
 
 TABLES: dict[str, DocTable] = {
@@ -79,6 +82,7 @@ TABLES: dict[str, DocTable] = {
             "event_id",
             timestamp_cols=("ts",),
             json_cols=("props",),
+            ns_timestamp_cols=("ts",),
         ),
         DocTable("documents", "documents:%06d", ("doc_id",), "doc_id"),
         DocTable(
@@ -93,8 +97,24 @@ TABLES: dict[str, DocTable] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Raw typed table, untouched (filters/pruning push into parquet)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Raw typed table (filters/pruning push into parquet).
+
+    Tables with TIMESTAMP(NANOS) parquet columns (Spark 4 cannot read
+    them natively) are read with nanosAsLong and converted back to
+    microsecond timestamps via exact integer division — same truncation
+    Spark applies to TIMESTAMP(MICROS) anyway.
+    """
+    t = TABLES.get(name)
+    path = f"{sf_dir}/{name}.parquet"
+    if t and t.ns_timestamp_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in t.ns_timestamp_cols:
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))")
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def doc_id_col(table: str) -> Column:
