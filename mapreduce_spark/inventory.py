@@ -1,9 +1,17 @@
 """The declared query inventory (SURVEY.md §2.1 Q1-Q20) + DuckDB oracles.
 
-Each query exercises the engine through its PUBLIC API (temporary or
-persisted views) against the driver's testdata, and returns a DataFrame
-whose column names/types exactly match the paired oracle SQL (the
-driver compares row-count + schema + order-insensitive value-hash).
+Each query exercises the engine through its PUBLIC API against the
+driver's testdata and returns a DataFrame whose column names/types
+exactly match the paired oracle SQL (the driver compares row-count +
+schema + order-insensitive value-hash).
+
+Two execution modes share one implementation (``Inventory``):
+
+- **cold / temporary** (driver correctness runs): each module-level
+  ``qNN(spark, sf_dir)`` builds its view on the fly (S7 semantics);
+- **warm / persisted** (bench): one shared Engine with all fixture
+  views materialized to sorted Parquet; queries run ``stale='ok'``
+  against the persisted index — the reference's steady-state shape.
 
 Floating-point note: aggregate sums of non-integral doubles differ
 between Spark (tree/partial aggregation) and DuckDB (sequential) in the
@@ -21,7 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_spark.engine import Engine
+from mapreduce_spark.engine import Engine, QueryResult
 from mapreduce_spark.errors import (
     BuiltInError,
     NotFoundError,
@@ -33,69 +41,10 @@ from mapreduce_spark.operators.mapphase import MapSpec
 # Fixture views (FIXTURES.md "View fixtures")
 # ---------------------------------------------------------------------------
 
-V_FLAG_COUNT = {"map": MapSpec("lineitem", ("str", "l_returnflag")),
-                "reduce": "_count"}
-V_FLAG_STATUS_QTY = {
-    "map": MapSpec(
-        "lineitem",
-        [("str", "l_returnflag"), ("str", "l_linestatus")],
-        ("num", "l_quantity"),
-    ),
-    "reduce": "_sum",
-}
-V_PRIO_STATS = {
-    "map": MapSpec("orders", ("str", "o_orderpriority"),
-                   ("num", "o_totalprice")),
-    "reduce": "_stats",
-}
-V_ORDERDATE = MapSpec("orders", ("iso", "o_orderdate"),
-                      ("num", "o_totalprice"))
-V_BRAND_PRICE = MapSpec("part", ("str", "p_brand"),
-                        ("num", "p_retailprice"))
-V_MKTSEGMENT = MapSpec("customer", ("str", "c_mktsegment"))
-V_CUST_NATION = MapSpec("customer", ("num", "c_nationkey"))
-V_ORDER_CUST_LINK = MapSpec(
-    "orders",
-    ("num", "o_orderkey"),
-    ("link", "format_string('customer:%06d', o_custkey)"),
-)
-V_EVENT_ARR = {
-    "map": MapSpec("events", ("str", "event_type"),
-                   ("num_arr", ["1.0", "value"])),
-    "reduce": "_sum",
-}
-
 
 def reduce_max(keys, values, rereduce):
     """Custom rereduce-safe max (SURVEY §2 A4/U2, Q14)."""
     return max(values)
-
-
-V_EVENT_MAX = {
-    "map": MapSpec("events", ("str", "event_type"), ("num", "value")),
-    "reduce": reduce_max,
-}
-V_EVENT_HOURLY = {
-    "map": MapSpec(
-        "events",
-        [
-            ("str", "event_type"),
-            ("num", "year(ts)"),
-            ("num", "month(ts)"),
-            ("num", "day(ts)"),
-            ("num", "hour(ts)"),
-        ],
-        ("num", "value"),
-    ),
-    "reduce": "_sum",
-}
-V_SUPP_PART = {
-    "map": MapSpec("lineitem",
-                   [("num", "l_suppkey"), ("num", "l_partkey")]),
-    "reduce": "_count",
-}
-V_NATION_TMP = MapSpec("nation", ("num", "n_regionkey"),
-                       ("str", "n_name"))
 
 
 def map_mixed_keys(doc, emit):
@@ -114,12 +63,75 @@ def map_mixed_keys(doc, emit):
         emit([doc["lang"], doc["n_chars"]], None)
 
 
-# ---------------------------------------------------------------------------
-# helpers
-# ---------------------------------------------------------------------------
-
-def _eng(spark: SparkSession, sf_dir: str) -> Engine:
-    return Engine(spark, sf_dir, tempfile.mkdtemp(prefix="mrq-"))
+VIEW_DEFS: dict[str, dict] = {
+    "flag_count": {
+        "map": MapSpec("lineitem", ("str", "l_returnflag")),
+        "reduce": "_count",
+    },
+    "flag_status_qty": {
+        "map": MapSpec(
+            "lineitem",
+            [("str", "l_returnflag"), ("str", "l_linestatus")],
+            ("num", "l_quantity"),
+        ),
+        "reduce": "_sum",
+    },
+    "prio_stats": {
+        "map": MapSpec("orders", ("str", "o_orderpriority"),
+                       ("num", "o_totalprice")),
+        "reduce": "_stats",
+    },
+    "orderdate": {
+        "map": MapSpec("orders", ("iso", "o_orderdate"),
+                       ("num", "o_totalprice"))
+    },
+    "brand_price": {
+        "map": MapSpec("part", ("str", "p_brand"),
+                       ("num", "p_retailprice"))
+    },
+    "mktsegment": {"map": MapSpec("customer", ("str", "c_mktsegment"))},
+    "cust_nation": {"map": MapSpec("customer", ("num", "c_nationkey"))},
+    "order_cust_link": {
+        "map": MapSpec(
+            "orders",
+            ("num", "o_orderkey"),
+            ("link", "format_string('customer:%06d', o_custkey)"),
+        )
+    },
+    "event_arr": {
+        "map": MapSpec("events", ("str", "event_type"),
+                       ("num_arr", ["1.0", "value"])),
+        "reduce": "_sum",
+    },
+    "event_max": {
+        "map": MapSpec("events", ("str", "event_type"), ("num", "value")),
+        "reduce": reduce_max,
+    },
+    "event_hourly": {
+        "map": MapSpec(
+            "events",
+            [
+                ("str", "event_type"),
+                ("num", "year(ts)"),
+                ("num", "month(ts)"),
+                ("num", "day(ts)"),
+                ("num", "hour(ts)"),
+            ],
+            ("num", "value"),
+        ),
+        "reduce": "_sum",
+    },
+    "supp_part": {
+        "map": MapSpec("lineitem",
+                       [("num", "l_suppkey"), ("num", "l_partkey")]),
+        "reduce": "_count",
+    },
+    "mixed_keys": {"map": ("documents", map_mixed_keys)},
+    "nation_tmp": {
+        "map": MapSpec("nation", ("num", "n_regionkey"),
+                       ("str", "n_name"))
+    },
+}
 
 
 def _j(path: str, typ: str | None = None):
@@ -127,293 +139,322 @@ def _j(path: str, typ: str | None = None):
     return c.cast(typ) if typ else c
 
 
+class Inventory:
+    """Q1-Q20 against one engine; persisted-warm or temporary-cold."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 engine: Engine | None = None, warm: bool = False) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.warm = warm and engine is not None
+        self.engine = engine or Engine(
+            spark, sf_dir, tempfile.mkdtemp(prefix="mrq-")
+        )
+        if self.warm:
+            self.engine.put_design("bench", VIEW_DEFS)
+
+    def materialize(self) -> None:
+        """Build every fixture view's persisted index (the cold half)."""
+        assert self.warm
+        for name in VIEW_DEFS:
+            self.engine.update_view(f"bench/{name}")
+
+    def _q(self, view: str, **opts) -> QueryResult:
+        if self.warm:
+            return self.engine.query(f"bench/{view}", stale="ok", **opts)
+        return self.engine.query(VIEW_DEFS[view], **opts)
+
+    # -- queries ---------------------------------------------------------
+
+    def q01(self):
+        res = self._q("flag_count", group=True)
+        return res.df.select(
+            _j("$").alias("l_returnflag"),
+            F.col("value_num").cast("long").alias("cnt"),
+        )
+
+    def q02(self):
+        res = self._q("flag_status_qty", group_level=2)
+        return res.df.select(
+            _j("$[0]").alias("l_returnflag"),
+            _j("$[1]").alias("l_linestatus"),
+            F.col("value_num").alias("sum_qty"),
+        )
+
+    def q03(self):
+        res = self._q("flag_status_qty", group_level=1)
+        return res.df.select(
+            _j("$[0]").alias("l_returnflag"),
+            F.col("value_num").alias("sum_qty"),
+        )
+
+    def q04(self):
+        res = self._q("flag_status_qty")  # global reduce (A7)
+        return res.df.select(
+            F.col("key_json").alias("k_json"),
+            F.round(F.col("value_num"), 0).alias("sum_qty"),
+        )
+
+    def q05(self):
+        res = self._q("prio_stats", group=True)
+        vj = F.col("value_json")
+        g = lambda p: F.get_json_object(vj, p).cast("double")  # noqa: E731
+        return res.df.select(
+            _j("$").alias("o_orderpriority"),
+            F.round(g("$.sum"), 0).alias("sum_p"),
+            g("$.count").cast("long").alias("count_p"),
+            g("$.min").alias("min_p"),
+            g("$.max").alias("max_p"),
+            F.round(g("$.sumsqr"), -2).alias("sumsqr_p"),
+        )
+
+    def _orderdate_cols(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("id"),
+            _j("$").alias("k"),
+            F.col("value_num").alias("v"),
+        )
+
+    def q06(self):
+        res = self._q("orderdate", startkey="1995-01-01",
+                      endkey="1995-12-31")
+        return self._orderdate_cols(res.df)
+
+    def q07(self):
+        res = self._q(
+            "orderdate",
+            startkey="1996-01-01",
+            endkey="1995-01-01",
+            descending=True,
+            limit=100,
+        )
+        return self._orderdate_cols(res.df)
+
+    def q08(self):
+        res = self._q("orderdate", endkey="1995-06-30",
+                      inclusive_end=False)
+        return self._orderdate_cols(res.df)
+
+    def q09(self):
+        res = self._q("brand_price",
+                      keys=["Brand#13", "Brand#42", "Brand#13"])
+        return res.df.select(
+            F.col("id"),
+            _j("$").alias("k"),
+            F.col("value_num").alias("v"),
+        )
+
+    def q10(self):
+        res = self._q("mktsegment", limit=20, skip=35)
+        total = res.total_rows  # P7 envelope folded into the result
+        return res.df.select(
+            F.col("id"),
+            _j("$").alias("k"),
+            F.lit(total).cast("long").alias("total_rows"),
+            F.lit(res.offset).cast("long").alias("off"),
+        )
+
+    def q11(self):
+        res = self._q("cust_nation", key=7, include_docs=True)
+        d = lambda p: F.get_json_object(F.col("doc_json"), p)  # noqa: E731
+        return res.df.select(
+            F.col("id"),
+            _j("$", "double").alias("k"),
+            d("$.c_custkey").cast("double").alias("c_custkey"),
+            d("$.c_name").alias("c_name"),
+            d("$.c_acctbal").cast("double").alias("c_acctbal"),
+            d("$.c_mktsegment").alias("c_mktsegment"),
+        )
+
+    def q12(self):
+        res = self._q(
+            "order_cust_link",
+            include_docs=True,
+            limit=50,
+            doc_tables=["customer"],
+        )
+        d = lambda p: F.get_json_object(F.col("doc_json"), p)  # noqa: E731
+        return res.df.select(
+            F.col("id"),
+            _j("$", "double").alias("k"),
+            d("$._id").alias("doc_id"),
+            d("$.c_name").alias("c_name"),
+            d("$.c_acctbal").cast("double").alias("c_acctbal"),
+        )
+
+    def q13(self):
+        res = self._q("event_arr", group=True)
+        return res.df.select(
+            _j("$").alias("event_type"),
+            F.element_at("value_num_arr", 1).cast("long").alias("cnt"),
+            F.round(F.element_at("value_num_arr", 2), 2).alias("sum_v"),
+        )
+
+    def q14(self):
+        res = self._q("event_max", group=True)
+        return res.df.select(
+            _j("$").alias("event_type"),
+            F.col("value_num").alias("max_v"),
+        )
+
+    def q15(self):
+        res = self._q("mixed_keys")
+        return res.df.select(
+            F.col("id"), F.col("key_json").alias("k_json")
+        )
+
+    def _hourly_cols(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            _j("$[0]").alias("event_type"),
+            _j("$[1]", "double").alias("y"),
+            _j("$[2]", "double").alias("m"),
+            _j("$[3]", "double").alias("d"),
+            _j("$[4]", "double").alias("h"),
+            F.round(F.col("value_num"), 3).alias("sum_v"),
+        )
+
+    def q16(self):
+        return self._hourly_cols(
+            self._q("event_hourly", group_level=5).df
+        )
+
+    def q16b(self):
+        return self._hourly_cols(
+            self._q(
+                "event_hourly",
+                group_level=5,
+                startkey=["purchase", 2024, 1, 1],
+                endkey=["purchase", 2024, 1, 8, {}],
+            ).df
+        )
+
+    def q17(self):
+        # S7 temporary view: always ephemeral, even in warm mode
+        res = self.engine.query(VIEW_DEFS["nation_tmp"], reduce=False)
+        return res.df.select(
+            F.col("id"),
+            _j("$", "double").alias("n_regionkey"),
+            F.get_json_object(F.col("value_json"), "$").alias("n_name"),
+        )
+
+    def q18(self):
+        """Incremental == rebuild metamorphic query (M1/M2).
+
+        Build Q2's view from a PERTURBED first batch (seq ≤ s0, some
+        quantities shifted), then apply a correcting second batch via
+        the incremental path (tombstone + delta).  The final answer
+        must equal the plain Q2 oracle over the true table."""
+        from mapreduce_spark.sources.docs import load_table
+
+        eng = Engine(self.spark, self.sf_dir,
+                     tempfile.mkdtemp(prefix="mrq18-"))
+        eng.put_design("inc", {"q2": VIEW_DEFS["flag_status_qty"]})
+        raw = load_table(self.spark, self.sf_dir, "lineitem")
+        seq = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast(
+            "long"
+        )
+        s0 = int(raw.agg(F.max(seq)).collect()[0][0] * 0.6)
+        batch1 = raw.filter(seq <= s0).withColumn(
+            "l_quantity",
+            F.when(
+                F.col("l_orderkey") % 97 == 0, F.col("l_quantity") + 77.0
+            ).otherwise(F.col("l_quantity")),
+        )
+        eng.update_view("inc/q2", changes=batch1)
+        batch2 = raw.filter(
+            (seq > s0) | ((seq <= s0) & (F.col("l_orderkey") % 97 == 0))
+        )
+        eng.update_view("inc/q2", changes=batch2)
+        res = eng.query("inc/q2", group_level=2, stale="ok")
+        return res.df.select(
+            _j("$[0]").alias("l_returnflag"),
+            _j("$[1]").alias("l_linestatus"),
+            F.col("value_num").alias("sum_qty"),
+        )
+
+    def q19(self):
+        res = self._q("supp_part", group_level=1, skip=2, limit=5)
+        return res.df.select(
+            _j("$[0]", "double").alias("l_suppkey"),
+            F.col("value_num").cast("long").alias("cnt"),
+        )
+
+    def q20(self):
+        """Error-contract cases (V1) surfaced as data so the oracle can
+        check them: each row = (check_name, raised error class)."""
+        eng = self.engine
+        out = []
+
+        def attempt(name, fn):
+            try:
+                fn()
+                out.append((name, "NO_ERROR"))
+            except (QueryParseError, NotFoundError, BuiltInError) as e:
+                out.append((name, type(e).__name__))
+
+        attempt(
+            "group_level_negative",
+            lambda: eng.query(VIEW_DEFS["mktsegment"], group_level=-1),
+        )
+        attempt(
+            "keys_with_group_level",
+            lambda: eng.query(VIEW_DEFS["flag_count"], keys=["A"],
+                              group_level=1),
+        )
+        attempt(
+            "keys_reduce_without_group",
+            lambda: eng.query(VIEW_DEFS["flag_count"], keys=["A"]),
+        )
+        attempt(
+            "bad_builtin",
+            lambda: eng.query(
+                {"map": VIEW_DEFS["mktsegment"]["map"],
+                 "reduce": "_nope"},
+                group=True,
+            ),
+        )
+        attempt("missing_view", lambda: eng.query("nosuch/view"))
+        return self.spark.createDataFrame(
+            out, "check_name string, error string"
+        )
+
+    def all_queries(self) -> dict[str, callable]:
+        return {
+            n: getattr(self, n)
+            for n in (
+                "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
+                "q14 q15 q16 q16b q17 q18 q19 q20"
+            ).split()
+        }
+
+
 # ---------------------------------------------------------------------------
-# queries
+# module-level driver-facing callables (cold / temporary mode)
 # ---------------------------------------------------------------------------
 
-def q01(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_FLAG_COUNT, group=True)
-    return res.df.select(
-        _j("$").alias("l_returnflag"),
-        F.col("value_num").cast("long").alias("cnt"),
-    )
+def _mk(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return getattr(Inventory(spark, sf_dir), name)()
+
+    run.__name__ = name
+    return run
 
 
-def q02(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_FLAG_STATUS_QTY, group_level=2)
-    return res.df.select(
-        _j("$[0]").alias("l_returnflag"),
-        _j("$[1]").alias("l_linestatus"),
-        F.col("value_num").alias("sum_qty"),
-    )
-
-
-def q03(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_FLAG_STATUS_QTY, group_level=1)
-    return res.df.select(
-        _j("$[0]").alias("l_returnflag"),
-        F.col("value_num").alias("sum_qty"),
-    )
-
-
-def q04(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_FLAG_STATUS_QTY)  # global reduce
-    return res.df.select(
-        F.col("key_json").alias("k_json"),
-        F.round(F.col("value_num"), 0).alias("sum_qty"),
-    )
-
-
-def q05(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_PRIO_STATS, group=True)
-    vj = F.col("value_json")
-    g = lambda p: F.get_json_object(vj, p).cast("double")  # noqa: E731
-    return res.df.select(
-        _j("$").alias("o_orderpriority"),
-        F.round(g("$.sum"), 0).alias("sum_p"),
-        g("$.count").cast("long").alias("count_p"),
-        g("$.min").alias("min_p"),
-        g("$.max").alias("max_p"),
-        F.round(g("$.sumsqr"), -2).alias("sumsqr_p"),
-    )
-
-
-def _orderdate_cols(df: DataFrame) -> DataFrame:
-    return df.select(
-        F.col("id"),
-        _j("$").alias("k"),
-        F.col("value_num").alias("v"),
-    )
-
-
-def q06(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(
-        V_ORDERDATE, startkey="1995-01-01", endkey="1995-12-31"
-    )
-    return _orderdate_cols(res.df)
-
-
-def q07(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(
-        V_ORDERDATE,
-        startkey="1996-01-01",
-        endkey="1995-01-01",
-        descending=True,
-        limit=100,
-    )
-    return _orderdate_cols(res.df)
-
-
-def q08(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(
-        V_ORDERDATE, endkey="1995-06-30", inclusive_end=False
-    )
-    return _orderdate_cols(res.df)
-
-
-def q09(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(
-        V_BRAND_PRICE, keys=["Brand#13", "Brand#42", "Brand#13"]
-    )
-    return res.df.select(
-        F.col("id"),
-        _j("$").alias("k"),
-        F.col("value_num").alias("v"),
-    )
-
-
-def q10(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_MKTSEGMENT, limit=20, skip=35)
-    # total_rows/offset envelope (P7) folded into the result as columns
-    total = res.total_rows
-    return res.df.select(
-        F.col("id"),
-        _j("$").alias("k"),
-        F.lit(total).cast("long").alias("total_rows"),
-        F.lit(res.offset).cast("long").alias("off"),
-    )
-
-
-def q11(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(
-        V_CUST_NATION, key=7, include_docs=True
-    )
-    d = lambda p: F.get_json_object(F.col("doc_json"), p)  # noqa: E731
-    return res.df.select(
-        F.col("id"),
-        _j("$", "double").alias("k"),
-        d("$.c_custkey").cast("double").alias("c_custkey"),
-        d("$.c_name").alias("c_name"),
-        d("$.c_acctbal").cast("double").alias("c_acctbal"),
-        d("$.c_mktsegment").alias("c_mktsegment"),
-    )
-
-
-def q12(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(
-        V_ORDER_CUST_LINK,
-        include_docs=True,
-        limit=50,
-        doc_tables=["customer"],
-    )
-    d = lambda p: F.get_json_object(F.col("doc_json"), p)  # noqa: E731
-    return res.df.select(
-        F.col("id"),
-        _j("$", "double").alias("k"),
-        d("$._id").alias("doc_id"),
-        d("$.c_name").alias("c_name"),
-        d("$.c_acctbal").cast("double").alias("c_acctbal"),
-    )
-
-
-def q13(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_EVENT_ARR, group=True)
-    return res.df.select(
-        _j("$").alias("event_type"),
-        F.element_at("value_num_arr", 1).cast("long").alias("cnt"),
-        F.round(F.element_at("value_num_arr", 2), 2).alias("sum_v"),
-    )
-
-
-def q14(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_EVENT_MAX, group=True)
-    return res.df.select(
-        _j("$").alias("event_type"),
-        F.col("value_num").alias("max_v"),
-    )
-
-
-def q15(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(("documents", map_mixed_keys))
-    return res.df.select(
-        F.col("id"), F.col("key_json").alias("k_json")
-    )
-
-
-def q16(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_EVENT_HOURLY, group_level=5)
-    return res.df.select(
-        _j("$[0]").alias("event_type"),
-        _j("$[1]", "double").alias("y"),
-        _j("$[2]", "double").alias("m"),
-        _j("$[3]", "double").alias("d"),
-        _j("$[4]", "double").alias("h"),
-        F.round(F.col("value_num"), 3).alias("sum_v"),
-    )
-
-
-def q16b(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(
-        V_EVENT_HOURLY,
-        group_level=5,
-        startkey=["purchase", 2024, 1, 1],
-        endkey=["purchase", 2024, 1, 8, {}],
-    )
-    return res.df.select(
-        _j("$[0]").alias("event_type"),
-        _j("$[1]", "double").alias("y"),
-        _j("$[2]", "double").alias("m"),
-        _j("$[3]", "double").alias("d"),
-        _j("$[4]", "double").alias("h"),
-        F.round(F.col("value_num"), 3).alias("sum_v"),
-    )
-
-
-def q17(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(V_NATION_TMP, reduce=False)
-    return res.df.select(
-        F.col("id"),
-        _j("$", "double").alias("n_regionkey"),
-        F.get_json_object(F.col("value_json"), "$").alias("n_name"),
-    )
-
-
-def q18(spark, sf_dir):
-    """Incremental == rebuild metamorphic query (M1/M2, SURVEY §5.2-3).
-
-    Build Q2's view from a PERTURBED first batch (seq ≤ s0, some
-    quantities shifted), then apply a correcting second batch through
-    the incremental path (tombstone + delta).  The final answer must
-    equal the plain Q2 oracle over the true table."""
-    from mapreduce_spark.sources.docs import load_table
-
-    eng = _eng(spark, sf_dir)
-    eng.put_design("inc", {"q2": V_FLAG_STATUS_QTY})
-    raw = load_table(spark, sf_dir, "lineitem")
-    seq = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
-    s0 = int(raw.agg(F.max(seq)).collect()[0][0] * 0.6)
-    batch1 = raw.filter(seq <= s0).withColumn(
-        "l_quantity",
-        F.when(F.col("l_orderkey") % 97 == 0,
-               F.col("l_quantity") + 77.0).otherwise(F.col("l_quantity")),
-    )
-    eng.update_view("inc/q2", changes=batch1)
-    batch2 = raw.filter(
-        (seq > s0) | ((seq <= s0) & (F.col("l_orderkey") % 97 == 0))
-    )
-    eng.update_view("inc/q2", changes=batch2)
-    res = eng.query("inc/q2", group_level=2, stale="ok")
-    return res.df.select(
-        _j("$[0]").alias("l_returnflag"),
-        _j("$[1]").alias("l_linestatus"),
-        F.col("value_num").alias("sum_qty"),
-    )
-
-
-def q19(spark, sf_dir):
-    res = _eng(spark, sf_dir).query(
-        V_SUPP_PART, group_level=1, skip=2, limit=5
-    )
-    return res.df.select(
-        _j("$[0]", "double").alias("l_suppkey"),
-        F.col("value_num").cast("long").alias("cnt"),
-    )
-
-
-def q20(spark, sf_dir):
-    """Error-contract cases (V1) surfaced as data so the oracle can
-    check them: each row = (check_name, raised error class)."""
-    eng = _eng(spark, sf_dir)
-    out = []
-
-    def attempt(name, fn):
-        try:
-            fn()
-            out.append((name, "NO_ERROR"))
-        except (QueryParseError, NotFoundError, BuiltInError) as e:
-            out.append((name, type(e).__name__))
-
-    attempt(
-        "group_level_negative",
-        lambda: eng.query(V_MKTSEGMENT, group_level=-1),
-    )
-    attempt(
-        "keys_with_group_level",
-        lambda: eng.query(V_FLAG_COUNT, keys=["A"], group_level=1),
-    )
-    attempt(
-        "keys_reduce_without_group",
-        lambda: eng.query(V_FLAG_COUNT, keys=["A"]),
-    )
-    attempt(
-        "bad_builtin",
-        lambda: eng.query(
-            {"map": V_MKTSEGMENT, "reduce": "_nope"}, group=True
-        ),
-    )
-    attempt("missing_view", lambda: eng.query("nosuch/view"))
-    return spark.createDataFrame(out, "check_name string, error string")
+QUERIES = {
+    n: _mk(n)
+    for n in (
+        "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
+        "q16 q16b q17 q18 q19 q20"
+    ).split()
+}
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, runs on the same parquet views)
 # ---------------------------------------------------------------------------
 
-_ISO = "strftime({c}, '%Y-%m-%dT%H:%M:%S')"
-
-
 def _iso(c: str) -> str:
-    return _ISO.format(c=c)
+    return f"strftime({c}, '%Y-%m-%dT%H:%M:%S')"
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -555,12 +596,4 @@ ORACLE_SQL: dict[str, str] = {
         "('missing_view', 'NotFoundError')"
         ") t(check_name, error)"
     ),
-}
-
-QUERIES = {
-    "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
-    "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
-    "q11": q11, "q12": q12, "q13": q13, "q14": q14, "q15": q15,
-    "q16": q16, "q16b": q16b, "q17": q17, "q18": q18, "q19": q19,
-    "q20": q20,
 }
