@@ -92,6 +92,29 @@ class ViewDef:
     def sig(self) -> str:
         return signature(self.map_def, self.reduce_def)
 
+    @property
+    def value_hint(self) -> tuple | None:
+        """Static value-shape hint for _sum (('num',) | ('num_arr', w)).
+
+        Derivable only for structured MapSpec views; Python map fns are
+        dynamic → None (runtime probe).  Mixed number/array emits widen
+        to the max array width (CouchDB sum: a number counts as [n])."""
+        m = self.map_def
+        specs = m if isinstance(m, list) else [m]
+        widths: list[int] = []
+        for s in specs:
+            if not isinstance(s, MapSpec) or s.value is None:
+                return None
+            vk = s.value[0]
+            if vk == "num":
+                widths.append(0)
+            elif vk == "num_arr":
+                widths.append(len(s.value[1]))
+            else:
+                return None
+        w = max(widths)
+        return ("num_arr", w) if w > 0 else ("num",)
+
 
 class QueryResult:
     """Result envelope: {total_rows, offset, rows} (SURVEY §2 P7)."""
@@ -196,7 +219,9 @@ class Engine:
             vdef.reduce_def is not None if o.reduce is None else o.reduce
         )
         if will_reduce:
-            red = query_reduced(view, o, vdef.reduce_def)
+            red = query_reduced(
+                view, o, vdef.reduce_def, value_hint=vdef.value_hint
+            )
             res = QueryResult(
                 red.select(*REDUCED_RESULT_COLS),
                 offset=o.skip,

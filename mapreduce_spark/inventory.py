@@ -448,6 +448,9 @@ QUERIES = {
     ).split()
 }
 
+# also export as module attributes (``from …inventory import q02``)
+globals().update(QUERIES)
+
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, runs on the same parquet views)

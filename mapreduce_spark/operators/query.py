@@ -115,7 +115,8 @@ def _paginate(rows: DataFrame, opts: QueryOptions) -> DataFrame:
 
 
 def query_reduced(
-    view: DataFrame, opts: QueryOptions, reduce_def: Any
+    view: DataFrame, opts: QueryOptions, reduce_def: Any,
+    value_hint: tuple | None = None,
 ) -> DataFrame:
     """Reduce-query path: filter → group/global reduce → order → slice."""
     rows = (
@@ -136,6 +137,7 @@ def query_reduced(
             reduce_def,
             grouped=opts.is_grouped,
             group_level=opts.group_level,
+            value_hint=value_hint,
         )
     red = red.orderBy(
         F.col("gk_enc").desc() if opts.descending else F.col("gk_enc")

@@ -98,8 +98,14 @@ def reduce_builtin(
     *,
     grouped: bool,
     group_level: int | None,
+    value_hint: tuple | None = None,
 ) -> DataFrame:
-    """Builtin reduce → REDUCED_SCHEMA DataFrame (one row per group)."""
+    """Builtin reduce → REDUCED_SCHEMA DataFrame (one row per group).
+
+    ``value_hint``: static value-shape info from the view definition —
+    ``('num',)`` or ``('num_arr', width)``.  With a hint, ``_sum`` skips
+    its runtime array-shape probe (a full-view scan at 100 TB).
+    """
     if grouped:
         gk_enc, gk_json = group_key_cols(group_level)
     else:  # global reduce: single group, key = null (SURVEY §2 A7)
@@ -155,7 +161,7 @@ def reduce_builtin(
             null_arr.alias("value_num_arr"),
         )
     if name == "_sum":
-        return _reduce_sum(rows, g)
+        return _reduce_sum(rows, g, value_hint)
     raise BuiltInError(f"{name} is not a supported reduce function")
 
 
@@ -164,22 +170,25 @@ def _num_json(c: Column) -> Column:
     return j.substr(F.lit(2), F.length(j) - 2)
 
 
-def _reduce_sum(rows: DataFrame, grouped) -> DataFrame:
+def _reduce_sum(rows: DataFrame, grouped, value_hint=None) -> DataFrame:
     """_sum over numbers and/or element-wise arrays, single shuffle.
 
     CouchDB semantics (upstream ``pouchdb-mapreduce-utils#sum``): mixed
     numbers+arrays treat a number as [number]; shorter arrays are
     zero-padded.  Implemented as per-position ``element_at`` sums after
-    one cheap global max-arity probe (avoids posexplode + double
-    shuffle).
+    a static width hint from the view definition (or, for dynamic
+    Python views, one cheap arity probe) — avoids posexplode + double
+    shuffle.
     """
     null_arr = F.lit(None).cast("array<double>")
-    # cheap probe: does this view emit array values, and how wide?
-    probe = rows.agg(
-        F.max(F.size("value_num_arr")).alias("w"),
-        F.max((F.col("value_num").isNotNull()).cast("int")).alias("has_num"),
-    ).collect()[0]
-    width = probe["w"] if probe["w"] is not None else -1
+    if value_hint is not None:
+        width = value_hint[1] if value_hint[0] == "num_arr" else -1
+    else:
+        # dynamic views: probe array arity (single column-pruned scan)
+        probe = rows.agg(
+            F.max(F.size("value_num_arr")).alias("w")
+        ).collect()[0]
+        width = probe["w"] if probe["w"] is not None else -1
     if width is None or width <= 0:
         agg = grouped.agg(F.sum("value_num").alias("value_num"))
         return agg.select(
