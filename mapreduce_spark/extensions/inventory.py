@@ -1,0 +1,294 @@
+"""Driver-contract inventory for the training-data extensions.
+
+Every entry returns typed columns (no JSON envelope — these are
+corpus-level operators, not view queries) and, where the operator is
+deterministic, pairs with a DuckDB oracle that recomputes the SAME
+md5-based definition in SQL — so MinHash/SimHash/fingerprint pipelines
+are value-checked end to end, not just row-counted.
+
+``x_sim_lsh`` is approximate by design and ships without an oracle
+(driver records the weaker rows-only check); its recall against the
+brute-force baseline is asserted in tests/test_extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_spark.extensions import dedup, multimodal, similarity, text
+
+JACCARD_T = 0.5
+COSINE_T = 0.4
+TOPK_QUERIES = [0, 1, 2, 3, 4]
+TOPK_K = 10
+
+_BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_STOP_EN = text.LANG_STOPWORDS["en"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(_docs(spark, sf_dir))
+
+
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lang, score = text.lang_id()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        lang.alias("pred_lang"),
+        F.round(score, 4).alias("score"),
+    )
+
+
+def x_text_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.embedding_near_dup(_emb(spark, sf_dir), COSINE_T)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def x_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.cosine_topk(
+        _emb(spark, sf_dir), TOPK_QUERIES, TOPK_K
+    )
+    return out.select(
+        "qid", "vid", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def x_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.rp_lsh_topk(
+        _emb(spark, sf_dir), TOPK_QUERIES, TOPK_K
+    )
+    return out.select(
+        "qid", "vid", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def x_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.ivf_topk(
+        _emb(spark, sf_dir), TOPK_QUERIES, TOPK_K
+    )
+    return out.select(
+        "qid", "vid", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def x_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "byte_sum_mod",
+        F.element_at("features", 1).alias("f_len"),
+        F.element_at("features", 2).alias("f_sum64"),
+        F.element_at("features", 3).alias("f_first"),
+        F.element_at("features", 4).alias("f_last"),
+    )
+
+
+EXT_QUERIES = {
+    "x_text_stats": x_text_stats,
+    "x_text_langid": x_text_langid,
+    "x_text_fp": x_text_fp,
+    "x_dedup_exact": x_dedup_exact,
+    "x_dedup_jaccard": x_dedup_jaccard,
+    "x_dedup_minhash": x_dedup_minhash,
+    "x_dedup_simhash": x_dedup_simhash,
+    "x_dedup_embedding": x_dedup_embedding,
+    "x_sim_topk": x_sim_topk,
+    "x_sim_lsh": x_sim_lsh,
+    "x_sim_ivf": x_sim_ivf,
+    "x_mm_features": x_mm_features,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _sql_stop_list(words) -> str:
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_ratio(words) -> str:
+    lst = _sql_stop_list(words)
+    return (
+        f"len(list_filter(w, x -> list_contains({lst}, x)))::DOUBLE"
+        "/greatest(len(w),1)"
+    )
+
+
+_SHINGLES = (
+    "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] "
+    "for i in range(1, len(w)-1)])"
+)
+
+_JACCARD_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} s FROM t),
+p AS (
+  SELECT a.doc_id id_a, b.doc_id id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= {JACCARD_T}
+"""
+
+
+def _simhash_sql() -> str:
+    hi = ",".join(
+        f"sum(CASE WHEN (h_hi >> {j}) & 1 = 1 THEN cnt ELSE -cnt END)"
+        f" AS hi{j}"
+        for j in range(32)
+    )
+    lo = ",".join(
+        f"sum(CASE WHEN (h_lo >> {j}) & 1 = 1 THEN cnt ELSE -cnt END)"
+        f" AS lo{j}"
+        for j in range(32)
+    )
+    fold_hi = " + ".join(
+        f"(CASE WHEN hi{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(32)
+    )
+    fold_lo = " + ".join(
+        f"(CASE WHEN lo{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(32)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, tok, count(*)::BIGINT cnt FROM (
+    SELECT doc_id, unnest(string_split(text,' ')) AS tok
+    FROM documents) GROUP BY 1, 2),
+h AS (
+  SELECT doc_id, cnt,
+         ('0x'||substr(md5(tok),1,8))::BIGINT h_hi,
+         ('0x'||substr(md5(tok),9,8))::BIGINT h_lo FROM tk),
+s AS (SELECT doc_id, {hi}, {lo} FROM h GROUP BY 1)
+SELECT doc_id, {fold_hi} AS sim_hi, {fold_lo} AS sim_lo FROM s
+"""
+
+
+EXT_ORACLE_SQL = {
+    "x_text_stats": f"""
+WITH t AS (SELECT doc_id, text, string_split(text,' ') w FROM documents)
+SELECT doc_id,
+ len(w)::BIGINT AS n_tokens,
+ len(regexp_extract_all(text, '{_BPE_SQL}'))::BIGINT AS n_bpe_tokens,
+ ROUND((len(text) - (len(w)-1))::DOUBLE / greatest(len(w),1), 4)
+   AS mean_tok_len,
+ ROUND({_sql_ratio(_STOP_EN)}, 4) AS stopword_ratio,
+ ROUND(len(list_distinct(w))::DOUBLE/greatest(len(w),1), 4)
+   AS distinct_ratio,
+ ROUND(0.35*least(len(w)/50.0, 1.0)
+     + 0.25*(len(list_distinct(w))::DOUBLE/greatest(len(w),1))
+     + 0.25*(len(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE
+             /greatest(len(text),1))
+     + 0.15*least(({_sql_ratio(_STOP_EN)})*5, 1.0), 4) AS quality
+FROM t
+""",
+    "x_text_langid": f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+s AS (SELECT doc_id,
+  {_sql_ratio(text.LANG_STOPWORDS['en'])} s_en,
+  {_sql_ratio(text.LANG_STOPWORDS['es'])} s_es,
+  {_sql_ratio(text.LANG_STOPWORDS['fr'])} s_fr,
+  {_sql_ratio(text.LANG_STOPWORDS['de'])} s_de FROM t)
+SELECT doc_id,
+ CASE WHEN greatest(s_en,s_es,s_fr,s_de) <= 0 THEN 'und'
+      WHEN s_en >= greatest(s_es,s_fr,s_de) THEN 'en'
+      WHEN s_es >= greatest(s_fr,s_de) THEN 'es'
+      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang,
+ ROUND(greatest(s_en,s_es,s_fr,s_de), 4) AS score
+FROM s
+""",
+    "x_text_fp": f"""
+WITH t AS (SELECT doc_id, text, string_split(text,' ') w FROM documents)
+SELECT doc_id, md5(text) AS text_md5,
+ coalesce(list_min(list_transform({_SHINGLES},
+                                  s -> substr(md5(s),1,16))), '')
+   AS rolling_fp
+FROM t
+""",
+    "x_dedup_exact": """
+SELECT doc_id, md5(text) AS fp,
+ min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+ count(*) OVER (PARTITION BY md5(text)) AS group_size,
+ doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+""",
+    "x_dedup_jaccard": _JACCARD_PAIRS_SQL,
+    "x_dedup_minhash": _JACCARD_PAIRS_SQL,
+    "x_dedup_simhash": _simhash_sql(),
+    "x_dedup_embedding": f"""
+WITH p AS (
+  SELECT a.vec_id id_a, b.vec_id id_b,
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM p WHERE c >= {COSINE_T}
+""",
+    "x_sim_topk": f"""
+WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv FROM embeddings
+           WHERE vec_id IN ({",".join(map(str, TOPK_QUERIES))})),
+s AS (SELECT q.qid, e.vec_id vid,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) c
+      FROM embeddings e, q WHERE e.vec_id <> q.qid),
+r AS (SELECT qid, vid, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, vid)
+               rank FROM s)
+SELECT qid, vid, ROUND(c, 6) AS cosine, rank::INT AS rank FROM r
+WHERE rank <= {TOPK_K}
+""",
+    "x_mm_features": """
+SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+ (list_sum(list_transform(string_split_regex(text,''),
+                          x -> ascii(x))) % 9973)::BIGINT
+   AS byte_sum_mod,
+ strlen(text)::DOUBLE AS f_len,
+ (list_sum(list_transform(string_split_regex(substr(text,1,64),''),
+                          x -> ascii(x))) % 9973)::DOUBLE AS f_sum64,
+ ascii(substr(text,1,1))::DOUBLE AS f_first,
+ ascii(substr(reverse(text),1,1))::DOUBLE AS f_last
+FROM documents
+""",
+}

@@ -1,0 +1,280 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- **brute-force cosine top-k** — the exact baseline: broadcast the
+  (small) query set against the corpus, dot products via zip_with /
+  aggregate (JVM higher-order functions, no Python), rank with a
+  window partitioned by query.  Scales linearly in corpus size; the
+  shuffle is only the per-query top-k (TakeOrdered-shaped).
+- **random-hyperplane LSH** — the scale path: 16 deterministic
+  hyperplanes (md5-seeded, reproducible across runs/engines) give a
+  16-bit signature; banded into 2×8 bits for candidate generation,
+  candidates reranked exactly.  Recall is property-tested against the
+  brute-force baseline rather than oracle-checked (approximate by
+  design).
+
+- **IVF (inverted-file)** — the controllable-recall scale path: a
+  deterministic mini k-means (fixed-stride seeds + a few distributed
+  Lloyd iterations) coarse-quantizes the corpus into cells; queries
+  probe their ``nprobe`` nearest cells and rerank exactly.  Candidate
+  volume is corpus · nprobe/k regardless of how weak the similarity
+  structure is — unlike sign-LSH, whose bucket-collision probability
+  collapses when true cosines are modest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_spark.extensions.dedup import _dot, _norm
+
+# 8 bands × 4 bits: band-match prob for cosine s is (1-acos(s)/π)^4,
+# ~0.18 at s=0.45 → ≥1-of-8-bands recall ≈ 0.8 even on weakly
+# structured corpora, while each band still has 16 buckets to prune.
+N_PLANES = 32
+LSH_BAND_BITS = 4
+
+
+def normalized(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    nv = F.transform(
+        v, lambda x: x / F.greatest(_norm(v), F.lit(1e-12))
+    )
+    return emb.select(F.col(id_col).alias("vid"), nv.alias("nv"))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors (by cosine) for each query vector.
+
+    The query side is a handful of rows → broadcast-hash join; the
+    corpus side streams through codegen'd dot products; the only wide
+    step is the per-query rank, bounded by k.
+    """
+    nd = normalized(emb, id_col, vec_col)
+    q = nd.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("qid"), F.col("nv").alias("qv")
+    )
+    pairs = nd.join(F.broadcast(q), F.col("vid") != F.col("qid"))
+    cos = _dot(F.col("nv"), F.col("qv"))
+    scored = pairs.select("qid", "vid", cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component d of plane i
+    is uniform in [-0.5, 0.5) derived from md5(f'{i}:{d}') — stable
+    across machines, sessions, and engines."""
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8]
+            row.append(int(h, 16) / 2**32 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def rp_signature(nv: Column, planes: list[list[float]]) -> Column:
+    """Signature int: bit i = sign(v · plane_i) ≥ 0."""
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                nv,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def rp_lsh_candidates(emb: DataFrame, query_ids: list[int],
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      n_planes: int = N_PLANES,
+                      band_bits: int = LSH_BAND_BITS) -> DataFrame:
+    """Candidate (qid, vid) pairs sharing ≥1 signature band with a
+    query.  The join key is (band, band-bits) — uniformly distributed,
+    so the self-join never sees the quadratic blowup of all-pairs."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    nd = normalized(emb, id_col, vec_col).withColumn(
+        "sig", rp_signature(F.col("nv"), planes)
+    )
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.shiftright(F.col("sig"), b * band_bits).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bucketed = nd.select(
+        "vid", "nv", F.posexplode(bands).alias("band", "bval")
+    )
+    q = bucketed.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("qid"),
+        F.col("nv").alias("qv"),
+        "band",
+        "bval",
+    )
+    return (
+        bucketed.join(F.broadcast(q), ["band", "bval"])
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "qv", "vid", "nv")
+        .distinct()
+    )
+
+
+def rp_lsh_topk(emb: DataFrame, query_ids: list[int], k: int,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: LSH candidates reranked by exact cosine."""
+    cand = rp_lsh_candidates(emb, query_ids, id_col, vec_col)
+    cos = _dot(F.col("nv"), F.col("qv"))
+    scored = cand.select("qid", "vid", cos.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse quantizer + nprobe search
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic mini k-means: seeds are the k lowest-id vectors at
+    a fixed stride, refined by ``iters`` distributed Lloyd steps (each
+    step is one broadcast-join assignment + one groupBy mean — two
+    narrow shuffles total per iteration, independent of corpus size)."""
+    nd = normalized(emb, id_col, vec_col)
+    ids = [r.vid for r in
+           nd.select("vid").orderBy("vid").limit(k * 7).collect()]
+    seed_ids = ids[::7][:k]
+    cents = [
+        (i, r.nv)
+        for i, r in enumerate(
+            nd.filter(F.col("vid").isin(seed_ids)).orderBy("vid")
+            .collect()
+        )
+    ]
+    def unit(v: list[float]) -> list[float]:
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / n for x in v]
+
+    cents = [(i, unit(c)) for i, c in cents]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = _assign_cells(nd, [c for _, c in cents])
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.element_at("nv", d + 1))
+                      for d in range(dim)]
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_cell = {r.cell: unit(list(r.c)) for r in means}
+        cents = [(i, by_cell.get(i, c)) for i, c in cents]
+    return [c for _, c in cents]
+
+
+def _assign_cells(nd: DataFrame,
+                  cents: list[list[float]]) -> DataFrame:
+    """Nearest-centroid cell per vector — a pure-column argmax over
+    broadcast centroid literals (no join, no Python).
+
+    The per-centroid dots are materialized into ONE array column and
+    argmax'd with array_position; a chained when()-argmax would embed
+    every previous dot expression into each comparison and blow the
+    plan up exponentially.
+    """
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("nv"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+    )
+    return nd.withColumn("_dots", dots).withColumn(
+        "cell",
+        (F.array_position("_dots", F.array_max("_dots")) - 1).cast(
+            "int"
+        ),
+    ).drop("_dots")
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest cells per
+    query, rerank candidates exactly.  Scans corpus·nprobe/n_cells."""
+    import numpy as np
+
+    cents = ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    nd = normalized(emb, id_col, vec_col)
+    assigned = _assign_cells(nd, cents)
+    qrows = nd.filter(F.col("vid").isin(query_ids)).collect()
+    C = np.array(cents)
+    probes = []  # (qid, cell)
+    for r in qrows:
+        v = np.array(r.nv)
+        order = np.argsort(-(C @ v))
+        probes += [(int(r.vid), int(c)) for c in order[:nprobe]]
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, "qid long, cell int")
+    q = spark.createDataFrame(
+        [(int(r.vid), list(r.nv)) for r in qrows],
+        "qid long, qv array<double>",
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vid") != F.col("qid"))
+        .join(F.broadcast(q), "qid")
+    )
+    cos = _dot(F.col("nv"), F.col("qv"))
+    scored = cand.select("qid", "vid", cos.alias("cosine")).distinct()
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "cosine", "rank")
+    )

@@ -1,0 +1,201 @@
+"""Tests for the training-data extensions (dedup / similarity / text /
+multimodal) at sf0.001: the approximate paths against their exact
+baselines, plus the plumbing the oracle can't see."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_spark.extensions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_minhash_equals_exact_jaccard(docs):
+    """LSH params are sized so candidate recall is ~1 at the threshold:
+    banded MinHash output must equal the exact inverted-index pairs."""
+    exact = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert lsh == exact
+    assert exact, "fixture should contain planted near-duplicates"
+
+
+def test_exact_dedup_groups(docs, spark):
+    """Append a literal duplicate; it must fold into its source's
+    group with the source as canonical."""
+    first = docs.orderBy("doc_id").first()
+    dup = spark.createDataFrame(
+        [(99999, first.text, first.lang, first.source, first.n_chars)],
+        docs.schema,
+    )
+    out = dedup.exact_dedup(docs.unionByName(dup))
+    grp = {r.doc_id: r for r in out.collect()}
+    assert grp[99999].is_dup
+    assert grp[99999].canonical_id == first.doc_id
+    assert grp[99999].group_size == 2
+    assert not grp[first.doc_id].is_dup
+
+
+def test_simhash_near_dups_are_close(docs):
+    """Near-dup pairs (jaccard >= 0.9) must have much lower SimHash
+    hamming distance than the corpus background."""
+    pairs = dedup.jaccard_pairs(docs, 0.9).collect()
+    assert pairs
+    sh = {r.doc_id: (r.sim_hi, r.sim_lo) for r in
+          dedup.simhash(docs).collect()}
+
+    def ham(a, b):
+        return bin(sh[a][0] ^ sh[b][0]).count("1") + bin(
+            sh[a][1] ^ sh[b][1]
+        ).count("1")
+
+    near = [ham(r.id_a, r.id_b) for r in pairs]
+    ids = sorted(sh)[:30]
+    background = [
+        ham(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+    ]
+    assert max(near) < sorted(background)[len(background) // 2]
+
+
+def test_simhash_pairs_blocking_finds_near_dups(docs):
+    """The banded simhash_pairs must recover every all-pairs match at
+    its own hamming threshold (pigeonhole blocking, then verify)."""
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sh = dedup.simhash(docs).collect()
+    want = set()
+    for i, a in enumerate(sh):
+        for b in sh[i + 1:]:
+            h = bin(a.sim_hi ^ b.sim_hi).count("1") + bin(
+                a.sim_lo ^ b.sim_lo
+            ).count("1")
+            if h <= 3:
+                key = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                want.add(key)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_lsh_topk_recall(emb):
+    """RP-LSH top-k must recover most of the exact top-k (recall@10).
+
+    The contract is 'good ANN', not exactness (the exact path is
+    x_sim_topk); measured recall at these params is ~0.68 on the
+    weakly-structured fixture embeddings."""
+    qs = [0, 1, 2, 3]
+    exact = similarity.cosine_topk(emb, qs, 10).collect()
+    approx = similarity.rp_lsh_topk(emb, qs, 10).collect()
+    ex = {(r.qid, r.vid) for r in exact}
+    ap = {(r.qid, r.vid) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_ivf_topk_recall(emb):
+    """IVF (nprobe=4 of 16 cells) recall@10 against the exact baseline;
+    measured ~0.75 on the fixture embeddings."""
+    qs = [0, 1, 2, 3]
+    ex = {(r.qid, r.vid)
+          for r in similarity.cosine_topk(emb, qs, 10).collect()}
+    iv = {(r.qid, r.vid)
+          for r in similarity.ivf_topk(emb, qs, 10).collect()}
+    recall = len(ex & iv) / len(ex)
+    assert recall >= 0.6, f"recall@10 = {recall}"
+
+
+def test_lsh_candidates_much_smaller_than_corpus(emb):
+    n = emb.count()
+    cand = similarity.rp_lsh_candidates(emb, [0, 1]).count()
+    assert cand < 2 * n, "LSH should prune, not enumerate, the corpus"
+
+
+def test_topk_is_sorted_and_bounded(emb):
+    rows = similarity.cosine_topk(emb, [0], 5).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    sims = [r.cosine for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+def test_quality_features_ranges(docs):
+    rows = text.quality_features(docs).collect()
+    for r in rows:
+        assert 0 <= r.stopword_ratio <= 1
+        assert 0 <= r.distinct_ratio <= 1
+        assert 0 <= r.quality <= 1
+        assert r.n_tokens > 0 and r.n_bpe_tokens >= r.n_tokens
+
+
+def test_lang_id_deterministic(docs):
+    a = {(r.doc_id, r.pred_lang) for r in docs.select(
+        "doc_id", text.lang_id()[0].alias("pred_lang")).collect()}
+    b = {(r.doc_id, r.pred_lang) for r in docs.select(
+        "doc_id", text.lang_id()[0].alias("pred_lang")).collect()}
+    assert a == b
+    assert {l for _, l in a} <= set(text.LANG_STOPWORDS) | {"und"}
+
+
+def test_fingerprint_shift_invariance(spark):
+    """The rolling fingerprint (min shingle hash) survives edits at
+    the margins; the full-text md5 does not."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, "PREFIX " + base)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in text.fingerprints(df).collect()}
+    assert rows[1].text_md5 != rows[2].text_md5
+    assert rows[1].rolling_fp == rows[2].rolling_fp
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_media_feature_plumbing(docs):
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media)
+    joined = (
+        media.select("media_id", F.col("meta.n_bytes").alias("mb"))
+        .join(feats, "media_id")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert r.n_bytes == r.mb
+        assert len(r.features) == 4
+        assert r.features[0] == float(r.n_bytes)
+
+
+def test_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"xxxx")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
