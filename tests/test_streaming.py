@@ -1,0 +1,110 @@
+"""Streaming maintenance (M1-as-a-stream) and windowed aggregates."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_spark.operators.mapphase import MapSpec
+from mapreduce_spark.streaming import (
+    file_changes_stream,
+    maintain_view,
+    windowed_reduce,
+)
+
+VIEW = {
+    "map": MapSpec(
+        "lineitem",
+        [("str", "l_returnflag"), ("str", "l_linestatus")],
+        ("num", "l_quantity"),
+    ),
+    "reduce": "_sum",
+}
+
+
+def _rows(res):
+    return sorted(
+        (tuple(r["key"]), round(r["value"], 6)) for r in res.rows()
+    )
+
+
+def test_stream_maintained_view_equals_batch(engine, spark, sf_dir,
+                                             tmp_path):
+    """Feed lineitem through a file stream in two chunks; the
+    stream-maintained persisted view must equal a one-shot temporary
+    build (incremental == rebuild, through the streaming path)."""
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    chunk1 = raw.filter(F.col("l_orderkey") % 2 == 0)
+    chunk2 = raw.filter(F.col("l_orderkey") % 2 == 1)
+    chunk1.coalesce(1).write.mode("append").parquet(in_dir)
+
+    engine.put_design("s", {"v": VIEW})
+    stream = file_changes_stream(spark, in_dir, "lineitem")
+    ckpt = str(tmp_path / "ckpt")
+    q = maintain_view(engine, "s/v", stream, ckpt)
+    q.awaitTermination(120)
+
+    partial = engine.query("s/v", group_level=2, stale="ok")
+    assert len(partial.rows()) > 0
+
+    chunk2.coalesce(1).write.mode("append").parquet(in_dir)
+    stream2 = file_changes_stream(spark, in_dir, "lineitem")
+    q2 = maintain_view(engine, "s/v", stream2, ckpt)
+    q2.awaitTermination(120)
+
+    got = engine.query("s/v", group_level=2, stale="ok")
+    want = engine.query(VIEW, group_level=2)  # temporary full build
+    assert _rows(got) == _rows(want)
+
+
+def test_windowed_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The same windowed_reduce over a stream (complete mode) and over
+    the static DataFrame must agree — Spark's unified batch/stream
+    semantics, pinned."""
+    from mapreduce_spark.sources.docs import load_table
+
+    src = f"{sf_dir}/events.parquet"
+    batch = load_table(spark, sf_dir, "events")
+    want = sorted(
+        map(
+            tuple,
+            windowed_reduce(
+                batch, ts_col="ts", window="1 day",
+                keys=["event_type"], value_col="value",
+            ).collect(),
+        )
+    )
+
+    # stream side: same nanos-as-long read + conversion as load_table
+    # (the file source wants a directory, so stage a copy)
+    stream_dir = str(tmp_path / "events_in")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn(
+            "ts",
+            F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"),
+        )
+    )
+    agg = windowed_reduce(
+        stream, ts_col="ts", window="1 day", keys=["event_type"],
+        value_col="value",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM win_test").collect()))
+    assert got == want
+    assert len(got) > 0
