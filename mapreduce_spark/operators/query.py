@@ -93,13 +93,41 @@ def query_map(view: DataFrame, opts: QueryOptions) -> DataFrame:
 
 
 def _keys_lookup(view: DataFrame, keys: list, descending: bool) -> DataFrame:
-    """Multi-key fetch preserving request order & duplicates (P5)."""
+    """Multi-key fetch preserving request order & duplicates (P5).
+
+    Two-step shape so the point lookups stay index-like at scale:
+    (1) an ``isin`` filter over the encoded keys — this is what reaches
+    the parquet reader as ``In(key_enc, …)`` and prunes row groups of
+    the sorted view; (2) a broadcast join against an all-literal inline
+    table (``inline`` of struct literals → LocalTableScan, no Python
+    RDD) carrying the request ordinal, which re-introduces request
+    order and duplicate keys.
+    """
     spark = view.sparkSession
     pairs = [(i, to_indexable_string(k)) for i, k in enumerate(keys)]
-    keys_df = spark.createDataFrame(pairs, "_key_ord int, _key_enc string")
-    rows = view.join(
-        F.broadcast(keys_df), view["key_enc"] == keys_df["_key_enc"], "inner"
-    ).drop("_key_enc")
+    encs = sorted({e for _, e in pairs})
+    keys_df = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_key_ord"),
+                        F.lit(e).alias("_key_enc"),
+                    )
+                    for i, e in pairs
+                ]
+            )
+        )
+    )
+    rows = (
+        view.filter(F.col("key_enc").isin(encs))
+        .join(
+            F.broadcast(keys_df),
+            F.col("key_enc") == F.col("_key_enc"),
+            "inner",
+        )
+        .drop("_key_enc")
+    )
     order = [F.col("_key_ord")] + row_order(descending)
     # _key_ord is kept so callers can re-establish request order after a
     # doc join; the engine's final column selection drops it.
