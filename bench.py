@@ -71,6 +71,18 @@ def main() -> None:
             per_query[name] = round(statistics.median(samples), 4)
 
         total = round(sum(per_query.values()), 4)
+
+        # training-data extension headliners (corpus-level operators —
+        # no view materialization; timed once, they are batch jobs)
+        from mapreduce_spark.extensions.inventory import EXT_QUERIES
+
+        for name in (
+            "x_text_stats x_dedup_exact x_dedup_minhash x_dedup_simhash "
+            "x_dedup_embedding x_sim_topk x_sim_ivf x_mm_features"
+        ).split():
+            t = time.time()
+            EXT_QUERIES[name](spark, sf_dir).collect()
+            per_query[name] = round(time.time() - t, 4)
         print(
             json.dumps(
                 {

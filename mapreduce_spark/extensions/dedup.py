@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_spark.extensions.text import shingles, tokens
+from mapreduce_spark.extensions.util import right_size
 
 # MinHash defaults: 32 bands × 3 rows = 96 permutations.
 MINHASH_PERMS = 96
@@ -76,7 +77,7 @@ def exact_dedup(df: DataFrame, text: str = "text",
 
 def shingle_sets(df: DataFrame, n: int = 3, text: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    return df.select(
+    return right_size(df).select(
         F.col(id_col).alias("doc_id"), shingles(n, text).alias("sh")
     )
 
@@ -123,25 +124,58 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _perm_hash(s: Column, i: int) -> Column:
-    """Permutation i of the shingle space: first 16 hex chars of
-    md5('<i>:'+s).  Fixed-width lowercase hex compares as the number."""
-    return F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16)
+_M31 = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _perm_consts(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (aᵢ, bᵢ) derived
+    from md5 — stable across sessions/machines."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        h = hashlib.md5(f"perm:{i}".encode()).hexdigest()
+        a = int(h[:8], 16) % (_M31 - 1) + 1
+        b = int(h[8:16], 16) % _M31
+        out.append((a, b))
+    return out
 
 
 def minhash_signatures(df: DataFrame, num_perm: int = MINHASH_PERMS,
                        n: int = 3, text: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, sig array<string>[num_perm], sz) — min hash per
-    permutation, folded JVM-side (no explode)."""
+    """(doc_id, sig array<long>[num_perm], sz, sh) — min hash per
+    permutation, folded JVM-side (no explode).
+
+    One md5 per shingle produces a 31-bit base hash; each permutation
+    is the affine map (aᵢ·h + bᵢ) mod 2³¹−1 — pure integer
+    multiply-adds (products < 2⁶², no overflow) instead of num_perm
+    md5 calls per shingle, a ~100× cut in the signature stage's hash
+    work.  Catalyst does not collapse the (expensive) base-hash
+    transform into the 96 downstream transforms, so it runs once per
+    row.
+    """
     sets_ = shingle_sets(df, n, text, id_col)
+    base = F.transform(
+        "sh",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long") % F.lit(_M31).cast("long"),
+    )
+    staged = sets_.withColumn("hs", base)
+    def _affine(a: int, b: int):
+        # closure factory: a 1-arg lambda (pyspark derives the HOF
+        # arity from the signature, so default-arg captures break it)
+        return lambda h: (
+            F.lit(a).cast("long") * h + F.lit(b)
+        ) % F.lit(_M31).cast("long")
+
     sig = F.array(
         *[
-            F.array_min(F.transform("sh", lambda s, i=i: _perm_hash(s, i)))
-            for i in range(num_perm)
+            F.array_min(F.transform("hs", _affine(a, b)))
+            for a, b in _perm_consts(num_perm)
         ]
     )
-    return sets_.select(
+    return staged.select(
         "doc_id", sig.alias("sig"), F.size("sh").alias("sz"), "sh"
     )
 
@@ -163,12 +197,16 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
     """
     rows = num_perm // bands
     sigs = minhash_signatures(df, num_perm, n, text, id_col)
+    # band bucket = polynomial fold of the band's minhash values in the
+    # 31-bit domain (spurious bucket collisions only add candidates,
+    # which the exact-Jaccard verification discards)
     band_arr = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|", F.slice("sig", b * rows + 1, rows)
-                )
+            F.aggregate(
+                F.slice("sig", b * rows + 1, rows),
+                F.lit(0).cast("long"),
+                lambda acc, v: (acc * F.lit(1000003) + v)
+                % F.lit(_M31).cast("long"),
             )
             for b in range(bands)
         ]
@@ -221,7 +259,7 @@ def simhash(df: DataFrame, text: str = "text",
     all JVM.
     """
     tok = (
-        df.select(F.col(id_col).alias("doc_id"),
+        right_size(df).select(F.col(id_col).alias("doc_id"),
                   F.explode(tokens(text)).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -306,18 +344,11 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 6,
 # embedding-cosine near-dup (exact baseline)
 # ---------------------------------------------------------------------------
 
-def _dot(x: Column, y: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(x, y, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(x: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+from mapreduce_spark.extensions.util import (  # noqa: E402
+    dot_col as _dot,
+    norm_col as _norm,
+    normalized_vectors,
+)
 
 
 def embedding_near_dup(emb: DataFrame, threshold: float,
@@ -329,13 +360,12 @@ def embedding_near_dup(emb: DataFrame, threshold: float,
     a plain dot product.  This is the correctness baseline; at corpus
     scale use ``similarity.rp_lsh_candidates`` to bucket first.
     """
-    v = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: x / F.greatest(
-            _norm(F.col(vec_col).cast("array<double>")), F.lit(1e-12)
-        ),
+    # exchange barrier: materialize the normalized arrays BEFORE the
+    # quadratic join, else CollapseProject inlines the normalize
+    # transform into the nested-loop join and re-evaluates it per PAIR
+    nd = normalized_vectors(emb, id_col, vec_col).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vid"
     )
-    nd = emb.select(F.col(id_col).alias("vid"), v.alias("nv"))
     a, b = nd.alias("a"), nd.alias("b")
     cos = _dot(F.col("a.nv"), F.col("b.nv"))
     return (

@@ -30,7 +30,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_spark.extensions.dedup import _dot, _norm
+from mapreduce_spark.extensions.dedup import _dot
+from mapreduce_spark.extensions.util import normalized_vectors, right_size
 
 # 8 bands × 4 bits: band-match prob for cosine s is (1-acos(s)/π)^4,
 # ~0.18 at s=0.45 → ≥1-of-8-bands recall ≈ 0.8 even on weakly
@@ -41,11 +42,7 @@ LSH_BAND_BITS = 4
 
 def normalized(emb: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    v = F.col(vec_col).cast("array<double>")
-    nv = F.transform(
-        v, lambda x: x / F.greatest(_norm(v), F.lit(1e-12))
-    )
-    return emb.select(F.col(id_col).alias("vid"), nv.alias("nv"))
+    return normalized_vectors(emb, id_col, vec_col)
 
 
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int,
@@ -168,12 +165,18 @@ def rp_lsh_topk(emb: DataFrame, query_ids: list[int], k: int,
 
 def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> list[list[float]]:
+                  vec_col: str = "embedding",
+                  nd: DataFrame | None = None) -> list[list[float]]:
     """Deterministic mini k-means: seeds are the k lowest-id vectors at
     a fixed stride, refined by ``iters`` distributed Lloyd steps (each
     step is one broadcast-join assignment + one groupBy mean — two
-    narrow shuffles total per iteration, independent of corpus size)."""
-    nd = normalized(emb, id_col, vec_col)
+    narrow shuffles total per iteration, independent of corpus size).
+
+    ``nd``: pre-normalized (and ideally cached) corpus; the training
+    loop scans it 2·iters times, so callers that also search should
+    pass a persisted copy instead of re-deriving it per scan."""
+    if nd is None:
+        nd = normalized(emb, id_col, vec_col)
     ids = [r.vid for r in
            nd.select("vid").orderBy("vid").limit(k * 7).collect()]
     seed_ids = ids[::7][:k]
@@ -247,10 +250,19 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
     query, rerank candidates exactly.  Scans corpus·nprobe/n_cells."""
     import numpy as np
 
-    cents = ivf_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    # cache the normalized corpus for the 2·iters training scans +
+    # query fetch, then release it; the returned (lazy) search plan is
+    # built over a fresh lineage so it never depends on the cache.
+    nd_c = normalized(emb, id_col, vec_col).persist()
+    try:
+        cents = ivf_centroids(
+            emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd_c
+        )
+        qrows = nd_c.filter(F.col("vid").isin(query_ids)).collect()
+    finally:
+        nd_c.unpersist()
     nd = normalized(emb, id_col, vec_col)
     assigned = _assign_cells(nd, cents)
-    qrows = nd.filter(F.col("vid").isin(query_ids)).collect()
     C = np.array(cents)
     probes = []  # (qid, cell)
     for r in qrows:
@@ -258,10 +270,35 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
         order = np.argsort(-(C @ v))
         probes += [(int(r.vid), int(c)) for c in order[:nprobe]]
     spark = emb.sparkSession
-    probe_df = spark.createDataFrame(probes, "qid long, cell int")
-    q = spark.createDataFrame(
-        [(int(r.vid), list(r.nv)) for r in qrows],
-        "qid long, qv array<double>",
+    # all-literal inline tables (LocalTableScan — no Python RDD scan
+    # and no job to build each broadcast side)
+    probe_df = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast("long").alias("qid"),
+                        F.lit(c).cast("int").alias("cell"),
+                    )
+                    for qid, c in probes
+                ]
+            )
+        )
+    )
+    q = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(r.vid)).cast("long").alias("qid"),
+                        F.array(
+                            *[F.lit(float(x)) for x in r.nv]
+                        ).alias("qv"),
+                    )
+                    for r in qrows
+                ]
+            )
+        )
     )
     cand = (
         assigned.join(F.broadcast(probe_df), "cell")
@@ -269,7 +306,9 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
         .join(F.broadcast(q), "qid")
     )
     cos = _dot(F.col("nv"), F.col("qv"))
-    scored = cand.select("qid", "vid", cos.alias("cosine")).distinct()
+    # no distinct needed: a vector sits in exactly one cell and the
+    # probed cells per query are distinct, so (qid, vid) is unique
+    scored = cand.select("qid", "vid", cos.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vid")
     )

@@ -1,0 +1,52 @@
+"""Shared helpers for the extension operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(x: Column, y: Column) -> Column:
+    """Σ xᵢ·yᵢ via zip_with/aggregate (JVM higher-order functions)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(x: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def normalized_vectors(emb: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(vid, nv) with nv L2-normalized, double precision.
+
+    The norm is materialized into its own column FIRST — embedding the
+    norm aggregate inside the per-element transform lambda would
+    re-evaluate it once per element (O(d²) interpreted work per row).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    staged = right_size(emb).select(
+        F.col(id_col).alias("vid"), v.alias("_v")
+    ).withColumn("_n", F.greatest(norm_col(F.col("_v")), F.lit(1e-12)))
+    return staged.select(
+        "vid",
+        F.transform("_v", lambda x: x / F.col("_n")).alias("nv"),
+    )
+
+
+def right_size(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Ensure a CPU-bound stage has at least one partition per core.
+
+    Small inputs (one parquet file) arrive as a single split, which
+    serializes md5/shingle/dot-product work onto one task; a 100 TB
+    input already has thousands of splits and this is a no-op.  The
+    partition-count probe is metadata-only (no job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
