@@ -121,11 +121,15 @@ class QueryResult:
 
     def __init__(self, df: DataFrame, *, offset: int = 0,
                  total_rows_df: DataFrame | None = None,
-                 reduced: bool = False) -> None:
+                 reduced: bool = False,
+                 update_seq: int | None = None) -> None:
         self.df = df
         self.offset = offset
         self.reduced = reduced
         self._total_df = total_rows_df
+        # seq the index was built at, when requested (update_seq=True
+        # query option; upstream update_seq parity)
+        self.update_seq = update_seq
 
     @property
     def total_rows(self) -> int | None:
@@ -208,10 +212,14 @@ class Engine:
             has_reduce=vdef.reduce_def is not None
         )
 
+        upd_seq: int | None = None
         if persisted:
             if o.stale != "ok":
                 self.update_view(vdef)
             view = self._assemble_view(vdef.sig)
+            if o.update_seq:
+                entry = self.registry.get_view(vdef.sig)
+                upd_seq = entry["last_seq"] if entry else 0
         else:
             view = self._build(vdef, self._source_df(vdef))
 
@@ -226,6 +234,7 @@ class Engine:
                 red.select(*REDUCED_RESULT_COLS),
                 offset=o.skip,
                 reduced=True,
+                update_seq=upd_seq,
             )
         else:
             rows = query_map(view, o)
@@ -234,7 +243,10 @@ class Engine:
                 docs = self._docs_for_join(
                     [vdef.table] + (doc_tables or [])
                 )
-                rows = attach_docs(rows, docs)
+                # only an applied limit truly bounds the id set we'd
+                # broadcast (a key= lookup can match millions of rows)
+                few = o.limit is not None and o.limit <= 10_000
+                rows = attach_docs(rows, docs, few_rows=few)
                 order = (["_key_ord"] if keep_ord else []) + row_order(
                     o.descending
                 )
@@ -246,6 +258,7 @@ class Engine:
                 rows.select(*cols),
                 offset=o.skip,
                 total_rows_df=view,
+                update_seq=upd_seq,
             )
         if persisted and o.stale == "update_after":
             self.update_view(vdef)  # refresh after; lazy dfs stay valid

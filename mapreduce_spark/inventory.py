@@ -379,6 +379,17 @@ class Inventory:
             F.col("value_num").cast("long").alias("cnt"),
         )
 
+    def q21(self):
+        """keys + group=true on a reduce view (P5×A5): one reduced row
+        per REQUESTED key, request order, duplicates repeated."""
+        res = self._q(
+            "flag_count", keys=["R", "N", "R"], group=True
+        )
+        return res.df.select(
+            _j("$").alias("l_returnflag"),
+            F.col("value_num").cast("long").alias("cnt"),
+        )
+
     def q20(self):
         """Error-contract cases (V1) surfaced as data so the oracle can
         check them: each row = (check_name, raised error class)."""
@@ -423,7 +434,7 @@ class Inventory:
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
-                "q14 q15 q16 q16b q17 q18 q19 q20"
+                "q14 q15 q16 q16b q17 q18 q19 q20 q21"
             ).split()
         }
 
@@ -444,7 +455,7 @@ QUERIES = {
     n: _mk(n)
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
-        "q16 q16b q17 q18 q19 q20"
+        "q16 q16b q17 q18 q19 q20 q21"
     ).split()
 }
 
@@ -589,6 +600,14 @@ ORACLE_SQL: dict[str, str] = {
     "q19": (
         "SELECT l_suppkey::DOUBLE AS l_suppkey, count(*)::BIGINT AS cnt "
         "FROM lineitem GROUP BY 1 ORDER BY 1 OFFSET 2 LIMIT 5"
+    ),
+    "q21": (
+        "SELECT 'R' AS l_returnflag, count(*)::BIGINT AS cnt "
+        "FROM lineitem WHERE l_returnflag = 'R' "
+        "UNION ALL SELECT 'N', count(*)::BIGINT "
+        "FROM lineitem WHERE l_returnflag = 'N' "
+        "UNION ALL SELECT 'R', count(*)::BIGINT "
+        "FROM lineitem WHERE l_returnflag = 'R'"
     ),
     "q20": (
         "SELECT * FROM (VALUES "

@@ -146,12 +146,17 @@ def query_reduced(
     view: DataFrame, opts: QueryOptions, reduce_def: Any,
     value_hint: tuple | None = None,
 ) -> DataFrame:
-    """Reduce-query path: filter → group/global reduce → order → slice."""
-    rows = (
-        _keys_rows_for_reduce(view, opts.keys)
-        if opts.keys is not UNSET
-        else scan_rows(view, opts)
-    )
+    """Reduce-query path: filter → group/global reduce → order → slice.
+
+    With ``keys`` (validated to require group=true): upstream groups
+    the per-key fetches as consecutive runs, so the result is one
+    reduced row per REQUESTED key, in request order, duplicates
+    repeated, absent keys omitted — re-established here by joining the
+    grouped rows back to the request-ordinal table.
+    """
+    if opts.keys is not UNSET:
+        return _keys_reduced(view, opts, reduce_def, value_hint)
+    rows = scan_rows(view, opts)
     if callable(reduce_def):
         red = reduce_custom(
             rows,
@@ -173,12 +178,44 @@ def query_reduced(
     return _paginate(red, opts).drop("gk_enc")
 
 
-def _keys_rows_for_reduce(view: DataFrame, keys: list) -> DataFrame:
-    encs = sorted({to_indexable_string(k) for k in keys})
-    return view.filter(F.col("key_enc").isin(encs))
+def _keys_reduced(view: DataFrame, opts: QueryOptions, reduce_def: Any,
+                  value_hint: tuple | None) -> DataFrame:
+    spark = view.sparkSession
+    pairs = [
+        (i, to_indexable_string(k)) for i, k in enumerate(opts.keys)
+    ]
+    encs = sorted({e for _, e in pairs})
+    rows = view.filter(F.col("key_enc").isin(encs))
+    if callable(reduce_def):
+        red = reduce_custom(rows, reduce_def, grouped=True,
+                            group_level=None)
+    else:
+        red = reduce_builtin(rows, reduce_def, grouped=True,
+                             group_level=None, value_hint=value_hint)
+    keys_df = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_key_ord"),
+                        F.lit(e).alias("_key_enc"),
+                    )
+                    for i, e in pairs
+                ]
+            )
+        )
+    )
+    out = red.join(
+        F.broadcast(keys_df), red["gk_enc"] == keys_df["_key_enc"]
+    ).orderBy(
+        F.col("_key_ord").desc() if opts.descending
+        else F.col("_key_ord")
+    )
+    return _paginate(out, opts).drop("gk_enc", "_key_enc", "_key_ord")
 
 
-def attach_docs(rows: DataFrame, docs: DataFrame) -> DataFrame:
+def attach_docs(rows: DataFrame, docs: DataFrame,
+                *, few_rows: bool = False) -> DataFrame:
     """include_docs / linked-docs join (J1/J2).
 
     ``docs`` must have columns (_id STRING, doc_json STRING).  Left join:
@@ -186,8 +223,18 @@ def attach_docs(rows: DataFrame, docs: DataFrame) -> DataFrame:
     Broadcast is left to AQE: the docs side is a full table at scale, so
     a sort-merge/shuffled-hash join on the doc id is the right default;
     dimension-sized docs tables go broadcast automatically.
+
+    ``few_rows=True`` (the engine sets it when a small ``limit`` was
+    already applied): first prune the docs side with a broadcast
+    semi-join on the needed ids, so the outer join's big side shrinks
+    to ≤ limit docs and AQE turns the whole thing into two broadcast
+    joins — the point-doc-fetch shape of the reference (S3) instead of
+    a full docs shuffle.
     """
     join_key = F.coalesce(F.col("value_link_id"), F.col("id"))
     rows = rows.withColumn("_doc_key", join_key)
+    if few_rows:
+        need = rows.select(F.col("_doc_key").alias("_id")).distinct()
+        docs = docs.join(F.broadcast(need), "_id", "left_semi")
     out = rows.join(docs, rows["_doc_key"] == docs["_id"], "left")
     return out.drop("_doc_key", "_id")

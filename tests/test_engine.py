@@ -1,0 +1,178 @@
+"""Engine lifecycle tests: persistence, compaction, cleanup, staleness,
+envelope options — the parts the DuckDB oracle can't see."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_spark.engine import Engine
+from mapreduce_spark.functions import sandbox
+from mapreduce_spark.operators.mapphase import MapSpec
+
+VIEW = {
+    "map": MapSpec(
+        "lineitem",
+        [("str", "l_returnflag"), ("str", "l_linestatus")],
+        ("num", "l_quantity"),
+    ),
+    "reduce": "_sum",
+}
+
+
+def _rows(res):
+    return sorted(
+        (tuple(r["key"]), round(r["value"], 6)) for r in res.rows()
+    )
+
+
+def _batches(spark, sf_dir, n):
+    """Split lineitem into n disjoint seq-ordered batches."""
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seq = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    hi = raw.agg(F.max(seq)).collect()[0][0]
+    step = hi // n + 1
+    return [
+        raw.filter((seq > i * step) & (seq <= (i + 1) * step))
+        for i in range(n)
+    ]
+
+
+def test_compaction_preserves_results_and_vacuum_gcs(
+    spark, sf_dir, tmp_path
+):
+    eng = Engine(spark, sf_dir, str(tmp_path), compact_after=3)
+    eng.put_design("d", {"v": VIEW})
+    for b in _batches(spark, sf_dir, 5):
+        eng.update_view("d/v", changes=b)
+    sig = eng._defs[eng.registry.resolve("d", "v")].sig
+    entry = eng.registry.get_view(sig)
+    assert entry["base_version"] >= 2, "compaction should have run"
+    assert entry.get("garbage"), "old versions queued for GC"
+
+    got = eng.query("d/v", group_level=2, stale="ok")
+    want = eng.query(VIEW, group_level=2)
+    assert _rows(got) == _rows(want)
+
+    vdir = eng.registry.view_dir(sig)
+    before = set(os.listdir(vdir))
+    eng.vacuum(sig)
+    after = set(os.listdir(vdir))
+    assert before - after, "vacuum should delete orphaned versions"
+    assert _rows(eng.query("d/v", group_level=2, stale="ok")) == _rows(
+        want
+    )
+
+
+def test_registry_survives_engine_restart(spark, sf_dir, tmp_path):
+    e1 = Engine(spark, sf_dir, str(tmp_path))
+    e1.put_design("d", {"v": VIEW})
+    e1.update_view("d/v")
+    want = _rows(e1.query("d/v", group_level=2, stale="ok"))
+
+    e2 = Engine(spark, sf_dir, str(tmp_path))
+    e2.put_design("d", {"v": VIEW})  # definitions re-registered on boot
+    got = _rows(e2.query("d/v", group_level=2, stale="ok"))
+    assert got == want
+    # same content-hash signature → same storage dir was reused
+    assert e2.registry.get_view(
+        e2.registry.resolve("d", "v")
+    )["base"] is not None
+
+
+def test_view_cleanup_removes_orphans(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    eng.put_design("d", {"v": VIEW})
+    eng.update_view("d/v")
+    sig = eng.registry.resolve("d", "v")
+    vdir = eng.registry.view_dir(sig)
+    assert os.path.exists(vdir)
+    # drop the design (replace with an empty one) → view is orphaned
+    eng.put_design("d", {})
+    res = eng.view_cleanup()
+    assert sig in res["removed"]
+    assert not os.path.exists(vdir)
+
+
+def test_stale_ok_skips_refresh(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    eng.put_design("d", {"v": VIEW})
+    b1, b2 = _batches(spark, sf_dir, 2)
+    eng.update_view("d/v", changes=b1)
+    seen = eng.registry.get_view(eng.registry.resolve("d", "v"))[
+        "last_seq"
+    ]
+    # stale='ok' must not advance the index
+    eng.query("d/v", group_level=2, stale="ok").df.collect()
+    assert eng.registry.get_view(eng.registry.resolve("d", "v"))[
+        "last_seq"
+    ] == seen
+    # default staleness refreshes (and update_view picks up batch 2
+    # automatically from the source's seq column)
+    eng.query("d/v", group_level=2).df.collect()
+    assert eng.registry.get_view(eng.registry.resolve("d", "v"))[
+        "last_seq"
+    ] > seen
+
+
+def test_update_seq_envelope(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    eng.put_design("d", {"v": VIEW})
+    eng.update_view("d/v")
+    res = eng.query("d/v", group_level=2, stale="ok", update_seq=True)
+    entry = eng.registry.get_view(eng.registry.resolve("d", "v"))
+    assert res.update_seq == entry["last_seq"] > 0
+    res2 = eng.query("d/v", group_level=2, stale="ok")
+    assert res2.update_seq is None
+
+
+def test_reduce_false_returns_map_rows(engine):
+    res = engine.query(VIEW, reduce=False, limit=10)
+    rows = res.rows()
+    assert len(rows) == 10
+    # map rows carry ids and raw emitted values, not aggregates
+    assert all("id" in r and isinstance(r["value"], float) for r in rows)
+    assert res.total_rows > 10
+
+
+def test_total_rows_counts_whole_view(engine):
+    res = engine.query(
+        {"map": MapSpec("customer", ("str", "c_mktsegment"))}, limit=5
+    )
+    assert len(res.rows()) == 5
+    assert res.total_rows == engine.spark.read.parquet(
+        f"{engine.sf_dir}/customer.parquet"
+    ).count()
+
+
+# ---------------------------------------------------------------------------
+# sandbox helpers (F1)
+# ---------------------------------------------------------------------------
+
+def test_sandbox_sum_matches_couchdb_semantics():
+    assert sandbox.sum_values([1, 2, 3]) == 6
+    assert sandbox.sum_values([[1, 2], [3, 4]]) == [4, 6]
+    assert sandbox.sum_values([1, [2, 3]]) == [3, 3]  # number → [n]
+    assert sandbox.sum_values([[1], [2, 5]]) == [3, 5]  # zero-pad
+    with pytest.raises(TypeError):
+        sandbox.sum_values(["nope"])
+    with pytest.raises(TypeError):
+        sandbox.sum_values([[1, "nope"]])
+
+
+def test_sandbox_helpers():
+    assert sandbox.is_array([1]) and not sandbox.is_array("x")
+    assert sandbox.to_json({"a": 1}) == '{"a":1}'
+    sandbox.log("smoke", 1)
+
+
+def test_sandbox_usable_inside_python_map_fn(engine):
+    def map_fn(doc, emit):
+        if sandbox.is_array(doc.get("_id")):  # never true; exercises it
+            return
+        emit(doc["lang"], sandbox.to_json({"n": doc["n_chars"]}))
+
+    res = engine.query(("documents", map_fn), limit=3)
+    rows = res.rows()
+    assert len(rows) == 3
+    assert all(isinstance(r["value"], str) for r in rows)
