@@ -390,6 +390,15 @@ class Inventory:
             F.col("value_num").cast("long").alias("cnt"),
         )
 
+    def q22(self):
+        """group_level=0 ≡ no grouping: one global row, key null
+        (SURVEY §2 A6 note; CouchDB semantics)."""
+        res = self._q("flag_status_qty", group_level=0)
+        return res.df.select(
+            F.col("key_json").alias("k_json"),
+            F.round(F.col("value_num"), 0).alias("sum_qty"),
+        )
+
     def q20(self):
         """Error-contract cases (V1) surfaced as data so the oracle can
         check them: each row = (check_name, raised error class)."""
@@ -434,7 +443,7 @@ class Inventory:
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
-                "q14 q15 q16 q16b q17 q18 q19 q20 q21"
+                "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22"
             ).split()
         }
 
@@ -455,7 +464,7 @@ QUERIES = {
     n: _mk(n)
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
-        "q16 q16b q17 q18 q19 q20 q21"
+        "q16 q16b q17 q18 q19 q20 q21 q22"
     ).split()
 }
 
@@ -600,6 +609,10 @@ ORACLE_SQL: dict[str, str] = {
     "q19": (
         "SELECT l_suppkey::DOUBLE AS l_suppkey, count(*)::BIGINT AS cnt "
         "FROM lineitem GROUP BY 1 ORDER BY 1 OFFSET 2 LIMIT 5"
+    ),
+    "q22": (
+        "SELECT 'null' AS k_json, "
+        "ROUND(sum(l_quantity::DOUBLE), 0) AS sum_qty FROM lineitem"
     ),
     "q21": (
         "SELECT 'R' AS l_returnflag, count(*)::BIGINT AS cnt "

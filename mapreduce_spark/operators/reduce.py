@@ -203,10 +203,12 @@ def _reduce_sum(rows: DataFrame, grouped, value_hint=None) -> DataFrame:
         F.col("value_num_arr"),
         F.when(F.col("value_num").isNotNull(), F.array(F.col("value_num"))),
     )
+    # try_element_at: shorter arrays zero-pad (plain element_at ERRORS
+    # on out-of-bounds under ANSI mode, Spark 4's default)
     sums = [
-        F.sum(F.coalesce(F.element_at(eff, i + 1), F.lit(0.0))).alias(
-            f"_s{i}"
-        )
+        F.sum(
+            F.coalesce(F.try_element_at(eff, F.lit(i + 1)), F.lit(0.0))
+        ).alias(f"_s{i}")
         for i in range(width)
     ]
     agg = grouped.agg(*sums)

@@ -106,6 +106,11 @@ class QueryOptions:
                 )
         if o.stale not in (None, "ok", "update_after"):
             raise QueryParseError(f"Invalid value for stale: {o.stale!r}")
+        if o.group_level == 0 and not o.group:
+            # CouchDB: group_level=0 ≡ no grouping (one global
+            # reduction); normalized here, AFTER the grouping-on-a-
+            # map-view check above (which must still fire for it)
+            o.group_level = None
         return o
 
     @property

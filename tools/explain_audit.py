@@ -1,0 +1,60 @@
+"""Dump the physical plans of the engine's load-bearing queries so the
+pushdown / broadcast / partial-agg claims in PLANS.md stay checkable.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.inventory import Inventory
+
+    eng = Engine(spark, sf, tempfile.mkdtemp(prefix="mrplan-"))
+    inv = Inventory(spark, sf, engine=eng, warm=True)
+    for v in ("flag_status_qty", "orderdate", "brand_price",
+              "order_cust_link", "cust_nation"):
+        eng.update_view(f"bench/{v}")
+
+    def show(name: str, df) -> None:
+        print(f"\n{'='*72}\n== {name}\n{'='*72}")
+        df.explain("formatted")
+
+    show("q02 group_level=2 _sum (partial+final agg)", inv.q02())
+    show("q06 range scan (startkey/endkey pushdown)", inv.q06())
+    show("q09 keys lookup (In pushdown + inline table)", inv.q09())
+    show("q12 include_docs limit=50 (semi-join prune)", inv.q12())
+
+    from mapreduce_spark.extensions import dedup, similarity
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    show("minhash LSH pairs", dedup.minhash_lsh_pairs(docs, 0.5))
+    show("cosine top-k (broadcast queries)",
+         similarity.cosine_topk(emb, [0, 1], 10))
+
+
+if __name__ == "__main__":
+    main()
