@@ -127,6 +127,26 @@ VIEW_DEFS: dict[str, dict] = {
         "reduce": "_count",
     },
     "mixed_keys": {"map": ("documents", map_mixed_keys)},
+    # semi-structured: events.props is a JSON string; the map extracts
+    # a field through Spark 4 Variant (parse_json + variant_get) —
+    # the SURVEY §1.1 doc-body mapping exercised in the structured path
+    "props_k": {
+        "map": MapSpec(
+            "events",
+            ("str", "event_type"),
+            ("num", "variant_get(parse_json(props), '$.k', 'double')"),
+        ),
+        "reduce": "_sum",
+    },
+    # multi-emit: one doc → two view rows (emit_ord 0/1)
+    "brand_and_type": {
+        "map": [
+            MapSpec("part", ("str", "p_brand"),
+                    ("num", "p_retailprice")),
+            MapSpec("part", ("str", "p_type"),
+                    ("num", "p_retailprice")),
+        ]
+    },
     "nation_tmp": {
         "map": MapSpec("nation", ("num", "n_regionkey"),
                        ("str", "n_name"))
@@ -390,6 +410,39 @@ class Inventory:
             F.col("value_num").cast("long").alias("cnt"),
         )
 
+    def q23(self):
+        """Variant JSON extraction in the map (events.props '$.k'),
+        grouped _sum — SURVEY §1.1 semi-structured doc bodies."""
+        res = self._q("props_k", group=True)
+        return res.df.select(
+            _j("$").alias("event_type"),
+            F.round(F.col("value_num"), 0).alias("sum_k"),
+        )
+
+    def q24(self):
+        """descending + inclusive_end=false: the exclusive bound is
+        the LOW end when descending (upstream role swap)."""
+        res = self._q(
+            "orderdate",
+            startkey="1995-12-31",
+            endkey="1995-01-01",
+            descending=True,
+            inclusive_end=False,
+            limit=200,
+        )
+        return self._orderdate_cols(res.df)
+
+    def q25(self):
+        """Multi-emit view: one part doc emits (brand, price) and
+        (type, price); collation-ordered map scan."""
+        res = self._q("brand_and_type", startkey="Brand#11",
+                      endkey="Brand#23")
+        return res.df.select(
+            F.col("id"),
+            _j("$").alias("k"),
+            F.col("value_num").alias("v"),
+        )
+
     def q22(self):
         """group_level=0 ≡ no grouping: one global row, key null
         (SURVEY §2 A6 note; CouchDB semantics)."""
@@ -443,7 +496,7 @@ class Inventory:
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
-                "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22"
+                "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25"
             ).split()
         }
 
@@ -464,7 +517,7 @@ QUERIES = {
     n: _mk(n)
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
-        "q16 q16b q17 q18 q19 q20 q21 q22"
+        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25"
     ).split()
 }
 
@@ -609,6 +662,27 @@ ORACLE_SQL: dict[str, str] = {
     "q19": (
         "SELECT l_suppkey::DOUBLE AS l_suppkey, count(*)::BIGINT AS cnt "
         "FROM lineitem GROUP BY 1 ORDER BY 1 OFFSET 2 LIMIT 5"
+    ),
+    "q23": (
+        "SELECT event_type, "
+        "ROUND(sum(json_extract(props, '$.k')::DOUBLE), 0) AS sum_k "
+        "FROM events GROUP BY 1"
+    ),
+    "q24": (
+        f"SELECT printf('orders:%09d', o_orderkey) AS id, "
+        f"{_iso('o_orderdate')} AS k, o_totalprice::DOUBLE AS v "
+        f"FROM orders WHERE {_iso('o_orderdate')} <= '1995-12-31' "
+        f"AND {_iso('o_orderdate')} > '1995-01-01' "
+        f"ORDER BY k DESC, id DESC LIMIT 200"
+    ),
+    "q25": (
+        "SELECT printf('part:%06d', p_partkey) AS id, p_brand AS k, "
+        "p_retailprice::DOUBLE AS v FROM part "
+        "WHERE p_brand >= 'Brand#11' AND p_brand <= 'Brand#23' "
+        "UNION ALL "
+        "SELECT printf('part:%06d', p_partkey), p_type, "
+        "p_retailprice::DOUBLE FROM part "
+        "WHERE p_type >= 'Brand#11' AND p_type <= 'Brand#23'"
     ),
     "q22": (
         "SELECT 'null' AS k_json, "
