@@ -106,6 +106,8 @@ def reduce_builtin(
     ``('num',)`` or ``('num_arr', width)``.  With a hint, ``_sum`` skips
     its runtime array-shape probe (a full-view scan at 100 TB).
     """
+    if name == "_sum" and value_hint is None:
+        rows = _guard_sum_values(rows)
     if grouped:
         gk_enc, gk_json = group_key_cols(group_level)
     else:  # global reduce: single group, key = null (SURVEY §2 A7)
@@ -163,6 +165,34 @@ def reduce_builtin(
     if name == "_sum":
         return _reduce_sum(rows, g, value_hint)
     raise BuiltInError(f"{name} is not a supported reduce function")
+
+
+def _guard_sum_values(rows: DataFrame) -> DataFrame:
+    """Upstream builtin_reduce_error semantics for dynamic views: a
+    `_sum` over a non-number/non-array value must error at execution,
+    not silently skip.  assert_true is a codegen'd per-row check,
+    riding the value_num column so pruning can't drop it (assert_true
+    returns null on success → the when() is a pass-through).
+    Structured MapSpec views are numeric by construction and never
+    take this path (they carry a value_hint)."""
+    valid = (
+        F.col("value_json").isNull()
+        | F.col("value_num").isNotNull()
+        | F.col("value_num_arr").isNotNull()
+    )
+    guard = F.assert_true(
+        valid,
+        F.concat(
+            F.lit(
+                "builtin_reduce_error: _sum requires numbers or "
+                "arrays of numbers, got "
+            ),
+            F.col("value_json"),
+        ),
+    )
+    return rows.withColumn(
+        "value_num", F.when(guard.isNull(), F.col("value_num"))
+    )
 
 
 def _num_json(c: Column) -> Column:

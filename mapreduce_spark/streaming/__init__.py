@@ -19,6 +19,16 @@ from mapreduce_spark.streaming.maintain import (
     file_changes_stream,
     maintain_view,
 )
+from mapreduce_spark.streaming.sessions import (
+    running_totals,
+    session_reduce,
+)
 from mapreduce_spark.streaming.windows import windowed_reduce
 
-__all__ = ["file_changes_stream", "maintain_view", "windowed_reduce"]
+__all__ = [
+    "file_changes_stream",
+    "maintain_view",
+    "running_totals",
+    "session_reduce",
+    "windowed_reduce",
+]

@@ -176,3 +176,25 @@ def test_sandbox_usable_inside_python_map_fn(engine):
     rows = res.rows()
     assert len(rows) == 3
     assert all(isinstance(r["value"], str) for r in rows)
+
+def test_sum_over_invalid_values_errors(engine):
+    """upstream builtin_reduce_error parity: _sum over a string value
+    must raise at query execution (dynamic Python views only; MapSpec
+    views are numeric by construction)."""
+    def bad_map(doc, emit):
+        emit(doc["lang"], "not-a-number")
+
+    res = engine.query({"map": ("documents", bad_map),
+                        "reduce": "_sum"}, group=True)
+    with pytest.raises(Exception, match="builtin_reduce_error"):
+        res.df.collect()
+
+
+def test_sum_valid_python_view_still_works(engine):
+    def ok_map(doc, emit):
+        emit(doc["lang"], [1, doc["n_chars"]])
+
+    res = engine.query({"map": ("documents", ok_map),
+                        "reduce": "_sum"}, group=True)
+    rows = res.rows()
+    assert rows and all(isinstance(r["value"], list) for r in rows)

@@ -108,3 +108,104 @@ def test_windowed_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM win_test").collect()))
     assert got == want
     assert len(got) > 0
+
+
+def test_session_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
+    """session_window over a stream (complete mode) == the batch run
+    on the same data."""
+    from mapreduce_spark.sources.docs import load_table
+    from mapreduce_spark.streaming import session_reduce
+
+    src = f"{sf_dir}/events.parquet"
+    batch = load_table(spark, sf_dir, "events")
+    want = sorted(
+        map(
+            tuple,
+            session_reduce(
+                batch, ts_col="ts", gap="30 minutes",
+                keys=["user_id"], value_col="value",
+            ).collect(),
+        )
+    )
+    assert want, "fixture should produce sessions"
+
+    stream_dir = str(tmp_path / "sess_in")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn(
+            "ts",
+            F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"),
+        )
+    )
+    agg = session_reduce(
+        stream, ts_col="ts", gap="30 minutes", keys=["user_id"],
+        value_col="value",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM sess_test").collect())
+    )
+    assert got == want
+
+
+def test_running_totals_stateful_across_batches(spark, sf_dir,
+                                                tmp_path):
+    """applyInPandasWithState carries per-key state across
+    micro-batches: after draining a 2-file stream the running totals
+    equal a plain batch groupBy."""
+    from mapreduce_spark.streaming import running_totals
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = str(tmp_path / "rt_in")
+    os.makedirs(in_dir)
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = running_totals(stream, key_col="event_type",
+                         value_col="value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rt_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends one row per key per batch; the LAST row per
+    # key is the final running total
+    rows = spark.sql("SELECT * FROM rt_test").collect()
+    final = {}
+    for r in rows:  # memory sink preserves batch order
+        final[r.key] = (r.total_cnt, round(r.total_sum, 6))
+    want = {
+        r.event_type: (r.cnt, round(r.sum_v, 6))
+        for r in raw.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_v"),
+        )
+        .collect()
+    }
+    assert final == want
