@@ -262,6 +262,7 @@ def reduce_custom(
     *,
     grouped: bool,
     group_level: int | None,
+    salt_partials: int | None = None,
 ) -> DataFrame:
     """Distributed custom reduce (SURVEY §2 A4/U2).
 
@@ -269,6 +270,13 @@ def reduce_custom(
     ``reduce_fn(keys, values, rereduce=False)`` with keys=[[key, id]…].
     Phase 2 (final): shuffle the partials by group key and call
     ``reduce_fn(None, partials, rereduce=True)``.
+
+    ``salt_partials=N``: insert a salted intermediate rereduce — group
+    partials by (key, hash % N) and fold before the final fold.  Use
+    when one group dominates the corpus (a hot key at 100 TB produces
+    one partial per Arrow batch; the salt tier fans that fold across N
+    tasks instead of one).  Requires a rereduce-safe fn, which the
+    contract already demands.
     """
     if grouped:
         gk_enc, gk_json = group_key_cols(group_level)
@@ -345,6 +353,42 @@ def reduce_custom(
                     "value_num_arr": arr,
                 }
             ]
+        )
+
+    if salt_partials:
+        salt_schema = T.StructType(
+            [
+                T.StructField("gk_enc", T.StringType(), False),
+                T.StructField("key_json", T.StringType(), False),
+                T.StructField("partial_json", T.StringType(), True),
+            ]
+        )
+
+        def fold_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            vals = [json.loads(p) for p in pdf["partial_json"]]
+            part = reduce_fn(None, vals, True)
+            return pd.DataFrame(
+                [
+                    {
+                        "gk_enc": pdf["gk_enc"].iloc[0],
+                        "key_json": pdf["key_json"].iloc[0],
+                        "partial_json": json.dumps(
+                            part, separators=(",", ":"),
+                            ensure_ascii=False,
+                        ),
+                    }
+                ]
+            )
+
+        salted = partials.withColumn(
+            "_salt", F.pmod(F.xxhash64("partial_json"),
+                            F.lit(salt_partials))
+        )
+        partials = salted.groupBy(
+            "gk_enc", "key_json", "_salt"
+        ).applyInPandas(
+            lambda pdf: fold_salted(pdf.drop(columns=["_salt"])),
+            salt_schema,
         )
 
     return partials.groupBy("gk_enc", "key_json").applyInPandas(

@@ -198,3 +198,27 @@ def test_sum_valid_python_view_still_works(engine):
                         "reduce": "_sum"}, group=True)
     rows = res.rows()
     assert rows and all(isinstance(r["value"], list) for r in rows)
+
+
+def test_approx_count_distinct_within_rsd(engine, duck, sf_dir):
+    """extension builtin _approx_count_distinct: estimates within ~3x
+    the default rsd (5%) of the exact per-group distinct-key counts."""
+    from mapreduce_spark.inventory import VIEW_DEFS
+
+    res = engine.query(
+        {"map": VIEW_DEFS["supp_part"]["map"],
+         "reduce": "_approx_count_distinct"},
+        group_level=1,
+    )
+    got = {int(float(r["key"][0])): r["value"] for r in res.rows()}
+    want = dict(
+        duck.execute(
+            "SELECT l_suppkey, count(DISTINCT l_partkey) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k, exact in want.items():
+        assert abs(got[k] - exact) <= max(3, 0.15 * exact), (
+            k, got[k], exact,
+        )

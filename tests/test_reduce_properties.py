@@ -76,3 +76,33 @@ def test_custom_reduce_sees_real_rereduce(spark):
     # but the 4-partition input guarantees >1 partial, so a reduce fn
     # that ignored rereduce would double-count — the 100.0 assertion
     # IS the rereduce check for a sum-shaped fn
+
+
+def test_salted_tree_reduce_same_answer(spark):
+    """salt_partials inserts an extra rereduce tier; the result must
+    be identical for a rereduce-safe fn."""
+    from mapreduce_spark.operators.reduce import reduce_custom
+
+    def red(keys, values, rereduce):
+        return sum(
+            v if isinstance(v, (int, float)) else 0 for v in values
+        )
+
+    rows = [
+        emit_to_view_row(f"doc{i}", 0, f"k{i % 3}", float(i))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, VIEW_SCHEMA).repartition(8)
+    plain = {
+        r.key_json: r.value_num
+        for r in reduce_custom(
+            df, red, grouped=True, group_level=None
+        ).collect()
+    }
+    salted = {
+        r.key_json: r.value_num
+        for r in reduce_custom(
+            df, red, grouped=True, group_level=None, salt_partials=4
+        ).collect()
+    }
+    assert plain == salted and len(plain) == 3
