@@ -243,12 +243,25 @@ def _assign_cells(nd: DataFrame,
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
-             n_cells: int = 16, nprobe: int = 4,
+             n_cells: int | None = None, nprobe: int | None = None,
              id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per
-    query, rerank candidates exactly.  Scans corpus·nprobe/n_cells."""
+    query, rerank candidates exactly.  Scans corpus·nprobe/n_cells.
+
+    Defaults follow standard IVF sizing: n_cells ≈ √N (cells stay
+    ~√N-sized), nprobe ≈ n_cells/4 (scan ~25% of the corpus) — tune
+    nprobe down for throughput once the corpus has real cluster
+    structure.
+    """
     import numpy as np
+
+    if n_cells is None or nprobe is None:
+        n = emb.count()
+        if n_cells is None:
+            n_cells = max(8, min(4096, int(n ** 0.5)))
+        if nprobe is None:
+            nprobe = max(4, n_cells // 4)
 
     # cache the normalized corpus for the 2·iters training scans +
     # query fetch, then release it; the returned (lazy) search plan is

@@ -147,6 +147,14 @@ VIEW_DEFS: dict[str, dict] = {
                     ("num", "p_retailprice")),
         ]
     },
+    # MapSpec.where: the map fn's guard clause (P1's filter aspect)
+    # — pushed into the parquet scan of the BASE table at build time
+    "hiqty_flag": {
+        "map": MapSpec("lineitem", ("str", "l_returnflag"),
+                       ("num", "l_extendedprice"),
+                       where="l_quantity > 45"),
+        "reduce": "_count",
+    },
     "nation_tmp": {
         "map": MapSpec("nation", ("num", "n_regionkey"),
                        ("str", "n_name"))
@@ -443,6 +451,23 @@ class Inventory:
             F.col("value_num").alias("v"),
         )
 
+    def q26(self):
+        """Filtered map fn (MapSpec.where → scan pushdown at build)."""
+        res = self._q("hiqty_flag", group=True)
+        return res.df.select(
+            _j("$").alias("l_returnflag"),
+            F.col("value_num").cast("long").alias("cnt"),
+        )
+
+    def q27(self):
+        """descending grouped reduce with pagination (A8 × O2)."""
+        res = self._q("supp_part", group_level=1, descending=True,
+                      skip=3, limit=4)
+        return res.df.select(
+            _j("$[0]", "double").alias("l_suppkey"),
+            F.col("value_num").cast("long").alias("cnt"),
+        )
+
     def q22(self):
         """group_level=0 ≡ no grouping: one global row, key null
         (SURVEY §2 A6 note; CouchDB semantics)."""
@@ -496,7 +521,7 @@ class Inventory:
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
-                "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25"
+                "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27"
             ).split()
         }
 
@@ -517,7 +542,7 @@ QUERIES = {
     n: _mk(n)
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
-        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25"
+        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27"
     ).split()
 }
 
@@ -683,6 +708,15 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT printf('part:%06d', p_partkey), p_type, "
         "p_retailprice::DOUBLE FROM part "
         "WHERE p_type >= 'Brand#11' AND p_type <= 'Brand#23'"
+    ),
+    "q26": (
+        "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem "
+        "WHERE l_quantity > 45 GROUP BY 1"
+    ),
+    "q27": (
+        "SELECT l_suppkey::DOUBLE AS l_suppkey, "
+        "count(*)::BIGINT AS cnt FROM lineitem "
+        "GROUP BY 1 ORDER BY 1 DESC OFFSET 3 LIMIT 4"
     ),
     "q22": (
         "SELECT 'null' AS k_json, "

@@ -114,15 +114,15 @@ def test_lsh_topk_recall(emb):
 
 
 def test_ivf_topk_recall(emb):
-    """IVF (nprobe=4 of 16 cells) recall@10 against the exact baseline;
-    measured ~0.75 on the fixture embeddings."""
+    """IVF (adaptive √N cells, cells/4 probes) recall@10 against the
+    exact baseline; measured 0.65-0.68 across fixture SFs."""
     qs = [0, 1, 2, 3]
     ex = {(r.qid, r.vid)
           for r in similarity.cosine_topk(emb, qs, 10).collect()}
     iv = {(r.qid, r.vid)
           for r in similarity.ivf_topk(emb, qs, 10).collect()}
     recall = len(ex & iv) / len(ex)
-    assert recall >= 0.6, f"recall@10 = {recall}"
+    assert recall >= 0.55, f"recall@10 = {recall}"
 
 
 def test_lsh_candidates_much_smaller_than_corpus(emb):
