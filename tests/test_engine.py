@@ -222,3 +222,70 @@ def test_approx_count_distinct_within_rsd(engine, duck, sf_dir):
         assert abs(got[k] - exact) <= max(3, 0.15 * exact), (
             k, got[k], exact,
         )
+
+
+def test_deleted_docs_removed_incrementally(spark, sf_dir, tmp_path):
+    """A _deleted=true doc in a changes batch tombstones its previous
+    emits and contributes none (M1 delete path)."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    eng.put_design("d", {"v": VIEW})
+    eng.update_view("d/v")
+    before = _rows(eng.query("d/v", group_level=2, stale="ok"))
+
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seq = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    max_seq = raw.agg(F.max(seq)).collect()[0][0]
+    victims = raw.orderBy("l_orderkey", "l_linenumber").limit(7)
+    # deletion batch: same docs, _deleted=true, later seq via bumped
+    # orderkey? no — seq must come from the same expr, so reuse the
+    # rows as-is; update_view tombstones by id regardless of seq
+    deletion = victims.withColumn("_deleted", F.lit(True))
+    eng.update_view("d/v", changes=deletion)
+
+    after = eng.query("d/v", group_level=2, stale="ok")
+    gone = spark.createDataFrame([], raw.schema)
+    expect_raw = raw.join(
+        victims.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    )
+    expect = {}
+    for r in expect_raw.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("s")
+    ).collect():
+        expect[(r.l_returnflag, r.l_linestatus)] = round(r.s, 6)
+    got = {tuple(k): v for k, v in _rows(after)}
+    assert got == expect
+    assert got != {tuple(k): v for k, v in before}
+
+
+def test_update_after_refreshes_post_query(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    eng.put_design("d", {"v": VIEW})
+    b1, b2 = _batches(spark, sf_dir, 2)
+    eng.update_view("d/v", changes=b1)
+    seen = eng.registry.get_view(eng.registry.resolve("d", "v"))[
+        "last_seq"
+    ]
+    res = eng.query("d/v", group_level=2, stale="update_after")
+    # the refresh ran after assembling the query; index advanced
+    assert eng.registry.get_view(eng.registry.resolve("d", "v"))[
+        "last_seq"
+    ] > seen
+
+
+def test_missing_linked_doc_yields_null(spark, sf_dir, tmp_path):
+    """J2: a linked _id that doesn't resolve → doc null (left join)."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    view = {
+        "map": MapSpec(
+            "orders",
+            ("num", "o_orderkey"),
+            ("link", "'customer:nonexistent'"),
+        )
+    }
+    res = eng.query(view, include_docs=True, limit=5,
+                    doc_tables=["customer"])
+    rows = res.rows()
+    assert len(rows) == 5
+    assert all(r["doc"] is None for r in rows)
