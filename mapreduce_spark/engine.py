@@ -194,6 +194,21 @@ class Engine:
             reg_views[name] = {"sig": vd.sig}
         self.registry.put_design(ddoc, reg_views)
 
+    def build_views(self, names: list[str],
+                    max_parallel: int = 4) -> None:
+        """Materialize several views concurrently.
+
+        Independent views contend only for cluster slots, so building
+        them from driver threads lets the Spark scheduler interleave
+        their stages (the per-view registry lock still serializes
+        same-view builds).  This is the deployment shape for "refresh
+        all design docs" — wall time ≈ slowest view, not the sum.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+            list(ex.map(self.update_view, names))
+
     def view_cleanup(self) -> dict:
         res = self.registry.view_cleanup()
         for sig in res["removed"]:
