@@ -27,6 +27,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -212,34 +215,51 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
 
 def _assign_cells(nd: DataFrame,
                   cents: list[list[float]]) -> DataFrame:
-    """Nearest-centroid cell per vector — a pure-column argmax over
-    broadcast centroid literals (no join, no Python).
+    """Nearest-centroid cell per vector.
 
-    The per-centroid dots are materialized into ONE array column and
-    argmax'd with array_position; a chained when()-argmax would embed
-    every previous dot expression into each comparison and blow the
-    plan up exponentially.
+    Small codebooks (≤8 cells) stay pure-Column: per-centroid dots in
+    ONE array column, argmax'd with array_position (a chained when()-
+    argmax would re-embed every prior dot into each comparison and
+    blow the plan up exponentially).
+
+    Larger codebooks switch to an Arrow-batched pandas UDF holding the
+    centroid matrix in its closure: one numpy ``argmax(M @ C.T)`` per
+    batch.  The Column path costs O(n_cells·dim) *literals in the
+    plan* — at n_cells≈√N sizing that is quadratic-ish in analysis/
+    codegen time and collapses long before the data does (44 cells ×
+    64 dims already 3×'d the bench); the UDF path is flat in plan size
+    and BLAS-fast per row regardless of codebook size.
     """
-    dots = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("nv"),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in cents
-        ]
-    )
-    return nd.withColumn("_dots", dots).withColumn(
-        "cell",
-        (F.array_position("_dots", F.array_max("_dots")) - 1).cast(
-            "int"
-        ),
-    ).drop("_dots")
+    if len(cents) * len(cents[0]) <= 512:
+        dots = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("nv"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in cents
+            ]
+        )
+        return nd.withColumn("_dots", dots).withColumn(
+            "cell",
+            (F.array_position("_dots", F.array_max("_dots")) - 1)
+            .cast("int"),
+        ).drop("_dots")
+
+    CT = np.asarray(cents, dtype=np.float64).T  # (dim, k)
+
+    @F.pandas_udf("int")
+    def _cell(vs: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)  # (batch, dim)
+        # ties: argmax picks the first max, same as array_position
+        return pd.Series(np.argmax(M @ CT, axis=1).astype("int32"))
+
+    return nd.withColumn("cell", _cell(F.col("nv")))
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
@@ -254,8 +274,6 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
     nprobe down for throughput once the corpus has real cluster
     structure.
     """
-    import numpy as np
-
     if n_cells is None or nprobe is None:
         n = emb.count()
         if n_cells is None:
