@@ -59,6 +59,7 @@ from mapreduce_spark.plans.spec import UNSET, QueryOptions
 from mapreduce_spark.sources.docs import (
     TABLES,
     doc_id_col,
+    doc_json_frame,
     docs_df,
     load_table,
 )
@@ -256,7 +257,8 @@ class Engine:
             keep_ord = "_key_ord" in rows.columns
             if o.include_docs:
                 docs = self._docs_for_join(
-                    [vdef.table] + (doc_tables or [])
+                    [vdef.table] + (doc_tables or []),
+                    conflicts=o.conflicts,
                 )
                 # only an applied limit truly bounds the id set we'd
                 # broadcast (a key= lookup can match millions of rows)
@@ -477,19 +479,12 @@ class Engine:
     # docs join side (J1/J2)
     # ------------------------------------------------------------------
 
-    def _docs_for_join(self, tables: list[str]) -> DataFrame:
+    def _docs_for_join(self, tables: list[str],
+                       *, conflicts: bool = False) -> DataFrame:
         """(_id, doc_json) across the tables reachable by this query."""
         out = None
         for tbl in dict.fromkeys(tables):
             d = docs_df(self.spark, self.sf_dir, tbl)
-            body_cols = [
-                c for c in d.columns if c not in ("_deleted", "seq")
-            ]
-            dj = d.select(
-                F.col("_id"),
-                F.to_json(F.struct(*[F.col(c) for c in body_cols])).alias(
-                    "doc_json"
-                ),
-            )
+            dj = doc_json_frame(d, conflicts=conflicts)
             out = dj if out is None else out.unionByName(dj)
         return out

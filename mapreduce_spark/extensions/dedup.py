@@ -30,6 +30,7 @@ value-checkable against a SQL oracle.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -196,7 +197,16 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
     corpus).
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, n, text, id_col)
+    # the signature frame feeds FOUR plan branches (both sides of the
+    # band self-join + both candidate-verification joins); without a
+    # persist each branch re-runs shingling + the md5/affine signature
+    # stage.  MEMORY_AND_DISK: the frame is docs × (96 longs + shingle
+    # set) — far smaller than the corpus — and spills instead of
+    # recomputing when executors are tight.  Left cached (no lazy-safe
+    # unpersist point); Spark's LRU block manager reclaims it.
+    sigs = minhash_signatures(df, num_perm, n, text, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # band bucket = polynomial fold of the band's minhash values in the
     # 31-bit domain (spurious bucket collisions only add candidates,
     # which the exact-Jaccard verification discards)

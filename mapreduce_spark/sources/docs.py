@@ -169,6 +169,32 @@ def docs_df(
                    doc_space=doc_space)
 
 
+def doc_json_frame(d: DataFrame, *, conflicts: bool = False) -> DataFrame:
+    """Docs DataFrame → ``(_id, doc_json)`` for include_docs joins.
+
+    ``conflicts=True`` (J3; upstream #queryView forwards the flag into
+    the doc fetch) keeps a ``_conflicts ARRAY<STRING>`` column in the
+    JSON when the docs frame carries one and it is non-empty; CouchDB
+    omits the member entirely for conflict-free docs, which matches
+    ``to_json``'s null-dropping.  Engine-internal columns
+    (``_deleted``, ``seq``) never reach the doc body.
+    """
+    drop = {"_deleted", "seq"}  # _id stays in the body (CouchDB docs carry it)
+    if not conflicts:
+        drop.add("_conflicts")
+    body = [c for c in d.columns if c not in drop]
+    cols = []
+    for c in body:
+        col = F.col(c)
+        if c == "_conflicts":
+            col = F.when(F.size(col) > 0, col)
+        cols.append(col.alias(c))
+    return d.select(
+        F.col("_id"),
+        F.to_json(F.struct(*cols)).alias("doc_json"),
+    )
+
+
 def doc_records(pdf, table: str) -> list[dict]:
     """Arrow batch (pandas) of a docs DataFrame → list of doc dicts for the
     Python map path.  Converts numpy scalars to Python and parses declared

@@ -289,3 +289,45 @@ def test_missing_linked_doc_yields_null(spark, sf_dir, tmp_path):
     rows = res.rows()
     assert len(rows) == 5
     assert all(r["doc"] is None for r in rows)
+
+
+def test_conflicts_flag_surfaces_conflict_revs(spark):
+    """J3: conflicts=True keeps a non-empty _conflicts array in the
+    joined doc; conflict-free docs omit the member (CouchDB shape)."""
+    import json
+
+    from mapreduce_spark.sources.docs import doc_json_frame
+
+    d = spark.createDataFrame(
+        [
+            ("t:1", False, 1, "x", ["2-abc", "2-def"]),
+            ("t:2", False, 2, "y", []),
+            ("t:3", False, 3, "z", None),
+        ],
+        "_id string, _deleted boolean, seq long, payload string, "
+        "_conflicts array<string>",
+    )
+    on = {r["_id"]: json.loads(r["doc_json"])
+          for r in doc_json_frame(d, conflicts=True).collect()}
+    off = {r["_id"]: json.loads(r["doc_json"])
+           for r in doc_json_frame(d, conflicts=False).collect()}
+    assert on["t:1"]["_conflicts"] == ["2-abc", "2-def"]
+    assert "_conflicts" not in on["t:2"]  # empty → omitted
+    assert "_conflicts" not in on["t:3"]  # null → omitted
+    assert all("_conflicts" not in doc for doc in off.values())
+    assert all("seq" not in doc and "_deleted" not in doc
+               for doc in on.values())
+    assert on["t:1"]["_id"] == "t:1" and on["t:1"]["payload"] == "x"
+
+
+def test_conflicts_flag_noop_on_conflict_free_tables(
+    spark, sf_dir, tmp_path
+):
+    """Fixture tables carry no _conflicts column: conflicts=True must
+    return byte-identical docs to the default query."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    view = {"map": MapSpec("nation", ("num", "n_nationkey"))}
+    plain = eng.query(view, include_docs=True, limit=5).rows()
+    with_c = eng.query(view, include_docs=True, limit=5,
+                       conflicts=True).rows()
+    assert plain == with_c and len(plain) == 5
