@@ -38,10 +38,14 @@ for the Spark build path:
       of the output equals UTF-16 code-unit comparison of the input
       (PouchDB string order).  Only code points >= U+D7FF are rewritten:
         U+D7FF          → E '\\x10'
-        cp >= U+10000   → E '\\x11' chr(hi-0xD800+0x20) chr(lo-0xDC00+0x20)
+        cp >= U+10000   → E '\\x11' chr(cp)
         U+E000..U+FFFF  → E '\\x12' chr(cp)
       with E = U+D7FF.  (Surrogate code *units* order between U+D7FF and
-      U+E000; the escape discriminators reproduce exactly that order.)
+      U+E000; the escape discriminators reproduce exactly that order.
+      Within the astral group, code-point order equals surrogate-pair
+      order, so the raw char after '\\x11' suffices — and the whole
+      transform becomes two regexp_replaces + a literal replace,
+      JVM-expressible with no Python in the build path.)
 
     esc(s): terminator escaping (same trick as upstream, which must also
       keep '\\x00' out of stored keys): '\\x00'→'\\x01\\x01',
@@ -224,8 +228,9 @@ def _u16ord(s: str) -> str:
         elif cp == 0xD7FF:
             out.append(_ESC_HI + "\x10")
         elif cp >= 0x10000:
-            hi, lo = divmod(cp - 0x10000, 0x400)
-            out.append(_ESC_HI + "\x11" + chr(0x20 + hi) + chr(0x20 + lo))
+            # code-point order == surrogate-pair order inside the astral
+            # range, so the raw char carries its own ordering
+            out.append(_ESC_HI + "\x11" + ch)
         else:  # U+E000..U+FFFF
             out.append(_ESC_HI + "\x12" + ch)
     return "".join(out)
@@ -247,10 +252,8 @@ def _u16ord_inv(s: str) -> str:
             out.append(_ESC_HI)
             i += 2
         elif disc == "\x11":
-            hi = ord(s[i + 2]) - 0x20
-            lo = ord(s[i + 3]) - 0x20
-            out.append(chr(0x10000 + hi * 0x400 + lo))
-            i += 4
+            out.append(s[i + 2])
+            i += 3
         else:  # '\x12'
             out.append(s[i + 2])
             i += 3

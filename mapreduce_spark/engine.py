@@ -37,7 +37,7 @@ import tempfile
 from dataclasses import dataclass
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_spark.errors import NotFoundError, QueryParseError
@@ -352,17 +352,23 @@ class Engine:
             entry = self.registry.ensure_view(sig)
             vdir = self.registry.view_dir(sig)
 
+            seq_col = F.expr(t.seq_expr).cast("long")
             if entry["base"] is None and not entry["layers"]:
                 src = changes if changes is not None else self._source_df(
                     vdef, to_seq=to_seq
                 )
-                seq_col = F.expr(t.seq_expr).cast("long")
-                max_seq = src.agg(F.max(seq_col)).collect()[0][0] or 0
+                # seq checkpoint piggybacks on the build scan (observe =
+                # zero extra pass over the batch; `max` is idempotent
+                # under the range partitioner's extra sampling pass, so
+                # the CollectMetrics accumulator stays correct)
+                obs = Observation()
+                src = src.observe(obs, F.max(seq_col).alias("mx"))
                 base_rel = "base-v1"
                 self._write_sorted(self._build(vdef, src),
                                    os.path.join(vdir, base_rel))
                 entry.update(
-                    base=base_rel, base_version=1, last_seq=int(max_seq)
+                    base=base_rel, base_version=1,
+                    last_seq=int(obs.get["mx"] or 0),
                 )
                 self.registry.set_view(sig, entry)
                 return
@@ -370,17 +376,25 @@ class Engine:
             src = changes if changes is not None else self._source_df(
                 vdef, since=entry["last_seq"], to_seq=to_seq
             )
-            seq_col = F.expr(t.seq_expr).cast("long")
-            probe = src.agg(
-                F.max(seq_col).alias("mx"), F.count(F.lit(1)).alias("n")
-            ).collect()[0]
-            if not probe["n"]:
-                return
+            # probe (did anything change? new checkpoint seq) rides the
+            # delta-write scan instead of a scan of its own; count is
+            # safe here because the delta write is single-pass
+            obs = Observation()
+            src_obs = src.observe(
+                obs,
+                F.max(seq_col).alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            )
             batch = entry["next_batch"]
             delta_rel, tomb_rel = f"delta-{batch}", f"tomb-{batch}"
-            self._build(vdef, src).write.mode("overwrite").parquet(
-                os.path.join(vdir, delta_rel)
+            delta_path = os.path.join(vdir, delta_rel)
+            self._build(vdef, src_obs).write.mode("overwrite").parquet(
+                delta_path
             )
+            probe = obs.get
+            if not probe["n"]:
+                shutil.rmtree(delta_path, ignore_errors=True)
+                return
             src.select(
                 doc_id_col(vdef.table).alias("id")
             ).distinct().write.mode("overwrite").parquet(
