@@ -72,17 +72,25 @@ def main() -> None:
 
         total = round(sum(per_query.values()), 4)
 
-        # training-data extension headliners (corpus-level operators —
-        # no view materialization; timed once, they are batch jobs)
+        # training-data extension headliners (corpus-level batch jobs).
+        # Median of `runs` like the inventory queries: single-shot
+        # timings on a long-lived session swing several-× with GC /
+        # block-manager state, which made earlier rounds' numbers
+        # unreproducible.  Cache cleared between operators so one
+        # query's persisted intermediates can't pressure the next.
         from mapreduce_spark.extensions.inventory import EXT_QUERIES
 
         for name in (
             "x_text_stats x_dedup_exact x_dedup_minhash x_dedup_simhash "
             "x_dedup_embedding x_sim_topk x_sim_ivf x_mm_features"
         ).split():
-            t = time.time()
-            EXT_QUERIES[name](spark, sf_dir).collect()
-            per_query[name] = round(time.time() - t, 4)
+            samples = []
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                t = time.time()
+                EXT_QUERIES[name](spark, sf_dir).collect()
+                samples.append(time.time() - t)
+            per_query[name] = round(statistics.median(samples), 4)
         print(
             json.dumps(
                 {

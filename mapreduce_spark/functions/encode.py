@@ -93,6 +93,35 @@ def _enc_str_udf(s: pd.Series) -> pd.Series:
 _ESC_HI = "퟿"
 
 
+def _enc_num_col(col: Column) -> Column:
+    """Number encoding as a Column — JVM-side via
+    ``Double.doubleToRawLongBits`` reflection (no Arrow crossing).
+
+    Bit transform identical to :func:`enc_num_np`: negative → flip all
+    bits, else set the sign bit; ``+0.0`` first so ``-0.0`` encodes as
+    ``0.0``.  NaN encodes as ``'1'`` (null key), matching the pandas
+    path's ``isna`` mask.  ``reflect`` is CodegenFallback (boxed, not
+    codegen'd) but stays in the JVM: it benchmarks at parity with the
+    vectorized pandas UDF per column and lets whole-stage CSE share
+    the encode between ``key_enc`` and ``key_parts_enc``, which two
+    ArrowEvalPython nodes never could.
+    """
+    d = col.cast("double") + F.lit(0.0)
+    b = F.reflect(
+        F.lit("java.lang.Double"), F.lit("doubleToRawLongBits"), d
+    ).cast("bigint")
+    enc = (
+        F.when(b < 0, F.lit(-1).cast("long").bitwiseXOR(b))
+        .otherwise(b.bitwiseOR(F.lit(-9223372036854775808)))
+    )
+    return (
+        F.when(col.isNull() | F.isnan(col.cast("double")), F.lit("1"))
+        .otherwise(
+            F.concat(F.lit("3"), F.lower(F.lpad(F.hex(enc), 16, "0")))
+        )
+    )
+
+
 def _enc_str_col(col: Column) -> Column:
     """String encoding as a pure Column expression — no Python, no
     Arrow crossing, whole-stage-codegen'd end to end.
@@ -149,7 +178,7 @@ def enc_component_col(col: Column, kind: str) -> Column:
             .otherwise(F.lit("20"))
         )
     if kind == "num":
-        return _enc_num_udf(col.cast("double"))
+        return _enc_num_col(col)
     if kind == "str":
         return _enc_str_col(col)
     raise ValueError(f"unknown component kind {kind!r}")
