@@ -230,7 +230,11 @@ class Engine:
 
         upd_seq: int | None = None
         if persisted:
-            if o.stale != "ok":
+            # only the default staleness mode refreshes before the read;
+            # stale='ok' and stale='update_after' both serve the current
+            # index immediately (upstream parity — update_after refreshes
+            # once, after the response is assembled, see below)
+            if o.stale is None:
                 self.update_view(vdef)
             view = self._assemble_view(vdef.sig)
             if o.update_seq:

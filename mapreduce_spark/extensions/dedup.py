@@ -238,7 +238,13 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(
+    # empty-shingle docs (shorter than n words) can never reach any
+    # Jaccard threshold > 0, but their shared sentinel signature would
+    # collide in every band — 32·C(k,2) candidate rows for k short
+    # docs, a quadratic shuffle blowup on short-doc-heavy corpora.
+    # Drop them before bucketing; output is unchanged (their pairs
+    # compute 0/0 Jaccard = null and are filtered anyway).
+    buckets = sigs.filter(F.size("sh") > 0).select(
         "doc_id", F.posexplode(band_arr).alias("band", "bkt")
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")

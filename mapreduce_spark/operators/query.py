@@ -205,12 +205,11 @@ def _keys_reduced(view: DataFrame, opts: QueryOptions, reduce_def: Any,
             )
         )
     )
+    # request order unconditionally: upstream processes `keys` in the
+    # order given regardless of descending (matching _keys_lookup)
     out = red.join(
         F.broadcast(keys_df), red["gk_enc"] == keys_df["_key_enc"]
-    ).orderBy(
-        F.col("_key_ord").desc() if opts.descending
-        else F.col("_key_ord")
-    )
+    ).orderBy(F.col("_key_ord"))
     return _paginate(out, opts).drop("gk_enc", "_key_enc", "_key_ord")
 
 

@@ -175,9 +175,10 @@ def _guard_sum_values(rows: DataFrame) -> DataFrame:
     returns null on success → the when() is a pass-through).
     Structured MapSpec views are numeric by construction and never
     take this path (they carry a value_hint)."""
+    # an emitted null value is NOT valid: upstream sum() throws
+    # builtin_reduce_error for any non-number/non-array, null included
     valid = (
-        F.col("value_json").isNull()
-        | F.col("value_num").isNotNull()
+        F.col("value_num").isNotNull()
         | F.col("value_num_arr").isNotNull()
     )
     guard = F.assert_true(
@@ -187,7 +188,7 @@ def _guard_sum_values(rows: DataFrame) -> DataFrame:
                 "builtin_reduce_error: _sum requires numbers or "
                 "arrays of numbers, got "
             ),
-            F.col("value_json"),
+            F.coalesce(F.col("value_json"), F.lit("null")),
         ),
     )
     return rows.withColumn(

@@ -107,8 +107,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     t = TABLES.get(name)
     path = f"{sf_dir}/{name}.parquet"
     if t and t.ns_timestamp_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # the conf only matters while the parquet footer schema is
+        # resolved (read time); execution captures it in the scan's
+        # hadoop conf, so restoring immediately is safe and keeps the
+        # session's parse behavior unchanged for user code
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev: str | None = spark.conf.get(conf_key)
+        except Exception:
+            prev = None
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         for c in t.ns_timestamp_cols:
             df = df.withColumn(
                 c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))")

@@ -190,6 +190,35 @@ def test_sum_over_invalid_values_errors(engine):
         res.df.collect()
 
 
+def test_sum_over_null_values_errors(engine):
+    """upstream sum() throws builtin_reduce_error for ANY non-number,
+    emitted null included — nulls must not be silently skipped."""
+    def null_map(doc, emit):
+        emit(doc["lang"], None)
+
+    res = engine.query({"map": ("documents", null_map),
+                        "reduce": "_sum"}, group=True)
+    with pytest.raises(Exception, match="builtin_reduce_error"):
+        res.df.collect()
+
+
+def test_keys_reduced_request_order_ignores_descending(engine):
+    """P5/A5: `keys` results come back in REQUEST order on both the map
+    and the reduce path, regardless of descending (upstream parity)."""
+    keys = [["N", "O"], ["A", "F"], ["N", "O"]]
+    for desc in (False, True):
+        red = engine.query(VIEW, keys=keys, group=True, descending=desc)
+        got = [tuple(r["key"]) for r in red.rows()]
+        assert got == [tuple(k) for k in keys], f"descending={desc}"
+        mp = engine.query(VIEW, keys=keys, reduce=False,
+                          descending=desc, limit=5000)
+        mkeys = [tuple(r["key"]) for r in mp.rows()]
+        # map path: request-ordered runs of each key
+        runs = [k for i, k in enumerate(mkeys)
+                if i == 0 or k != mkeys[i - 1]]
+        assert runs == [tuple(k) for k in keys], f"descending={desc}"
+
+
 def test_sum_valid_python_view_still_works(engine):
     def ok_map(doc, emit):
         emit(doc["lang"], [1, doc["n_chars"]])
@@ -267,11 +296,17 @@ def test_update_after_refreshes_post_query(spark, sf_dir, tmp_path):
     seen = eng.registry.get_view(eng.registry.resolve("d", "v"))[
         "last_seq"
     ]
+    before = _rows(eng.query("d/v", group_level=2, stale="ok"))
     res = eng.query("d/v", group_level=2, stale="update_after")
     # the refresh ran after assembling the query; index advanced
     assert eng.registry.get_view(eng.registry.resolve("d", "v"))[
         "last_seq"
     ] > seen
+    # …but the query itself was served from the CURRENT index (upstream
+    # update_after semantics: respond immediately, refresh afterwards)
+    assert _rows(res) == before
+    after = _rows(eng.query("d/v", group_level=2, stale="ok"))
+    assert after != before
 
 
 def test_missing_linked_doc_yields_null(spark, sf_dir, tmp_path):

@@ -37,6 +37,27 @@ def test_minhash_equals_exact_jaccard(docs):
     assert exact, "fixture should contain planted near-duplicates"
 
 
+def test_minhash_short_docs_excluded_from_buckets(docs, spark):
+    """Docs shorter than n tokens share the sentinel signature; they
+    must be dropped before bucketing (else k short docs make 32·C(k,2)
+    candidate rows) without changing the output pair set."""
+    short = spark.createDataFrame(
+        [(90000 + i, "tiny", "en", "synthetic", 4) for i in range(50)],
+        docs.schema,
+    )
+    base = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    with_short = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs.unionByName(short), 0.5
+        ).collect()
+    }
+    assert with_short == base  # short docs can never pair at t>0
+
+
 def test_exact_dedup_groups(docs, spark):
     """Append a literal duplicate; it must fold into its source's
     group with the source as canonical."""
