@@ -79,7 +79,11 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = dedup.embedding_near_dup(_emb(spark, sf_dir), COSINE_T)
+    # exact blocked-GEMM path: the fixture threshold (0.4) sits in the
+    # bulk of the pair-cosine distribution, where LSH banding cannot
+    # reach recall 1 (see similarity.near_dup_lsh docstring) — exact
+    # tiling is the only oracle-equal shape at this threshold
+    out = dedup.embedding_near_dup_blocked(_emb(spark, sf_dir), COSINE_T)
     return out.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )

@@ -32,6 +32,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mapreduce_spark.extensions.dedup import _dot
 from mapreduce_spark.extensions.util import normalized_vectors, right_size
@@ -159,6 +160,84 @@ def rp_lsh_topk(emb: DataFrame, query_ids: list[int], k: int,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "vid", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-routed near-dup (candidates-then-verify, for high thresholds)
+# ---------------------------------------------------------------------------
+
+def _band_values(planes: "np.ndarray", band_bits: int):
+    """Arrow-batched kernel: nv → array<long> of LSH band values.
+
+    One numpy sign(M @ Pᵀ) per batch, bits packed per band — the
+    column-expression equivalent (n_planes × aggregate/zip_with HOFs)
+    is CodegenFallback, interpreted per element, and inflates the plan
+    quadratically with plane count."""
+    n_planes = planes.shape[0]
+    n_bands = n_planes // band_bits
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bands(vs: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (M @ planes.T >= 0).astype(np.int64)  # (batch, n_planes)
+        packed = bits.reshape(len(M), n_bands, band_bits) @ weights
+        return pd.Series(list(packed))
+
+    return bands
+
+
+def near_dup_lsh(emb: DataFrame, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 128, band_bits: int = 8) -> DataFrame:
+    """Near-dup pairs (cosine ≥ threshold) via random-hyperplane LSH
+    banding + exact-cosine verification — the linear-ish scale path
+    for corpora whose duplicates are actually near.
+
+    Recall math (why this needs a HIGH threshold): two vectors at
+    cosine s agree on one hyperplane sign with p = 1 − acos(s)/π, so a
+    pair collides in ≥1 of b bands of r bits with 1 − (1 − pʳ)ᵇ.  At
+    the defaults (16 bands × 8 bits): s = 0.95 → miss ≈ 1e-4;
+    s = 0.9 → miss ≈ 3e-2; s = 0.4 (p ≈ 0.65) → recall ≈ 0.3 — no
+    banding parameters fix that, which is why the exact blocked-GEMM
+    operator (``dedup.embedding_near_dup_blocked``) ships for
+    low-threshold jobs and this one for true near-dup detection.
+
+    Shuffles: band-bucket self-join (uniform md5-seeded hyperplane
+    buckets) + candidate distinct + two verification joins — the same
+    candidates-then-verify shape as MinHash LSH.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
+    sigs = normalized(emb, id_col, vec_col).withColumn(
+        "bands", _band_values(planes, band_bits)(F.col("nv"))
+    ).persist()
+    buckets = sigs.select(
+        "vid", F.posexplode("bands").alias("band", "bval")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b")
+        )
+        .distinct()
+    )
+    va = sigs.select(F.col("vid").alias("id_a"),
+                     F.col("nv").alias("nv_a"))
+    vb = sigs.select(F.col("vid").alias("id_b"),
+                     F.col("nv").alias("nv_b"))
+    cos = _dot(F.col("nv_a"), F.col("nv_b"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

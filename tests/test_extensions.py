@@ -119,6 +119,58 @@ def test_simhash_pairs_blocking_finds_near_dups(docs):
 # similarity
 # ---------------------------------------------------------------------------
 
+def test_blocked_near_dup_equals_plain_exact(emb):
+    """The blocked-GEMM operator is EXACT: identical pair set and
+    cosines (to 1e-9) as the all-pairs join, at a low threshold and
+    across several block counts (incl. single-tile and hash-unbalanced
+    cases)."""
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_near_dup(emb, 0.3).collect()
+    }
+    assert want
+    for nb in (1, 3, 7):
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in dedup.embedding_near_dup_blocked(
+                emb, 0.3, n_blocks=nb
+            ).collect()
+        }
+        assert got.keys() == want.keys(), f"n_blocks={nb}"
+        assert all(
+            abs(got[k] - want[k]) < 1e-9 for k in want
+        ), f"n_blocks={nb}"
+
+
+def test_near_dup_lsh_equals_exact_on_near_corpus(emb, spark):
+    """On a corpus whose duplicates are actually near (cosine ≥ 0.9),
+    the LSH-routed path must equal the exact operator (banding miss
+    probability ~3e-2 per pair at 0.9, ~1e-4 at 0.95; the planted
+    pairs here are ≥0.98 → expected misses ≪ 1)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 32)
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # plant 12 near-dups: tiny perturbations of the first 12 vectors
+    for i in range(12):
+        v = base[i] + 0.05 * rng.randn(32)
+        rows.append((1000 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        (r.id_a, r.id_b, round(r.cosine, 6))
+        for r in dedup.embedding_near_dup_blocked(
+            df, 0.9, n_blocks=2
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, round(r.cosine, 6))
+        for r in similarity.near_dup_lsh(df, 0.9).collect()
+    }
+    assert len(want) >= 12
+    assert got == want
+
+
 def test_lsh_topk_recall(emb):
     """RP-LSH top-k must recover most of the exact top-k (recall@10).
 
