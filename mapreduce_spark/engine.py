@@ -122,18 +122,26 @@ class QueryResult:
 
     def __init__(self, df: DataFrame, *, offset: int = 0,
                  total_rows_df: DataFrame | None = None,
+                 total_rows_value: int | None = None,
                  reduced: bool = False,
                  update_seq: int | None = None) -> None:
         self.df = df
         self.offset = offset
         self.reduced = reduced
         self._total_df = total_rows_df
+        self._total_value = total_rows_value
         # seq the index was built at, when requested (update_seq=True
         # query option; upstream update_seq parity)
         self.update_seq = update_seq
 
     @property
     def total_rows(self) -> int | None:
+        """Total rows in the (unfiltered) view.  Persisted views answer
+        from registry statistics maintained at materialization time —
+        zero Spark jobs, like the reference's index metadata; only
+        unpersisted temporary views fall back to a count job."""
+        if self._total_value is not None:
+            return self._total_value
         if self._total_df is None:
             return None
         return self._total_df.count()
@@ -229,6 +237,7 @@ class Engine:
         )
 
         upd_seq: int | None = None
+        stats: dict | None = None
         if persisted:
             # only the default staleness mode refreshes before the read;
             # stale='ok' and stale='update_after' both serve the current
@@ -237,8 +246,9 @@ class Engine:
             if o.stale is None:
                 self.update_view(vdef)
             view = self._assemble_view(vdef.sig)
+            entry = self.registry.get_view(vdef.sig)
+            stats = (entry or {}).get("stats")
             if o.update_seq:
-                entry = self.registry.get_view(vdef.sig)
                 upd_seq = entry["last_seq"] if entry else 0
         else:
             view = self._build(vdef, self._source_df(vdef))
@@ -248,7 +258,10 @@ class Engine:
         )
         if will_reduce:
             red = query_reduced(
-                view, o, vdef.reduce_def, value_hint=vdef.value_hint
+                view, o, vdef.reduce_def, value_hint=vdef.value_hint,
+                observed_width=(
+                    stats.get("sum_w") if stats is not None else None
+                ),
             )
             res = QueryResult(
                 red.select(*REDUCED_RESULT_COLS),
@@ -279,6 +292,9 @@ class Engine:
                 rows.select(*cols),
                 offset=o.skip,
                 total_rows_df=view,
+                total_rows_value=(
+                    stats["rows"] if stats is not None else None
+                ),
                 update_seq=upd_seq,
             )
         if persisted and o.stale == "update_after":
@@ -368,11 +384,12 @@ class Engine:
                 obs = Observation()
                 src = src.observe(obs, F.max(seq_col).alias("mx"))
                 base_rel = "base-v1"
-                self._write_sorted(self._build(vdef, src),
-                                   os.path.join(vdir, base_rel))
+                stats = self._write_sorted(self._build(vdef, src),
+                                           os.path.join(vdir, base_rel))
                 entry.update(
                     base=base_rel, base_version=1,
                     last_seq=int(obs.get["mx"] or 0),
+                    stats=stats,
                 )
                 self.registry.set_view(sig, entry)
                 return
@@ -392,13 +409,35 @@ class Engine:
             batch = entry["next_batch"]
             delta_rel, tomb_rel = f"delta-{batch}", f"tomb-{batch}"
             delta_path = os.path.join(vdir, delta_rel)
-            self._build(vdef, src_obs).write.mode("overwrite").parquet(
-                delta_path
-            )
+            # delta stats ride the delta-write pass (single-pass scan,
+            # so count is safe without an exchange barrier)
+            dobs = Observation()
+            self._build(vdef, src_obs).observe(
+                dobs,
+                F.count(F.lit(1)).alias("rows"),
+                F.max(F.size("value_num_arr")).alias("w"),
+            ).write.mode("overwrite").parquet(delta_path)
             probe = obs.get
             if not probe["n"]:
                 shutil.rmtree(delta_path, ignore_errors=True)
                 return
+            # rows this batch supersedes: emits of the changed docs in
+            # base + earlier layers (entry not yet updated, so the
+            # assembled frame is the pre-batch view).  One id-pruned
+            # scan with a broadcast semi-join per refresh — maintenance
+            # cost, keeping total_rows a zero-job registry lookup at
+            # query time (the reference's index-metadata shape).
+            removed = 0
+            if entry.get("stats") is not None:
+                tomb_ids = src.select(
+                    doc_id_col(vdef.table).alias("id")
+                ).distinct()
+                removed = (
+                    self._assemble_view(sig)
+                    .select("id")
+                    .join(F.broadcast(tomb_ids), "id", "left_semi")
+                    .count()
+                )
             src.select(
                 doc_id_col(vdef.table).alias("id")
             ).distinct().write.mode("overwrite").parquet(
@@ -409,19 +448,48 @@ class Engine:
             )
             entry["next_batch"] = batch + 1
             entry["last_seq"] = max(entry["last_seq"], int(probe["mx"]))
+            dm = dobs.get
+            prev = entry.get("stats")
+            if prev is not None:
+                dw = int(dm["w"]) if dm["w"] is not None else -1
+                entry["stats"] = {
+                    "rows": prev["rows"] + int(dm["rows"] or 0) - removed,
+                    # max over live pieces; exact width is re-observed
+                    # at every compaction (see _compact)
+                    "sum_w": max(prev["sum_w"], dw),
+                }
             self.registry.set_view(sig, entry)
             if len(entry["layers"]) >= self.compact_after:
                 self._compact(sig, entry)
 
-    def _write_sorted(self, view: DataFrame, path: str) -> None:
+    def _write_sorted(self, view: DataFrame, path: str) -> dict:
         """Persist a view sorted+range-partitioned by key_enc so Parquet
-        row-group min/max stats give index-like range pruning (X1/X3)."""
+        row-group min/max stats give index-like range pruning (X1/X3).
+
+        Returns view statistics observed on the write pass itself (zero
+        extra scans): exact row count and max ``value_num_arr`` width —
+        the registry metadata that lets ``total_rows`` and dynamic-view
+        ``_sum`` answer without a probe job later.  The CollectMetrics
+        node sits ABOVE the range exchange, so the partitioner's extra
+        sampling pass over the child never double-counts.
+        """
+        obs = Observation()
         (
             view.repartitionByRange("key_enc", "id")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.max(F.size("value_num_arr")).alias("w"),
+            )
             .sortWithinPartitions("key_enc", "id", "emit_ord")
             .write.mode("overwrite")
             .parquet(path)
         )
+        m = obs.get
+        return {
+            "rows": int(m["rows"] or 0),
+            "sum_w": int(m["w"]) if m["w"] is not None else -1,
+        }
 
     def _compact(self, sig: str, entry: dict) -> None:
         """Fold base+layers into a new base version (X7 auto_compaction)."""
@@ -429,7 +497,9 @@ class Engine:
         assembled = self._assemble_view(sig)
         newv = entry["base_version"] + 1
         base_rel = f"base-v{newv}"
-        self._write_sorted(assembled, os.path.join(vdir, base_rel))
+        entry["stats"] = self._write_sorted(
+            assembled, os.path.join(vdir, base_rel)
+        )
         old = [entry["base"]] + [
             p for l in entry["layers"] for p in (l["delta"], l["tomb"])
         ]
@@ -461,8 +531,12 @@ class Engine:
         vdir = self.registry.view_dir(sig)
         if entry is None or (entry["base"] is None and not entry["layers"]):
             return self.spark.createDataFrame([], VIEW_SCHEMA)
+        # schemas are static (VIEW_SCHEMA / id-only tombstones): passing
+        # them explicitly skips parquet footer inference — otherwise
+        # every assemble runs a schema-read job before any query work
+        read_view = self.spark.read.schema(VIEW_SCHEMA).parquet
         base = (
-            self.spark.read.parquet(os.path.join(vdir, entry["base"]))
+            read_view(os.path.join(vdir, entry["base"]))
             if entry["base"]
             else self.spark.createDataFrame([], VIEW_SCHEMA)
         )
@@ -471,7 +545,7 @@ class Engine:
             return base
         tombs = None
         for l in layers:
-            tdf = self.spark.read.parquet(
+            tdf = self.spark.read.schema("id string").parquet(
                 os.path.join(vdir, l["tomb"])
             ).withColumn("_tb", F.lit(l["batch"]))
             tombs = tdf if tombs is None else tombs.unionByName(tdf)
@@ -479,7 +553,7 @@ class Engine:
         srcs = [(0, base)] + [
             (
                 l["batch"],
-                self.spark.read.parquet(os.path.join(vdir, l["delta"])),
+                read_view(os.path.join(vdir, l["delta"])),
             )
             for l in layers
         ]

@@ -145,6 +145,7 @@ def _paginate(rows: DataFrame, opts: QueryOptions) -> DataFrame:
 def query_reduced(
     view: DataFrame, opts: QueryOptions, reduce_def: Any,
     value_hint: tuple | None = None,
+    observed_width: int | None = None,
 ) -> DataFrame:
     """Reduce-query path: filter → group/global reduce → order → slice.
 
@@ -155,7 +156,8 @@ def query_reduced(
     grouped rows back to the request-ordinal table.
     """
     if opts.keys is not UNSET:
-        return _keys_reduced(view, opts, reduce_def, value_hint)
+        return _keys_reduced(view, opts, reduce_def, value_hint,
+                             observed_width)
     rows = scan_rows(view, opts)
     if callable(reduce_def):
         red = reduce_custom(
@@ -171,6 +173,7 @@ def query_reduced(
             grouped=opts.is_grouped,
             group_level=opts.group_level,
             value_hint=value_hint,
+            observed_width=observed_width,
         )
     red = red.orderBy(
         F.col("gk_enc").desc() if opts.descending else F.col("gk_enc")
@@ -179,7 +182,8 @@ def query_reduced(
 
 
 def _keys_reduced(view: DataFrame, opts: QueryOptions, reduce_def: Any,
-                  value_hint: tuple | None) -> DataFrame:
+                  value_hint: tuple | None,
+                  observed_width: int | None = None) -> DataFrame:
     spark = view.sparkSession
     pairs = [
         (i, to_indexable_string(k)) for i, k in enumerate(opts.keys)
@@ -191,7 +195,8 @@ def _keys_reduced(view: DataFrame, opts: QueryOptions, reduce_def: Any,
                             group_level=None)
     else:
         red = reduce_builtin(rows, reduce_def, grouped=True,
-                             group_level=None, value_hint=value_hint)
+                             group_level=None, value_hint=value_hint,
+                             observed_width=observed_width)
     keys_df = spark.range(1).select(
         F.inline(
             F.array(

@@ -99,12 +99,19 @@ def reduce_builtin(
     grouped: bool,
     group_level: int | None,
     value_hint: tuple | None = None,
+    observed_width: int | None = None,
 ) -> DataFrame:
     """Builtin reduce → REDUCED_SCHEMA DataFrame (one row per group).
 
     ``value_hint``: static value-shape info from the view definition —
     ``('num',)`` or ``('num_arr', width)``.  With a hint, ``_sum`` skips
-    its runtime array-shape probe (a full-view scan at 100 TB).
+    its runtime array-shape probe (a full-view scan at 100 TB) AND the
+    per-row value guard (MapSpec views are numeric by construction).
+
+    ``observed_width``: the registry-persisted max array width recorded
+    at materialization time (engine stats) for dynamic Python views —
+    skips the probe scan but KEEPS the value guard (a Python map fn can
+    emit anything; error parity must still hold at execution).
     """
     if name == "_sum" and value_hint is None:
         rows = _guard_sum_values(rows)
@@ -163,7 +170,7 @@ def reduce_builtin(
             null_arr.alias("value_num_arr"),
         )
     if name == "_sum":
-        return _reduce_sum(rows, g, value_hint)
+        return _reduce_sum(rows, g, value_hint, observed_width)
     raise BuiltInError(f"{name} is not a supported reduce function")
 
 
@@ -201,21 +208,27 @@ def _num_json(c: Column) -> Column:
     return j.substr(F.lit(2), F.length(j) - 2)
 
 
-def _reduce_sum(rows: DataFrame, grouped, value_hint=None) -> DataFrame:
+def _reduce_sum(rows: DataFrame, grouped, value_hint=None,
+                observed_width=None) -> DataFrame:
     """_sum over numbers and/or element-wise arrays, single shuffle.
 
     CouchDB semantics (upstream ``pouchdb-mapreduce-utils#sum``): mixed
     numbers+arrays treat a number as [number]; shorter arrays are
     zero-padded.  Implemented as per-position ``element_at`` sums after
-    a static width hint from the view definition (or, for dynamic
-    Python views, one cheap arity probe) — avoids posexplode + double
-    shuffle.
+    a static width hint from the view definition, the registry's
+    materialization-time observed width, or — last resort, temporary
+    dynamic views only — one arity probe scan.  Avoids posexplode +
+    double shuffle either way.
     """
     null_arr = F.lit(None).cast("array<double>")
     if value_hint is not None:
         width = value_hint[1] if value_hint[0] == "num_arr" else -1
+    elif observed_width is not None:
+        width = observed_width
     else:
-        # dynamic views: probe array arity (single column-pruned scan)
+        # unpersisted dynamic views: probe array arity (one
+        # column-pruned scan); persisted views never reach here — the
+        # registry records the width at materialization time
         probe = rows.agg(
             F.max(F.size("value_num_arr")).alias("w")
         ).collect()[0]

@@ -26,10 +26,43 @@ Design notes (Spark-first, 100 TB-aware):
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def nanos_as_long(spark: SparkSession):
+    """Scoped opt-in for reading TIMESTAMP(NANOS) parquet as long.
+
+    Spark 4 has no nanosecond timestamp type; the legacy conf maps the
+    parquet type to LongType during schema resolution.  Batch reads
+    only need it while the footer schema is resolved (``load_table``
+    scopes it automatically); STREAMING reads re-resolve footers per
+    micro-batch on executors, so wrap the whole stream lifetime:
+
+        with nanos_as_long(spark):
+            q = spark.readStream.schema(s).parquet(d)...start()
+            q.awaitTermination()
+
+    Restores the previous conf value on exit either way, so the
+    session's parse behavior never leaks into user code.
+    """
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev: str | None = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
 
@@ -107,23 +140,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     t = TABLES.get(name)
     path = f"{sf_dir}/{name}.parquet"
     if t and t.ns_timestamp_cols:
-        # the conf only matters while the parquet footer schema is
-        # resolved (read time); execution captures it in the scan's
-        # hadoop conf, so restoring immediately is safe and keeps the
-        # session's parse behavior unchanged for user code
-        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-        try:
-            prev: str | None = spark.conf.get(conf_key)
-        except Exception:
-            prev = None
-        spark.conf.set(conf_key, "true")
-        try:
+        # batch reads resolve the footer schema eagerly, so the conf
+        # is only needed inside this scope; execution captures it in
+        # the scan's hadoop conf
+        with nanos_as_long(spark):
             df = spark.read.parquet(path)
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
         for c in t.ns_timestamp_cols:
             df = df.withColumn(
                 c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))")

@@ -145,6 +145,62 @@ def test_total_rows_counts_whole_view(engine):
     ).count()
 
 
+def _jobs_run(spark, fn):
+    """Number of Spark jobs triggered while fn() runs."""
+    nid = lambda: spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    before = nid()
+    out = fn()
+    return out, nid() - before
+
+
+def test_view_stats_total_rows_zero_jobs(spark, sf_dir, tmp_path):
+    """Persisted views answer total_rows from registry statistics
+    (maintained on the build/refresh/compact write passes) — zero
+    Spark jobs at query time, like the reference's index metadata.
+    Stats stay exact across delta layers and compaction."""
+    eng = Engine(spark, sf_dir, str(tmp_path), compact_after=3)
+    eng.put_design("d", {"v": {"map": VIEW["map"]}})
+    batches = _batches(spark, sf_dir, 4)
+    eng.update_view("d/v", changes=batches[0])
+    expect = batches[0].count()
+    res = eng.query("d/v", stale="ok", limit=1)
+    total, jobs = _jobs_run(spark, lambda: res.total_rows)
+    assert total == expect and jobs == 0
+    # delta layers: stats adjust by (delta − superseded) per batch
+    for b in batches[1:]:
+        eng.update_view("d/v", changes=b)
+    res = eng.query("d/v", stale="ok", limit=1)
+    expect = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    total, jobs = _jobs_run(spark, lambda: res.total_rows)
+    assert total == expect and jobs == 0
+    # compact_after=3 → a compaction ran; stats re-observed exactly
+    entry = eng.registry.get_view(eng.registry.resolve("d", "v"))
+    assert entry["base_version"] > 1 and entry["stats"]["rows"] == expect
+
+
+def test_dynamic_sum_uses_persisted_width_no_probe(spark, sf_dir,
+                                                   tmp_path):
+    """A persisted Python-map view with array values must plan _sum
+    from the registry's observed width — no collect() probe scan."""
+    def arr_map(doc, emit):
+        emit(doc["lang"], [1.0, float(doc["n_chars"])])
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    eng.put_design("d", {"v": {"map": ("documents", arr_map),
+                               "reduce": "_sum"}})
+    eng.update_view("d/v")
+    # plan construction must trigger no job (the probe was a job)
+    res, jobs = _jobs_run(
+        spark, lambda: eng.query("d/v", group=True, stale="ok")
+    )
+    assert jobs == 0
+    rows = {tuple(r["key"]) if isinstance(r["key"], list) else r["key"]:
+            r["value"] for r in res.rows()}
+    assert rows and all(
+        isinstance(v, list) and len(v) == 2 for v in rows.values()
+    )
+
+
 # ---------------------------------------------------------------------------
 # sandbox helpers (F1)
 # ---------------------------------------------------------------------------

@@ -64,7 +64,7 @@ def test_windowed_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
     """The same windowed_reduce over a stream (complete mode) and over
     the static DataFrame must agree — Spark's unified batch/stream
     semantics, pinned."""
-    from mapreduce_spark.sources.docs import load_table
+    from mapreduce_spark.sources.docs import load_table, nanos_as_long
 
     src = f"{sf_dir}/events.parquet"
     batch = load_table(spark, sf_dir, "events")
@@ -78,33 +78,35 @@ def test_windowed_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
         )
     )
 
-    # stream side: same nanos-as-long read + conversion as load_table
-    # (the file source wants a directory, so stage a copy)
+    # stream side: nanos parquet needs the legacy conf for the WHOLE
+    # stream lifetime (footers re-resolve per micro-batch) — explicit
+    # scoped opt-in (the file source wants a directory, so stage a copy)
     stream_dir = str(tmp_path / "events_in")
     os.makedirs(stream_dir)
     shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
-    raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn(
-            "ts",
-            F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"),
+    with nanos_as_long(spark):
+        raw_schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .parquet(stream_dir)
+            .withColumn(
+                "ts",
+                F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"),
+            )
         )
-    )
-    agg = windowed_reduce(
-        stream, ts_col="ts", window="1 day", keys=["event_type"],
-        value_col="value",
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("win_test")
-        .outputMode("complete")
-        .option("checkpointLocation", str(tmp_path / "ckpt2"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+        agg = windowed_reduce(
+            stream, ts_col="ts", window="1 day", keys=["event_type"],
+            value_col="value",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_test")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM win_test").collect()))
     assert got == want
     assert len(got) > 0
@@ -113,7 +115,7 @@ def test_windowed_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
 def test_session_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
     """session_window over a stream (complete mode) == the batch run
     on the same data."""
-    from mapreduce_spark.sources.docs import load_table
+    from mapreduce_spark.sources.docs import load_table, nanos_as_long
     from mapreduce_spark.streaming import session_reduce
 
     src = f"{sf_dir}/events.parquet"
@@ -132,28 +134,29 @@ def test_session_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
     stream_dir = str(tmp_path / "sess_in")
     os.makedirs(stream_dir)
     shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
-    raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn(
-            "ts",
-            F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"),
+    with nanos_as_long(spark):
+        raw_schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .parquet(stream_dir)
+            .withColumn(
+                "ts",
+                F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"),
+            )
         )
-    )
-    agg = session_reduce(
-        stream, ts_col="ts", gap="30 minutes", keys=["user_id"],
-        value_col="value",
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("sess_test")
-        .outputMode("complete")
-        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+        agg = session_reduce(
+            stream, ts_col="ts", gap="30 minutes", keys=["user_id"],
+            value_col="value",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sess_test")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     got = sorted(
         map(tuple, spark.sql("SELECT * FROM sess_test").collect())
     )
@@ -165,17 +168,21 @@ def test_running_totals_stateful_across_batches(spark, sf_dir,
     """applyInPandasWithState carries per-key state across
     micro-batches: after draining a 2-file stream the running totals
     equal a plain batch groupBy."""
+    from mapreduce_spark.sources.docs import nanos_as_long
     from mapreduce_spark.streaming import running_totals
 
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    in_dir = str(tmp_path / "rt_in")
-    os.makedirs(in_dir)
-    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(in_dir)
-    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(in_dir)
+    with nanos_as_long(spark):
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        in_dir = str(tmp_path / "rt_in")
+        os.makedirs(in_dir)
+        # rewritten files carry plain INT64 — the stream below needs
+        # no legacy conf
+        raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
 
     stream = (
         spark.readStream.schema(raw.schema)
