@@ -90,22 +90,52 @@ def shingle_sets(df: DataFrame, n: int = 3, text: str = "text",
     )
 
 
+JACCARD_MAX_DF = 10_000
+
+
+def shingle_postings(df: DataFrame, n: int = 3, text: str = "text",
+                     id_col: str = "doc_id",
+                     max_df: int | None = JACCARD_MAX_DF) -> DataFrame:
+    """(doc_id, shingle) inverted-index postings, skew-capped.
+
+    ``max_df`` drops shingles appearing in more than that many docs: a
+    shingle in k docs contributes C(k, 2) rows to the co-occurrence
+    self-join, so one stopword shingle in 10⁶ docs would alone emit
+    ~5·10¹¹ join rows.  The cap bounds every posting list, making the
+    join cost Σ_s C(min(df_s, max_df), 2) — corpus-size-independent
+    per shingle.  Capped shingles shrink |A∩B| for the pairs that
+    share them (never |A| or |B|), so reported Jaccard only ever
+    UNDERcounts for near-stopword overlap — the standard inverted-
+    index trade; pass ``max_df=None`` for the exact small-corpus run.
+    """
+    return _cap_postings(
+        shingle_sets(df, n, text, id_col).select(
+            "doc_id", F.explode("sh").alias("s")
+        ),
+        max_df,
+    )
+
+
+def _cap_postings(ex: DataFrame, max_df: int | None) -> DataFrame:
+    if max_df is None:
+        return ex
+    dfreq = ex.groupBy("s").count().filter(F.col("count") <= max_df)
+    return ex.join(dfreq.select("s"), "s")
+
+
 def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
                   text: str = "text", id_col: str = "doc_id",
-                  max_df: int | None = None) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold, exactly.
-
-    Inverted index: explode each doc's distinct shingles, self-join on
-    the shingle (co-occurrence count = |A∩B|), then J = ∩/(|A|+|B|-∩).
-    ``max_df`` drops shingles appearing in more than that many docs
-    (skew cap; a shingle in k docs contributes C(k,2) join rows).
+                  max_df: int | None = JACCARD_MAX_DF) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold via inverted
+    index: explode each doc's distinct shingles, self-join on the
+    shingle (co-occurrence count = |A∩B|), then J = ∩/(|A|+|B|-∩).
+    Exact whenever no shingle hits ``max_df`` (see shingle_postings).
     """
     sets_ = shingle_sets(df, n, text, id_col)
     sizes = sets_.select("doc_id", F.size("sh").alias("sz"))
-    ex = sets_.select("doc_id", F.explode("sh").alias("s"))
-    if max_df is not None:
-        dfreq = ex.groupBy("s").count().filter(F.col("count") <= max_df)
-        ex = ex.join(dfreq.select("s"), "s")
+    ex = _cap_postings(
+        sets_.select("doc_id", F.explode("sh").alias("s")), max_df
+    )
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s"))

@@ -37,6 +37,39 @@ def test_minhash_equals_exact_jaccard(docs):
     assert exact, "fixture should contain planted near-duplicates"
 
 
+def test_jaccard_max_df_bounds_skewed_postings(docs, spark):
+    """One stopword shingle shared by 1k docs would contribute
+    C(1000,2) ≈ 5·10⁵ co-occurrence join rows; the default max_df cap
+    drops it from the postings while unique shingles survive, and the
+    organic-corpus output is unchanged (no shingle there hits the
+    cap)."""
+    hot = "the quick fox"  # one shared 3-gram + a unique tail per doc
+    rows = [
+        (50000 + i, f"{hot} tail{i} alpha{i} beta{i} gamma{i}",
+         "en", "synthetic", 40)
+        for i in range(1000)
+    ]
+    skew = spark.createDataFrame(rows, docs.schema)
+    capped = dedup.shingle_postings(skew, max_df=100)
+    assert capped.filter(F.col("s") == hot).count() == 0
+    assert capped.count() == 1000 * 4  # the 4 unique shingles/doc kept
+    uncapped = dedup.shingle_postings(skew, max_df=None)
+    assert uncapped.filter(F.col("s") == hot).count() == 1000
+    # capped pairs on the skewed corpus: no pair reaches t=0.5 (shared
+    # content is exactly the capped shingle) and the join stays tiny
+    assert dedup.jaccard_pairs(skew, 0.5, max_df=100).count() == 0
+    # organic corpus: default cap leaves the exact output unchanged
+    exact = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.jaccard_pairs(docs, 0.5, max_df=None).collect()
+    }
+    dflt = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.jaccard_pairs(docs, 0.5).collect()
+    }
+    assert dflt == exact and exact
+
+
 def test_minhash_short_docs_excluded_from_buckets(docs, spark):
     """Docs shorter than n tokens share the sentinel signature; they
     must be dropped before bucketing (else k short docs make 32·C(k,2)
