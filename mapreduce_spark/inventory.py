@@ -290,6 +290,7 @@ class Inventory:
         return res.df.select(
             F.col("id"),
             _j("$", "double").alias("k"),
+            d("$._rev").alias("rev"),
             d("$.c_custkey").cast("double").alias("c_custkey"),
             d("$.c_name").alias("c_name"),
             d("$.c_acctbal").cast("double").alias("c_acctbal"),
@@ -308,6 +309,7 @@ class Inventory:
             F.col("id"),
             _j("$", "double").alias("k"),
             d("$._id").alias("doc_id"),
+            d("$._rev").alias("rev"),
             d("$.c_name").alias("c_name"),
             d("$.c_acctbal").cast("double").alias("c_acctbal"),
         )
@@ -624,14 +626,19 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "q11": (
         "SELECT printf('customer:%06d', c_custkey) AS id, "
-        "c_nationkey::DOUBLE AS k, c_custkey::DOUBLE AS c_custkey, "
+        "c_nationkey::DOUBLE AS k, "
+        "'1-' || md5(printf('customer:%06d', c_custkey) || ':' || "
+        "c_custkey::BIGINT::VARCHAR) AS rev, "
+        "c_custkey::DOUBLE AS c_custkey, "
         "c_name, c_acctbal::DOUBLE AS c_acctbal, c_mktsegment "
         "FROM customer WHERE c_nationkey = 7"
     ),
     "q12": (
         "SELECT printf('orders:%09d', o_orderkey) AS id, "
         "o_orderkey::DOUBLE AS k, "
-        "printf('customer:%06d', c_custkey) AS doc_id, c_name, "
+        "printf('customer:%06d', c_custkey) AS doc_id, "
+        "'1-' || md5(printf('customer:%06d', c_custkey) || ':' || "
+        "c_custkey::BIGINT::VARCHAR) AS rev, c_name, "
         "c_acctbal::DOUBLE AS c_acctbal "
         "FROM orders JOIN customer ON c_custkey = o_custkey "
         "ORDER BY o_orderkey LIMIT 50"

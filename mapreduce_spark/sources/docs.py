@@ -171,14 +171,23 @@ def as_docs(df: DataFrame, table: str, *, doc_space: bool = True) -> DataFrame:
     """
     t = TABLES[table]
     have_deleted = "_deleted" in df.columns
+    seq = F.expr(t.seq_expr).cast("long")
+    # deterministic generation-1 revision of the fixture load:
+    # '1-' + md5(_id ':' seq) — CouchDB doc shape (docs carry _rev),
+    # reproducible in any engine with md5 (the oracle recomputes it)
+    rev = F.concat(
+        F.lit("1-"),
+        F.md5(F.concat_ws(":", doc_id_col(table), seq.cast("string"))),
+    )
     cols: list[Column] = [
         doc_id_col(table).alias("_id"),
+        rev.alias("_rev"),
         (F.coalesce(F.col("_deleted"), F.lit(False)) if have_deleted
          else F.lit(False)).alias("_deleted"),
-        F.expr(t.seq_expr).cast("long").alias("seq"),
+        seq.alias("seq"),
     ]
     for f_ in df.schema.fields:
-        if f_.name in ("_id", "_deleted", "seq"):
+        if f_.name in ("_id", "_rev", "_deleted", "seq"):
             continue
         c = F.col(f_.name)
         if doc_space:
