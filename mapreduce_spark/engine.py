@@ -194,14 +194,32 @@ class Engine:
     # ------------------------------------------------------------------
 
     def put_design(self, ddoc: str, views: dict[str, dict]) -> None:
-        """Register views: {name: {'map': …, 'reduce': …}}."""
+        """Register views: {name: {'map': …, 'reduce': …}}.
+
+        ``map`` accepts a MapSpec / list of MapSpecs, a ``(table,
+        python_fn)`` tuple, or — upstream design-doc parity (F1) — a
+        ``(table, "function(doc) {…}")`` JS source pair, compiled to
+        MapSpec(s) so JS views run the structured JVM path."""
         reg_views = {}
         for name, v in views.items():
             check_reduce(v.get("reduce"))
-            vd = ViewDef(v["map"], v.get("reduce"))
+            vd = ViewDef(self._normalize_map(v["map"]), v.get("reduce"))
             self._defs[vd.sig] = vd
             reg_views[name] = {"sig": vd.sig}
         self.registry.put_design(ddoc, reg_views)
+
+    def _normalize_map(self, m: Any) -> Any:
+        """Compile JS map sources; pass every other form through."""
+        from mapreduce_spark.functions.jscompile import (
+            compile_js_map,
+            looks_like_js,
+        )
+
+        if looks_like_js(m):
+            table, src = m
+            schema = load_table(self.spark, self.sf_dir, table).schema
+            return compile_js_map(src, table, schema)
+        return m
 
     def build_views(self, names: list[str],
                     max_parallel: int = 4) -> None:
@@ -315,9 +333,10 @@ class Engine:
             return self._defs[sig], True
         # temporary view (S7): ephemeral, never persisted
         if isinstance(fun, dict):
-            return ViewDef(fun["map"], fun.get("reduce")), False
+            return ViewDef(self._normalize_map(fun["map"]),
+                           fun.get("reduce")), False
         if isinstance(fun, (MapSpec, list, tuple)):
-            return ViewDef(fun), False
+            return ViewDef(self._normalize_map(fun)), False
         raise QueryParseError(f"cannot resolve view from {fun!r}")
 
     # ------------------------------------------------------------------

@@ -1,0 +1,498 @@
+"""Compile CouchDB/PouchDB JS map-function source into MapSpec(s).
+
+Upstream design documents define views as JavaScript source strings
+(``[U pouchdb-abstract-mapreduce#evalFunc]``, SURVEY.md §2 F1) — every
+real CouchDB/PouchDB ddoc is a JS string.  This engine's structured
+fast path is the declarative ``MapSpec``; this module compiles the
+design-doc subset that covers the overwhelmingly common emit patterns
+straight to MapSpec, so a JS-defined view runs fully JVM-side with
+predicate pushdown — no JS engine anywhere:
+
+    function (doc) {
+      if (doc.status === 'open' && doc.total > 1000) {
+        emit([doc.priority, doc.created], doc.total);
+      }
+      if (doc.status !== 'open') emit(['closed', doc.id], 1);
+    }
+
+Supported subset (each maps 1:1 onto a MapSpec capability):
+
+- flat doc field references: ``doc.f`` / ``doc["f"]`` / ``doc._id``;
+- literal keys/values: numbers, strings, ``true``/``false``/``null``;
+- array keys (``emit([a, b], …)``) and numeric array values;
+- linked-document values ``{_id: doc.f}`` (J2);
+- guarded emits: ``if`` with ``=== == !== != < <= > >=``, ``&&``,
+  ``||``, ``!``, truthiness tests, nested ifs; guards compile into
+  ``MapSpec.where`` so Catalyst pushes them into the parquet scan;
+- multiple emits (one MapSpec per emit, unioned with emit ordinals).
+
+Anything outside the subset raises :class:`JSCompileError` naming the
+construct and its position — the deliberate fallback contract: express
+that view as a Python map fn (the generic path) instead of silently
+mis-compiling.  Loops, variable bindings, function calls, arithmetic,
+nested doc paths, and ``else`` branches are out of the subset.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from mapreduce_spark.errors import QueryParseError
+
+
+class JSCompileError(QueryParseError):
+    """JS source uses a construct outside the compilable subset."""
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
+  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||[-+*/%(){}\[\],;.:<>!=])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str, int]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            raise JSCompileError(
+                f"unrecognized character {src[pos]!r} at offset {pos}"
+            )
+        pos = m.end()
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group(), m.start()))
+    return out
+
+
+def _unquote(tok: str) -> str:
+    body = tok[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+class _Parser:
+    """Recursive-descent parser for the map-fn subset → emit list.
+
+    Produces ``[(guards, key_ast, value_ast), …]`` where guards is the
+    conjunction (list) of enclosing if-conditions and ASTs are tuples:
+    ``('lit', v) | ('doc', field) | ('arr', [ast]) | ('obj', {k: ast})``
+    and conditions ``('cmp', op, l, r) | ('and'|'or', l, r) |
+    ('not', c) | ('truthy', ast)``.
+    """
+
+    def __init__(self, src: str) -> None:
+        self.toks = _tokenize(src)
+        self.i = 0
+
+    # -- token helpers --------------------------------------------------
+    def _peek(self) -> tuple[str, str, int]:
+        if self.i >= len(self.toks):
+            raise JSCompileError("unexpected end of map function source")
+        return self.toks[self.i]
+
+    def _next(self) -> tuple[str, str, int]:
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, text: str) -> None:
+        kind, tok, off = self._next()
+        if tok != text:
+            raise JSCompileError(
+                f"expected {text!r} but found {tok!r} at offset {off}"
+            )
+
+    def _at(self, text: str) -> bool:
+        return self.i < len(self.toks) and self.toks[self.i][1] == text
+
+    def _eat(self, text: str) -> bool:
+        if self._at(text):
+            self.i += 1
+            return True
+        return False
+
+    # -- grammar --------------------------------------------------------
+    def parse(self) -> list[tuple[list, Any, Any]]:
+        self._expect("function")
+        if self._peek()[0] == "ident" and not self._at("("):
+            self._next()  # optional function name
+        self._expect("(")
+        while not self._eat(")"):
+            self._next()  # parameter names (doc[, meta])
+        self._expect("{")
+        emits: list[tuple[list, Any, Any]] = []
+        self._stmts(emits, guards=[], end="}")
+        return emits
+
+    def _stmts(self, emits: list, guards: list, end: str) -> None:
+        while not self._eat(end):
+            self._stmt(emits, guards)
+
+    def _stmt(self, emits: list, guards: list) -> None:
+        if self._eat(";"):
+            return
+        kind, tok, off = self._peek()
+        if tok == "emit":
+            self._next()
+            self._expect("(")
+            key = self._expr()
+            value = self._expr() if self._eat(",") else ("lit", None)
+            self._expect(")")
+            self._eat(";")
+            emits.append((list(guards), key, value))
+            return
+        if tok == "if":
+            self._next()
+            self._expect("(")
+            cond = self._cond()
+            self._expect(")")
+            inner = guards + [cond]
+            if self._eat("{"):
+                self._stmts(emits, inner, end="}")
+            else:
+                self._stmt(emits, inner)
+            if self._at("else"):
+                raise JSCompileError(
+                    f"'else' at offset {self.toks[self.i][2]} is outside "
+                    "the compilable subset (split into two guarded emits "
+                    "or use a Python map function)"
+                )
+            return
+        raise JSCompileError(
+            f"unsupported construct {tok!r} at offset {off} — the "
+            "compilable subset is emit(...) and if-guards; use a Python "
+            "map function for anything else"
+        )
+
+    def _cond(self) -> Any:
+        left = self._and()
+        while self._eat("||"):
+            left = ("or", left, self._and())
+        return left
+
+    def _and(self) -> Any:
+        left = self._cmp()
+        while self._eat("&&"):
+            left = ("and", left, self._cmp())
+        return left
+
+    def _cmp(self) -> Any:
+        if self._eat("!"):
+            return ("not", self._cmp())
+        if self._eat("("):
+            c = self._cond()
+            self._expect(")")
+            return c
+        left = self._expr()
+        if self._peek()[1] in ("===", "==", "!==", "!=", "<=", ">=",
+                               "<", ">"):
+            op = self._next()[1]
+            return ("cmp", op, left, self._expr())
+        return ("truthy", left)
+
+    def _expr(self) -> Any:
+        kind, tok, off = self._next()
+        if kind == "num":
+            return ("lit", float(tok) if "." in tok or "e" in tok.lower()
+                    else int(tok))
+        if kind == "str":
+            return ("lit", _unquote(tok))
+        if kind == "ident":
+            if tok == "null":
+                return ("lit", None)
+            if tok == "true":
+                return ("lit", True)
+            if tok == "false":
+                return ("lit", False)
+            if tok == "doc":
+                return ("doc", self._field_path(off))
+            raise JSCompileError(
+                f"unsupported identifier {tok!r} at offset {off} (only "
+                "'doc' field references and literals are compilable)"
+            )
+        if tok == "[":
+            items = []
+            while not self._eat("]"):
+                items.append(self._expr())
+                self._eat(",")
+            return ("arr", items)
+        if tok == "{":
+            obj = {}
+            while not self._eat("}"):
+                kkind, ktok, koff = self._next()
+                if kkind == "str":
+                    ktok = _unquote(ktok)
+                elif kkind != "ident":
+                    raise JSCompileError(
+                        f"unsupported object key {ktok!r} at {koff}"
+                    )
+                self._expect(":")
+                obj[ktok] = self._expr()
+                self._eat(",")
+            return ("obj", obj)
+        raise JSCompileError(
+            f"unsupported expression {tok!r} at offset {off}"
+        )
+
+    def _field_path(self, off: int) -> str:
+        parts = []
+        while True:
+            if self._eat("."):
+                kind, tok, _ = self._next()
+                if kind != "ident":
+                    raise JSCompileError(
+                        f"expected field name after 'doc.' at {off}"
+                    )
+                parts.append(tok)
+            elif self._at("["):
+                save = self.i
+                self._next()
+                kind, tok, _ = self._next()
+                if kind == "str" and self._eat("]"):
+                    parts.append(_unquote(tok))
+                else:  # doc[expr] — not a static field ref; rewind
+                    self.i = save
+                    break
+            else:
+                break
+        if not parts:
+            raise JSCompileError(
+                f"bare 'doc' reference at offset {off} is not compilable"
+            )
+        if len(parts) > 1:
+            raise JSCompileError(
+                f"nested field path doc.{'.'.join(parts)} is outside the "
+                "compilable subset (flat fields only); use a Python map "
+                "function"
+            )
+        return parts[0]
+
+
+# ---------------------------------------------------------------------------
+# AST → MapSpec
+# ---------------------------------------------------------------------------
+
+_ISO_SQL = 'date_format({col}, "yyyy-MM-dd\'T\'HH:mm:ss")'
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+class _Compiler:
+    def __init__(self, table: str, schema) -> None:
+        from mapreduce_spark.sources.docs import TABLES
+
+        self.table = table
+        self.t = TABLES[table]
+        self.types = {f.name: f.dataType.simpleString() for f in schema}
+
+    def field(self, name: str) -> tuple[str, str]:
+        """doc field → (kind, raw-SQL expr) in the doc space."""
+        if name == "_id":
+            args = ", ".join(self.t.pk)
+            fmt = self.t.id_format.replace("'", "''")
+            return "str", f"format_string('{fmt}', {args})"
+        if name in ("_rev", "_deleted"):
+            raise JSCompileError(
+                f"doc.{name} is engine metadata and not compilable"
+            )
+        dt = self.types.get(name)
+        if dt is None:
+            raise JSCompileError(
+                f"doc.{name} does not exist on table {self.table!r} "
+                f"(fields: {sorted(self.types)})"
+            )
+        if dt == "string":
+            return "str", name
+        if dt in ("double", "float", "int", "bigint", "smallint",
+                  "tinyint") or dt.startswith("decimal"):
+            return "num", name
+        if dt in ("timestamp", "date", "timestamp_ntz"):
+            return "iso", name
+        if dt == "boolean":
+            return "bool", name
+        raise JSCompileError(
+            f"doc.{name} has type {dt} — not compilable as a key/value"
+        )
+
+    # -- key ------------------------------------------------------------
+    def key_component(self, ast: Any) -> tuple:
+        tag = ast[0]
+        if tag == "lit":
+            v = ast[1]
+            if v is None:
+                return ("null", "null")
+            if isinstance(v, bool):
+                return ("bool", "true" if v else "false")
+            if isinstance(v, (int, float)):
+                return ("num", repr(float(v)))
+            return ("str", _sql_str(v))
+        if tag == "doc":
+            return self.field(ast[1])
+        raise JSCompileError(
+            f"unsupported key component {tag!r} (scalars and doc fields "
+            "only; arrays cannot nest)"
+        )
+
+    def key(self, ast: Any) -> Any:
+        if ast[0] == "arr":
+            return [self.key_component(a) for a in ast[1]]
+        return self.key_component(ast)
+
+    # -- value ----------------------------------------------------------
+    def value(self, ast: Any) -> Any:
+        tag = ast[0]
+        if tag == "lit":
+            v = ast[1]
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return ("bool", "true" if v else "false")
+            if isinstance(v, (int, float)):
+                return ("num", repr(float(v)))
+            return ("str", _sql_str(v))
+        if tag == "doc":
+            kind, sql = self.field(ast[1])
+            if kind == "iso":
+                return ("str", _ISO_SQL.format(col=sql))
+            return (kind, sql)
+        if tag == "arr":
+            exprs = []
+            for a in ast[1]:
+                if a[0] == "lit" and isinstance(a[1], (int, float)) \
+                        and not isinstance(a[1], bool):
+                    exprs.append(repr(float(a[1])))
+                elif a[0] == "doc":
+                    kind, sql = self.field(a[1])
+                    if kind != "num":
+                        raise JSCompileError(
+                            "value arrays must be numeric (CouchDB _sum "
+                            f"shape); doc.{a[1]} is {kind}"
+                        )
+                    exprs.append(sql)
+                else:
+                    raise JSCompileError(
+                        "value arrays may contain numbers and numeric "
+                        "doc fields only"
+                    )
+            return ("num_arr", exprs)
+        if tag == "obj":
+            obj = ast[1]
+            if set(obj) == {"_id"} and obj["_id"][0] == "doc":
+                kind, sql = self.field(obj["_id"][1])
+                if kind == "str":
+                    return ("link", sql)
+            raise JSCompileError(
+                "object values are compilable only as linked documents "
+                "({_id: doc.<string field>})"
+            )
+        raise JSCompileError(f"unsupported value expression {tag!r}")
+
+    # -- guards ----------------------------------------------------------
+    def cond(self, ast: Any) -> str:
+        tag = ast[0]
+        if tag == "and":
+            return f"({self.cond(ast[1])}) AND ({self.cond(ast[2])})"
+        if tag == "or":
+            return f"({self.cond(ast[1])}) OR ({self.cond(ast[2])})"
+        if tag == "not":
+            return f"NOT ({self.cond(ast[1])})"
+        if tag == "truthy":
+            kind, sql = self._operand(ast[1])
+            if kind == "bool":
+                return f"({sql})"
+            if kind == "num":
+                return f"({sql} IS NOT NULL AND {sql} <> 0)"
+            if kind == "str":
+                return f"({sql} IS NOT NULL AND {sql} <> '')"
+            return f"({sql} IS NOT NULL)"
+        if tag == "cmp":
+            op, l, r = ast[1], ast[2], ast[3]
+            sql_op = {"===": "=", "==": "=", "!==": "<>", "!=": "<>",
+                      "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
+            # null comparisons → IS [NOT] NULL
+            for a, b in ((l, r), (r, l)):
+                if b == ("lit", None):
+                    if op not in ("===", "==", "!==", "!="):
+                        raise JSCompileError(
+                            "null is only comparable with equality"
+                        )
+                    k, sql = self._operand(a)
+                    neg = "NOT " if op in ("!==", "!=") else ""
+                    return f"({sql} IS {neg}NULL)"
+            (lk, ls), (rk, rs) = self._operand(l), self._operand(r)
+            if {lk, rk} not in ({"num"}, {"str"}, {"bool"},
+                                {"iso", "str"}, {"iso"}):
+                raise JSCompileError(
+                    f"comparison between {lk} and {rk} operands is not "
+                    "compilable (JS coercion is out of the subset)"
+                )
+            if "iso" in (lk, rk):  # compare in ISO-string space
+                ls = _ISO_SQL.format(col=ls) if lk == "iso" else ls
+                rs = _ISO_SQL.format(col=rs) if rk == "iso" else rs
+            return f"({ls} {sql_op} {rs})"
+        raise JSCompileError(f"unsupported condition {tag!r}")
+
+    def _operand(self, ast: Any) -> tuple[str, str]:
+        if ast[0] == "doc":
+            return self.field(ast[1])
+        if ast[0] == "lit":
+            v = ast[1]
+            if isinstance(v, bool):
+                return "bool", ("true" if v else "false")
+            if isinstance(v, (int, float)):
+                return "num", repr(float(v))
+            if isinstance(v, str):
+                return "str", _sql_str(v)
+        raise JSCompileError(
+            f"unsupported comparison operand {ast!r}"
+        )
+
+
+def compile_js_map(source: str, table: str, schema) -> Any:
+    """JS map-function source → MapSpec (or list of MapSpecs).
+
+    ``schema``: the RAW table schema (``load_table(...).schema``) —
+    field kinds (str/num/iso/bool) are inferred from it, mirroring the
+    doc-space conversion in ``sources.docs.as_docs``.
+
+    Raises :class:`JSCompileError` (a QueryParseError) for any
+    construct outside the subset — see module docstring.
+    """
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    emits = _Parser(source).parse()
+    if not emits:
+        raise JSCompileError(
+            "map function contains no emit() call — a view with no "
+            "emits indexes nothing"
+        )
+    c = _Compiler(table, schema)
+    specs = []
+    for guards, key_ast, value_ast in emits:
+        where = None
+        if guards:
+            where = " AND ".join(f"({c.cond(g)})" for g in guards)
+        specs.append(
+            MapSpec(table, c.key(key_ast), c.value(value_ast),
+                    where=where)
+        )
+    return specs[0] if len(specs) == 1 else specs
+
+
+def looks_like_js(obj: Any) -> bool:
+    """True for a ('table', 'function(doc) {…}') JS map definition."""
+    return (
+        isinstance(obj, (tuple, list))
+        and len(obj) == 2
+        and isinstance(obj[0], str)
+        and isinstance(obj[1], str)
+        and obj[1].lstrip().startswith("function")
+    )

@@ -159,6 +159,26 @@ VIEW_DEFS: dict[str, dict] = {
         "map": MapSpec("nation", ("num", "n_regionkey"),
                        ("str", "n_name"))
     },
+    # upstream design-doc parity (F1): the map fn is a JS SOURCE STRING,
+    # compiled to MapSpecs (functions/jscompile.py) — guards become
+    # pushed-down scan predicates, both emits union with emit ordinals
+    "js_orders": {
+        "map": (
+            "orders",
+            """
+            function (doc) {
+              if (doc.o_orderstatus === 'O' && doc.o_totalprice > 150000) {
+                emit([doc.o_orderpriority, doc.o_orderdate],
+                     doc.o_totalprice);
+              }
+              if (doc.o_orderstatus !== 'O') {
+                emit(['closed', doc.o_orderkey], 1);
+              }
+            }
+            """,
+        ),
+        "reduce": "_sum",
+    },
 }
 
 
@@ -520,12 +540,23 @@ class Inventory:
             out, "check_name string, error string"
         )
 
+    def q28(self):
+        """View defined from a JS design-doc source string (F1),
+        grouped at level 1: per-priority totals of big open orders +
+        one 'closed' bucket counting non-open orders."""
+        res = self._q("js_orders", group_level=1)
+        return res.df.select(
+            _j("$[0]").alias("k"),
+            F.round(F.col("value_num"), 0).alias("sum_v"),
+        )
+
     def all_queries(self) -> dict[str, callable]:
         return {
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
-                "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27"
+                "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 "
+                "q26 q27 q28"
             ).split()
         }
 
@@ -546,7 +577,7 @@ QUERIES = {
     n: _mk(n)
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
-        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27"
+        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28"
     ).split()
 }
 
@@ -747,5 +778,14 @@ ORACLE_SQL: dict[str, str] = {
         "('bad_builtin', 'BuiltInError'), "
         "('missing_view', 'NotFoundError')"
         ") t(check_name, error)"
+    ),
+    "q28": (
+        "WITH rows_ AS ("
+        "SELECT o_orderpriority AS k, o_totalprice::DOUBLE AS v "
+        "FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 150000 "
+        "UNION ALL "
+        "SELECT 'closed' AS k, 1.0 AS v "
+        "FROM orders WHERE o_orderstatus <> 'O') "
+        "SELECT k, ROUND(sum(v), 0) AS sum_v FROM rows_ GROUP BY k"
     ),
 }
