@@ -6,9 +6,12 @@ deterministic, pairs with a DuckDB oracle that recomputes the SAME
 md5-based definition in SQL — so MinHash/SimHash/fingerprint pipelines
 are value-checked end to end, not just row-counted.
 
-``x_sim_lsh`` is approximate by design and ships without an oracle
-(driver records the weaker rows-only check); its recall against the
-brute-force baseline is asserted in tests/test_extensions.py.
+``x_sim_lsh`` / ``x_sim_ivf`` are approximate by design; their
+driver-checkable form is per-query recall@k against the engine's exact
+top-k (itself value-checked via ``x_sim_topk``), asserted against a
+fixed floor — so the CORRECTNESS rows are real pass/fail checks, not
+``no_oracle``.  Aggregate recall is additionally asserted in
+tests/test_extensions.py.
 """
 
 from __future__ import annotations
@@ -98,21 +101,52 @@ def x_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def x_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = similarity.rp_lsh_topk(
-        _emb(spark, sf_dir), TOPK_QUERIES, TOPK_K
+# per-query recall floor for the approximate ANN paths: both pipelines
+# are fully deterministic (md5-seeded hyperplanes / k-means seeds), so
+# recall at a given sf is a fixed number — measured minima at sf0.01
+# are 0.4 (both paths); 0.25 leaves 1.6× margin while still failing on
+# any real recall regression
+ANN_RECALL_MIN = 0.25
+
+
+def _recall_rows(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(qid, k, meets_min): recall@k of approx vs exact per query —
+    the driver-checkable form of an approximate operator's contract
+    (the exact side is itself value-checked via x_sim_topk)."""
+    hits = (
+        approx.join(
+            exact.select("qid", "vid"), ["qid", "vid"], "left_semi"
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("nhit"))
     )
-    return out.select(
-        "qid", "vid", F.round("cosine", 6).alias("cosine"), "rank"
+    qids = exact.select("qid").distinct()
+    return (
+        qids.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.lit(TOPK_K).cast("int").alias("k"),
+            (
+                F.coalesce(F.col("nhit"), F.lit(0)) / TOPK_K
+                >= ANN_RECALL_MIN
+            ).alias("meets_min"),
+        )
+    )
+
+
+def x_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return _recall_rows(
+        similarity.rp_lsh_topk(emb, TOPK_QUERIES, TOPK_K),
+        similarity.cosine_topk(emb, TOPK_QUERIES, TOPK_K),
     )
 
 
 def x_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = similarity.ivf_topk(
-        _emb(spark, sf_dir), TOPK_QUERIES, TOPK_K
-    )
-    return out.select(
-        "qid", "vid", F.round("cosine", 6).alias("cosine"), "rank"
+    emb = _emb(spark, sf_dir)
+    return _recall_rows(
+        similarity.ivf_topk(emb, TOPK_QUERIES, TOPK_K),
+        similarity.cosine_topk(emb, TOPK_QUERIES, TOPK_K),
     )
 
 
@@ -282,6 +316,18 @@ r AS (SELECT qid, vid, c,
                rank FROM s)
 SELECT qid, vid, ROUND(c, 6) AS cosine, rank::INT AS rank FROM r
 WHERE rank <= {TOPK_K}
+""",
+    # approximate ANN paths: the oracle pins the query set + the recall
+    # contract (per-query recall ≥ ANN_RECALL_MIN must hold — a false
+    # on the Spark side hash-mismatches); the exact top-k values they
+    # are measured against are value-checked separately via x_sim_topk
+    "x_sim_lsh": f"""
+SELECT vec_id::BIGINT AS qid, {TOPK_K}::INT AS k, true AS meets_min
+FROM embeddings WHERE vec_id IN ({",".join(map(str, TOPK_QUERIES))})
+""",
+    "x_sim_ivf": f"""
+SELECT vec_id::BIGINT AS qid, {TOPK_K}::INT AS k, true AS meets_min
+FROM embeddings WHERE vec_id IN ({",".join(map(str, TOPK_QUERIES))})
 """,
     "x_mm_features": """
 SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
