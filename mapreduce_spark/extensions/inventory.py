@@ -164,6 +164,20 @@ def x_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_mm_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: docs → P6 PPM containers → decode_ppm →
+    channel means; the oracle recomputes the pixels from text bytes."""
+    media = multimodal.documents_as_ppm(_docs(spark, sf_dir))
+    return multimodal.extract_image_features(media)
+
+
+def x_mm_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: docs → RIFF/PCM16 WAV → decode_wav →
+    mean amplitude / RMS; oracle recomputes samples from text bytes."""
+    media = multimodal.documents_as_wav(_docs(spark, sf_dir))
+    return multimodal.extract_audio_features(media)
+
+
 EXT_QUERIES = {
     "x_text_stats": x_text_stats,
     "x_text_langid": x_text_langid,
@@ -177,6 +191,8 @@ EXT_QUERIES = {
     "x_sim_lsh": x_sim_lsh,
     "x_sim_ivf": x_sim_ivf,
     "x_mm_features": x_mm_features,
+    "x_mm_ppm": x_mm_ppm,
+    "x_mm_wav": x_mm_wav,
 }
 
 
@@ -340,5 +356,36 @@ SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
  ascii(substr(text,1,1))::DOUBLE AS f_first,
  ascii(substr(reverse(text),1,1))::DOUBLE AS f_last
 FROM documents
+""",
+    # REAL-decode oracles: the Spark side round-trips text bytes
+    # through an actual PPM / WAV container and decodes it; the oracle
+    # recomputes the identical pixel/sample values straight from the
+    # text (8·4·3 = 96 image bytes, 64 audio samples — power-of-two
+    # counts keep the float64 means exact)
+    "x_mm_ppm": """
+WITH t AS (SELECT doc_id,
+  substr(repeat(text, (96 // strlen(text)) + 1), 1, 96) s
+  FROM documents),
+m AS (SELECT doc_id,
+  list_avg([ascii(substr(s, 1 + 3*j, 1)) for j in range(0, 32)]) mr,
+  list_avg([ascii(substr(s, 2 + 3*j, 1)) for j in range(0, 32)]) mg,
+  list_avg([ascii(substr(s, 3 + 3*j, 1)) for j in range(0, 32)]) mb
+  FROM t)
+SELECT doc_id AS media_id, 8 AS width, 4 AS height,
+  mr AS mean_r, mg AS mean_g, mb AS mean_b,
+  0.299*mr + 0.587*mg + 0.114*mb AS luma
+FROM m
+""",
+    "x_mm_wav": """
+WITH t AS (SELECT doc_id,
+  substr(repeat(text, (64 // strlen(text)) + 1), 1, 64) s
+  FROM documents),
+v AS (SELECT doc_id,
+  [(ascii(substr(s, 1 + j, 1)) - 128) * 256.0
+   for j in range(0, 64)] vals FROM t)
+SELECT doc_id AS media_id, 8000 AS sample_rate, 64 AS n_samples,
+  ROUND(list_avg(vals), 4) AS mean_amp,
+  ROUND(sqrt(list_avg([x*x for x in vals])), 4) AS rms
+FROM v
 """,
 }

@@ -297,6 +297,49 @@ def test_media_feature_plumbing(docs):
         assert r.features[0] == float(r.n_bytes)
 
 
+def test_ppm_codec_roundtrip_and_grammar():
+    """Real P6 parsing: roundtrip, comments in the header, and
+    malformed inputs rejected."""
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    w, h, out = multimodal.decode_ppm(multimodal.encode_ppm(px))
+    assert (w, h) == (3, 2) and (out == px).all()
+    # header comments are legal netpbm
+    with_comment = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert (multimodal.decode_ppm(with_comment)[2] == px).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated
+
+
+def test_ppm_resize_preserves_global_mean():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    small = multimodal.resize_ppm(px, 2)
+    assert small.shape == (4, 4, 3)
+    assert abs(small.mean() - px.astype(float).mean()) < 1e-9
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    samples = (np.arange(64, dtype=np.int16) - 32) * 512
+    data = multimodal.encode_wav(samples, rate=16000)
+    rate, ch, out = multimodal.decode_wav(data)
+    assert rate == 16000 and ch == 1 and (out == samples).all()
+    # an unknown chunk between fmt and data must be skipped
+    fmt_end = 12 + 8 + 16
+    padded = (data[:fmt_end] + b"LIST\x04\x00\x00\x00abcd"
+              + data[fmt_end:])
+    assert (multimodal.decode_wav(padded)[2] == samples).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFX" + data[4:])
+
+
 def test_decode_stubs_raise():
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"xxxx")
