@@ -344,6 +344,46 @@ def test_deleted_docs_removed_incrementally(spark, sf_dir, tmp_path):
     assert got != {tuple(k): v for k, v in before}
 
 
+def test_deep_layer_stack_reads_and_compaction_restores_scan(
+    spark, sf_dir, tmp_path
+):
+    """M1 at depth: 10 incremental batches → base + 9 (tomb, delta)
+    layers.  The layered read must stay correct and stats-exact; the
+    layered plan is bounded (one broadcast anti-join per piece, never
+    a shuffle); compaction folds everything back to a single pristine
+    scan with NO joins."""
+    eng = Engine(spark, sf_dir, str(tmp_path), compact_after=99)
+    eng.put_design("d", {"v": VIEW})
+    for b in _batches(spark, sf_dir, 10):
+        eng.update_view("d/v", changes=b)
+    sig = eng.registry.resolve("d", "v")
+    entry = eng.registry.get_view(sig)
+    assert len(entry["layers"]) == 9
+    want = _rows(eng.query(VIEW, group_level=2))  # from-scratch temp
+    got = _rows(eng.query("d/v", group_level=2, stale="ok"))
+    assert got == want
+    # registry stats stayed exact through 9 delta adjustments
+    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert entry["stats"]["rows"] == n
+    plan = eng._assemble_view(sig)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one broadcast anti-join per piece EXCEPT the newest layer: its
+    # later-tombstone set constant-folds to empty (literal _tb per
+    # branch) and PropagateEmptyRelation deletes that join outright
+    assert plan.count("LeftAnti") == 9
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" \
+        not in plan
+    # compaction: back to one sorted base, zero joins on the read path
+    eng._compact(sig, entry)
+    entry2 = eng.registry.get_view(sig)
+    assert entry2["layers"] == [] and entry2["base_version"] == 2
+    assert entry2["stats"]["rows"] == n
+    plan2 = eng._assemble_view(sig)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan2
+    assert _rows(eng.query("d/v", group_level=2, stale="ok")) == want
+
+
 def test_update_after_refreshes_post_query(spark, sf_dir, tmp_path):
     eng = Engine(spark, sf_dir, str(tmp_path))
     eng.put_design("d", {"v": VIEW})
