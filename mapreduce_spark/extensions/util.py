@@ -44,9 +44,18 @@ def right_size(df: DataFrame, min_factor: int = 1) -> DataFrame:
 
     Small inputs (one parquet file) arrive as a single split, which
     serializes md5/shingle/dot-product work onto one task; a 100 TB
-    input already has thousands of splits and this is a no-op.  The
-    partition-count probe is metadata-only (no job)."""
+    input already has thousands of splits and this is a no-op.
+
+    The probe uses ``inputFiles()`` (driver-side leaf-file listing —
+    split count ≥ file count) instead of ``df.rdd.getNumPartitions()``,
+    which would force the whole lineage through RDD conversion planning
+    on every call.  Non-file-backed frames (inputFiles empty) pass
+    through untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df

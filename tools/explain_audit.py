@@ -47,6 +47,8 @@ def main() -> None:
     show("q09 keys lookup (In pushdown + inline table)", inv.q09())
     show("q12 include_docs limit=50 (semi-join prune)", inv.q12())
 
+    show("q28 JS-compiled view (guards pushed to scan)", inv.q28())
+
     from mapreduce_spark.extensions import dedup, similarity
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -54,6 +56,30 @@ def main() -> None:
     show("minhash LSH pairs", dedup.minhash_lsh_pairs(docs, 0.5))
     show("cosine top-k (broadcast queries)",
          similarity.cosine_topk(emb, [0, 1], 10))
+    show("embedding near-dup blocked GEMM (no BNLJ anywhere)",
+         dedup.embedding_near_dup_blocked(emb, 0.4, n_blocks=4))
+
+    # layered LSM read: broadcast anti-joins only, newest layer's join
+    # constant-folds away; zero-job envelope stats
+    import tempfile as _tf
+
+    from mapreduce_spark.engine import Engine as _E
+    from mapreduce_spark.operators.mapphase import MapSpec as _MS
+    from pyspark.sql import functions as F
+
+    e2 = _E(spark, sf, _tf.mkdtemp(prefix="mrlay-"), compact_after=99)
+    e2.put_design("lay", {"v": {
+        "map": _MS("lineitem", ("str", "l_returnflag"),
+                   ("num", "l_quantity")), "reduce": "_sum"}})
+    raw = spark.read.parquet(f"{sf}/lineitem.parquet")
+    seqc = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    hi = raw.agg(F.max(seqc)).collect()[0][0]
+    step = hi // 4 + 1
+    for i in range(4):
+        e2.update_view("lay/v", changes=raw.filter(
+            (seqc > i * step) & (seqc <= (i + 1) * step)))
+    show("4-layer LSM assemble (broadcast anti-joins only)",
+         e2._assemble_view(e2.registry.resolve("lay", "v")))
 
 
 if __name__ == "__main__":
