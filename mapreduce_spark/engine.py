@@ -295,9 +295,27 @@ class Engine:
                     [vdef.table] + (doc_tables or []),
                     conflicts=o.conflicts,
                 )
-                # only an applied limit truly bounds the id set we'd
-                # broadcast (a key= lookup can match millions of rows)
+                # an applied limit statically bounds the id set we'd
+                # broadcast; for key=/keys= lookups WITHOUT a limit the
+                # bound is dynamic — probe the matched-id cardinality
+                # with one pushdown-bounded scan (the reference's own
+                # two-step point fetch: read index rows, then fetch
+                # those docs) and take the pruned join when it's small.
+                # A hot key matching millions falls back to the
+                # shuffled join, which is correct at that size.
                 few = o.limit is not None and o.limit <= 10_000
+                if not few and (o.key is not UNSET
+                                or o.keys is not UNSET):
+                    cap = 10_000
+                    n = (
+                        rows.select(
+                            F.coalesce("value_link_id", "id")
+                        )
+                        .distinct()
+                        .limit(cap + 1)
+                        .count()
+                    )
+                    few = n <= cap
                 rows = attach_docs(rows, docs, few_rows=few)
                 order = (["_key_ord"] if keep_ord else []) + row_order(
                     o.descending

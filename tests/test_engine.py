@@ -405,6 +405,19 @@ def test_update_after_refreshes_post_query(spark, sf_dir, tmp_path):
     assert after != before
 
 
+def test_keyed_include_docs_prunes_doc_join(spark, sf_dir, tmp_path):
+    """S3 point-fetch shape: a key= lookup with NO limit must still
+    prune the docs side (cardinality probe → broadcast semi-join)
+    instead of shuffling the whole docs table."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    view = {"map": MapSpec("customer", ("num", "c_nationkey"))}
+    res = eng.query(view, key=7, include_docs=True)
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # docs pruned to the matched ids
+    rows = res.rows()
+    assert rows and all(r["doc"]["c_nationkey"] == 7.0 for r in rows)
+
+
 def test_missing_linked_doc_yields_null(spark, sf_dir, tmp_path):
     """J2: a linked _id that doesn't resolve → doc null (left join)."""
     eng = Engine(spark, sf_dir, str(tmp_path))
