@@ -135,18 +135,23 @@ def _recall_rows(approx: DataFrame, exact: DataFrame) -> DataFrame:
 
 
 def x_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both pipelines (approx + the exact top-k it is scored against)
+    # share one persisted normalized corpus — half the scan/normalize
+    # work; Spark's LRU block manager reclaims it
     emb = _emb(spark, sf_dir)
+    nd = similarity.normalized(emb).persist()
     return _recall_rows(
-        similarity.rp_lsh_topk(emb, TOPK_QUERIES, TOPK_K),
-        similarity.cosine_topk(emb, TOPK_QUERIES, TOPK_K),
+        similarity.rp_lsh_topk(emb, TOPK_QUERIES, TOPK_K, nd=nd),
+        similarity.cosine_topk(emb, TOPK_QUERIES, TOPK_K, nd=nd),
     )
 
 
 def x_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
+    nd = similarity.normalized(emb).persist()
     return _recall_rows(
-        similarity.ivf_topk(emb, TOPK_QUERIES, TOPK_K),
-        similarity.cosine_topk(emb, TOPK_QUERIES, TOPK_K),
+        similarity.ivf_topk(emb, TOPK_QUERIES, TOPK_K, nd=nd),
+        similarity.cosine_topk(emb, TOPK_QUERIES, TOPK_K, nd=nd),
     )
 
 

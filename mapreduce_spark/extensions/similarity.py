@@ -51,14 +51,21 @@ def normalized(emb: DataFrame, id_col: str = "vec_id",
 
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                nd: DataFrame | None = None) -> DataFrame:
     """Exact top-k neighbors (by cosine) for each query vector.
 
     The query side is a handful of rows → broadcast-hash join; the
     corpus side streams through codegen'd dot products; the only wide
     step is the per-query rank, bounded by k.
+
+    ``nd``: pre-normalized (ideally persisted) corpus — pass it when
+    several pipelines over the same corpus run in one job (e.g. the
+    recall-contract queries score an approximate path against this
+    exact one) so the normalize+scan work isn't duplicated.
     """
-    nd = normalized(emb, id_col, vec_col)
+    if nd is None:
+        nd = normalized(emb, id_col, vec_col)
     q = nd.filter(F.col("vid").isin(query_ids)).select(
         F.col("vid").alias("qid"), F.col("nv").alias("qv")
     )
@@ -110,25 +117,20 @@ def rp_lsh_candidates(emb: DataFrame, query_ids: list[int],
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       n_planes: int = N_PLANES,
-                      band_bits: int = LSH_BAND_BITS) -> DataFrame:
+                      band_bits: int = LSH_BAND_BITS,
+                      nd: DataFrame | None = None) -> DataFrame:
     """Candidate (qid, vid) pairs sharing ≥1 signature band with a
     query.  The join key is (band, band-bits) — uniformly distributed,
     so the self-join never sees the quadratic blowup of all-pairs."""
     dim = len(emb.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    nd = normalized(emb, id_col, vec_col).withColumn(
-        "sig", rp_signature(F.col("nv"), planes)
-    )
-    n_bands = n_planes // band_bits
-    mask = (1 << band_bits) - 1
-    bands = F.array(
-        *[
-            F.shiftright(F.col("sig"), b * band_bits).bitwiseAND(
-                F.lit(mask)
-            )
-            for b in range(n_bands)
-        ]
-    )
+    planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
+    if nd is None:
+        nd = normalized(emb, id_col, vec_col)
+    # band values via the Arrow-batched sign kernel (_band_values):
+    # one numpy sign(M @ Pᵀ) + bit-pack per batch — value-identical to
+    # the per-plane column fold (plane i → band i//bits, weight
+    # 1<<(i%bits)) but without n_planes interpreted HOF aggregates
+    bands = _band_values(planes, band_bits)(F.col("nv"))
     bucketed = nd.select(
         "vid", "nv", F.posexplode(bands).alias("band", "bval")
     )
@@ -148,9 +150,10 @@ def rp_lsh_candidates(emb: DataFrame, query_ids: list[int],
 
 def rp_lsh_topk(emb: DataFrame, query_ids: list[int], k: int,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                nd: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: LSH candidates reranked by exact cosine."""
-    cand = rp_lsh_candidates(emb, query_ids, id_col, vec_col)
+    cand = rp_lsh_candidates(emb, query_ids, id_col, vec_col, nd=nd)
     cos = _dot(F.col("nv"), F.col("qv"))
     scored = cand.select("qid", "vid", cos.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(
@@ -344,7 +347,8 @@ def _assign_cells(nd: DataFrame,
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
              n_cells: int | None = None, nprobe: int | None = None,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             nd: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per
     query, rerank candidates exactly.  Scans corpus·nprobe/n_cells.
 
@@ -352,6 +356,11 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
     ~√N-sized), nprobe ≈ n_cells/4 (scan ~25% of the corpus) — tune
     nprobe down for throughput once the corpus has real cluster
     structure.
+
+    ``nd``: caller-owned pre-normalized (persisted) corpus, shared
+    with other pipelines in the same job; when omitted, a scoped
+    internal cache covers the training scans and is released before
+    returning (the lazy search plan is built over fresh lineage).
     """
     if n_cells is None or nprobe is None:
         n = emb.count()
@@ -360,18 +369,21 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
         if nprobe is None:
             nprobe = max(4, n_cells // 4)
 
-    # cache the normalized corpus for the 2·iters training scans +
-    # query fetch, then release it; the returned (lazy) search plan is
-    # built over a fresh lineage so it never depends on the cache.
-    nd_c = normalized(emb, id_col, vec_col).persist()
-    try:
+    if nd is not None:
         cents = ivf_centroids(
-            emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd_c
+            emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd
         )
-        qrows = nd_c.filter(F.col("vid").isin(query_ids)).collect()
-    finally:
-        nd_c.unpersist()
-    nd = normalized(emb, id_col, vec_col)
+        qrows = nd.filter(F.col("vid").isin(query_ids)).collect()
+    else:
+        nd_c = normalized(emb, id_col, vec_col).persist()
+        try:
+            cents = ivf_centroids(
+                emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd_c
+            )
+            qrows = nd_c.filter(F.col("vid").isin(query_ids)).collect()
+        finally:
+            nd_c.unpersist()
+        nd = normalized(emb, id_col, vec_col)
     assigned = _assign_cells(nd, cents)
     C = np.array(cents)
     probes = []  # (qid, cell)
