@@ -26,6 +26,7 @@ Design notes (Spark-first, 100 TB-aware):
 from __future__ import annotations
 
 import json
+import os
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
@@ -139,6 +140,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     t = TABLES.get(name)
     path = f"{sf_dir}/{name}.parquet"
+    if not os.path.exists(path):
+        # source-format fallback: the table may live as JSON-lines or
+        # CSV (sources/formats.py) — resolved once, same raw shape out
+        from mapreduce_spark.sources.formats import (
+            load_formatted,
+            table_path,
+        )
+
+        found = table_path(sf_dir, name)
+        if found is not None:
+            return load_formatted(spark, found[0], found[1], name)
     if t and t.ns_timestamp_cols:
         # batch reads resolve the footer schema eagerly, so the conf
         # is only needed inside this scope; execution captures it in
