@@ -373,7 +373,15 @@ class Engine:
         return df
 
     def _build(self, vdef: ViewDef, raw_df: DataFrame) -> DataFrame:
-        """Run the map phase over raw-schema rows (non-deleted only)."""
+        """Run the map phase over raw-schema rows (non-deleted only).
+
+        Deliberately NO input repartition here: the encode work runs
+        map-side on the scan splits, and measurements at sf0.1 show an
+        up-front round-robin shuffle costs more than the parallelism
+        it buys (the range partitioner's sampling pass would also run
+        over the extra exchange).  On a real cluster the scan split
+        count comes from ``spark.sql.files.maxPartitionBytes`` — tune
+        that, not the plan."""
         if "_deleted" in raw_df.columns:
             raw_df = raw_df.filter(
                 ~F.coalesce(F.col("_deleted"), F.lit(False))
@@ -540,11 +548,201 @@ class Engine:
         old = [entry["base"]] + [
             p for l in entry["layers"] for p in (l["delta"], l["tomb"])
         ]
+        if entry.get("manifest") is not None:
+            old += [entry["sidecar"]] if entry.get("sidecar") else []
+            entry["manifest"] = None
+            entry["sidecar"] = None
         # old versions become unreferenced; GC is deferred (vacuum) so
         # lazy DataFrames handed out before the compaction stay valid
         entry.update(base=base_rel, base_version=newv, layers=[])
         entry["garbage"] = entry.get("garbage", []) + old
         self.registry.set_view(sig, entry)
+
+    # ------------------------------------------------------------------
+    # partition-scoped compaction (SURVEY §7.3 — M1 at 100 TB)
+    # ------------------------------------------------------------------
+
+    def compact_scoped(self, view_name_or_sig: str) -> dict:
+        """Compact by rewriting ONLY the base files that hold emits of
+        changed docs, instead of the whole view.
+
+        The mechanism is a minimal lakehouse shape on plain Parquet:
+
+        - the base becomes a **manifest** — an explicit file list in
+          the registry entry (initially every file of ``base-v<N>``);
+        - an id→file **sidecar** (2-column, id-sorted Parquet) records
+          which base file holds each doc's emits;
+        - compaction semi-joins the accumulated tombstone ids against
+          the sidecar to find the *affected* files, rewrites exactly
+          those (minus tombstoned rows, plus the folded deltas) into a
+          new ``part-<N>`` directory, and splices the manifest:
+          untouched files carry over byte-identical, zero I/O.
+
+        Cost is O(affected + changes) instead of O(view): at 100 TB a
+        refresh touching 0.1% of docs rewrites ~0.1% of files (plus
+        the sidecar maintenance scan, a 2-column pass over affected
+        parts only).  Range pruning survives: every file remains
+        internally sorted by ``key_enc`` with row-group min/max stats;
+        the manifest is simply allowed to contain overlapping key
+        ranges (like any LSM level), which pruning handles per file.
+
+        Returns {"affected": n_rewritten, "kept": n_untouched}.
+        """
+        sig = (
+            view_name_or_sig
+            if view_name_or_sig in (self.registry._read()["views"])
+            else self._resolve(view_name_or_sig)[0].sig
+        )
+        with self.registry.view_lock(sig):
+            entry = self.registry.get_view(sig)
+            if entry is None or entry["base"] is None:
+                raise NotFoundError("no_base_to_compact", reason=sig)
+            vdir = self.registry.view_dir(sig)
+            if entry.get("manifest") is None:
+                self._init_manifest(sig, entry, vdir)
+            if not entry["layers"]:
+                return {"affected": 0, "kept": len(entry["manifest"])}
+
+            files = {
+                rel: os.path.join(vdir, rel) for rel in entry["manifest"]
+            }
+            sidecar = self.spark.read.schema("id string, file string") \
+                .parquet(os.path.join(vdir, entry["sidecar"]))
+            tombs = None
+            for l in entry["layers"]:
+                t = self.spark.read.schema("id string").parquet(
+                    os.path.join(vdir, l["tomb"])
+                )
+                tombs = t if tombs is None else tombs.unionByName(t)
+            tombs = tombs.distinct()
+            affected_rel = [
+                r.file
+                for r in sidecar.join(
+                    F.broadcast(tombs), "id", "left_semi"
+                ).select("file").distinct().collect()
+            ]
+            affected = [files[rel] for rel in affected_rel if rel in files]
+            kept = [rel for rel in entry["manifest"]
+                    if rel not in set(affected_rel)]
+
+            # fold: (affected-file rows ⊖ all tombs) ⊕ assembled deltas
+            read_view = self.spark.read.schema(VIEW_SCHEMA).parquet
+            pieces = []
+            if affected:
+                pieces.append(
+                    read_view(*affected).join(
+                        F.broadcast(tombs), "id", "left_anti"
+                    )
+                )
+            pieces.append(self._assemble_deltas(entry, vdir))
+            folded = pieces[0]
+            for p in pieces[1:]:
+                folded = folded.unionByName(p)
+
+            newv = entry["base_version"] + 1
+            part_rel = f"part-{newv}"
+            part_dir = os.path.join(vdir, part_rel)
+            self._write_sorted(folded, part_dir)
+            part_files = [
+                f"{part_rel}/{f}" for f in sorted(os.listdir(part_dir))
+                if f.endswith(".parquet")
+            ]
+            side_rel = f"sidecar-{newv}"
+            self._write_sidecar(
+                sig, vdir, part_files, side_rel,
+                carry_from=(entry["sidecar"], affected_rel),
+            )
+
+            garbage = affected_rel + [
+                p for l in entry["layers"] for p in (l["delta"], l["tomb"])
+            ] + [entry["sidecar"]]
+            entry.update(
+                manifest=kept + part_files,
+                sidecar=side_rel,
+                base_version=newv,
+                layers=[],
+            )
+            entry["garbage"] = entry.get("garbage", []) + garbage
+            self.registry.set_view(sig, entry)
+            return {"affected": len(affected_rel), "kept": len(kept)}
+
+    def _init_manifest(self, sig: str, entry: dict, vdir: str) -> None:
+        """Promote a monolithic base to manifest form: list its files
+        and build the first id→file sidecar (one 2-column pass)."""
+        base_dir = os.path.join(vdir, entry["base"])
+        rels = [
+            f"{entry['base']}/{f}" for f in sorted(os.listdir(base_dir))
+            if f.endswith(".parquet")
+        ]
+        side_rel = f"sidecar-{entry['base_version']}"
+        self._write_sidecar(sig, vdir, rels, side_rel)
+        entry["manifest"] = rels
+        entry["sidecar"] = side_rel
+        self.registry.set_view(sig, entry)
+
+    def _write_sidecar(self, sig: str, vdir: str, new_rels: list[str],
+                       side_rel: str,
+                       carry_from: tuple | None = None) -> None:
+        """Sidecar = distinct (id, file-relpath) over the given files;
+        with ``carry_from`` = (old sidecar rel, replaced rels), rows of
+        untouched files copy over without touching their data files."""
+        new_paths = [os.path.join(vdir, r) for r in new_rels]
+        rel_map = {os.path.join(vdir, r): r for r in new_rels}
+        df = (
+            self.spark.read.schema(VIEW_SCHEMA).parquet(*new_paths)
+            .select("id", F.input_file_name().alias("file"))
+            .distinct()
+        )
+        # input_file_name → file:// URI of the absolute path; map back
+        # to manifest-relative names driver-side via a literal map
+        mapping = F.create_map(
+            *[
+                x
+                for abs_p, rel in rel_map.items()
+                for x in (F.lit(f"file://{abs_p}"), F.lit(rel))
+            ]
+        )
+        df = df.select(
+            "id",
+            F.coalesce(
+                mapping[F.col("file")],
+                F.element_at(
+                    F.split(F.col("file"), f"/{os.path.basename(vdir)}/"),
+                    -1,
+                ),
+            ).alias("file"),
+        )
+        if carry_from is not None:
+            old_rel, replaced = carry_from
+            old = self.spark.read.schema("id string, file string") \
+                .parquet(os.path.join(vdir, old_rel))
+            if replaced:
+                old = old.filter(~F.col("file").isin(replaced))
+            df = old.unionByName(df)
+        df.repartition(F.col("id")).write.mode("overwrite").parquet(
+            os.path.join(vdir, side_rel)
+        )
+
+    def _assemble_deltas(self, entry: dict, vdir: str) -> DataFrame:
+        """The layers folded among themselves (each delta anti-joined
+        against strictly-later tombstones) — the delta half of
+        _assemble_view, reused by scoped compaction."""
+        read_view = self.spark.read.schema(VIEW_SCHEMA).parquet
+        layers = entry["layers"]
+        tombs = None
+        for l in layers:
+            t = self.spark.read.schema("id string").parquet(
+                os.path.join(vdir, l["tomb"])
+            ).withColumn("_tb", F.lit(l["batch"]))
+            tombs = t if tombs is None else tombs.unionByName(t)
+        out = None
+        for l in layers:
+            later = tombs.filter(F.col("_tb") > l["batch"]).select("id")
+            d = read_view(os.path.join(vdir, l["delta"])).join(
+                F.broadcast(later), "id", "left_anti"
+            )
+            out = d if out is None else out.unionByName(d)
+        return out
 
     def vacuum(self, sig: str | None = None) -> None:
         """Delete storage versions orphaned by compaction."""
@@ -556,7 +754,14 @@ class Engine:
                 continue
             vdir = self.registry.view_dir(s)
             for rel in entry.get("garbage", []):
-                shutil.rmtree(os.path.join(vdir, rel), ignore_errors=True)
+                p = os.path.join(vdir, rel)
+                if os.path.isfile(p):  # scoped compaction: single files
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                else:
+                    shutil.rmtree(p, ignore_errors=True)
             entry["garbage"] = []
             self.registry.set_view(s, entry)
 
@@ -572,11 +777,16 @@ class Engine:
         # them explicitly skips parquet footer inference — otherwise
         # every assemble runs a schema-read job before any query work
         read_view = self.spark.read.schema(VIEW_SCHEMA).parquet
-        base = (
-            read_view(os.path.join(vdir, entry["base"]))
-            if entry["base"]
-            else self.spark.createDataFrame([], VIEW_SCHEMA)
-        )
+        if entry.get("manifest") is not None:
+            # manifest-based base (scoped compaction): explicit file
+            # list, possibly spliced across part generations
+            base = read_view(
+                *[os.path.join(vdir, r) for r in entry["manifest"]]
+            )
+        elif entry["base"]:
+            base = read_view(os.path.join(vdir, entry["base"]))
+        else:
+            base = self.spark.createDataFrame([], VIEW_SCHEMA)
         layers = entry["layers"]
         if not layers:
             return base

@@ -405,6 +405,72 @@ def test_update_after_refreshes_post_query(spark, sf_dir, tmp_path):
     assert after != before
 
 
+def test_scoped_compaction_rewrites_only_affected_files(
+    spark, sf_dir, tmp_path
+):
+    """Partition-scoped compaction (SURVEY §7.3): only base files
+    holding emits of CHANGED docs are rewritten; untouched files
+    splice into the new manifest byte-identical with zero I/O."""
+    eng = Engine(spark, sf_dir, str(tmp_path), compact_after=99)
+    spec = {"map": MapSpec("orders", ("num", "o_orderkey"),
+                           ("num", "o_totalprice")),
+            "reduce": "_sum"}
+    eng.put_design("d", {"v": spec})
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = raw.agg(F.max("o_orderkey")).collect()[0][0]
+    b1 = raw.filter(F.col("o_orderkey") <= hi // 2)
+    b2 = raw.filter(F.col("o_orderkey") > hi // 2)
+    eng.update_view("d/v", changes=b1)
+    eng.update_view("d/v", changes=b2)
+    # append-only fold: the new docs' tombstones hit no base file
+    r1 = eng.compact_scoped("d/v")
+    assert r1["affected"] == 0 and r1["kept"] > 0
+    sig = eng.registry.resolve("d", "v")
+    entry = eng.registry.get_view(sig)
+    base_rels = [r for r in entry["manifest"]
+                 if r.startswith("base-v1/")]
+    part_rels = [r for r in entry["manifest"] if not
+                 r.startswith("base-v1/")]
+    assert base_rels and part_rels and not entry["layers"]
+
+    # update the b2 docs → only the part files should be rewritten
+    b2mod = b2.withColumn("o_totalprice",
+                          F.col("o_totalprice") * 2)
+    eng.update_view("d/v", changes=b2mod)
+    r2 = eng.compact_scoped("d/v")
+    entry2 = eng.registry.get_view(sig)
+    assert set(base_rels) <= set(entry2["manifest"])  # untouched
+    assert not set(part_rels) & set(entry2["manifest"])  # replaced
+    assert r2["kept"] >= len(base_rels)
+
+    # correctness: equals a from-scratch build over b1 ∪ b2mod
+    def rows(res):
+        return sorted(
+            (r["key"], round(r["value"], 6)) for r in res.rows()
+        )
+
+    ref = Engine(spark, sf_dir, str(tmp_path / "ref"))
+    ref.put_design("d", {"v": spec})
+    ref.update_view("d/v", changes=b1.unionByName(b2mod))
+    want = rows(ref.query("d/v", group=True, stale="ok"))
+    got = rows(eng.query("d/v", group=True, stale="ok"))
+    assert got == want and want
+    # stats stayed exact through both scoped compactions
+    assert entry2["stats"]["rows"] == raw.count()
+    # vacuum removes only replaced files; queries stay green
+    eng.vacuum(sig)
+    import os as _os
+
+    vdir = eng.registry.view_dir(sig)
+    assert all(
+        _os.path.exists(_os.path.join(vdir, r)) for r in base_rels
+    )
+    assert not any(
+        _os.path.exists(_os.path.join(vdir, r)) for r in part_rels
+    )
+    assert rows(eng.query("d/v", group=True, stale="ok")) == want
+
+
 def test_keyed_include_docs_prunes_doc_join(spark, sf_dir, tmp_path):
     """S3 point-fetch shape: a key= lookup with NO limit must still
     prune the docs side (cardinality probe → broadcast semi-join)
