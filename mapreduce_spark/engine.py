@@ -545,13 +545,23 @@ class Engine:
         entry["stats"] = self._write_sorted(
             assembled, os.path.join(vdir, base_rel)
         )
-        old = [entry["base"]] + [
-            p for l in entry["layers"] for p in (l["delta"], l["tomb"])
-        ]
         if entry.get("manifest") is not None:
-            old += [entry["sidecar"]] if entry.get("sidecar") else []
+            # manifest mode: referenced files may span several part
+            # generations — GC every distinct top-level dir, plus the
+            # sidecar
+            old = sorted(
+                {r.split("/", 1)[0] for r in entry["manifest"]}
+                | {entry["base"]}
+            )
+            if entry.get("sidecar"):
+                old.append(entry["sidecar"])
             entry["manifest"] = None
             entry["sidecar"] = None
+        else:
+            old = [entry["base"]]
+        old += [
+            p for l in entry["layers"] for p in (l["delta"], l["tomb"])
+        ]
         # old versions become unreferenced; GC is deferred (vacuum) so
         # lazy DataFrames handed out before the compaction stay valid
         entry.update(base=base_rel, base_version=newv, layers=[])
@@ -753,6 +763,7 @@ class Engine:
             if not entry:
                 continue
             vdir = self.registry.view_dir(s)
+            emptied = set()
             for rel in entry.get("garbage", []):
                 p = os.path.join(vdir, rel)
                 if os.path.isfile(p):  # scoped compaction: single files
@@ -760,8 +771,16 @@ class Engine:
                         os.remove(p)
                     except OSError:
                         pass
+                    emptied.add(os.path.dirname(p))
                 else:
                     shutil.rmtree(p, ignore_errors=True)
+            # a part dir whose data files were all GC'd individually
+            # holds only write markers (_SUCCESS) — drop it too
+            for d in emptied:
+                if os.path.isdir(d) and not any(
+                    f.endswith(".parquet") for f in os.listdir(d)
+                ):
+                    shutil.rmtree(d, ignore_errors=True)
             entry["garbage"] = []
             self.registry.set_view(s, entry)
 

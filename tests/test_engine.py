@@ -469,6 +469,15 @@ def test_scoped_compaction_rewrites_only_affected_files(
         _os.path.exists(_os.path.join(vdir, r)) for r in part_rels
     )
     assert rows(eng.query("d/v", group=True, stale="ok")) == want
+    # a later FULL compaction demotes manifest mode cleanly: all part
+    # generations + sidecar become garbage, results unchanged
+    eng._compact(sig, eng.registry.get_view(sig))
+    entry3 = eng.registry.get_view(sig)
+    assert entry3["manifest"] is None and entry3["layers"] == []
+    eng.vacuum(sig)
+    assert rows(eng.query("d/v", group=True, stale="ok")) == want
+    left = set(_os.listdir(vdir))
+    assert left == {entry3["base"]}, left
 
 
 def test_keyed_include_docs_prunes_doc_join(spark, sf_dir, tmp_path):
