@@ -262,16 +262,10 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
     pass a persisted copy instead of re-deriving it per scan."""
     if nd is None:
         nd = normalized(emb, id_col, vec_col)
-    ids = [r.vid for r in
-           nd.select("vid").orderBy("vid").limit(k * 7).collect()]
-    seed_ids = ids[::7][:k]
-    cents = [
-        (i, r.nv)
-        for i, r in enumerate(
-            nd.filter(F.col("vid").isin(seed_ids)).orderBy("vid")
-            .collect()
-        )
-    ]
+    # one collect for the seed pool (k·7 small vectors); the stride
+    # selection happens driver-side — no second filter/collect job
+    pool = nd.select("vid", "nv").orderBy("vid").limit(k * 7).collect()
+    cents = [(i, r.nv) for i, r in enumerate(pool[::7][:k])]
     def unit(v: list[float]) -> list[float]:
         n = sum(x * x for x in v) ** 0.5 or 1.0
         return [x / n for x in v]

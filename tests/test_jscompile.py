@@ -130,6 +130,83 @@ def test_js_view_end_to_end_matches_mapspec(spark, sf_dir, tmp_path):
     assert got == want and want
 
 
+def test_js_compile_property_matches_python_semantics(spark, sf_dir,
+                                                      tmp_path):
+    """Property check: random in-subset JS map functions compile to
+    MapSpecs whose engine output equals a Python map fn implementing
+    the same JS semantics over the doc dicts (nation, 25 rows)."""
+    import itertools
+    import random
+
+    rng = random.Random(20260813)
+    fields = [("n_name", "str"),
+              ("n_regionkey", "num"), ("n_nationkey", "num")]
+
+    def gen_case():
+        # guard: none | one cmp | cmp && cmp
+        def gen_cmp():
+            f, kind = rng.choice(fields)
+            op = rng.choice(["===", "!==", "<", ">", "<=", ">="])
+            if kind == "num":
+                lit = rng.choice([0, 2, 3.5, 10])
+                return f"doc.{f} {op} {lit}", f, op, lit
+            lit = rng.choice(["ALGERIA", "C", "m"])
+            return f"doc.{f} {op} '{lit}'", f, op, lit
+
+        guards = [gen_cmp() for _ in range(rng.randint(0, 2))]
+        kf = rng.choice(fields + [("lit_str", None), ("lit_num", None)])
+        vf = rng.choice([("n_regionkey", "num"), ("one", None),
+                         ("none", None)])
+        return guards, kf, vf
+
+    def js_of(guards, kf, vf):
+        key = (
+            "'k'" if kf[0] == "lit_str"
+            else "7" if kf[0] == "lit_num"
+            else f"doc.{kf[0]}"
+        )
+        val = ("1" if vf[0] == "one" else "null" if vf[0] == "none"
+               else f"doc.{vf[0]}")
+        body = f"emit({key}, {val});"
+        for g, *_ in reversed(guards):
+            body = f"if ({g}) {{ {body} }}"
+        return "function(doc) { " + body + " }"
+
+    OPS = {"===": lambda a, b: a == b, "!==": lambda a, b: a != b,
+           "<": lambda a, b: a < b, ">": lambda a, b: a > b,
+           "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b}
+
+    def py_of(guards, kf, vf):
+        def fn(doc, emit):
+            for _, f, op, lit in guards:
+                v = doc[f]
+                w = float(lit) if isinstance(lit, (int, float)) else lit
+                if not OPS[op](v, w):
+                    return
+            key = ("k" if kf[0] == "lit_str" else 7.0
+                   if kf[0] == "lit_num" else doc[kf[0]])
+            val = (1.0 if vf[0] == "one" else None
+                   if vf[0] == "none" else doc[vf[0]])
+            emit(key, val)
+        return fn
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    for i in range(10):
+        guards, kf, vf = gen_case()
+        js = js_of(guards, kf, vf)
+        want = sorted(
+            (r["id"], str(r["key"]), str(r["value"]))
+            for r in eng.query(
+                ("nation", py_of(guards, kf, vf)), reduce=False
+            ).rows()
+        )
+        got = sorted(
+            (r["id"], str(r["key"]), str(r["value"]))
+            for r in eng.query(("nation", js), reduce=False).rows()
+        )
+        assert got == want, f"case {i}: {js}"
+
+
 def test_js_view_persists_and_truthiness_guard(spark, sf_dir, tmp_path):
     """JS views register via put_design like any other; a truthiness
     guard on a string field compiles to NOT NULL/non-empty."""
