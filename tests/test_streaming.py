@@ -163,6 +163,61 @@ def test_session_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data semantics: in append mode a window finalizes once the
+    watermark passes its end; a row arriving after that is DROPPED.
+    Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark past the 09:00 window, batch 2's 09:30 straggler must
+    not resurrect it."""
+    in_dir = str(tmp_path / "late_in")
+    os.makedirs(in_dir)
+    schema = "ts timestamp, k string, v double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    import datetime as dt
+
+    T = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+
+    def run(name):
+        out: list = []
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        agg = windowed_reduce(
+            stream, ts_col="ts", window="1 hour", keys=["k"],
+            value_col="v", watermark="1 hour",
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _id: out.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.window_start.hour, round(r.sum_v, 1)) for r in out
+        }
+
+    # run 1: max event time 12:00 → watermark 11:00; availableNow's
+    # flush batch finalizes the 09:00 window with the on-time 1.0 row
+    write_file("f1", [(T(9, 15), "a", 1.0), (T(12, 0), "a", 2.0)])
+    assert run("late_run1") == {(9, 1.0)}
+    # run 2 (same checkpoint): the 09:30 straggler is behind the
+    # watermark → dropped outright (its window already closed); the
+    # 12:00 window stays open, so nothing is emitted at all
+    write_file("f2", [(T(9, 30), "a", 100.0), (T(12, 10), "a", 3.0)])
+    assert run("late_run2") == set()
+    # run 3: a 15:00 event closes the 12:00 window — it contains ONLY
+    # the on-time rows (2.0 + 3.0); the dropped 100.0 never resurfaces
+    write_file("f3", [(T(15, 0), "a", 5.0)])
+    assert run("late_run3") == {(12, 5.0)}
+
+
 def test_running_totals_stateful_across_batches(spark, sf_dir,
                                                 tmp_path):
     """applyInPandasWithState carries per-key state across
