@@ -550,13 +550,25 @@ class Inventory:
             F.round(F.col("value_num"), 0).alias("sum_v"),
         )
 
+    def q29(self):
+        """Duplicate-key pagination via startkey_docid/endkey_docid:
+        the index key is (key, docid), so the docid options place both
+        range boundaries INSIDE runs of equal keys — resuming a paged
+        scan of the heavily-duplicated mktsegment view mid-segment."""
+        res = self._q(
+            "mktsegment",
+            startkey="BUILDING", startkey_docid="customer:000750",
+            endkey="HOUSEHOLD", endkey_docid="customer:000400",
+        )
+        return res.df.select(F.col("id"), _j("$").alias("k"))
+
     def all_queries(self) -> dict[str, callable]:
         return {
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
                 "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 "
-                "q26 q27 q28"
+                "q26 q27 q28 q29"
             ).split()
         }
 
@@ -577,7 +589,7 @@ QUERIES = {
     n: _mk(n)
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
-        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28"
+        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29"
     ).split()
 }
 
@@ -778,6 +790,15 @@ ORACLE_SQL: dict[str, str] = {
         "('bad_builtin', 'BuiltInError'), "
         "('missing_view', 'NotFoundError')"
         ") t(check_name, error)"
+    ),
+    "q29": (
+        "SELECT id, k FROM ("
+        "SELECT printf('customer:%06d', c_custkey) AS id, "
+        "c_mktsegment AS k FROM customer) "
+        "WHERE (k > 'BUILDING' OR (k = 'BUILDING' "
+        "AND id >= 'customer:000750')) "
+        "AND (k < 'HOUSEHOLD' OR (k = 'HOUSEHOLD' "
+        "AND id <= 'customer:000400'))"
     ),
     "q28": (
         "WITH rows_ AS ("

@@ -47,26 +47,49 @@ def row_order(descending: bool) -> list[Column]:
 
 
 def range_filter(opts: QueryOptions) -> Column | None:
-    """startkey/endkey/key → pushdown-friendly predicate on key_enc."""
+    """startkey/endkey/key → pushdown-friendly predicate on key_enc.
+
+    ``startkey_docid``/``endkey_docid`` refine the boundary at the
+    docid level (the index key is ``(key, docid)``, CouchDB duplicate-
+    key pagination).  The coarse single-column bound on ``key_enc`` is
+    kept as an explicit conjunct so it still reaches the Parquet
+    reader as a pushed filter; the docid tie-break — which mixes two
+    columns and cannot push — only re-examines rows AT the boundary
+    key, so its residual cost is O(duplicate run), not O(scan).
+    """
     preds: list[Column] = []
     k = F.col("key_enc")
     if opts.key is not UNSET:
         return k == F.lit(to_indexable_string(opts.key))
     lo = hi = UNSET
+    lo_docid = hi_docid = UNSET
     lo_incl = hi_incl = True
     if not opts.descending:
         lo, hi = opts.startkey, opts.endkey
+        lo_docid, hi_docid = opts.startkey_docid, opts.endkey_docid
         hi_incl = opts.inclusive_end
     else:
-        # descending: startkey is the HIGH end (upstream parity)
+        # descending: startkey is the HIGH end (upstream parity);
+        # the docid options travel with their key option
         lo, hi = opts.endkey, opts.startkey
+        lo_docid, hi_docid = opts.endkey_docid, opts.startkey_docid
         lo_incl = opts.inclusive_end
     if lo is not UNSET:
         b = F.lit(to_indexable_string(lo))
-        preds.append(k >= b if lo_incl else k > b)
+        if lo_docid is UNSET:
+            preds.append(k >= b if lo_incl else k > b)
+        else:
+            d = F.lit(lo_docid)
+            tie = F.col("id") >= d if lo_incl else F.col("id") > d
+            preds.append((k >= b) & ((k > b) | tie))
     if hi is not UNSET:
         b = F.lit(to_indexable_string(hi))
-        preds.append(k <= b if hi_incl else k < b)
+        if hi_docid is UNSET:
+            preds.append(k <= b if hi_incl else k < b)
+        else:
+            d = F.lit(hi_docid)
+            tie = F.col("id") <= d if hi_incl else F.col("id") < d
+            preds.append((k <= b) & ((k < b) | tie))
     if not preds:
         return None
     out = preds[0]

@@ -50,6 +50,14 @@ class QueryOptions:
     keys: Any = UNSET
     startkey: Any = UNSET
     endkey: Any = UNSET
+    # docid tie-breaks for the range boundaries (CouchDB
+    # startkey_docid/endkey_docid): the index key is (key, docid), so
+    # these refine where the scan starts/stops WITHIN a run of
+    # duplicate keys — the canonical duplicate-key pagination
+    # mechanism.  CouchDB parity: ignored when the matching key option
+    # is not set.
+    startkey_docid: Any = UNSET
+    endkey_docid: Any = UNSET
     inclusive_end: bool = True
     descending: bool = False
     limit: int | None = None
@@ -104,6 +112,15 @@ class QueryOptions:
                     "Multi-key fetches for views must not use "
                     "startkey/endkey"
                 )
+        # CouchDB: "Ignored if startkey is not set" (resp. endkey)
+        if o.startkey is UNSET:
+            o.startkey_docid = UNSET
+        if o.endkey is UNSET:
+            o.endkey_docid = UNSET
+        for nm in ("startkey_docid", "endkey_docid"):
+            v = getattr(o, nm)
+            if v is not UNSET and not isinstance(v, str):
+                raise QueryParseError(f"`{nm}` must be a string")
         if o.stale not in (None, "ok", "update_after"):
             raise QueryParseError(f"Invalid value for stale: {o.stale!r}")
         if o.group_level == 0 and not o.group:

@@ -550,3 +550,96 @@ def test_conflicts_flag_noop_on_conflict_free_tables(
     with_c = eng.query(view, include_docs=True, limit=5,
                        conflicts=True).rows()
     assert plain == with_c and len(plain) == 5
+
+
+# ---------------------------------------------------------------------------
+# startkey_docid / endkey_docid (CouchDB (key, docid) boundary refinement)
+# ---------------------------------------------------------------------------
+
+SEG_VIEW = {"map": MapSpec("customer", ("str", "c_mktsegment"))}
+
+
+def _seg_ids(res):
+    return [(r["key"], r["id"]) for r in res.rows()]
+
+
+def test_docid_range_boundaries(engine, duck):
+    """Both boundaries land INSIDE runs of duplicate keys; rows at the
+    boundary keys are split exactly at the given docids."""
+    got = _seg_ids(
+        engine.query(
+            SEG_VIEW,
+            startkey="BUILDING", startkey_docid="customer:000050",
+            endkey="HOUSEHOLD", endkey_docid="customer:000100",
+        )
+    )
+    exp = duck.execute(
+        "SELECT k, id FROM (SELECT c_mktsegment k, "
+        "printf('customer:%06d', c_custkey) id FROM customer) "
+        "WHERE (k > 'BUILDING' OR (k = 'BUILDING' "
+        "AND id >= 'customer:000050')) "
+        "AND (k < 'HOUSEHOLD' OR (k = 'HOUSEHOLD' "
+        "AND id <= 'customer:000100')) ORDER BY k, id"
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+    assert got  # fixture sanity: the range is non-empty
+
+
+def test_docid_pagination_resume(engine):
+    """The canonical CouchDB paging recipe — next page starts at the
+    last row's (key, docid) with skip=1 — reassembles the full scan
+    exactly, across duplicate-key runs."""
+    full = _seg_ids(engine.query(SEG_VIEW))
+    pages, lastrow = [], None
+    while True:
+        opts = {"limit": 37}
+        if lastrow is not None:
+            opts.update(startkey=lastrow[0], startkey_docid=lastrow[1],
+                        skip=1)
+        page = _seg_ids(engine.query(SEG_VIEW, **opts))
+        if not page:
+            break
+        pages.extend(page)
+        lastrow = page[-1]
+    assert pages == full
+
+
+def test_docid_descending_exclusive_end(engine):
+    """descending + inclusive_end=False + endkey_docid excludes exactly
+    the boundary (key, docid) pair, keeping the rest of its run."""
+    base = _seg_ids(
+        engine.query(SEG_VIEW, startkey="HOUSEHOLD", endkey="BUILDING",
+                     descending=True)
+    )
+    # pick a boundary docid strictly inside the BUILDING run
+    building = [r for r in base if r[0] == "BUILDING"]
+    assert len(building) > 2
+    bkey, bid = building[len(building) // 2]
+    got = _seg_ids(
+        engine.query(
+            SEG_VIEW, startkey="HOUSEHOLD", endkey="BUILDING",
+            endkey_docid=bid, inclusive_end=False, descending=True,
+        )
+    )
+    exp = [r for r in base if r[0] > "BUILDING" or r[1] > bid]
+    assert got == exp
+    # inclusive keeps the boundary pair itself
+    got_incl = _seg_ids(
+        engine.query(
+            SEG_VIEW, startkey="HOUSEHOLD", endkey="BUILDING",
+            endkey_docid=bid, descending=True,
+        )
+    )
+    assert got_incl == [r for r in base if r[0] > "BUILDING" or r[1] >= bid]
+
+
+def test_docid_options_validation(engine):
+    """CouchDB parity: docid options are ignored without their key
+    option; non-string docids are a QueryParseError."""
+    from mapreduce_spark.errors import QueryParseError
+
+    assert _seg_ids(
+        engine.query(SEG_VIEW, startkey_docid="customer:000050")
+    ) == _seg_ids(engine.query(SEG_VIEW))
+    with pytest.raises(QueryParseError):
+        engine.query(SEG_VIEW, startkey="BUILDING", startkey_docid=7)
