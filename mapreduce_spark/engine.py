@@ -317,10 +317,11 @@ class Engine:
                     )
                     few = n <= cap
                 rows = attach_docs(rows, docs, few_rows=few)
-                order = (["_key_ord"] if keep_ord else []) + row_order(
-                    o.descending
-                )
-                rows = rows.orderBy(*order)
+                if o.sorted or keep_ord:
+                    order = (
+                        ["_key_ord"] if keep_ord else []
+                    ) + row_order(o.descending)
+                    rows = rows.orderBy(*order)
                 cols = MAP_RESULT_COLS + ["doc_json"]
             else:
                 cols = MAP_RESULT_COLS

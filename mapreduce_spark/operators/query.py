@@ -109,9 +109,12 @@ def query_map(view: DataFrame, opts: QueryOptions) -> DataFrame:
     if opts.keys is not UNSET:
         rows = _keys_lookup(view, opts.keys, opts.descending)
     else:
-        rows = scan_rows(view, opts).orderBy(
-            *row_order(opts.descending)
-        )
+        rows = scan_rows(view, opts)
+        if opts.sorted:
+            rows = rows.orderBy(*row_order(opts.descending))
+        # sorted=False: storage order — no global Sort/TakeOrdered in
+        # the plan; skip/limit slice an unspecified (but filtered)
+        # subset, CouchDB parity for its performance escape hatch
     return _paginate(rows, opts)
 
 

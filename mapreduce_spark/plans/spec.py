@@ -66,6 +66,17 @@ class QueryOptions:
     conflicts: bool = False
     attachments: bool = False
     stale: str | None = None  # None | 'ok' | 'update_after'
+    # CouchDB 2.x successor of `stale`: True (refresh first, default),
+    # False (serve current index; ≡ stale='ok'), 'lazy' (serve current,
+    # refresh after; ≡ stale='update_after').  Normalized onto `stale`
+    # in validated(); takes precedence when both are given (upstream
+    # treats `stale` as deprecated sugar).
+    update: Any = UNSET
+    # sorted=False (map queries): rows come back in storage order —
+    # skips the global sort / TakeOrdered, CouchDB's documented
+    # performance escape hatch.  Grouped reduces ignore it (grouping
+    # defines the order); keys= ignores it (request order is semantic).
+    sorted: bool = True
     update_seq: bool = False
 
     def validated(self, *, has_reduce: bool) -> "QueryOptions":
@@ -123,6 +134,17 @@ class QueryOptions:
                 raise QueryParseError(f"`{nm}` must be a string")
         if o.stale not in (None, "ok", "update_after"):
             raise QueryParseError(f"Invalid value for stale: {o.stale!r}")
+        if o.update is not UNSET:
+            if o.update is True:
+                o.stale = None
+            elif o.update is False:
+                o.stale = "ok"
+            elif o.update == "lazy":
+                o.stale = "update_after"
+            else:
+                raise QueryParseError(
+                    f"Invalid value for update: {o.update!r}"
+                )
         if o.group_level == 0 and not o.group:
             # CouchDB: group_level=0 ≡ no grouping (one global
             # reduction); normalized here, AFTER the grouping-on-a-

@@ -643,3 +643,45 @@ def test_docid_options_validation(engine):
     ) == _seg_ids(engine.query(SEG_VIEW))
     with pytest.raises(QueryParseError):
         engine.query(SEG_VIEW, startkey="BUILDING", startkey_docid=7)
+
+
+def test_sorted_false_skips_global_sort(engine):
+    """sorted=False returns the same row SET with no Sort/TakeOrdered
+    in the physical plan (CouchDB's performance escape hatch)."""
+    res_sorted = engine.query(SEG_VIEW, startkey="BUILDING",
+                              endkey="HOUSEHOLD")
+    res_unsorted = engine.query(SEG_VIEW, startkey="BUILDING",
+                                endkey="HOUSEHOLD", sorted=False)
+    assert sorted(_seg_ids(res_unsorted)) == sorted(_seg_ids(res_sorted))
+    plan = res_unsorted.df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "TakeOrdered" not in plan
+    plan_s = res_sorted.df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" in plan_s or "TakeOrdered" in plan_s
+
+
+def test_update_param_maps_to_staleness(engine):
+    """update=True/False/'lazy' normalizes onto the stale modes;
+    invalid values raise."""
+    from mapreduce_spark.errors import QueryParseError
+    from mapreduce_spark.plans.spec import QueryOptions
+
+    assert QueryOptions(update=True).validated(has_reduce=False).stale \
+        is None
+    assert QueryOptions(update=False).validated(has_reduce=False).stale \
+        == "ok"
+    o = QueryOptions(update="lazy").validated(has_reduce=False)
+    assert o.stale == "update_after"
+    with pytest.raises(QueryParseError):
+        QueryOptions(update="eventually").validated(has_reduce=False)
+
+    # end-to-end: update=False must not refresh the persisted index
+    engine.put_design("d", {"seg": SEG_VIEW})
+    engine.update_view("d/seg")
+    before = engine.registry.get_view(
+        engine._resolve("d/seg")[0].sig
+    )["last_seq"]
+    engine.query("d/seg", update=False)
+    after = engine.registry.get_view(
+        engine._resolve("d/seg")[0].sig
+    )["last_seq"]
+    assert after == before
