@@ -248,29 +248,62 @@ class Engine:
 
     def query(self, fun: Any, *, doc_tables: list[str] | None = None,
               **opts: Any) -> QueryResult:
+        return self.query_batch(fun, [opts], doc_tables=doc_tables)[0]
+
+    def query_batch(self, fun: Any, queries: list[dict], *,
+                    doc_tables: list[str] | None = None
+                    ) -> list[QueryResult]:
+        """CouchDB multi-query (`POST …/_view` body ``{queries:[…]}``):
+        run several option sets against ONE view in one call.
+
+        The Spark win over N separate ``query()`` calls: the refresh
+        (at most one maintenance pass, not N) and the LSM view assembly
+        are shared — every sub-query's plan branches off the same
+        assembled frame, so a persisted index is consulted exactly the
+        way the reference serves a batched request.  Each sub-query
+        keeps fully independent options (range, grouping, pagination,
+        include_docs), and all option sets are validated up front so a
+        malformed entry fails the whole batch before any work
+        (upstream parity: the request is rejected as a unit)."""
         vdef, persisted = self._resolve(fun)
         check_reduce(vdef.reduce_def)
-        o = QueryOptions(**opts).validated(
-            has_reduce=vdef.reduce_def is not None
-        )
+        has_reduce = vdef.reduce_def is not None
+        olist = [
+            QueryOptions(**q).validated(has_reduce=has_reduce)
+            for q in queries
+        ]
 
-        upd_seq: int | None = None
+        last_seq: int | None = None
         stats: dict | None = None
         if persisted:
             # only the default staleness mode refreshes before the read;
             # stale='ok' and stale='update_after' both serve the current
             # index immediately (upstream parity — update_after refreshes
             # once, after the response is assembled, see below)
-            if o.stale is None:
+            if any(o.stale is None for o in olist):
                 self.update_view(vdef)
             view = self._assemble_view(vdef.sig)
             entry = self.registry.get_view(vdef.sig)
             stats = (entry or {}).get("stats")
-            if o.update_seq:
-                upd_seq = entry["last_seq"] if entry else 0
+            last_seq = entry["last_seq"] if entry else 0
         else:
             view = self._build(vdef, self._source_df(vdef))
 
+        results = [
+            self._run_query(
+                vdef, view, o, stats,
+                last_seq if o.update_seq else None, doc_tables,
+            )
+            for o in olist
+        ]
+        if persisted and any(o.stale == "update_after" for o in olist):
+            self.update_view(vdef)  # refresh after; lazy dfs stay valid
+        return results
+
+    def _run_query(self, vdef: ViewDef, view: DataFrame,
+                   o: QueryOptions, stats: dict | None,
+                   upd_seq: int | None,
+                   doc_tables: list[str] | None) -> QueryResult:
         will_reduce = (
             vdef.reduce_def is not None if o.reduce is None else o.reduce
         )
@@ -334,8 +367,6 @@ class Engine:
                 ),
                 update_seq=upd_seq,
             )
-        if persisted and o.stale == "update_after":
-            self.update_view(vdef)  # refresh after; lazy dfs stay valid
         return res
 
     def _resolve(self, fun: Any) -> tuple[ViewDef, bool]:

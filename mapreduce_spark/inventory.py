@@ -562,13 +562,53 @@ class Inventory:
         )
         return res.df.select(F.col("id"), _j("$").alias("k"))
 
+    def q30(self):
+        """CouchDB multi-query batch (POST …/_view {queries:[…]}):
+        three independent option sets — grouped reduce, reduce=false
+        range scan, reduce=false point lookup with limit — served from
+        ONE refresh + ONE assembled view (engine.query_batch), results
+        concatenated with the sub-query ordinal (upstream response
+        order)."""
+        batch = [
+            {"group": True},
+            {"reduce": False, "startkey": "N", "endkey": "R",
+             "inclusive_end": False},
+            {"reduce": False, "key": "R", "limit": 5},
+        ]
+        if self.warm:
+            rs = self.engine.query_batch(
+                "bench/flag_count",
+                [dict(q, stale="ok") for q in batch],
+            )
+        else:
+            rs = self.engine.query_batch(VIEW_DEFS["flag_count"], batch)
+        outs = []
+        for i, r in enumerate(rs):
+            d = r.df
+            idc = (
+                F.col("id") if "id" in d.columns
+                else F.lit(None).cast("string")
+            )
+            outs.append(
+                d.select(
+                    F.lit(i).cast("long").alias("q_ord"),
+                    idc.alias("id"),
+                    _j("$").alias("k"),
+                    F.col("value_num").cast("long").alias("v"),
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
     def all_queries(self) -> dict[str, callable]:
         return {
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
                 "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 "
-                "q26 q27 q28 q29"
+                "q26 q27 q28 q29 q30"
             ).split()
         }
 
@@ -589,7 +629,8 @@ QUERIES = {
     n: _mk(n)
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
-        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29"
+        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
+        "q30"
     ).split()
 }
 
@@ -799,6 +840,20 @@ ORACLE_SQL: dict[str, str] = {
         "AND id >= 'customer:000750')) "
         "AND (k < 'HOUSEHOLD' OR (k = 'HOUSEHOLD' "
         "AND id <= 'customer:000400'))"
+    ),
+    "q30": (
+        "SELECT 0::BIGINT AS q_ord, NULL::VARCHAR AS id, "
+        "l_returnflag AS k, count(*)::BIGINT AS v "
+        "FROM lineitem GROUP BY 3 "
+        "UNION ALL "
+        "SELECT 1::BIGINT, printf('lineitem:%09d-%d', l_orderkey, "
+        "l_linenumber), l_returnflag, NULL::BIGINT FROM lineitem "
+        "WHERE l_returnflag >= 'N' AND l_returnflag < 'R' "
+        "UNION ALL "
+        "SELECT 2::BIGINT, id, k, v FROM ("
+        "SELECT printf('lineitem:%09d-%d', l_orderkey, l_linenumber) "
+        "AS id, l_returnflag AS k, NULL::BIGINT AS v FROM lineitem "
+        "WHERE l_returnflag = 'R' ORDER BY id LIMIT 5)"
     ),
     "q28": (
         "WITH rows_ AS ("

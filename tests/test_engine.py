@@ -685,3 +685,54 @@ def test_update_param_maps_to_staleness(engine):
         engine._resolve("d/seg")[0].sig
     )["last_seq"]
     assert after == before
+
+
+def test_query_batch_matches_individual(engine):
+    """query_batch ≡ N independent query() calls, result-for-result."""
+    batch = [
+        {"group": True},
+        {"reduce": False, "startkey": "A", "endkey": "N"},
+        {"reduce": False, "key": "R", "limit": 7},
+    ]
+    eng2 = Engine(engine.spark, engine.sf_dir,
+                  engine.storage_dir + "-b")
+    # flag_count-shaped view for map sub-queries: reuse VIEW's map only
+    view = {"map": VIEW["map"], "reduce": "_count"}
+    got = engine.query_batch(view, batch)
+    for o, r in zip(batch, got):
+        single = eng2.query(view, **o)
+        assert r.df.collect() == single.df.collect(), o
+
+
+def test_query_batch_shares_refresh(engine, monkeypatch):
+    """A batch of default-staleness sub-queries triggers exactly ONE
+    maintenance pass (the whole point vs N query() calls)."""
+    engine.put_design("d", {"seg": SEG_VIEW})
+    calls = []
+    orig = engine.update_view
+
+    def counting(vdef, *a, **kw):
+        calls.append(1)
+        return orig(vdef, *a, **kw)
+
+    monkeypatch.setattr(engine, "update_view", counting)
+    rs = engine.query_batch(
+        "d/seg",
+        [{"limit": 3}, {"startkey": "BUILDING"}, {"descending": True}],
+    )
+    assert len(calls) == 1
+    assert all(r.df.count() > 0 for r in rs)
+
+
+def test_query_batch_validates_all_first(engine, monkeypatch):
+    """One malformed option set rejects the whole batch before any
+    refresh work (upstream: the request fails as a unit)."""
+    from mapreduce_spark.errors import QueryParseError
+
+    engine.put_design("d", {"seg": SEG_VIEW})
+    monkeypatch.setattr(
+        engine, "update_view",
+        lambda *a, **k: pytest.fail("refresh ran before validation"),
+    )
+    with pytest.raises(QueryParseError):
+        engine.query_batch("d/seg", [{"limit": 3}, {"skip": "bogus"}])
