@@ -31,14 +31,25 @@ __all__ = [
     "NotFoundError",
     "BuiltInError",
     "Engine",
+    "DocTable",
+    "register_table",
+    "raw_doc_table",
 ]
+
+_LAZY = {
+    "Engine": ("mapreduce_spark.engine", "Engine"),
+    "DocTable": ("mapreduce_spark.sources.docs", "DocTable"),
+    "register_table": ("mapreduce_spark.sources.docs", "register_table"),
+    "raw_doc_table": ("mapreduce_spark.sources.docs", "raw_doc_table"),
+}
 
 
 def __getattr__(name):
     # Lazy import: keep `import mapreduce_spark` free of the pyspark import
     # cost for pure-Python consumers (e.g. collation property tests).
-    if name == "Engine":
-        from mapreduce_spark.engine import Engine
+    if name in _LAZY:
+        import importlib
 
-        return Engine
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(name)

@@ -414,6 +414,26 @@ class Engine:
         over the extra exchange).  On a real cluster the scan split
         count comes from ``spark.sql.files.maxPartitionBytes`` — tune
         that, not the plan."""
+        t = TABLES[vdef.table]
+        if t.raw_json:
+            # a raw source is a changes LOG: several versions of a doc
+            # may coexist (edits append, deletes are tombstone rows).
+            # CouchDB's by-seq indexer sees each doc once at its latest
+            # rev, so collapse to latest-per-_id before mapping — one
+            # shuffle on _id, the inherent cost of log compaction
+            # (fixture tables are snapshots: exactly one row per pk,
+            # no collapse needed).  Applies per refresh batch too: two
+            # edits of one doc in a batch emit only the newer.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_id").orderBy(
+                F.expr(t.seq_expr).cast("long").desc()
+            )
+            raw_df = (
+                raw_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         if "_deleted" in raw_df.columns:
             raw_df = raw_df.filter(
                 ~F.coalesce(F.col("_deleted"), F.lit(False))

@@ -310,10 +310,15 @@ def build_view_python_on(
     """Python map path over an arbitrary raw-schema DataFrame."""
     docs = as_docs(df, table)
     col_order = [f.name for f in VIEW_SCHEMA.fields]
+    # resolve the DocTable driver-side: user-registered tables are not
+    # in the executors' (freshly imported) registry
+    from mapreduce_spark.sources.docs import TABLES
+
+    t = TABLES[table]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = map_docs_to_rows(doc_records(pdf, table), map_fn)
+            rows = map_docs_to_rows(doc_records(pdf, t), map_fn)
             if rows:
                 yield pd.DataFrame(rows, columns=col_order)
 

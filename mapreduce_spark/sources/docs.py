@@ -84,6 +84,29 @@ class DocTable:
     # parquet TIMESTAMP(NANOS) columns: Spark 4 has no nanos timestamp —
     # read as long via the legacy conf and convert (exact integer DIV)
     ns_timestamp_cols: tuple[str, ...] = ()
+    # raw CouchDB-style source: the table IS documents — columns
+    # ``_id STRING, seq LONG, doc_json STRING`` (+ optional
+    # ``_rev STRING, _deleted BOOLEAN``), i.e. the shape of a PouchDB
+    # export / changes feed.  ``id_format``/``pk`` are unused; map fns
+    # see the parsed ``doc_json`` body (with row ``_id``/``_rev``
+    # authoritative); ``include_docs`` returns ``doc_json`` verbatim —
+    # store ``_id``/``_rev`` in the body if you want them in the
+    # include_docs output, as CouchDB exports do.
+    raw_json: bool = False
+
+
+def raw_doc_table(name: str, *, seq_expr: str = "seq") -> DocTable:
+    """DocTable for a raw CouchDB-style docs table (see ``raw_json``)."""
+    return DocTable(name, "%s", ("_id",), seq_expr, raw_json=True)
+
+
+def register_table(t: DocTable) -> None:
+    """Register a user table so views can map over it.
+
+    The engine reads ``<sf_dir>/<name>.parquet`` (or the JSON-lines /
+    CSV fallbacks, sources/formats.py).  Re-registering a name
+    replaces its metadata — the caller owns name collisions."""
+    TABLES[t.name] = t
 
 
 TABLES: dict[str, DocTable] = {
@@ -168,6 +191,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def doc_id_col(table: str) -> Column:
     """The ``_id`` column expression for a table (JVM-side format_string)."""
     t = TABLES[table]
+    if t.raw_json:
+        return F.col("_id")
     return F.format_string(t.id_format, *[F.col(c) for c in t.pk])
 
 
@@ -183,6 +208,26 @@ def as_docs(df: DataFrame, table: str, *, doc_space: bool = True) -> DataFrame:
     """
     t = TABLES[table]
     have_deleted = "_deleted" in df.columns
+    if t.raw_json:
+        # the table already IS documents: normalize metadata columns,
+        # keep the body verbatim
+        seq = F.expr(t.seq_expr).cast("long")
+        rev = (
+            F.col("_rev") if "_rev" in df.columns
+            else F.concat(
+                F.lit("1-"),
+                F.md5(F.concat_ws(":", F.col("_id"),
+                                  seq.cast("string"))),
+            )
+        )
+        return df.select(
+            F.col("_id"),
+            rev.alias("_rev"),
+            (F.coalesce(F.col("_deleted"), F.lit(False)) if have_deleted
+             else F.lit(False)).alias("_deleted"),
+            seq.alias("seq"),
+            F.col("doc_json"),
+        )
     seq = F.expr(t.seq_expr).cast("long")
     # deterministic generation-1 revision of the fixture load:
     # '1-' + md5(_id ':' seq) — CouchDB doc shape (docs carry _rev),
@@ -236,6 +281,11 @@ def doc_json_frame(d: DataFrame, *, conflicts: bool = False) -> DataFrame:
     ``to_json``'s null-dropping.  Engine-internal columns
     (``_deleted``, ``seq``) never reach the doc body.
     """
+    if "doc_json" in d.columns:
+        # raw CouchDB-style source: the stored body is authoritative
+        # and returned verbatim (users keep _id/_rev inside it, the
+        # shape every CouchDB export has)
+        return d.select("_id", "doc_json")
     drop = {"_deleted", "seq"}  # _id stays in the body (CouchDB docs carry it)
     if not conflicts:
         drop.add("_conflicts")
@@ -252,12 +302,29 @@ def doc_json_frame(d: DataFrame, *, conflicts: bool = False) -> DataFrame:
     )
 
 
-def doc_records(pdf, table: str) -> list[dict]:
+def doc_records(pdf, table) -> list[dict]:
     """Arrow batch (pandas) of a docs DataFrame → list of doc dicts for the
     Python map path.  Converts numpy scalars to Python and parses declared
-    JSON columns into nested objects (FIXTURES.md: events.props)."""
-    t = TABLES[table]
+    JSON columns into nested objects (FIXTURES.md: events.props).
+
+    ``table`` may be a name or a DocTable.  Executor-side callers MUST
+    pass the DocTable itself: user-registered tables exist only in the
+    driver's registry, so a name lookup would KeyError on workers."""
+    t = table if isinstance(table, DocTable) else TABLES[table]
     records = pdf.to_dict("records")
+    if t.raw_json:
+        # raw source: the map fn sees the PARSED body, with the row's
+        # _id/_rev/_deleted metadata authoritative (CouchDB map input)
+        out = []
+        for r in records:
+            body = json.loads(r["doc_json"]) if r.get("doc_json") else {}
+            body["_id"] = r["_id"]
+            if r.get("_rev") is not None:
+                body["_rev"] = r["_rev"]
+            if r.get("_deleted"):
+                body["_deleted"] = True
+            out.append(body)
+        return out
     jc = t.json_cols
     ac = t.array_cols
     for r in records:
