@@ -271,3 +271,77 @@ def test_running_totals_stateful_across_batches(spark, sf_dir,
         .collect()
     }
     assert final == want
+
+
+def test_stream_raw_changes_feed_maintenance(spark, tmp_path):
+    """A raw CouchDB-style changes feed ((_id,_rev,_deleted,seq,
+    doc_json) files landing in a directory) streams into a maintained
+    view: edits supersede, deletes tombstone, and the result converges
+    with a from-scratch build over the full log."""
+    import json
+
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.sources.docs import (
+        TABLES,
+        raw_doc_table,
+        register_table,
+    )
+
+    register_table(raw_doc_table("feed"))
+    try:
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        in_dir = str(sf / "feed.parquet")
+        schema = ("_id string, _rev string, _deleted boolean, "
+                  "seq long, doc_json string")
+
+        def doc(i, kind, score, *, seq, rev="1-r", deleted=False):
+            return {
+                "_id": f"d{i:03d}", "_rev": rev, "_deleted": deleted,
+                "seq": seq,
+                "doc_json": json.dumps(
+                    {"_id": f"d{i:03d}", "kind": kind, "score": score}
+                ),
+            }
+
+        batch1 = [doc(i, "a" if i % 2 else "b", float(i), seq=i)
+                  for i in range(1, 31)]
+        spark.createDataFrame(batch1, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+        eng = Engine(spark, str(sf), str(tmp_path / "views"))
+        spec = MapSpec(
+            "feed",
+            ("str", "variant_get(parse_json(doc_json), '$.kind', "
+                    "'string')"),
+            ("num", "variant_get(parse_json(doc_json), '$.score', "
+                    "'double')"),
+        )
+        eng.put_design("s", {"by_kind": {"map": spec, "reduce": "_sum"}})
+        stream = file_changes_stream(spark, in_dir, "feed")
+        ckpt = str(tmp_path / "ckpt")
+        maintain_view(eng, "s/by_kind", stream,
+                      ckpt).awaitTermination(120)
+        first = _rows(eng.query("s/by_kind", group=True, update=False))
+
+        # batch 2: edit d001 (score 1000), delete d002, add d031
+        batch2 = [
+            doc(1, "a", 1000.0, seq=31, rev="2-r"),
+            doc(2, "b", 0.0, seq=32, rev="2-r", deleted=True),
+            doc(31, "b", 7.5, seq=33),
+        ]
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        stream = file_changes_stream(spark, in_dir, "feed")
+        maintain_view(eng, "s/by_kind", stream,
+                      ckpt).awaitTermination(120)
+        got = _rows(eng.query("s/by_kind", group=True, update=False))
+        assert got != first
+
+        # from-scratch truth over the whole log (latest-per-_id)
+        eng2 = Engine(spark, str(sf), str(tmp_path / "views2"))
+        exp = _rows(eng2.query({"map": spec, "reduce": "_sum"},
+                               group=True))
+        assert got == exp
+    finally:
+        TABLES.pop("feed", None)
