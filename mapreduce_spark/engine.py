@@ -209,14 +209,23 @@ class Engine:
         self.registry.put_design(ddoc, reg_views)
 
     def _normalize_map(self, m: Any) -> Any:
-        """Compile JS map sources; pass every other form through."""
+        """Compile JS map sources; pass every other form through.
+
+        Typed tables compile to MapSpec(s) (JVM path, guards pushed
+        into the scan).  Raw doc sources compile to an interpreted
+        Python map fn instead — their field types are dynamic per doc,
+        which a typed MapSpec cannot represent."""
         from mapreduce_spark.functions.jscompile import (
             compile_js_map,
+            compile_js_map_fn,
             looks_like_js,
         )
 
         if looks_like_js(m):
             table, src = m
+            t = TABLES.get(table)
+            if t is not None and t.raw_json:
+                return (table, compile_js_map_fn(src))
             schema = load_table(self.spark, self.sf_dir, table).schema
             return compile_js_map(src, table, schema)
         return m

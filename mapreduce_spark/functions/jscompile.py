@@ -496,3 +496,146 @@ def looks_like_js(obj: Any) -> bool:
         and isinstance(obj[1], str)
         and obj[1].lstrip().startswith("function")
     )
+
+
+# ---------------------------------------------------------------------------
+# AST → Python map function (raw doc sources)
+# ---------------------------------------------------------------------------
+
+_UNDEF = object()  # JS `undefined` (absent doc field)
+
+
+def _ev(ast: Any, doc: dict) -> Any:
+    tag = ast[0]
+    if tag == "lit":
+        return ast[1]
+    if tag == "doc":
+        return doc.get(ast[1], _UNDEF) if isinstance(doc, dict) else _UNDEF
+    if tag == "arr":
+        return [_ev(a, doc) for a in ast[1]]
+    if tag == "obj":
+        return {k: _ev(a, doc) for k, a in ast[1].items()}
+    raise JSCompileError(f"unsupported expression {tag!r}")
+
+
+def _truthy(v: Any) -> bool:
+    if v is _UNDEF or v is None or v is False:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0 and v == v  # 0 and NaN are falsy
+    if isinstance(v, str):
+        return v != ""
+    return True  # arrays/objects are truthy, even empty
+
+
+def _js_eq(a: Any, b: Any) -> bool:
+    """Strict equality (===) over the subset's value space."""
+    if a is _UNDEF or b is _UNDEF:
+        return a is b
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a is b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    return a is b  # non-primitives: JS reference equality
+
+
+def _js_rel(op: str, a: Any, b: Any) -> bool:
+    """Relational ops: defined for same-type number/string pairs
+    (the compilable subset); anything else — including undefined/null
+    operands — is False, matching NaN-style JS comparisons.  (JS's
+    null-coerces-to-0 corner is deliberately out of the subset.)"""
+    ok_num = (
+        isinstance(a, (int, float)) and not isinstance(a, bool)
+        and isinstance(b, (int, float)) and not isinstance(b, bool)
+    )
+    ok_str = isinstance(a, str) and isinstance(b, str)
+    if not (ok_num or ok_str):
+        return False
+    if op == "<":
+        return a < b
+    if op == ">":
+        return a > b
+    if op == "<=":
+        return a <= b
+    return a >= b
+
+
+def _cond_eval(ast: Any, doc: dict) -> bool:
+    tag = ast[0]
+    if tag == "and":
+        return _cond_eval(ast[1], doc) and _cond_eval(ast[2], doc)
+    if tag == "or":
+        return _cond_eval(ast[1], doc) or _cond_eval(ast[2], doc)
+    if tag == "not":
+        return not _cond_eval(ast[1], doc)
+    if tag == "truthy":
+        return _truthy(_ev(ast[1], doc))
+    if tag == "cmp":
+        op, l, r = ast[1], ast[2], ast[3]
+        a, b = _ev(l, doc), _ev(r, doc)
+        if op in ("===", "=="):
+            return _js_eq(a, b)
+        if op in ("!==", "!="):
+            return not _js_eq(a, b)
+        return _js_rel(op, a, b)
+    raise JSCompileError(f"unsupported condition {tag!r}")
+
+
+def _de_undef(v: Any) -> Any:
+    """JSON.stringify boundary: undefined → null as a scalar and inside
+    arrays; object members holding undefined are DROPPED."""
+    if v is _UNDEF:
+        return None
+    if isinstance(v, list):
+        return [_de_undef(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _de_undef(x) for k, x in v.items() if x is not _UNDEF}
+    return v
+
+
+class JSMapFunction:
+    """A compiled JS map fn as a picklable Python callable.
+
+    The compile target for RAW doc sources (``DocTable.raw_json``):
+    field types there are dynamic per document, so instead of a typed
+    MapSpec the parsed AST is interpreted over each doc dict with JS
+    subset semantics — strict equality, JS truthiness, undefined for
+    absent fields, the JSON.stringify undefined boundary.  Runs on the
+    Arrow-batched Python map path.
+
+    ``__repr__`` is the source itself so the registry signature
+    (plans/registry.definition_repr) stays stable across processes —
+    a closure's repr would embed a memory address and re-registering
+    the same ddoc would spuriously rebuild the view.
+    """
+
+    def __init__(self, source: str) -> None:
+        self.source = source
+        self._emits = _Parser(source).parse()
+        if not self._emits:
+            raise JSCompileError(
+                "map function contains no emit() call — a view with "
+                "no emits indexes nothing"
+            )
+
+    def __call__(self, doc: dict, emit) -> None:
+        for guards, key_ast, value_ast in self._emits:
+            if all(_cond_eval(g, doc) for g in guards):
+                emit(
+                    _de_undef(_ev(key_ast, doc)),
+                    _de_undef(_ev(value_ast, doc)),
+                )
+
+    def __repr__(self) -> str:
+        return f"JSMapFunction({self.source!r})"
+
+
+def compile_js_map_fn(source: str) -> JSMapFunction:
+    """JS map source → interpreted Python map fn (raw-source target)."""
+    return JSMapFunction(source)

@@ -150,3 +150,84 @@ def test_raw_incremental_with_delete(raw_env, spark, tmp_path):
     n_del = eng.query("d/by_type", key="comment", reduce=False,
                       update=False)
     assert all(r["id"] != "doc-0006" for r in n_del.rows())
+
+
+def test_raw_js_ddoc(raw_env):
+    """A real PouchDB switchover: JS design doc + raw export.  The JS
+    source compiles to an interpreted map fn (dynamic field types)
+    with JS semantics — guards, strict equality, multi-emit."""
+    eng, _, rows = raw_env
+    js = """
+    function (doc) {
+      if (doc.type === 'post' && doc.score >= 3) {
+        emit([doc.type, doc.score], 1);
+      }
+      if (doc.type !== 'post') { emit(['other', doc.score], doc.score); }
+    }
+    """
+    res = eng.query({"map": ("userdocs", js), "reduce": "_sum"},
+                    group_level=1)
+    got = {r["key"][0]: r["value"] for r in res.rows()}
+    exp = {}
+    for r in rows:
+        b = json.loads(r["doc_json"])
+        if b["type"] == "post" and b["score"] >= 3:
+            exp["post"] = exp.get("post", 0) + 1
+        if b["type"] != "post":
+            exp["other"] = exp.get("other", 0) + b["score"]
+    assert got == pytest.approx(exp)
+
+
+def test_raw_js_semantics_corners(spark, tmp_path):
+    """JS-fidelity corners the typed compiler can't express: absent
+    fields are undefined (falsy, !== anything), null !== 'x' is true,
+    undefined key emits as null, undefined object members drop."""
+    from mapreduce_spark.sources.docs import (
+        TABLES, raw_doc_table, register_table,
+    )
+
+    register_table(raw_doc_table("jsraw"))
+    try:
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        docs = [
+            {"_id": "a", "body": {"kind": "x", "n": 1}},
+            {"_id": "b", "body": {"kind": None, "n": 0}},
+            {"_id": "c", "body": {"n": 2}},  # kind absent → undefined
+        ]
+        rows = [
+            {"_id": d["_id"], "_rev": "1-r", "_deleted": False,
+             "seq": i + 1,
+             "doc_json": json.dumps({"_id": d["_id"], **d["body"]})}
+            for i, d in enumerate(docs)
+        ]
+        spark.createDataFrame(
+            rows,
+            "_id string,_rev string,_deleted boolean,seq long,"
+            "doc_json string",
+        ).write.parquet(str(sf / "jsraw.parquet"))
+        eng = Engine(spark, str(sf), str(tmp_path / "v"))
+
+        def q(js):
+            return {
+                r["id"]: (r["key"], r["value"])
+                for r in eng.query(
+                    {"map": ("jsraw", js)}, reduce=False
+                ).rows()
+            }
+
+        # null !== 'x' is TRUE in JS (b emits); undefined !== 'x' is
+        # also true (c emits); 'x' !== 'x' false (a doesn't)
+        got = q("function(doc){ if (doc.kind !== 'x') emit(doc._id, 1); }")
+        assert set(got) == {"b", "c"}
+        # truthiness: null/undefined/0 falsy → only a has truthy n? no:
+        # a.n=1 truthy, b.n=0 falsy, c.n=2 truthy; kind truthy only on a
+        got = q("function(doc){ if (doc.n) emit(doc._id, doc.n); }")
+        assert set(got) == {"a", "c"}
+        # undefined key → null; undefined object member dropped
+        got = q("function(doc){ emit(doc.kind, {k: doc.kind, n: doc.n}); }")
+        assert got["c"][0] is None
+        assert got["c"][1] == {"n": 2.0}
+        assert got["b"][1] == {"k": None, "n": 0.0}
+    finally:
+        TABLES.pop("jsraw", None)
