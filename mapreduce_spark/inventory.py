@@ -602,13 +602,54 @@ class Inventory:
             out = out.unionByName(o)
         return out
 
+    def q31(self):
+        """Raw CouchDB-style source + JS design doc, end to end: the
+        documents table re-materialized as a raw (_id, seq, doc_json)
+        export, registered via register_table(raw_doc_table(…)),
+        queried through an INTERPRETED JS map fn (dynamic field
+        types), grouped _sum — the full PouchDB-switchover path under
+        the driver's value-hash check."""
+        import tempfile
+
+        from mapreduce_spark.sources.docs import (
+            raw_doc_table,
+            register_table,
+        )
+
+        raw = self.spark.read.parquet(
+            f"{self.sf_dir}/documents.parquet"
+        ).select(
+            F.format_string("documents:%06d", "doc_id").alias("_id"),
+            F.col("doc_id").cast("long").alias("seq"),
+            F.to_json(
+                F.struct(
+                    F.format_string("documents:%06d", "doc_id")
+                    .alias("_id"),
+                    F.col("lang"),
+                    F.col("n_chars").cast("double").alias("n_chars"),
+                )
+            ).alias("doc_json"),
+        )
+        sf2 = tempfile.mkdtemp(prefix="rawsf-")
+        raw.write.mode("overwrite").parquet(f"{sf2}/rawdocs.parquet")
+        register_table(raw_doc_table("rawdocs"))
+        eng = Engine(self.spark, sf2, tempfile.mkdtemp(prefix="rawv-"))
+        js = ("function(doc){ if (doc.lang !== 'en') "
+              "{ emit(doc.lang, doc.n_chars); } }")
+        res = eng.query({"map": ("rawdocs", js), "reduce": "_sum"},
+                        group=True)
+        return res.df.select(
+            _j("$").alias("lang"),
+            F.col("value_num").alias("sum_chars"),
+        )
+
     def all_queries(self) -> dict[str, callable]:
         return {
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
                 "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 "
-                "q26 q27 q28 q29 q30"
+                "q26 q27 q28 q29 q30 q31"
             ).split()
         }
 
@@ -630,7 +671,7 @@ QUERIES = {
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
         "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
-        "q30"
+        "q30 q31"
     ).split()
 }
 
@@ -840,6 +881,10 @@ ORACLE_SQL: dict[str, str] = {
         "AND id >= 'customer:000750')) "
         "AND (k < 'HOUSEHOLD' OR (k = 'HOUSEHOLD' "
         "AND id <= 'customer:000400'))"
+    ),
+    "q31": (
+        "SELECT lang, sum(n_chars::DOUBLE) AS sum_chars "
+        "FROM documents WHERE lang <> 'en' GROUP BY 1"
     ),
     "q30": (
         "SELECT 0::BIGINT AS q_ord, NULL::VARCHAR AS id, "
