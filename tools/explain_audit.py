@@ -48,6 +48,17 @@ def main() -> None:
     show("q12 include_docs limit=50 (semi-join prune)", inv.q12())
 
     show("q28 JS-compiled view (guards pushed to scan)", inv.q28())
+    show("q29 docid boundaries (coarse key_enc bounds pushed, "
+         "docid tie-break residual)", inv.q29())
+
+    # sorted=false: no Sort/TakeOrdered node in the map-query plan
+    eng.update_view("bench/mktsegment")
+    show(
+        "sorted=false map scan (no Sort/TakeOrdered)",
+        eng.query("bench/mktsegment", stale="ok",
+                  startkey="BUILDING", endkey="HOUSEHOLD",
+                  sorted=False).df,
+    )
 
     from mapreduce_spark.extensions import dedup, similarity
 
