@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_spark.extensions import dedup, multimodal, similarity, text
+from mapreduce_spark.extensions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
 JACCARD_T = 0.5
 COSINE_T = 0.4
@@ -183,7 +189,35 @@ def x_mm_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_audio_features(media)
 
 
+SAMPLE_N = 25
+PACK_BUDGET = 2048
+
+
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (md5-ranked top-N)."""
+    out = sampling.stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_N,
+        stratum_col="lang", id_col="doc_id",
+    )
+    return out.select("doc_id", "lang")
+
+
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing coordinates at a 2048-token budget."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    out = sampling.pack_sequences(
+        d, PACK_BUDGET, token_col="n_tok",
+        stratum_col="lang", id_col="doc_id",
+    )
+    return out.select("doc_id", "lang", "n_tok", "bin", "off")
+
+
 EXT_QUERIES = {
+    "x_sample_stratified": x_sample_stratified,
+    "x_pack_sequences": x_pack_sequences,
     "x_text_stats": x_text_stats,
     "x_text_langid": x_text_langid,
     "x_text_fp": x_text_fp,
@@ -268,6 +302,25 @@ SELECT doc_id, {fold_hi} AS sim_hi, {fold_lo} AS sim_lo FROM s
 
 
 EXT_ORACLE_SQL = {
+    "x_sample_stratified": f"""
+WITH r AS (SELECT doc_id, lang,
+  row_number() OVER (PARTITION BY lang
+    ORDER BY md5(doc_id::VARCHAR || ':'), doc_id) rk
+  FROM documents)
+SELECT doc_id, lang FROM r WHERE rk <= {SAMPLE_N}
+""",
+    "x_pack_sequences": f"""
+WITH t AS (SELECT doc_id, lang,
+  len(string_split(text,' '))::BIGINT n_tok FROM documents),
+r AS (SELECT t.*, sum(n_tok) OVER (PARTITION BY lang
+    ORDER BY md5(doc_id::VARCHAR || ':'), doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+  FROM t)
+SELECT doc_id, lang, n_tok,
+  (start // {PACK_BUDGET})::BIGINT AS bin,
+  (start % {PACK_BUDGET})::BIGINT AS off
+FROM r
+""",
     "x_text_stats": f"""
 WITH t AS (SELECT doc_id, text, string_split(text,' ') w FROM documents)
 SELECT doc_id,

@@ -348,3 +348,46 @@ def test_decode_stubs_raise():
     except ImportError:
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x89PNG")
+
+
+def test_stratified_sample_deterministic_and_capped(spark, sf_dir):
+    from mapreduce_spark.extensions import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = sampling.stratified_sample(docs, 10, stratum_col="lang")
+    s2 = sampling.stratified_sample(docs, 10, stratum_col="lang")
+    r1 = sorted((r["doc_id"], r["lang"]) for r in s1.collect())
+    assert r1 == sorted((r["doc_id"], r["lang"]) for r in s2.collect())
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert got == {k: min(10, v) for k, v in sizes.items()}
+    # a different salt draws a different (still capped) sample
+    s3 = sampling.stratified_sample(docs, 10, stratum_col="lang",
+                                    salt="v2")
+    assert r1 != sorted((r["doc_id"], r["lang"]) for r in s3.collect())
+
+
+def test_pack_sequences_stream_invariants(spark, sf_dir):
+    """off ∈ [0, budget); within a stratum the (bin, off) coordinates
+    reconstruct one gapless concatenated token stream."""
+    from mapreduce_spark.extensions import sampling
+
+    budget = 256
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    out = sampling.pack_sequences(docs, budget, token_col="n_tok")
+    rows = out.collect()
+    assert all(0 <= r["off"] < budget for r in rows)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bin"] * budget + r["off"])
+        pos = 0
+        for r in rs:
+            assert r["bin"] * budget + r["off"] == pos, lang
+            pos += r["n_tok"]
