@@ -151,7 +151,8 @@ def main() -> None:
 
         for name in (
             "x_text_stats x_dedup_exact x_dedup_minhash x_dedup_simhash "
-            "x_dedup_embedding x_sim_topk x_sim_ivf x_mm_features"
+            "x_dedup_embedding x_sim_topk x_sim_ivf x_mm_features "
+            "x_pack_sequences"
         ).split():
             samples = []
             for _ in range(runs):

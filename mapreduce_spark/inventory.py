@@ -576,6 +576,16 @@ class Inventory:
                 group=True,
             ),
         )
+        attempt(
+            "bad_update_mode",
+            lambda: eng.query(VIEW_DEFS["mktsegment"],
+                              update="eventually"),
+        )
+        attempt(
+            "docid_not_string",
+            lambda: eng.query(VIEW_DEFS["mktsegment"],
+                              startkey="A", startkey_docid=7),
+        )
         attempt("missing_view", lambda: eng.query("nosuch/view"))
         return self.spark.createDataFrame(
             out, "check_name string, error string"
@@ -887,6 +897,8 @@ ORACLE_SQL: dict[str, str] = {
         "('keys_with_group_level', 'QueryParseError'), "
         "('keys_reduce_without_group', 'QueryParseError'), "
         "('bad_builtin', 'BuiltInError'), "
+        "('bad_update_mode', 'QueryParseError'), "
+        "('docid_not_string', 'QueryParseError'), "
         "('missing_view', 'NotFoundError')"
         ") t(check_name, error)"
     ),
