@@ -566,7 +566,10 @@ class Engine:
                 }
             self.registry.set_view(sig, entry)
             if len(entry["layers"]) >= self.compact_after:
-                self._compact(sig, entry)
+                if entry.get("manifest") is not None:
+                    self._compact_scoped_locked(sig, entry)
+                else:
+                    self._compact(sig, entry)
 
     def _write_sorted(self, view: DataFrame, path: str) -> dict:
         """Persist a view sorted+range-partitioned by key_enc so Parquet
@@ -673,69 +676,78 @@ class Engine:
                 self._init_manifest(sig, entry, vdir)
             if not entry["layers"]:
                 return {"affected": 0, "kept": len(entry["manifest"])}
+            return self._compact_scoped_locked(sig, entry)
 
-            files = {
-                rel: os.path.join(vdir, rel) for rel in entry["manifest"]
-            }
-            sidecar = self.spark.read.schema("id string, file string") \
-                .parquet(os.path.join(vdir, entry["sidecar"]))
-            tombs = None
-            for l in entry["layers"]:
-                t = self.spark.read.schema("id string").parquet(
-                    os.path.join(vdir, l["tomb"])
-                )
-                tombs = t if tombs is None else tombs.unionByName(t)
-            tombs = tombs.distinct()
-            affected_rel = [
-                r.file
-                for r in sidecar.join(
-                    F.broadcast(tombs), "id", "left_semi"
-                ).select("file").distinct().collect()
-            ]
-            affected = [files[rel] for rel in affected_rel if rel in files]
-            kept = [rel for rel in entry["manifest"]
-                    if rel not in set(affected_rel)]
-
-            # fold: (affected-file rows ⊖ all tombs) ⊕ assembled deltas
-            read_view = self.spark.read.schema(VIEW_SCHEMA).parquet
-            pieces = []
-            if affected:
-                pieces.append(
-                    read_view(*affected).join(
-                        F.broadcast(tombs), "id", "left_anti"
-                    )
-                )
-            pieces.append(self._assemble_deltas(entry, vdir))
-            folded = pieces[0]
-            for p in pieces[1:]:
-                folded = folded.unionByName(p)
-
-            newv = entry["base_version"] + 1
-            part_rel = f"part-{newv}"
-            part_dir = os.path.join(vdir, part_rel)
-            self._write_sorted(folded, part_dir)
-            part_files = [
-                f"{part_rel}/{f}" for f in sorted(os.listdir(part_dir))
-                if f.endswith(".parquet")
-            ]
-            side_rel = f"sidecar-{newv}"
-            self._write_sidecar(
-                sig, vdir, part_files, side_rel,
-                carry_from=(entry["sidecar"], affected_rel),
+    def _compact_scoped_locked(self, sig: str, entry: dict) -> dict:
+        """Scoped-compaction body; caller holds the view lock, the
+        entry is in manifest mode with at least one layer.  Also the
+        auto-compaction target when a manifest-mode view crosses
+        ``compact_after`` during ``update_view`` — once a view opts
+        into scoped compaction, maintenance keeps it scoped instead of
+        silently reverting to the O(view) full rewrite."""
+        vdir = self.registry.view_dir(sig)
+        files = {
+            rel: os.path.join(vdir, rel) for rel in entry["manifest"]
+        }
+        sidecar = self.spark.read.schema("id string, file string") \
+            .parquet(os.path.join(vdir, entry["sidecar"]))
+        tombs = None
+        for l in entry["layers"]:
+            t = self.spark.read.schema("id string").parquet(
+                os.path.join(vdir, l["tomb"])
             )
+            tombs = t if tombs is None else tombs.unionByName(t)
+        tombs = tombs.distinct()
+        affected_rel = [
+            r.file
+            for r in sidecar.join(
+                F.broadcast(tombs), "id", "left_semi"
+            ).select("file").distinct().collect()
+        ]
+        affected = [files[rel] for rel in affected_rel if rel in files]
+        kept = [rel for rel in entry["manifest"]
+                if rel not in set(affected_rel)]
 
-            garbage = affected_rel + [
-                p for l in entry["layers"] for p in (l["delta"], l["tomb"])
-            ] + [entry["sidecar"]]
-            entry.update(
-                manifest=kept + part_files,
-                sidecar=side_rel,
-                base_version=newv,
-                layers=[],
+        # fold: (affected-file rows ⊖ all tombs) ⊕ assembled deltas
+        read_view = self.spark.read.schema(VIEW_SCHEMA).parquet
+        pieces = []
+        if affected:
+            pieces.append(
+                read_view(*affected).join(
+                    F.broadcast(tombs), "id", "left_anti"
+                )
             )
-            entry["garbage"] = entry.get("garbage", []) + garbage
-            self.registry.set_view(sig, entry)
-            return {"affected": len(affected_rel), "kept": len(kept)}
+        pieces.append(self._assemble_deltas(entry, vdir))
+        folded = pieces[0]
+        for p in pieces[1:]:
+            folded = folded.unionByName(p)
+
+        newv = entry["base_version"] + 1
+        part_rel = f"part-{newv}"
+        part_dir = os.path.join(vdir, part_rel)
+        self._write_sorted(folded, part_dir)
+        part_files = [
+            f"{part_rel}/{f}" for f in sorted(os.listdir(part_dir))
+            if f.endswith(".parquet")
+        ]
+        side_rel = f"sidecar-{newv}"
+        self._write_sidecar(
+            sig, vdir, part_files, side_rel,
+            carry_from=(entry["sidecar"], affected_rel),
+        )
+
+        garbage = affected_rel + [
+            p for l in entry["layers"] for p in (l["delta"], l["tomb"])
+        ] + [entry["sidecar"]]
+        entry.update(
+            manifest=kept + part_files,
+            sidecar=side_rel,
+            base_version=newv,
+            layers=[],
+        )
+        entry["garbage"] = entry.get("garbage", []) + garbage
+        self.registry.set_view(sig, entry)
+        return {"affected": len(affected_rel), "kept": len(kept)}
 
     def _init_manifest(self, sig: str, entry: dict, vdir: str) -> None:
         """Promote a monolithic base to manifest form: list its files

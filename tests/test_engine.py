@@ -736,3 +736,50 @@ def test_query_batch_validates_all_first(engine, monkeypatch):
     )
     with pytest.raises(QueryParseError):
         engine.query_batch("d/seg", [{"limit": 3}, {"skip": "bogus"}])
+
+
+def test_auto_compaction_stays_scoped_in_manifest_mode(
+    spark, sf_dir, tmp_path
+):
+    """Once a view opts into scoped compaction, crossing compact_after
+    during update_view triggers the SCOPED fold (manifest spliced,
+    layers cleared) — not a silent revert to the O(view) full
+    rewrite."""
+    eng = Engine(spark, sf_dir, str(tmp_path), compact_after=2)
+    spec = {"map": MapSpec("orders", ("num", "o_orderkey"),
+                           ("num", "o_totalprice")),
+            "reduce": "_sum"}
+    eng.put_design("d", {"v": spec})
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = raw.agg(F.max("o_orderkey")).collect()[0][0]
+    q = hi // 4 + 1
+    parts = [raw.filter((F.col("o_orderkey") >= i * q)
+                        & (F.col("o_orderkey") < (i + 1) * q))
+             for i in range(4)]
+    eng.update_view("d/v", changes=parts[0])
+    eng.compact_scoped("d/v")  # opt in (manifest mode, 0 layers)
+    sig = eng.registry.resolve("d", "v")
+    v0 = eng.registry.get_view(sig)["base_version"]
+    base_files = [r for r in eng.registry.get_view(sig)["manifest"]]
+
+    # two more refreshes cross compact_after=2 → auto fold, scoped
+    eng.update_view("d/v", changes=parts[1])
+    eng.update_view("d/v", changes=parts[2])
+    entry = eng.registry.get_view(sig)
+    assert entry["manifest"] is not None  # still manifest mode
+    assert not entry["layers"]  # folded
+    assert entry["base_version"] > v0
+    # append-only folds: every original base file carried over
+    assert set(base_files) <= set(entry["manifest"])
+
+    eng.update_view("d/v", changes=parts[3])
+    got = sorted(
+        (r["key"], round(r["value"], 6))
+        for r in eng.query("d/v", group=True, stale="ok").rows()
+    )
+    ref = Engine(spark, sf_dir, str(tmp_path / "ref"))
+    want = sorted(
+        (r["key"], round(r["value"], 6))
+        for r in ref.query(spec, group=True).rows()
+    )
+    assert got == want
