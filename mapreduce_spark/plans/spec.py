@@ -77,6 +77,12 @@ class QueryOptions:
     # performance escape hatch.  Grouped reduces ignore it (grouping
     # defines the order); keys= ignores it (request order is semantic).
     sorted: bool = True
+    # CouchDB `stable`: whether the response may only come from a
+    # stable (fully committed) view snapshot.  This engine's reads are
+    # ALWAYS stable — the LSM assemble sees exactly the registry's
+    # committed base+layers (atomic JSON rename) — so the option is
+    # accepted for API parity and validated, never changes behavior.
+    stable: bool | None = None
     update_seq: bool = False
 
     def validated(self, *, has_reduce: bool) -> "QueryOptions":
@@ -134,6 +140,10 @@ class QueryOptions:
                 raise QueryParseError(f"`{nm}` must be a string")
         if o.stale not in (None, "ok", "update_after"):
             raise QueryParseError(f"Invalid value for stale: {o.stale!r}")
+        if o.stable not in (None, True, False):
+            raise QueryParseError(
+                f"Invalid value for stable: {o.stable!r}"
+            )
         if o.update is not UNSET:
             if o.update is True:
                 o.stale = None

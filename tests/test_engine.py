@@ -783,3 +783,17 @@ def test_auto_compaction_stays_scoped_in_manifest_mode(
         for r in ref.query(spec, group=True).rows()
     )
     assert got == want
+
+
+def test_stable_param_accepted_and_validated(engine):
+    """CouchDB `stable` parity: reads here are always stable (atomic
+    registry snapshots), so the option validates but never changes
+    results."""
+    from mapreduce_spark.errors import QueryParseError
+
+    a = _seg_ids(engine.query(SEG_VIEW, stable=True))
+    b = _seg_ids(engine.query(SEG_VIEW, stable=False))
+    c = _seg_ids(engine.query(SEG_VIEW))
+    assert a == b == c
+    with pytest.raises(QueryParseError):
+        engine.query(SEG_VIEW, stable="maybe")
