@@ -8,7 +8,6 @@ incremental maintenance including deletion tombstones."""
 import json
 
 import pytest
-from pyspark.sql import functions as F
 
 from mapreduce_spark.engine import Engine
 from mapreduce_spark.operators.mapphase import MapSpec
