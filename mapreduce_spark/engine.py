@@ -378,6 +378,23 @@ class Engine:
             )
         return res
 
+    def explain(self, fun: Any, *, mode: str = "formatted",
+                doc_tables: list[str] | None = None,
+                **opts: Any) -> str:
+        """The physical plan of a query, without executing it.
+
+        Spark-first observability parity with ``EXPLAIN``: lets users
+        verify the properties this engine promises — range predicates
+        reaching the parquet scan as PushedFilters, broadcast
+        semi-join doc fetches, partial aggregation below the exchange
+        — for THEIR view and options.  ``mode``: 'simple' |
+        'extended' | 'codegen' | 'cost' | 'formatted'."""
+        opts.setdefault("stale", "ok")  # observational: never refresh
+        res = self.query(fun, doc_tables=doc_tables, **opts)
+        jvm = self.spark.sparkContext._jvm
+        return jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
+            .explainString(res.df._jdf.queryExecution(), mode)
+
     def _resolve(self, fun: Any) -> tuple[ViewDef, bool]:
         if isinstance(fun, str):
             ddoc, _, view = fun.partition("/")

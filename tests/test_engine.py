@@ -797,3 +797,16 @@ def test_stable_param_accepted_and_validated(engine):
     assert a == b == c
     with pytest.raises(QueryParseError):
         engine.query(SEG_VIEW, stable="maybe")
+
+
+def test_explain_surfaces_pushdown(engine):
+    """Engine.explain returns the physical plan without executing;
+    the range bound is visible as a pushed parquet filter."""
+    engine.put_design("d", {"seg": SEG_VIEW})
+    engine.update_view("d/seg")
+    plan = engine.explain("d/seg", startkey="BUILDING",
+                          endkey="HOUSEHOLD")
+    assert "PushedFilters" in plan and "key_enc" in plan
+    # temp views work too, any mode
+    p2 = engine.explain(SEG_VIEW, key="BUILDING", mode="simple")
+    assert "Physical Plan" in p2 or "Scan" in p2
