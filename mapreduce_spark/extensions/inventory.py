@@ -215,7 +215,36 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tok", "bin", "off")
 
 
+PIPE_N = 15
+PIPE_BUDGET = 512
+
+
+def x_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining prep, one composed lazy plan:
+    exact-dedup → keep canonical docs → stratified sample (15/lang) →
+    packing coordinates at a 512-token budget.  TWO hash exchanges
+    total in the executed plan: the content-digest groupBy, and ONE
+    lang exchange shared by the sampler's and packer's windows
+    (identical partitioning → Catalyst reuses it); the survivors
+    join goes broadcast under AQE."""
+    docs = _docs(spark, sf_dir)
+    d = dedup.exact_dedup(docs)
+    keep = docs.join(
+        d.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    samp = sampling.stratified_sample(keep, PIPE_N, stratum_col="lang")
+    toks = samp.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    out = sampling.pack_sequences(
+        toks, PIPE_BUDGET, token_col="n_tok"
+    )
+    return out.select("doc_id", "lang", "n_tok", "bin", "off")
+
+
 EXT_QUERIES = {
+    "x_pipeline": x_pipeline,
     "x_sample_stratified": x_sample_stratified,
     "x_pack_sequences": x_pack_sequences,
     "x_text_stats": x_text_stats,
@@ -302,6 +331,28 @@ SELECT doc_id, {fold_hi} AS sim_hi, {fold_lo} AS sim_lo FROM s
 
 
 EXT_ORACLE_SQL = {
+    "x_pipeline": f"""
+WITH k AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM documents) WHERE doc_id = canon),
+s AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT k.*, row_number() OVER (PARTITION BY lang
+      ORDER BY md5(doc_id::VARCHAR || ':'), doc_id) rk FROM k)
+  WHERE rk <= {PIPE_N}),
+t AS (SELECT doc_id, lang,
+  len(string_split(text,' '))::BIGINT n_tok FROM s),
+r AS (SELECT t.*, sum(n_tok) OVER (PARTITION BY lang
+    ORDER BY md5(doc_id::VARCHAR || ':'), doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+  FROM t)
+SELECT doc_id, lang, n_tok,
+  (start // {PIPE_BUDGET})::BIGINT AS bin,
+  (start % {PIPE_BUDGET})::BIGINT AS off
+FROM r
+""",
     "x_sample_stratified": f"""
 WITH r AS (SELECT doc_id, lang,
   row_number() OVER (PARTITION BY lang
