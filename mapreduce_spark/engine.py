@@ -395,6 +395,54 @@ class Engine:
         return jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
             .explainString(res.df._jdf.queryExecution(), mode)
 
+    def info(self, view_name: str) -> dict:
+        """View-index metadata (CouchDB ``GET _design/…/_info``
+        ``view_index`` shape): signature, update_seq, sizes, layer
+        depth.  Answers purely from the registry + a directory walk —
+        zero Spark jobs."""
+        vdef, _ = self._resolve(view_name)
+        entry = self.registry.get_view(vdef.sig)
+        built = entry is not None and (
+            entry["base"] is not None or entry["layers"]
+        )
+        file_bytes = 0
+        if built:
+            vdir = self.registry.view_dir(vdef.sig)
+            for root, _dirs, files in os.walk(vdir):
+                for f in files:
+                    try:
+                        file_bytes += os.path.getsize(
+                            os.path.join(root, f)
+                        )
+                    except OSError:
+                        pass
+        stats = (entry or {}).get("stats") or {}
+        return {
+            "signature": vdef.sig,
+            # ddoc language: interpreted-JS views report javascript;
+            # structured MapSpec views report "query" (the Mango-style
+            # declarative class; compiled-from-JS ones land here too);
+            # Python callables report python
+            "language": (
+                "javascript" if "JSMapFunction" in repr(vdef.map_def)
+                else "query" if isinstance(
+                    vdef.map_def, (MapSpec, list)
+                )
+                else "python"
+            ),
+            "update_seq": entry["last_seq"] if entry else 0,
+            "sizes": {
+                "file": file_bytes,
+                "active": stats.get("rows", 0) if built else 0,
+            },
+            "updater_running": False,  # update_view is synchronous
+            "compact_running": False,
+            "layer_count": len(entry["layers"]) if entry else 0,
+            "compacted_version": (
+                entry["base_version"] if entry else 0
+            ),
+        }
+
     def _resolve(self, fun: Any) -> tuple[ViewDef, bool]:
         if isinstance(fun, str):
             ddoc, _, view = fun.partition("/")

@@ -810,3 +810,22 @@ def test_explain_surfaces_pushdown(engine):
     # temp views work too, any mode
     p2 = engine.explain(SEG_VIEW, key="BUILDING", mode="simple")
     assert "Physical Plan" in p2 or "Scan" in p2
+
+
+def test_info_metadata_zero_jobs(spark, sf_dir, tmp_path):
+    """info() answers from registry + disk walk — no Spark jobs."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    eng.put_design("d", {"seg": SEG_VIEW})
+    # unbuilt: zero sizes
+    i0 = eng.info("d/seg")
+    assert i0["sizes"] == {"file": 0, "active": 0}
+    eng.update_view("d/seg")
+    info, jobs = _jobs_run(spark, lambda: eng.info("d/seg"))
+    assert jobs == 0
+    assert info["language"] == "query"
+    assert info["update_seq"] > 0
+    assert info["sizes"]["file"] > 0
+    assert info["sizes"]["active"] == spark.read.parquet(
+        f"{sf_dir}/customer.parquet"
+    ).count()
+    assert info["layer_count"] == 0 and not info["updater_running"]
