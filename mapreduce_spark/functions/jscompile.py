@@ -588,10 +588,17 @@ def _cond_eval(ast: Any, doc: dict) -> bool:
 
 
 def _de_undef(v: Any) -> Any:
-    """JSON.stringify boundary: undefined → null as a scalar and inside
-    arrays; object members holding undefined are DROPPED."""
+    """Emit boundary: undefined → null as a scalar and inside arrays;
+    object members holding undefined are DROPPED (JSON.stringify
+    semantics).  Numbers widen to float — JS numbers are doubles, and
+    this keeps a ddoc's view identical whether it ran the interpreted
+    or the MapSpec-compiled path (which casts to double JVM-side)."""
     if v is _UNDEF:
         return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return float(v)
     if isinstance(v, list):
         return [_de_undef(x) for x in v]
     if isinstance(v, dict):

@@ -205,6 +205,18 @@ def test_js_compile_property_matches_python_semantics(spark, sf_dir,
             for r in eng.query(("nation", js), reduce=False).rows()
         )
         assert got == want, f"case {i}: {js}"
+        # triangulate: the raw-source INTERPRETER must agree with the
+        # compiled path on the same JS over the same doc dicts (no
+        # nulls in nation, so the subset semantics coincide)
+        from mapreduce_spark.functions.jscompile import compile_js_map_fn
+
+        got_interp = sorted(
+            (r["id"], str(r["key"]), str(r["value"]))
+            for r in eng.query(
+                ("nation", compile_js_map_fn(js)), reduce=False
+            ).rows()
+        )
+        assert got_interp == want, f"interp case {i}: {js}"
 
 
 def test_js_view_persists_and_truthiness_guard(spark, sf_dir, tmp_path):
