@@ -96,7 +96,16 @@ class QueryOptions:
                 )
         if o.limit is not None:
             o.limit = _coerce_integer(o.limit, "limit")
+            if o.limit < 0:
+                # CouchDB: negative limit is a query_parse_error
+                raise QueryParseError(
+                    f"Invalid value for positive integer: {o.limit!r}"
+                )
         o.skip = _coerce_integer(o.skip or 0, "skip")
+        if o.skip < 0:
+            raise QueryParseError(
+                f"Invalid value for positive integer: {o.skip!r}"
+            )
 
         will_reduce = has_reduce if o.reduce is None else (
             o.reduce and has_reduce

@@ -829,3 +829,16 @@ def test_info_metadata_zero_jobs(spark, sf_dir, tmp_path):
         f"{sf_dir}/customer.parquet"
     ).count()
     assert info["layer_count"] == 0 and not info["updater_running"]
+
+
+def test_limit_zero_and_negative_pagination(engine):
+    """limit=0 returns no rows but a full envelope (CouchDB allows
+    it); negative skip/limit are query_parse_errors, not leaked Spark
+    AnalysisExceptions."""
+    from mapreduce_spark.errors import QueryParseError
+
+    res = engine.query(SEG_VIEW, limit=0)
+    assert res.rows() == [] and res.total_rows > 0
+    for bad in ({"skip": -5}, {"limit": -1}):
+        with pytest.raises(QueryParseError):
+            engine.query(SEG_VIEW, **bad)
