@@ -62,6 +62,45 @@ def signature(map_def: Any, reduce_def: Any) -> str:
     return hashlib.md5(definition_repr(map_def, reduce_def).encode()).hexdigest()
 
 
+try:  # POSIX advisory locks; absent on some platforms → in-process only
+    import fcntl as _fcntl
+except ImportError:  # pragma: no cover
+    _fcntl = None
+
+
+class _ViewLock:
+    """Context manager: in-process mutex + cross-process flock."""
+
+    def __init__(self, tlock: threading.Lock, path: str) -> None:
+        self._t = tlock
+        self._path = path
+        self._fh = None
+
+    def __enter__(self) -> "_ViewLock":
+        self._t.acquire()
+        if _fcntl is not None:
+            try:
+                os.makedirs(os.path.dirname(self._path), exist_ok=True)
+                self._fh = open(self._path, "a+")
+                _fcntl.flock(self._fh, _fcntl.LOCK_EX)
+            except OSError:
+                if self._fh is not None:
+                    self._fh.close()
+                    self._fh = None
+                self._t.release()
+                raise
+        return self
+
+    def __exit__(self, *exc) -> None:
+        try:
+            if self._fh is not None:
+                _fcntl.flock(self._fh, _fcntl.LOCK_UN)
+                self._fh.close()
+                self._fh = None
+        finally:
+            self._t.release()
+
+
 class Registry:
     """Driver-side view catalog persisted as JSON (atomic rename)."""
 
@@ -94,10 +133,20 @@ class Registry:
             self._write(state)
             return state
 
-    def view_lock(self, sig: str) -> threading.Lock:
-        """Per-view build serialization (upstream TaskQueue parity)."""
+    def view_lock(self, sig: str) -> "_ViewLock":
+        """Per-view build serialization (upstream TaskQueue parity).
+
+        Two layers: an in-process mutex (threads of one driver), plus
+        an OS advisory file lock (``<storage>/locks/<sig>.lock``) so
+        SEVERAL drivers sharing one view store — notebook users against
+        a common warehouse — serialize builds too.  Registry state was
+        already multi-process-safe (atomic rename); this closes the
+        build-work race.  Non-reentrant, like the mutex it wraps."""
         with self._lock:
-            return self._view_locks.setdefault(sig, threading.Lock())
+            t = self._view_locks.setdefault(sig, threading.Lock())
+        return _ViewLock(
+            t, os.path.join(self.storage_dir, "locks", f"{sig}.lock")
+        )
 
     # -- designs -------------------------------------------------------
 

@@ -842,3 +842,40 @@ def test_limit_zero_and_negative_pagination(engine):
     for bad in ({"skip": -5}, {"limit": -1}):
         with pytest.raises(QueryParseError):
             engine.query(SEG_VIEW, **bad)
+
+
+def _hold_view_lock(storage, sig, started, release):
+    from mapreduce_spark.plans.registry import Registry
+
+    with Registry(storage).view_lock(sig):
+        started.set()
+        release.wait(30)
+
+
+def test_view_lock_is_cross_process(tmp_path):
+    """Builds serialize across DRIVER PROCESSES sharing one view store
+    (advisory file lock), not just across threads."""
+    import fcntl
+    import multiprocessing as mp
+
+    storage = str(tmp_path / "store")
+    started, release = mp.Event(), mp.Event()
+    p = mp.Process(target=_hold_view_lock,
+                   args=(storage, "sig1", started, release))
+    p.start()
+    try:
+        assert started.wait(15)
+        lockfile = os.path.join(storage, "locks", "sig1.lock")
+        fh = open(lockfile, "a+")
+        with pytest.raises(OSError):  # held by the other process
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        release.set()
+        p.join(15)
+        fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)  # now free
+        fcntl.flock(fh, fcntl.LOCK_UN)
+        fh.close()
+    finally:
+        release.set()
+        p.join(5)
+        if p.is_alive():
+            p.terminate()
