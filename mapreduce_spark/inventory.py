@@ -670,13 +670,26 @@ class Inventory:
             F.col("value_num").alias("sum_chars"),
         )
 
+    def q32(self):
+        """Descending scan whose END boundary is an exact (key, docid)
+        pair excluded by inclusive_end=false — the subtlest docid-
+        refinement case: every row of the boundary key ABOVE the docid
+        stays, the pair itself and everything below it goes."""
+        res = self._q(
+            "mktsegment",
+            startkey="MACHINERY", endkey="FURNITURE",
+            endkey_docid="customer:000500", inclusive_end=False,
+            descending=True,
+        )
+        return res.df.select(F.col("id"), _j("$").alias("k"))
+
     def all_queries(self) -> dict[str, callable]:
         return {
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
                 "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 "
-                "q26 q27 q28 q29 q30 q31"
+                "q26 q27 q28 q29 q30 q31 q32"
             ).split()
         }
 
@@ -698,7 +711,7 @@ QUERIES = {
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
         "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
-        "q30 q31"
+        "q30 q31 q32"
     ).split()
 }
 
@@ -910,6 +923,14 @@ ORACLE_SQL: dict[str, str] = {
         "AND id >= 'customer:000750')) "
         "AND (k < 'HOUSEHOLD' OR (k = 'HOUSEHOLD' "
         "AND id <= 'customer:000400'))"
+    ),
+    "q32": (
+        "SELECT id, k FROM ("
+        "SELECT printf('customer:%06d', c_custkey) AS id, "
+        "c_mktsegment AS k FROM customer) "
+        "WHERE k <= 'MACHINERY' "
+        "AND (k > 'FURNITURE' OR (k = 'FURNITURE' "
+        "AND id > 'customer:000500'))"
     ),
     "q31": (
         "SELECT lang, sum(n_chars::DOUBLE) AS sum_chars "
