@@ -701,6 +701,26 @@ class Engine:
     # partition-scoped compaction (SURVEY §7.3 — M1 at 100 TB)
     # ------------------------------------------------------------------
 
+    def compact(self, view_name_or_sig: str) -> dict:
+        """Full compaction on demand (CouchDB ``POST _compact/<ddoc>``
+        parity): fold base+layers into one fresh sorted base version.
+        On a manifest-mode view this also consolidates the spliced
+        part generations back into a monolithic base (demotion), which
+        is the right move after heavy scoped-compaction churn.
+        Returns {"base_version": new}."""
+        sig = (
+            view_name_or_sig
+            if view_name_or_sig in (self.registry._read()["views"])
+            else self._resolve(view_name_or_sig)[0].sig
+        )
+        with self.registry.view_lock(sig):
+            entry = self.registry.get_view(sig)
+            if entry is None or (entry["base"] is None
+                                 and not entry["layers"]):
+                raise NotFoundError("no_base_to_compact", reason=sig)
+            self._compact(sig, entry)
+            return {"base_version": entry["base_version"]}
+
     def compact_scoped(self, view_name_or_sig: str) -> dict:
         """Compact by rewriting ONLY the base files that hold emits of
         changed docs, instead of the whole view.

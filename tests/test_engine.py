@@ -879,3 +879,27 @@ def test_view_lock_is_cross_process(tmp_path):
         p.join(5)
         if p.is_alive():
             p.terminate()
+
+
+def test_public_compact_demotes_manifest(spark, sf_dir, tmp_path):
+    """compact() (CouchDB _compact parity) folds everything into one
+    fresh monolithic base, demoting a manifest-mode view; results
+    unchanged, vacuum leaves only the new base on disk."""
+    eng = Engine(spark, sf_dir, str(tmp_path), compact_after=99)
+    eng.put_design("d", {"seg": SEG_VIEW})
+    eng.update_view("d/seg")
+    eng.compact_scoped("d/seg")  # manifest mode
+    sig = eng.registry.resolve("d", "seg")
+    assert eng.registry.get_view(sig)["manifest"] is not None
+    before = _seg_ids(eng.query("d/seg", update=False))
+
+    out = eng.compact("d/seg")
+    entry = eng.registry.get_view(sig)
+    assert entry["manifest"] is None and not entry["layers"]
+    assert entry["base_version"] == out["base_version"] > 1
+    eng.vacuum(sig)
+    vdir = eng.registry.view_dir(sig)
+    dirs = [d for d in os.listdir(vdir) if os.path.isdir(
+        os.path.join(vdir, d))]
+    assert dirs == [entry["base"]]
+    assert _seg_ids(eng.query("d/seg", update=False)) == before
