@@ -1,0 +1,133 @@
+"""Quickstart: the PouchDB/CouchDB-user switchover path, end to end.
+
+Run:  python examples/quickstart.py  [sf_dir]
+
+Covers: design docs (MapSpec, Python fn, JS source), the full query
+surface (ranges, docid paging, grouping, batch), a raw CouchDB-style
+export as a source, incremental refresh + compaction, observability
+(explain / info), and a training-data pipeline (dedup → sample → pack).
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mapreduce_spark import Engine, raw_doc_table, register_table
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    eng = Engine(spark, sf_dir, tempfile.mkdtemp(prefix="qs-views-"))
+
+    # -- 1. a design doc: structured, Python, and JS views ------------
+    def by_segment(doc, emit):  # arbitrary Python map fn
+        emit(doc["c_mktsegment"], doc["c_acctbal"])
+
+    eng.put_design("app", {
+        "qty": {  # declarative MapSpec → pure-JVM build
+            "map": MapSpec("lineitem",
+                           [("str", "l_returnflag"),
+                            ("str", "l_linestatus")],
+                           ("num", "l_quantity")),
+            "reduce": "_sum",
+        },
+        "seg": {"map": ("customer", by_segment), "reduce": "_stats"},
+        "big_orders": {  # a CouchDB JS ddoc, compiled to the JVM path
+            "map": ("orders", """
+                function (doc) {
+                  if (doc.o_orderstatus === 'O' &&
+                      doc.o_totalprice > 150000) {
+                    emit(doc.o_orderpriority, doc.o_totalprice);
+                  }
+                }"""),
+            "reduce": "_count",
+        },
+    })
+
+    print("grouped _sum:",
+          eng.query("app/qty", group_level=2).rows()[:2], "…")
+    print("_stats:",
+          eng.query("app/seg", group=True, limit=1).rows())
+    print("JS view:",
+          eng.query("app/big_orders", group=True, limit=2).rows())
+
+    # -- 2. the query surface -----------------------------------------
+    print("range+docid page:", len(eng.query(
+        "app/seg", reduce=False,
+        startkey="BUILDING", startkey_docid="customer:000050",
+        endkey="HOUSEHOLD", limit=10, update=False,
+    ).rows()), "rows")
+    batch = eng.query_batch("app/qty", [
+        {"group": True},
+        {"reduce": False, "limit": 3, "include_docs": True},
+    ])
+    print("batch:", [len(r.rows()) for r in batch])
+
+    # -- 3. a raw CouchDB export as a source --------------------------
+    sf2 = tempfile.mkdtemp(prefix="qs-raw-")
+    register_table(raw_doc_table("mydb"))
+    docs = [
+        {"_id": f"d{i:03d}", "_rev": "1-x", "_deleted": False, "seq": i,
+         "doc_json": json.dumps({"_id": f"d{i:03d}",
+                                 "kind": "a" if i % 2 else "b",
+                                 "n": float(i)})}
+        for i in range(1, 41)
+    ]
+    spark.createDataFrame(
+        docs, "_id string,_rev string,_deleted boolean,seq long,"
+              "doc_json string"
+    ).write.parquet(f"{sf2}/mydb.parquet")
+    raw_eng = Engine(spark, sf2, tempfile.mkdtemp(prefix="qs-rawv-"))
+    raw_eng.put_design("d", {"byk": {
+        # interpreted JS over dynamic doc bodies
+        "map": ("mydb", "function(doc){ emit(doc.kind, doc.n); }"),
+        "reduce": "_sum",
+    }})
+    print("raw+JS:", raw_eng.query("d/byk", group=True).rows())
+
+    # -- 4. maintenance & observability -------------------------------
+    eng.update_view("app/qty")          # incremental (no-op here)
+    print("info:", {k: v for k, v in eng.info("app/qty").items()
+                    if k in ("language", "update_seq", "sizes")})
+    plan = eng.explain("app/seg", reduce=False, key="MACHINERY")
+    print("explain has PushedFilters:", "PushedFilters" in plan)
+    print("compact:", eng.compact("app/qty"))
+
+    # -- 5. training-data pipeline ------------------------------------
+    from mapreduce_spark.extensions import dedup, sampling
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = dedup.exact_dedup(corpus)
+    keep = corpus.join(d.filter(~F.col("is_dup")).select("doc_id"),
+                       "doc_id")
+    samp = sampling.stratified_sample(keep, 10, stratum_col="lang")
+    packed = sampling.pack_sequences(
+        samp.select("doc_id", "lang",
+                    F.size(F.split("text", " ")).cast("long")
+                    .alias("n_tok")),
+        512, token_col="n_tok")
+    print("pipeline:", packed.groupBy("lang")
+          .agg(F.max("bin").alias("bins")).orderBy("lang")
+          .collect())
+
+
+if __name__ == "__main__":
+    main()

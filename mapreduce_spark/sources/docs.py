@@ -285,7 +285,7 @@ def doc_json_frame(d: DataFrame, *, conflicts: bool = False) -> DataFrame:
         # raw CouchDB-style source: the stored body is authoritative
         # and returned verbatim (users keep _id/_rev inside it, the
         # shape every CouchDB export has)
-        return d.select("_id", "doc_json")
+        return _one_doc_per_id(d.select("_id", "doc_json"))
     drop = {"_deleted", "seq"}  # _id stays in the body (CouchDB docs carry it)
     if not conflicts:
         drop.add("_conflicts")
@@ -296,10 +296,26 @@ def doc_json_frame(d: DataFrame, *, conflicts: bool = False) -> DataFrame:
         if c == "_conflicts":
             col = F.when(F.size(col) > 0, col)
         cols.append(col.alias(c))
-    return d.select(
-        F.col("_id"),
-        F.to_json(F.struct(*cols)).alias("doc_json"),
+    return _one_doc_per_id(
+        d.select(
+            F.col("_id"),
+            F.to_json(F.struct(*cols)).alias("doc_json"),
+        )
     )
+
+
+def _one_doc_per_id(d: DataFrame) -> DataFrame:
+    """Collapse duplicate ``_id``s on the doc-fetch side.
+
+    ``_id`` is unique in the CouchDB doc model, but a source table may
+    violate the assumption (the driver's synthetic lineitem duplicates
+    ~20% of its PK pairs).  Without this, an ``include_docs`` join
+    fans out one view row per duplicate body — ``limit=3`` returning
+    4 rows.  Deterministic pick: lexicographic max body.  The
+    aggregation partial-combines map-side and shares its hash
+    partitioning with the join that always follows, so no extra
+    exchange survives in the executed plan."""
+    return d.groupBy("_id").agg(F.max("doc_json").alias("doc_json"))
 
 
 def doc_records(pdf, table) -> list[dict]:

@@ -903,3 +903,13 @@ def test_public_compact_demotes_manifest(spark, sf_dir, tmp_path):
         os.path.join(vdir, d))]
     assert dirs == [entry["base"]]
     assert _seg_ids(eng.query("d/seg", update=False)) == before
+
+
+def test_include_docs_never_fans_out_on_duplicate_source_rows(engine):
+    """_id is unique in the doc model; a source table violating PK
+    uniqueness (the synthetic lineitem duplicates ~20% of its pairs)
+    must not fan out include_docs rows — limit=N returns exactly N."""
+    res = engine.query(VIEW, reduce=False, limit=50, include_docs=True)
+    rows = res.rows()
+    assert len(rows) == 50
+    assert all(r["doc"] is not None for r in rows)
