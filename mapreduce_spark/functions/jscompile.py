@@ -71,9 +71,39 @@ def _tokenize(src: str) -> list[tuple[str, str, int]]:
     return out
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+            "v": "\v", "0": "\0"}
+
+
 def _unquote(tok: str) -> str:
+    """Decode a JS string literal: standard escapes (\\n, \\t, \\r,
+    \\b, \\f, \\v, \\0, \\uXXXX, \\xNN) decode to their characters;
+    any other escaped character (\\\\, \\', \\", \\/ …) is itself."""
     body = tok[1:-1]
-    return re.sub(r"\\(.)", r"\1", body)
+    out: list[str] = []
+    i = 0
+    try:
+        while i < len(body):
+            c = body[i]
+            if c != "\\":
+                out.append(c)
+                i += 1
+                continue
+            e = body[i + 1]  # tokenizer guarantees a char after '\'
+            if e == "u":
+                out.append(chr(int(body[i + 2:i + 6], 16)))
+                i += 6
+            elif e == "x":
+                out.append(chr(int(body[i + 2:i + 4], 16)))
+                i += 4
+            else:
+                out.append(_ESCAPES.get(e, e))
+                i += 2
+    except (ValueError, IndexError):
+        raise JSCompileError(
+            f"malformed escape sequence in string literal {tok}"
+        ) from None
+    return "".join(out)
 
 
 class _Parser:
