@@ -177,13 +177,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if t and t.ns_timestamp_cols:
         # batch reads resolve the footer schema eagerly, so the conf
         # is only needed inside this scope; execution captures it in
-        # the scan's hadoop conf
+        # the scan's hadoop conf.  The conf only rewrites TIMESTAMP(NANOS)
+        # columns — generators that write micros/ntz come through as real
+        # timestamps, so convert adaptively per actual column type.
         with nanos_as_long(spark):
             df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)
         for c in t.ns_timestamp_cols:
-            df = df.withColumn(
-                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))")
-            )
+            if dtypes.get(c) == "bigint":
+                df = df.withColumn(
+                    c,
+                    F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"),
+                )
+            elif dtypes.get(c, "").startswith("timestamp"):
+                # already a (micro) timestamp; normalize ntz → ltz-free
+                # semantics by leaving it as-is (doc space renders ISO
+                # strings from the naive value either way)
+                pass
         return df
     return spark.read.parquet(path)
 
