@@ -202,8 +202,9 @@ class Engine:
         MapSpec(s) so JS views run the structured JVM path."""
         reg_views = {}
         for name, v in views.items():
-            check_reduce(v.get("reduce"))
-            vd = ViewDef(self._normalize_map(v["map"]), v.get("reduce"))
+            red = self._normalize_reduce(v.get("reduce"))
+            check_reduce(red)
+            vd = ViewDef(self._normalize_map(v["map"]), red)
             self._defs[vd.sig] = vd
             reg_views[name] = {"sig": vd.sig}
         self.registry.put_design(ddoc, reg_views)
@@ -229,6 +230,23 @@ class Engine:
             schema = load_table(self.spark, self.sf_dir, table).schema
             return compile_js_map(src, table, schema)
         return m
+
+    def _normalize_reduce(self, r: Any) -> Any:
+        """Compile a JS reduce source string (upstream ddoc parity, F1/
+        A4); pass builtin names / Python callables / None through.
+
+        The common shapes (``sum(values)``, ``values.length``, the
+        rereduce-guarded count) lower to JVM-native builtins; the rest
+        of the subset runs interpreted through the distributed
+        partial/final custom-reduce phases."""
+        from mapreduce_spark.functions.jsreduce import (
+            compile_js_reduce,
+            looks_like_js_reduce,
+        )
+
+        if looks_like_js_reduce(r):
+            return compile_js_reduce(r)
+        return r
 
     def build_views(self, names: list[str],
                     max_parallel: int = 4) -> None:
@@ -458,7 +476,7 @@ class Engine:
         # temporary view (S7): ephemeral, never persisted
         if isinstance(fun, dict):
             return ViewDef(self._normalize_map(fun["map"]),
-                           fun.get("reduce")), False
+                           self._normalize_reduce(fun.get("reduce"))), False
         if isinstance(fun, (MapSpec, list, tuple)):
             return ViewDef(self._normalize_map(fun)), False
         raise QueryParseError(f"cannot resolve view from {fun!r}")

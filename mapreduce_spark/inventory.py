@@ -179,6 +179,39 @@ VIEW_DEFS: dict[str, dict] = {
         ),
         "reduce": "_sum",
     },
+    # full upstream ddoc parity (F1/A4): BOTH members are JS source.
+    # The reduce is the CouchDB-documented rereduce-safe accumulator
+    # shape — outside the builtin-lowering subset, so it runs through
+    # the INTERPRETED path (functions/jsreduce.py) wired into
+    # reduce_custom's true partial/final phases.
+    "js_custom_stats": {
+        "map": (
+            "orders",
+            """
+            function (doc) {
+              if (doc.o_orderstatus !== 'P') {
+                emit([doc.o_orderstatus, doc.o_orderpriority],
+                     doc.o_totalprice);
+              }
+            }
+            """,
+        ),
+        "reduce": """
+            function (keys, values, rereduce) {
+              if (rereduce) {
+                var s = 0;
+                var c = 0;
+                for (var i = 0; i < values.length; i++) {
+                  s += values[i].sum;
+                  c += values[i].count;
+                }
+                return {sum: s, count: c};
+              } else {
+                return {sum: sum(values), count: values.length};
+              }
+            }
+        """,
+    },
 }
 
 
@@ -683,13 +716,30 @@ class Inventory:
         )
         return res.df.select(F.col("id"), _j("$").alias("k"))
 
+    def q33(self):
+        """Full JS design doc (map AND reduce as JS source, F1/A4):
+        the interpreted rereduce-safe ``{sum, count}`` accumulator
+        runs through the distributed partial/final custom-reduce
+        phases; grouped at level 2."""
+        res = self._q("js_custom_stats", group_level=2)
+        vj = F.col("value_json")
+        return res.df.select(
+            _j("$[0]").alias("o_orderstatus"),
+            _j("$[1]").alias("o_orderpriority"),
+            F.round(
+                F.get_json_object(vj, "$.sum").cast("double"), 0
+            ).alias("sum_p"),
+            F.get_json_object(vj, "$.count").cast("double").cast("long")
+            .alias("cnt"),
+        )
+
     def all_queries(self) -> dict[str, callable]:
         return {
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
                 "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 "
-                "q26 q27 q28 q29 q30 q31 q32"
+                "q26 q27 q28 q29 q30 q31 q32 q33"
             ).split()
         }
 
@@ -711,7 +761,7 @@ QUERIES = {
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
         "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
-        "q30 q31 q32"
+        "q30 q31 q32 q33"
     ).split()
 }
 
@@ -958,5 +1008,11 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT 'closed' AS k, 1.0 AS v "
         "FROM orders WHERE o_orderstatus <> 'O') "
         "SELECT k, ROUND(sum(v), 0) AS sum_v FROM rows_ GROUP BY k"
+    ),
+    "q33": (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "ROUND(sum(o_totalprice::DOUBLE), 0) AS sum_p, "
+        "count(*)::BIGINT AS cnt "
+        "FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2"
     ),
 }

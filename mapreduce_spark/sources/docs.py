@@ -182,20 +182,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamps, so convert adaptively per actual column type.
         with nanos_as_long(spark):
             df = spark.read.parquet(path)
-        dtypes = dict(df.dtypes)
-        for c in t.ns_timestamp_cols:
-            if dtypes.get(c) == "bigint":
-                df = df.withColumn(
-                    c,
-                    F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"),
-                )
-            elif dtypes.get(c, "").startswith("timestamp"):
-                # already a (micro) timestamp; normalize ntz → ltz-free
-                # semantics by leaving it as-is (doc space renders ISO
-                # strings from the naive value either way)
-                pass
-        return df
+        return ts_to_micros(df, name)
     return spark.read.parquet(path)
+
+
+def ts_to_micros(df: DataFrame, table: str) -> DataFrame:
+    """Normalize a table's ``ns_timestamp_cols`` to naive microsecond
+    timestamps, whatever the parquet footer presented them as.
+
+    One shared conversion for every read site (``load_table`` batch
+    reads AND ``readStream`` micro-batch sources), adaptive per actual
+    column dtype:
+
+    - ``bigint``        — TIMESTAMP(NANOS) read under ``nanos_as_long``:
+      exact integer ``DIV 1000`` back to micros.
+    - ``timestamp``     — LTZ micros: cast to ``timestamp_ntz`` so doc-
+      space ISO rendering is session-timezone invariant (the engine
+      pins UTC, but library users may not).
+    - ``timestamp_ntz`` — already naive micros; passthrough.
+    - anything else     — a foreign generator wrote an unexpected type;
+      fail loudly rather than let a string/date leak into doc space.
+    """
+    t = TABLES.get(table)
+    if not t or not t.ns_timestamp_cols:
+        return df
+    dtypes = dict(df.dtypes)
+    for c in t.ns_timestamp_cols:
+        dt = dtypes.get(c)
+        if dt is None:
+            continue  # pruned upstream
+        if dt == "bigint":
+            df = df.withColumn(
+                c,
+                F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"),
+            )
+        elif dt == "timestamp":
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+        elif dt == "timestamp_ntz":
+            pass
+        else:
+            raise TypeError(
+                f"{table}.{c}: expected a timestamp-like column "
+                f"(bigint nanos / timestamp / timestamp_ntz), got {dt}"
+            )
+    return df
 
 
 def doc_id_col(table: str) -> Column:

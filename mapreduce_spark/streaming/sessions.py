@@ -37,10 +37,17 @@ def session_reduce(df: DataFrame, *, ts_col: str, gap: str,
     Works identically on batch and streaming inputs (streaming gets a
     watermark to bound session state).
     """
-    src = df
+    from mapreduce_spark.streaming.windows import watermarkable
+
+    src, ntz = df, False
     if df.isStreaming:
-        src = df.withWatermark(ts_col, watermark)
+        src, ntz = watermarkable(df, ts_col)
+        src = src.withWatermark(ts_col, watermark)
     v = F.col(value_col) if value_col else F.lit(None).cast("double")
+
+    def bound(c):
+        return F.col(c).cast("timestamp_ntz") if ntz else F.col(c)
+
     return (
         src.groupBy(
             F.session_window(F.col(ts_col), gap).alias("w"),
@@ -51,8 +58,8 @@ def session_reduce(df: DataFrame, *, ts_col: str, gap: str,
             F.sum(v).alias("sum_v"),
         )
         .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            bound("w.start").alias("session_start"),
+            bound("w.end").alias("session_end"),
             *keys,
             "cnt",
             "sum_v",

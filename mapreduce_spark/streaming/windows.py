@@ -21,6 +21,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def watermarkable(df: DataFrame, ts_col: str) -> tuple[DataFrame, bool]:
+    """Prepare an event-time column for ``withWatermark``.
+
+    Spark watermarks require LTZ TIMESTAMP
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), but the doc-model normal
+    form is ``timestamp_ntz`` (sources/docs.ts_to_micros).  Cast NTZ →
+    LTZ here and have the window operator cast the window bounds back,
+    so batch and stream runs of the same pipeline produce identical
+    schemas.  Value-exact under the engine's pinned UTC session
+    timezone.  Returns (df, was_ntz).
+    """
+    ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
+    if ntz:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df, ntz
+
+
 def windowed_reduce(stream: DataFrame, *, ts_col: str, window: str,
                     keys: list[str], value_col: str | None = None,
                     watermark: str = "1 hour",
@@ -32,13 +49,18 @@ def windowed_reduce(stream: DataFrame, *, ts_col: str, window: str,
     identically on a batch DataFrame (Spark's unified semantics), which
     is how tests pin streaming output to the batch oracle.
     """
-    win = F.window(F.col(ts_col), window, slide or window)
-    src = stream
+    src, ntz = stream, False
     if stream.isStreaming:
-        src = stream.withWatermark(ts_col, watermark)
+        src, ntz = watermarkable(stream, ts_col)
+        src = src.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide or window)
     v: Column = (
         F.col(value_col) if value_col else F.lit(None).cast("double")
     )
+
+    def bound(c: str) -> Column:
+        return F.col(c).cast("timestamp_ntz") if ntz else F.col(c)
+
     return (
         src.groupBy(win.alias("w"), *[F.col(k) for k in keys])
         .agg(
@@ -49,8 +71,8 @@ def windowed_reduce(stream: DataFrame, *, ts_col: str, window: str,
             F.sum(v * v).alias("sumsqr_v"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            bound("w.start").alias("window_start"),
+            bound("w.end").alias("window_end"),
             *keys,
             "cnt",
             "sum_v",

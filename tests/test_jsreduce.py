@@ -1,0 +1,242 @@
+"""JS custom-reduce ingestion (SURVEY §2 A4/F1 — upstream compiles the
+``reduce`` member of a ddoc too, ``[U #evalFunc/#reduceView]``)."""
+
+import pickle
+
+import pytest
+
+from mapreduce_spark.engine import Engine
+from mapreduce_spark.functions.jsreduce import (
+    JSReduceError,
+    JSReduceFunction,
+    compile_js_reduce,
+    looks_like_js_reduce,
+)
+from mapreduce_spark.operators.mapphase import MapSpec
+
+SUM_JS = "function(keys, values) { return sum(values); }"
+COUNT_JS = "function(keys, values) { return values.length; }"
+GUARDED_COUNT_JS = (
+    "function(keys, values, rereduce) {"
+    "  if (rereduce) { return sum(values); }"
+    "  else { return values.length; }"
+    "}"
+)
+STATS_JS = """
+    function (keys, values, rereduce) {
+      if (rereduce) {
+        var s = 0;
+        var c = 0;
+        for (var i = 0; i < values.length; i++) {
+          s += values[i].sum;
+          c += values[i].count;
+        }
+        return {sum: s, count: c};
+      } else {
+        return {sum: sum(values), count: values.length};
+      }
+    }
+"""
+
+
+# ---------------------------------------------------------------------------
+# lowering + interpreter units
+# ---------------------------------------------------------------------------
+
+
+def test_builtin_lowering():
+    assert compile_js_reduce(SUM_JS) == "_sum"
+    assert compile_js_reduce(COUNT_JS) == "_count"
+    assert compile_js_reduce(GUARDED_COUNT_JS) == "_count"
+    assert compile_js_reduce(
+        "function(k, v, r) { return r ? sum(v) : v.length; }"
+    ) == "_count"
+    # no-block / fallthrough forms
+    assert compile_js_reduce(
+        "function(k, v, r) { if (r) return sum(v); return v.length; }"
+    ) == "_count"
+
+
+def test_interpreted_rereduce_accumulator():
+    f = compile_js_reduce(STATS_JS)
+    assert isinstance(f, JSReduceFunction)
+    p1 = f([["a", "d1"], ["a", "d2"]], [3, 5], False)
+    p2 = f([["a", "d3"]], [10], False)
+    assert p1 == {"sum": 8.0, "count": 2.0}
+    assert f(None, [p1, p2], True) == {"sum": 18.0, "count": 3.0}
+    # picklable (ships to executors inside reduce_custom closures)
+    f2 = pickle.loads(pickle.dumps(f))
+    assert f2(None, [p1, p2], True) == {"sum": 18.0, "count": 3.0}
+
+
+def test_interpreter_js_semantics():
+    # arithmetic, ternary, Math, string concat, array methods
+    avg = compile_js_reduce(
+        "function(k, v, r) { var s = sum(v); return s / v.length; }"
+    )
+    assert avg(None, [2.0, 4.0, 6.0], False) == 4.0
+    mx = compile_js_reduce(
+        "function(k, v, r) {"
+        "  var m = null;"
+        "  for (var i = 0; i < v.length; i++) {"
+        "    if (m === null || v[i] > m) m = v[i];"
+        "  }"
+        "  return m;"
+        "}"
+    )
+    assert mx(None, [3.0, 9.0, 1.0], False) == 9.0
+    assert mx(None, [], False) is None
+    misc = compile_js_reduce(
+        "function(k, v, r) { return Math.max(1, 5, 3) + Math.min(2, 0); }"
+    )
+    assert misc(None, [], False) == 5.0
+    concat = compile_js_reduce(
+        "function(k, v, r) { return 'n=' + v.length; }"
+    )
+    assert concat(None, [1, 2], False) == "n=2"
+    # element-wise array sum (CouchDB sum() parity)
+    arr = compile_js_reduce(SUM_JS.replace("sum(values)", "sum(values)"))
+    assert arr == "_sum"
+    f = JSReduceFunction("function(k, v) { return sum(v); }")
+    assert f(None, [[1, 2], [3, 4, 5]], False) == [4.0, 6.0, 5.0]
+
+
+def test_out_of_subset_raises():
+    for src in (
+        "function(k, v) { while (true) {} }",
+        "function(k, v) { return v.map(function(x){return x;}); }",
+        "function(k, v) { throw 'no'; }",
+    ):
+        with pytest.raises(JSReduceError):
+            fn = compile_js_reduce(src)
+            if callable(fn):  # parse may defer to call time
+                fn(None, [1], False)
+
+
+def test_looks_like_js_reduce_discriminates():
+    assert looks_like_js_reduce(SUM_JS)
+    assert not looks_like_js_reduce("_sum")
+    assert not looks_like_js_reduce(lambda k, v, r: 0)
+    assert not looks_like_js_reduce(None)
+
+
+# ---------------------------------------------------------------------------
+# engine end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_lowered_js_reduce_equals_builtin(spark, sf_dir, tmp_path):
+    """A ddoc whose reduce is JS ``sum(values)`` must produce exactly
+    the builtin ``_sum`` result (it lowers to the JVM fast path)."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    spec = MapSpec(
+        "lineitem",
+        [("str", "l_returnflag"), ("str", "l_linestatus")],
+        ("num", "l_quantity"),
+    )
+    want = {
+        (tuple(r["key"]), round(r["value"], 6))
+        for r in eng.query({"map": spec, "reduce": "_sum"},
+                           group_level=2).rows()
+    }
+    got = {
+        (tuple(r["key"]), round(r["value"], 6))
+        for r in eng.query({"map": spec, "reduce": SUM_JS},
+                           group_level=2).rows()
+    }
+    assert got == want and want
+
+
+def test_interpreted_js_reduce_matches_builtin_pair(spark, sf_dir,
+                                                    tmp_path):
+    """The interpreted {sum, count} accumulator through the REAL
+    distributed partial/final phases must agree with the _sum and
+    _count builtins computed separately — the property the rereduce
+    contract guarantees."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    spec = MapSpec("orders", ("str", "o_orderpriority"),
+                   ("num", "o_totalprice"))
+    stats = {
+        r["key"]: (round(r["value"]["sum"], 2), r["value"]["count"])
+        for r in eng.query({"map": spec, "reduce": STATS_JS},
+                           group=True).rows()
+    }
+    sums = {
+        r["key"]: round(r["value"], 2)
+        for r in eng.query({"map": spec, "reduce": "_sum"},
+                           group=True).rows()
+    }
+    counts = {
+        r["key"]: r["value"]
+        for r in eng.query({"map": spec, "reduce": "_count"},
+                           group=True).rows()
+    }
+    assert stats and set(stats) == set(sums) == set(counts)
+    for k, (s, c) in stats.items():
+        assert s == sums[k]
+        assert c == counts[k]
+
+
+def test_full_js_ddoc_persisted(spark, sf_dir, tmp_path):
+    """put_design with BOTH members as JS source; persisted build +
+    incremental query path."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    eng.put_design(
+        "jsd",
+        {
+            "v": {
+                "map": (
+                    "orders",
+                    "function(doc) { emit(doc.o_orderstatus, "
+                    "doc.o_totalprice); }",
+                ),
+                "reduce": STATS_JS,
+            }
+        },
+    )
+    rows = eng.query("jsd/v", group=True).rows()
+    assert rows
+    for r in rows:
+        assert set(r["value"]) == {"sum", "count"}
+        assert r["value"]["count"] > 0
+    # registry signature is stable: re-putting the same ddoc must not
+    # change the signature (no spurious rebuild)
+    sig_before = eng.registry.resolve("jsd", "v")
+    eng.put_design(
+        "jsd",
+        {
+            "v": {
+                "map": (
+                    "orders",
+                    "function(doc) { emit(doc.o_orderstatus, "
+                    "doc.o_totalprice); }",
+                ),
+                "reduce": STATS_JS,
+            }
+        },
+    )
+    assert eng.registry.resolve("jsd", "v") == sig_before
+
+
+@pytest.mark.parametrize("nvals", [1, 2, 7, 40])
+def test_property_interpreted_sum_loop_equals_builtin(nvals):
+    """A hand-rolled for-loop sum in JS equals Python sum for random
+    value lists, including through a simulated partial/final split."""
+    import random
+
+    rng = random.Random(20260813 + nvals)
+    loop_sum = compile_js_reduce(
+        "function(keys, values, rereduce) {"
+        "  var s = 0;"
+        "  for (var i = 0; i < values.length; i++) { s += values[i]; }"
+        "  return s;"
+        "}"
+    )
+    vals = [round(rng.uniform(-100, 100), 3) for _ in range(nvals)]
+    direct = loop_sum(None, vals, False)
+    assert direct == pytest.approx(sum(vals))
+    # split into partials then rereduce
+    cut = nvals // 2
+    p1 = loop_sum(None, vals[:cut], False)
+    p2 = loop_sum(None, vals[cut:], False)
+    assert loop_sum(None, [p1, p2], True) == pytest.approx(sum(vals))

@@ -64,7 +64,11 @@ def test_windowed_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
     """The same windowed_reduce over a stream (complete mode) and over
     the static DataFrame must agree — Spark's unified batch/stream
     semantics, pinned."""
-    from mapreduce_spark.sources.docs import load_table, nanos_as_long
+    from mapreduce_spark.sources.docs import (
+        load_table,
+        nanos_as_long,
+        ts_to_micros,
+    )
 
     src = f"{sf_dir}/events.parquet"
     batch = load_table(spark, sf_dir, "events")
@@ -86,13 +90,9 @@ def test_windowed_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
     shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
     with nanos_as_long(spark):
         raw_schema = spark.read.parquet(src).schema
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .parquet(stream_dir)
-            .withColumn(
-                "ts",
-                F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"),
-            )
+        stream = ts_to_micros(
+            spark.readStream.schema(raw_schema).parquet(stream_dir),
+            "events",
         )
         agg = windowed_reduce(
             stream, ts_col="ts", window="1 day", keys=["event_type"],
@@ -115,7 +115,11 @@ def test_windowed_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
 def test_session_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
     """session_window over a stream (complete mode) == the batch run
     on the same data."""
-    from mapreduce_spark.sources.docs import load_table, nanos_as_long
+    from mapreduce_spark.sources.docs import (
+        load_table,
+        nanos_as_long,
+        ts_to_micros,
+    )
     from mapreduce_spark.streaming import session_reduce
 
     src = f"{sf_dir}/events.parquet"
@@ -136,13 +140,9 @@ def test_session_reduce_stream_matches_batch(spark, sf_dir, tmp_path):
     shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
     with nanos_as_long(spark):
         raw_schema = spark.read.parquet(src).schema
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .parquet(stream_dir)
-            .withColumn(
-                "ts",
-                F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"),
-            )
+        stream = ts_to_micros(
+            spark.readStream.schema(raw_schema).parquet(stream_dir),
+            "events",
         )
         agg = session_reduce(
             stream, ts_col="ts", gap="30 minutes", keys=["user_id"],
