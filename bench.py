@@ -149,11 +149,9 @@ def main() -> None:
         # query's persisted intermediates can't pressure the next.
         from mapreduce_spark.extensions.inventory import EXT_QUERIES
 
-        for name in (
-            "x_text_stats x_dedup_exact x_dedup_minhash x_dedup_simhash "
-            "x_dedup_embedding x_sim_topk x_sim_ivf x_mm_features "
-            "x_pack_sequences"
-        ).split():
+        # every extension oracle row gets a bench number (a perf
+        # regression in any operator must be visible round-over-round)
+        for name in sorted(EXT_QUERIES):
             samples = []
             for _ in range(runs):
                 spark.catalog.clearCache()

@@ -356,27 +356,19 @@ class Engine:
                     conflicts=o.conflicts,
                 )
                 # an applied limit statically bounds the id set we'd
-                # broadcast; for key=/keys= lookups WITHOUT a limit the
-                # bound is dynamic — probe the matched-id cardinality
-                # with one pushdown-bounded scan (the reference's own
-                # two-step point fetch: read index rows, then fetch
-                # those docs) and take the pruned join when it's small.
-                # A hot key matching millions falls back to the
-                # shuffled join, which is correct at that size.
-                few = o.limit is not None and o.limit <= 10_000
-                if not few and (o.key is not UNSET
-                                or o.keys is not UNSET):
-                    cap = 10_000
-                    n = (
-                        rows.select(
-                            F.coalesce("value_link_id", "id")
-                        )
-                        .distinct()
-                        .limit(cap + 1)
-                        .count()
-                    )
-                    few = n <= cap
-                rows = attach_docs(rows, docs, few_rows=few)
+                # broadcast; key=/keys= lookups WITHOUT a limit are
+                # bounded by the predicate but not statically, so the
+                # prune decision is left to AQE at runtime (no extra
+                # driver-side cardinality-probe job — a hot key
+                # matching millions degrades to the shuffled semi,
+                # which is correct at that size)
+                if o.limit is not None and o.limit <= 10_000:
+                    prune = "broadcast"
+                elif o.key is not UNSET or o.keys is not UNSET:
+                    prune = "adaptive"
+                else:
+                    prune = "none"
+                rows = attach_docs(rows, docs, prune=prune)
                 if o.sorted or keep_ord:
                     order = (
                         ["_key_ord"] if keep_ord else []
@@ -575,10 +567,13 @@ class Engine:
                 base_rel = "base-v1"
                 stats = self._write_sorted(self._build(vdef, src),
                                            os.path.join(vdir, base_rel))
+                counts_rel = f"counts-{base_rel}"
+                self._write_counts(os.path.join(vdir, base_rel),
+                                   os.path.join(vdir, counts_rel))
                 entry.update(
                     base=base_rel, base_version=1,
                     last_seq=int(obs.get["mx"] or 0),
-                    stats=stats,
+                    stats=stats, counts=counts_rel,
                 )
                 self.registry.set_view(sig, entry)
                 return
@@ -610,30 +605,55 @@ class Engine:
             if not probe["n"]:
                 shutil.rmtree(delta_path, ignore_errors=True)
                 return
-            # rows this batch supersedes: emits of the changed docs in
-            # base + earlier layers (entry not yet updated, so the
-            # assembled frame is the pre-batch view).  One id-pruned
-            # scan with a broadcast semi-join per refresh — maintenance
-            # cost, keeping total_rows a zero-job registry lookup at
-            # query time (the reference's index-metadata shape).
-            removed = 0
-            if entry.get("stats") is not None:
-                tomb_ids = src.select(
-                    doc_id_col(vdef.table).alias("id")
-                ).distinct()
-                removed = (
-                    self._assemble_view(sig)
-                    .select("id")
-                    .join(F.broadcast(tomb_ids), "id", "left_semi")
-                    .count()
-                )
+            tomb_path = os.path.join(vdir, tomb_rel)
             src.select(
                 doc_id_col(vdef.table).alias("id")
-            ).distinct().write.mode("overwrite").parquet(
-                os.path.join(vdir, tomb_rel)
+            ).distinct().write.mode("overwrite").parquet(tomb_path)
+            # per-doc emit counts of THIS batch (one row per changed
+            # id, n ≥ 0 — zero when a changed doc no longer emits):
+            # future refreshes look up superseded-row counts here in
+            # O(changes) instead of scanning the view
+            lcounts_rel = f"lcounts-{batch}"
+            tomb_ids = self.spark.read.schema("id string").parquet(
+                tomb_path
             )
+            delta_counts = (
+                self.spark.read.schema(VIEW_SCHEMA).parquet(delta_path)
+                .groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+            )
+            (
+                tomb_ids.join(delta_counts, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(vdir, lcounts_rel))
+            )
+            # rows this batch supersedes: live (pre-batch) emits of the
+            # changed docs, answered from the per-doc emit-count
+            # metadata (counts file / manifest sidecar / layer lcounts)
+            # in O(changes) — keeping total_rows a zero-job registry
+            # lookup at query time (the reference's index-metadata
+            # shape) without the old O(view) id-column scan.
+            removed = 0
+            if entry.get("stats") is not None:
+                removed = self._removed_count(
+                    entry, vdir, tomb_path, int(probe["n"] or 0)
+                )
+                if removed is None:
+                    # pre-metadata storage layout: legacy one-shot
+                    # id-pruned view scan
+                    removed = (
+                        self._assemble_view(sig)
+                        .select("id")
+                        .join(F.broadcast(tomb_ids), "id", "left_semi")
+                        .count()
+                    )
             entry["layers"].append(
-                {"batch": batch, "delta": delta_rel, "tomb": tomb_rel}
+                {"batch": batch, "delta": delta_rel, "tomb": tomb_rel,
+                 "lcounts": lcounts_rel}
             )
             entry["next_batch"] = batch + 1
             entry["last_seq"] = max(entry["last_seq"], int(probe["mx"]))
@@ -683,6 +703,93 @@ class Engine:
             "sum_w": int(m["w"]) if m["w"] is not None else -1,
         }
 
+    # ------------------------------------------------------------------
+    # per-doc emit-count metadata (O(changes) refresh accounting)
+    # ------------------------------------------------------------------
+
+    def _write_counts(self, data_path: str, out_path: str) -> None:
+        """Persist per-doc emit counts (id, n) for a base version.
+
+        One column-pruned (id-only) pass over the just-written files —
+        build/compaction-time cost, never per-refresh.  Written id-
+        sorted and range-partitioned so the per-refresh lookup's
+        ``isin`` predicate prunes to the matching row groups via
+        parquet min/max stats (the reference keeps the same per-doc
+        emit bookkeeping in its index metadata)."""
+        (
+            self.spark.read.schema(VIEW_SCHEMA).parquet(data_path)
+            .groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .repartitionByRange("id")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite").parquet(out_path)
+        )
+
+    def _base_counts(self, entry: dict, vdir: str) -> DataFrame | None:
+        """(id, n) live emit counts of the BASE piece, or None when the
+        storage predates count metadata (caller falls back)."""
+        if entry.get("manifest") is not None:
+            if not entry.get("sidecar_n"):
+                return None
+            side = self.spark.read.schema(
+                "id string, file string, n long"
+            ).parquet(os.path.join(vdir, entry["sidecar"]))
+            return side.groupBy("id").agg(
+                F.sum("n").cast("long").alias("n")
+            )
+        if entry["base"] is None:
+            return self.spark.createDataFrame([], "id string, n long")
+        c = entry.get("counts")
+        if c is None:
+            return None
+        return self.spark.read.schema("id string, n long").parquet(
+            os.path.join(vdir, c)
+        )
+
+    def _removed_count(self, entry: dict, vdir: str, tomb_path: str,
+                       n_hint: int) -> int | None:
+        """Live (pre-batch) emits of the changed docs, in O(changes).
+
+        The newest piece containing a doc holds its live emit count:
+        base counts (counts file / manifest sidecar) rank 0, each
+        layer's lcounts rank = its batch number.  Small change sets
+        collect to an ``isin`` predicate (pushed into the id-sorted
+        counts parquet → row-group pruning); large ones keep a
+        broadcast semi-join (amortized by the batch size).  Returns
+        None when any piece predates count metadata."""
+        base_counts = self._base_counts(entry, vdir)
+        if base_counts is None:
+            return None
+        tomb = self.spark.read.schema("id string").parquet(tomb_path)
+        pieces = [base_counts.withColumn("_rk", F.lit(0))]
+        for l in entry["layers"]:
+            lc = l.get("lcounts")
+            if lc is None:
+                return None
+            pieces.append(
+                self.spark.read.schema("id string, n long")
+                .parquet(os.path.join(vdir, lc))
+                .withColumn("_rk", F.lit(l["batch"]))
+            )
+        allc = pieces[0]
+        for p in pieces[1:]:
+            allc = allc.unionByName(p)
+        if n_hint <= 20_000:
+            ids = [r["id"] for r in tomb.collect()]
+            if not ids:
+                return 0
+            allc = allc.filter(F.col("id").isin(ids))
+        else:
+            allc = allc.join(F.broadcast(tomb), "id", "left_semi")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.col("_rk").desc())
+        live = (
+            allc.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        row = live.agg(F.sum("n").alias("s")).collect()[0]
+        return int(row["s"] or 0)
+
     def _compact(self, sig: str, entry: dict) -> None:
         """Fold base+layers into a new base version (X7 auto_compaction)."""
         vdir = self.registry.view_dir(sig)
@@ -692,6 +799,10 @@ class Engine:
         entry["stats"] = self._write_sorted(
             assembled, os.path.join(vdir, base_rel)
         )
+        counts_rel = f"counts-{base_rel}"
+        self._write_counts(os.path.join(vdir, base_rel),
+                           os.path.join(vdir, counts_rel))
+        old_counts = [entry["counts"]] if entry.get("counts") else []
         if entry.get("manifest") is not None:
             # manifest mode: referenced files may span several part
             # generations — GC every distinct top-level dir, plus the
@@ -706,12 +817,17 @@ class Engine:
             entry["sidecar"] = None
         else:
             old = [entry["base"]]
+        old += old_counts
         old += [
-            p for l in entry["layers"] for p in (l["delta"], l["tomb"])
+            p
+            for l in entry["layers"]
+            for p in (l["delta"], l["tomb"], l.get("lcounts"))
+            if p
         ]
         # old versions become unreferenced; GC is deferred (vacuum) so
         # lazy DataFrames handed out before the compaction stay valid
-        entry.update(base=base_rel, base_version=newv, layers=[])
+        entry.update(base=base_rel, base_version=newv, layers=[],
+                     counts=counts_rel)
         entry["garbage"] = entry.get("garbage", []) + old
         self.registry.set_view(sig, entry)
 
@@ -792,8 +908,9 @@ class Engine:
         files = {
             rel: os.path.join(vdir, rel) for rel in entry["manifest"]
         }
-        sidecar = self.spark.read.schema("id string, file string") \
-            .parquet(os.path.join(vdir, entry["sidecar"]))
+        sidecar = self.spark.read.schema(
+            "id string, file string, n long"
+        ).parquet(os.path.join(vdir, entry["sidecar"]))
         tombs = None
         for l in entry["layers"]:
             t = self.spark.read.schema("id string").parquet(
@@ -840,7 +957,10 @@ class Engine:
         )
 
         garbage = affected_rel + [
-            p for l in entry["layers"] for p in (l["delta"], l["tomb"])
+            p
+            for l in entry["layers"]
+            for p in (l["delta"], l["tomb"], l.get("lcounts"))
+            if p
         ] + [entry["sidecar"]]
         entry.update(
             manifest=kept + part_files,
@@ -864,20 +984,30 @@ class Engine:
         self._write_sidecar(sig, vdir, rels, side_rel)
         entry["manifest"] = rels
         entry["sidecar"] = side_rel
+        entry["sidecar_n"] = True
+        if entry.get("counts"):
+            # manifest mode: live counts now come from the sidecar
+            entry["garbage"] = entry.get("garbage", []) + [entry["counts"]]
+            entry["counts"] = None
         self.registry.set_view(sig, entry)
 
     def _write_sidecar(self, sig: str, vdir: str, new_rels: list[str],
                        side_rel: str,
                        carry_from: tuple | None = None) -> None:
-        """Sidecar = distinct (id, file-relpath) over the given files;
-        with ``carry_from`` = (old sidecar rel, replaced rels), rows of
-        untouched files copy over without touching their data files."""
+        """Sidecar = (id, file-relpath, n emits of id in that file) over
+        the given files; with ``carry_from`` = (old sidecar rel,
+        replaced rels), rows of untouched files copy over without
+        touching their data files.  The ``n`` column doubles as the
+        per-doc emit-count metadata in manifest mode (live count of a
+        doc = Σn over its sidecar rows) — the O(changes) refresh
+        accounting reads it instead of scanning the view."""
         new_paths = [os.path.join(vdir, r) for r in new_rels]
         rel_map = {os.path.join(vdir, r): r for r in new_rels}
         df = (
             self.spark.read.schema(VIEW_SCHEMA).parquet(*new_paths)
             .select("id", F.input_file_name().alias("file"))
-            .distinct()
+            .groupBy("id", "file")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )
         # input_file_name → file:// URI of the absolute path; map back
         # to manifest-relative names driver-side via a literal map
@@ -897,11 +1027,13 @@ class Engine:
                     -1,
                 ),
             ).alias("file"),
+            "n",
         )
         if carry_from is not None:
             old_rel, replaced = carry_from
-            old = self.spark.read.schema("id string, file string") \
-                .parquet(os.path.join(vdir, old_rel))
+            old = self.spark.read.schema(
+                "id string, file string, n long"
+            ).parquet(os.path.join(vdir, old_rel))
             if replaced:
                 old = old.filter(~F.col("file").isin(replaced))
             df = old.unionByName(df)

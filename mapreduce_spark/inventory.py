@@ -261,6 +261,51 @@ def _raw_source_env(spark: SparkSession, sf_dir: str) -> "Engine":
     return eng
 
 
+_CONF_ENV_CACHE: dict[tuple, "Engine"] = {}
+
+
+def _conflict_source_env(spark: SparkSession, sf_dir: str) -> "Engine":
+    """One-time per (session, sf_dir): a TYPED doc table derived from
+    ``documents`` carrying a deterministic ``_conflicts`` column
+    (every 7th doc has one open conflict rev ``'2-' + md5(_id)``) —
+    the J3 fixture (q34).  The conflict rev is recomputable in any
+    engine with md5, so the DuckDB oracle derives the same values."""
+    import tempfile
+
+    from mapreduce_spark.sources.docs import DocTable, register_table
+
+    key = (id(spark), sf_dir)
+    if key in _CONF_ENV_CACHE:
+        return _CONF_ENV_CACHE[key]
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(
+                F.concat(
+                    F.lit("2-"),
+                    F.md5(F.format_string("documents:%06d", "doc_id")),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_conflicts"),
+    )
+    sf2 = tempfile.mkdtemp(prefix="confsf-")
+    raw.write.mode("overwrite").parquet(f"{sf2}/confdocs.parquet")
+    register_table(
+        DocTable("confdocs", "documents:%06d", ("doc_id",), "doc_id")
+    )
+    eng = Engine(spark, sf2, tempfile.mkdtemp(prefix="confv-"))
+    eng.put_design(
+        "conf", {"by_id": {"map": MapSpec("confdocs", ("num", "doc_id"))}}
+    )
+    eng.update_view("conf/by_id")
+    _CONF_ENV_CACHE[key] = eng
+    return eng
+
+
 class Inventory:
     """Q1-Q20 against one engine; persisted-warm or temporary-cold."""
 
@@ -733,13 +778,29 @@ class Inventory:
             .alias("cnt"),
         )
 
+    def q34(self):
+        """J3 conflicts surfacing end to end: include_docs with
+        ``conflicts=True`` over a doc table whose every 7th doc carries
+        one open conflict rev — the joined doc JSON keeps a non-empty
+        ``_conflicts`` array and OMITS the member for conflict-free
+        docs (CouchDB shape)."""
+        eng = _conflict_source_env(self.spark, self.sf_dir)
+        res = eng.query("conf/by_id", include_docs=True, conflicts=True,
+                        stale="ok")
+        dj = F.col("doc_json")
+        return res.df.select(
+            F.col("id"),
+            F.get_json_object(dj, "$._conflicts[0]").alias("conf_rev"),
+            F.get_json_object(dj, "$.lang").alias("lang"),
+        )
+
     def all_queries(self) -> dict[str, callable]:
         return {
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
                 "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 "
-                "q26 q27 q28 q29 q30 q31 q32 q33"
+                "q26 q27 q28 q29 q30 q31 q32 q33 q34"
             ).split()
         }
 
@@ -761,7 +822,7 @@ QUERIES = {
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
         "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
-        "q30 q31 q32 q33"
+        "q30 q31 q32 q33 q34"
     ).split()
 }
 
@@ -1014,5 +1075,12 @@ ORACLE_SQL: dict[str, str] = {
         "ROUND(sum(o_totalprice::DOUBLE), 0) AS sum_p, "
         "count(*)::BIGINT AS cnt "
         "FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2"
+    ),
+    "q34": (
+        "SELECT printf('documents:%06d', doc_id) AS id, "
+        "CASE WHEN doc_id % 7 = 0 THEN "
+        "'2-' || md5(printf('documents:%06d', doc_id)) "
+        "ELSE NULL END AS conf_rev, "
+        "lang FROM documents"
     ),
 }

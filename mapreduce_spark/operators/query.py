@@ -245,7 +245,7 @@ def _keys_reduced(view: DataFrame, opts: QueryOptions, reduce_def: Any,
 
 
 def attach_docs(rows: DataFrame, docs: DataFrame,
-                *, few_rows: bool = False) -> DataFrame:
+                *, prune: str = "none") -> DataFrame:
     """include_docs / linked-docs join (J1/J2).
 
     ``docs`` must have columns (_id STRING, doc_json STRING).  Left join:
@@ -254,17 +254,25 @@ def attach_docs(rows: DataFrame, docs: DataFrame,
     a sort-merge/shuffled-hash join on the doc id is the right default;
     dimension-sized docs tables go broadcast automatically.
 
-    ``few_rows=True`` (the engine sets it when a small ``limit`` was
-    already applied): first prune the docs side with a broadcast
-    semi-join on the needed ids, so the outer join's big side shrinks
-    to ≤ limit docs and AQE turns the whole thing into two broadcast
-    joins — the point-doc-fetch shape of the reference (S3) instead of
-    a full docs shuffle.
+    ``prune`` shrinks the docs side to the matched ids first — the
+    point-doc-fetch shape of the reference (S3: read index rows, fetch
+    those docs) instead of a full docs shuffle:
+
+    - ``'broadcast'``: the id set is statically bounded (a small
+      ``limit`` was already applied) — hint the semi-join build side.
+    - ``'adaptive'``: bounded by the predicate but not statically
+      (``key=``/``keys=`` with no limit) — same semi-join with NO
+      hint: AQE measures the matched-id set at runtime and broadcasts
+      when small, degrading to a shuffled semi for a pathological hot
+      key.  One plan, zero extra driver-side probe jobs.
+    - ``'none'``: plain left join.
     """
     join_key = F.coalesce(F.col("value_link_id"), F.col("id"))
     rows = rows.withColumn("_doc_key", join_key)
-    if few_rows:
+    if prune != "none":
         need = rows.select(F.col("_doc_key").alias("_id")).distinct()
-        docs = docs.join(F.broadcast(need), "_id", "left_semi")
+        if prune == "broadcast":
+            need = F.broadcast(need)
+        docs = docs.join(need, "_id", "left_semi")
     out = rows.join(docs, rows["_doc_key"] == docs["_id"], "left")
     return out.drop("_doc_key", "_id")

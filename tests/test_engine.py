@@ -384,6 +384,63 @@ def test_deep_layer_stack_reads_and_compaction_restores_scan(
     assert _rows(eng.query("d/v", group_level=2, stale="ok")) == want
 
 
+def test_incremental_refresh_never_scans_view(spark, sf_dir, tmp_path,
+                                              monkeypatch):
+    """M1 refresh accounting is O(changes): with per-doc emit-count
+    metadata present, update_view must never assemble (= scan) the
+    existing view — superseded-row counts come from the counts file /
+    layer lcounts.  Stats stay EXACT through multiple refreshes,
+    including doc edits (supersede) and deletes."""
+    eng = Engine(spark, sf_dir, str(tmp_path), compact_after=99)
+    eng.put_design("d", {"v": VIEW})
+    b1, b2, b3 = _batches(spark, sf_dir, 3)
+    eng.update_view("d/v", changes=b1)  # initial build
+
+    def boom(sig):
+        raise AssertionError(
+            "update_view assembled the view — refresh accounting "
+            "regressed to O(view)"
+        )
+
+    monkeypatch.setattr(eng, "_assemble_view", boom)
+    eng.update_view("d/v", changes=b2)
+    # re-deliver part of b2 (doc EDITS: same ids supersede layer-1
+    # emits) plus b3 (new docs)
+    edits = b2.orderBy("l_orderkey", "l_linenumber").limit(50)
+    eng.update_view("d/v", changes=b3.unionByName(edits))
+    # deletes: live emits of deleted docs must leave the stats
+    victims = b1.orderBy("l_orderkey", "l_linenumber").limit(7)
+    eng.update_view(
+        "d/v", changes=victims.withColumn("_deleted", F.lit(True))
+    )
+    monkeypatch.undo()
+
+    sig = eng.registry.resolve("d", "v")
+    entry = eng.registry.get_view(sig)
+    assert len(entry["layers"]) == 3
+    # stats exact: registry row count == actual live view rows
+    actual = eng._assemble_view(sig).count()
+    assert entry["stats"]["rows"] == actual
+    # and the query result equals a from-scratch build minus victims
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keep = raw.join(
+        victims.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    )
+    want = {
+        (r.l_returnflag, r.l_linestatus): round(r.s, 6)
+        for r in keep.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    got = {
+        tuple(k): v
+        for k, v in _rows(eng.query("d/v", group_level=2, stale="ok"))
+    }
+    assert got == want
+
+
 def test_update_after_refreshes_post_query(spark, sf_dir, tmp_path):
     eng = Engine(spark, sf_dir, str(tmp_path))
     eng.put_design("d", {"v": VIEW})
@@ -477,13 +534,14 @@ def test_scoped_compaction_rewrites_only_affected_files(
     eng.vacuum(sig)
     assert rows(eng.query("d/v", group=True, stale="ok")) == want
     left = set(_os.listdir(vdir))
-    assert left == {entry3["base"]}, left
+    assert left == {entry3["base"], entry3["counts"]}, left
 
 
 def test_keyed_include_docs_prunes_doc_join(spark, sf_dir, tmp_path):
     """S3 point-fetch shape: a key= lookup with NO limit must still
-    prune the docs side (cardinality probe → broadcast semi-join)
-    instead of shuffling the whole docs table."""
+    prune the docs side (AQE-decided semi-join on the matched ids)
+    instead of shuffling the whole docs table — with no extra
+    driver-side cardinality-probe job."""
     eng = Engine(spark, sf_dir, str(tmp_path))
     view = {"map": MapSpec("customer", ("num", "c_nationkey"))}
     res = eng.query(view, key=7, include_docs=True)
@@ -899,9 +957,11 @@ def test_public_compact_demotes_manifest(spark, sf_dir, tmp_path):
     assert entry["base_version"] == out["base_version"] > 1
     eng.vacuum(sig)
     vdir = eng.registry.view_dir(sig)
-    dirs = [d for d in os.listdir(vdir) if os.path.isdir(
-        os.path.join(vdir, d))]
-    assert dirs == [entry["base"]]
+    dirs = sorted(
+        d for d in os.listdir(vdir)
+        if os.path.isdir(os.path.join(vdir, d))
+    )
+    assert dirs == sorted([entry["base"], entry["counts"]])
     assert _seg_ids(eng.query("d/seg", update=False)) == before
 
 
