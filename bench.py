@@ -152,6 +152,8 @@ def main() -> None:
         # every extension oracle row gets a bench number (a perf
         # regression in any operator must be visible round-over-round)
         for name in sorted(EXT_QUERIES):
+            spark.catalog.clearCache()
+            EXT_QUERIES[name](spark, sf_dir).collect()  # warmup
             samples = []
             for _ in range(runs):
                 spark.catalog.clearCache()

@@ -567,13 +567,13 @@ class Engine:
                 base_rel = "base-v1"
                 stats = self._write_sorted(self._build(vdef, src),
                                            os.path.join(vdir, base_rel))
-                counts_rel = f"counts-{base_rel}"
-                self._write_counts(os.path.join(vdir, base_rel),
-                                   os.path.join(vdir, counts_rel))
+                # per-doc emit counts are written LAZILY at the first
+                # refresh (_ensure_counts) — read-only views never pay
+                # the extra id-column pass
                 entry.update(
                     base=base_rel, base_version=1,
                     last_seq=int(obs.get["mx"] or 0),
-                    stats=stats, counts=counts_rel,
+                    stats=stats, counts=None,
                 )
                 self.registry.set_view(sig, entry)
                 return
@@ -639,6 +639,7 @@ class Engine:
             # shape) without the old O(view) id-column scan.
             removed = 0
             if entry.get("stats") is not None:
+                self._ensure_counts(entry, vdir)
                 removed = self._removed_count(
                     entry, vdir, tomb_path, int(probe["n"] or 0)
                 )
@@ -724,6 +725,24 @@ class Engine:
             .write.mode("overwrite").parquet(out_path)
         )
 
+    def _ensure_counts(self, entry: dict, vdir: str) -> None:
+        """Lazily materialize the base counts file on first refresh.
+
+        Read-only views (the common case) never pay the pass; a view
+        entering maintenance pays it once per base version, amortized
+        over every subsequent refresh."""
+        if (
+            entry.get("manifest") is None
+            and entry.get("counts") is None
+            and entry.get("base")
+        ):
+            counts_rel = f"counts-{entry['base']}"
+            self._write_counts(
+                os.path.join(vdir, entry["base"]),
+                os.path.join(vdir, counts_rel),
+            )
+            entry["counts"] = counts_rel
+
     def _base_counts(self, entry: dict, vdir: str) -> DataFrame | None:
         """(id, n) live emit counts of the BASE piece, or None when the
         storage predates count metadata (caller falls back)."""
@@ -799,9 +818,6 @@ class Engine:
         entry["stats"] = self._write_sorted(
             assembled, os.path.join(vdir, base_rel)
         )
-        counts_rel = f"counts-{base_rel}"
-        self._write_counts(os.path.join(vdir, base_rel),
-                           os.path.join(vdir, counts_rel))
         old_counts = [entry["counts"]] if entry.get("counts") else []
         if entry.get("manifest") is not None:
             # manifest mode: referenced files may span several part
@@ -825,9 +841,11 @@ class Engine:
             if p
         ]
         # old versions become unreferenced; GC is deferred (vacuum) so
-        # lazy DataFrames handed out before the compaction stay valid
+        # lazy DataFrames handed out before the compaction stay valid.
+        # counts=None: the new base's counts file re-materializes
+        # lazily on the next refresh (_ensure_counts)
         entry.update(base=base_rel, base_version=newv, layers=[],
-                     counts=counts_rel)
+                     counts=None)
         entry["garbage"] = entry.get("garbage", []) + old
         self.registry.set_view(sig, entry)
 

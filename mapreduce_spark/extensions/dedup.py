@@ -131,11 +131,21 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     shingle (co-occurrence count = |A∩B|), then J = ∩/(|A|+|B|-∩).
     Exact whenever no shingle hits ``max_df`` (see shingle_postings).
     """
-    sets_ = shingle_sets(df, n, text, id_col)
-    sizes = sets_.select("doc_id", F.size("sh").alias("sz"))
-    ex = _cap_postings(
-        sets_.select("doc_id", F.explode("sh").alias("s")), max_df
+    # postings are consumed FOUR times (set sizes, the df-frequency
+    # cap, and both self-join sides); without a persist each consumer
+    # re-runs the tokenize+shingle transform — the dominant cost.
+    # Same pattern and rationale as minhash_lsh_pairs' signature
+    # persist: MEMORY_AND_DISK (spill-safe), reclaimed by the LRU
+    # block manager (a lazily-returned DataFrame has no unpersist
+    # point).
+    ex_raw = (
+        shingle_sets(df, n, text, id_col)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # shingles are distinct per doc, so |set| = posting count
+    sizes = ex_raw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ex = _cap_postings(ex_raw, max_df)
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s"))

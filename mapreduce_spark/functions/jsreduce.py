@@ -787,6 +787,8 @@ class JSReduceFunction:
     def __call__(self, keys: Any, values: Any, rereduce: bool) -> Any:
         env: dict[str, Any] = {}
         names = self.params + ["keys", "values", "rereduce"][len(self.params):]
+        for name in names[3:]:
+            env[name] = _UNDEF  # extra params: JS binds undefined
         for name, val in zip(names, (keys, values, bool(rereduce))):
             env[name] = val
         try:
