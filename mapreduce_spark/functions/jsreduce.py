@@ -11,6 +11,7 @@ This module closes that parity gap Spark-first, in two tiers:
    JVM-native builtin aggregates — no Python anywhere:
 
    - ``return sum(values)``                          → ``_sum``
+   - ``return values.reduce(function(a,b){return a+b}[, 0])`` → ``_sum``
    - ``return values.length``                        → ``_count``
    - ``if (rereduce) return sum(values);
      else return values.length``  (either order)     → ``_count``
@@ -30,11 +31,15 @@ Interpreted subset (statements): ``var``/``let`` declarations,
 assignment (``= += -= *= /=`` and ``++``/``--`` on variables, object
 members and array elements), ``if``/``else``, C-style ``for`` loops,
 ``return``, expression statements.  Expressions: literals, array and
-object literals, member/index access, ``.length``, ``.push()``,
-``.concat()``, calls to the CouchDB builtin helper ``sum()`` and to
-``Math.min/max/abs/floor/ceil/round/sqrt/pow``, arithmetic
-(JS-coercing ``+`` with string concat), comparisons (strict and
-loose), ``&&``/``||``/``!``, ternary ``?:``.  Anything outside raises
+object literals, function literals (e.g. ``.reduce`` callbacks, with
+enclosing-scope capture), member/index access, ``.length``,
+``.push()``, ``.concat()``, ``.reduce()``, calls to the CouchDB
+builtin helper ``sum()`` and to
+``Math.min/max/abs/floor/ceil/round/sqrt/pow`` (including the
+``Math.max.apply(null, values)`` variadic-over-array idiom),
+arithmetic (JS-coercing ``+`` with string concat), comparisons
+(strict and loose), ``&&``/``||``/``!``, ternary ``?:``.  Anything
+outside raises
 :class:`JSReduceError` naming the construct — express that reduce as a
 Python callable instead (the documented fallback, same contract as the
 map side).
@@ -376,6 +381,22 @@ class _Parser:
                 return ("lit", False)
             if tok == "undefined":
                 return ("lit", _UNDEF)
+            if tok == "function":
+                # function literal (e.g. a values.reduce callback)
+                if self._peek()[0] == "ident":
+                    self._next()  # optional name
+                self._expect("(")
+                params: list[str] = []
+                while not self._eat(")"):
+                    k2, t2, o2 = self._next()
+                    if k2 == "ident":
+                        params.append(t2)
+                    elif t2 != ",":
+                        raise JSReduceError(
+                            f"unexpected {t2!r} in parameter list at {o2}"
+                        )
+                self._expect("{")
+                return ("func", params, self._block())
             return ("name", tok)
         if tok == "(":
             e = self._expr()
@@ -481,8 +502,11 @@ def _builtin_sum(args: list) -> float | list:
 
 
 _MATH_FNS = {
-    "min": lambda args: min(_js_num(a) for a in args),
-    "max": lambda args: max(_js_num(a) for a in args),
+    # empty arg list: JS Math.min() = Infinity, Math.max() = -Infinity
+    "min": lambda args: min((_js_num(a) for a in args),
+                            default=math.inf),
+    "max": lambda args: max((_js_num(a) for a in args),
+                            default=-math.inf),
     "abs": lambda args: abs(_js_num(args[0])),
     "floor": lambda args: float(math.floor(_js_num(args[0]))),
     "ceil": lambda args: float(math.ceil(_js_num(args[0]))),
@@ -612,6 +636,8 @@ def _eval(e: Any, env: dict) -> Any:
         return [_eval(a, env) for a in e[1]]
     if tag == "obj":
         return {k: _eval(v, env) for k, v in e[1].items()}
+    if tag == "func":
+        return ("__closure__", e[1], e[2], env)  # env captured by ref
     if tag == "member":
         obj = _eval(e[1], env)
         name = e[2]
@@ -621,7 +647,8 @@ def _eval(e: Any, env: dict) -> Any:
             if isinstance(obj, (list, str)):
                 return float(len(obj))
             return _UNDEF
-        if name in ("push", "concat", "indexOf", "join", "slice"):
+        if name in ("push", "concat", "indexOf", "join", "slice",
+                    "reduce"):
             return ("__method__", obj, name)
         if isinstance(obj, dict):
             return obj.get(name, _UNDEF)
@@ -680,10 +707,31 @@ def _eval(e: Any, env: dict) -> Any:
 
 
 def _call(fn: Any, args: list) -> Any:
+    if isinstance(fn, tuple) and fn[:1] == ("__closure__",):
+        _, params, body, captured = fn
+        from collections import ChainMap
+
+        local: dict = {p: _UNDEF for p in params}
+        for p, a in zip(params, args):
+            local[p] = a
+        try:
+            _exec_block(body, ChainMap(local, captured))
+        except _Return as r:
+            return r.value
+        return _UNDEF  # fell off the end: undefined
     if isinstance(fn, tuple) and fn[:1] == ("__builtin__",):
         name = fn[1]
         if name == "sum":
             return _builtin_sum(args)
+        if name.endswith(".apply"):
+            # f.apply(thisArg, argsArray) — the classic variadic-over-
+            # array idiom (Math.max.apply(null, values))
+            arr = (
+                list(args[1])
+                if len(args) > 1 and isinstance(args[1], list)
+                else []
+            )
+            return _call(("__builtin__", name[:-6]), arr)
         if name.startswith("Math."):
             impl = _MATH_FNS.get(name[5:])
             if impl is None:
@@ -713,6 +761,29 @@ def _call(fn: Any, args: list) -> Any:
             start = int(_js_num(args[0])) if args else 0
             end = int(_js_num(args[1])) if len(args) > 1 else len(obj)
             return obj[start:end]
+        if name == "reduce" and isinstance(obj, list):
+            # Array.prototype.reduce(callback, [init]); callback gets
+            # (acc, cur, idx) — the common hand-rolled-sum idiom
+            if not args or not (
+                isinstance(args[0], tuple)
+                and args[0][:1] == ("__closure__",)
+            ):
+                raise JSReduceError(
+                    ".reduce() requires a function callback"
+                )
+            cb = args[0]
+            items = list(obj)
+            if len(args) > 1:
+                acc, idx0 = args[1], 0
+            elif items:
+                acc, idx0 = items.pop(0), 1
+            else:
+                raise JSReduceError(
+                    "reduce of empty array with no initial value"
+                )
+            for i, x in enumerate(items):
+                acc = _call(cb, [acc, x, float(i + idx0)])
+            return acc
         raise JSReduceError(f".{name}() is outside the subset")
     raise JSReduceError("call target is not a function")
 
@@ -723,7 +794,25 @@ def _call(fn: Any, args: list) -> Any:
 
 
 def _is_sum_of(e: Any, values: str) -> bool:
-    return e == ("call", ("name", "sum"), [("name", values)])
+    if e == ("call", ("name", "sum"), [("name", values)]):
+        return True
+    # values.reduce(function(a, b){ return a + b; }[, 0]) — the
+    # hand-rolled sum idiom, equally lowerable to the _sum builtin
+    if (
+        e[0] == "call"
+        and e[1] == ("member", ("name", values), "reduce")
+        and e[2]
+        and isinstance(e[2][0], tuple)
+        and e[2][0][0] == "func"
+        and (len(e[2]) == 1 or e[2][1] == ("lit", 0.0))
+    ):
+        params, body = e[2][0][1], e[2][0][2]
+        if len(params) >= 2 and body == [
+            ("return", ("bin", "+", ("name", params[0]),
+                        ("name", params[1])))
+        ]:
+            return True
+    return False
 
 
 def _is_len_of(e: Any, values: str) -> bool:

@@ -830,7 +830,18 @@ def test_auto_compaction_stays_scoped_in_manifest_mode(
     # append-only folds: every original base file carried over
     assert set(base_files) <= set(entry["manifest"])
 
-    eng.update_view("d/v", changes=parts[3])
+    # a further refresh in manifest mode must account superseded rows
+    # from the SIDEcar's emit counts — never by assembling the view
+    real_assemble = eng._assemble_view
+    eng._assemble_view = lambda sig: (_ for _ in ()).throw(
+        AssertionError("manifest-mode refresh assembled the view")
+    )
+    try:
+        eng.update_view("d/v", changes=parts[3])
+    finally:
+        eng._assemble_view = real_assemble
+    entry = eng.registry.get_view(sig)
+    assert entry["stats"]["rows"] == eng._assemble_view(sig).count()
     got = sorted(
         (r["key"], round(r["value"], 6))
         for r in eng.query("d/v", group=True, stale="ok").rows()

@@ -101,6 +101,36 @@ def test_interpreter_js_semantics():
     assert f(None, [[1, 2], [3, 4, 5]], False) == [4.0, 6.0, 5.0]
 
 
+def test_reduce_callback_and_apply_idioms():
+    """Round-5 subset widening: values.reduce(cb) sums lower to the
+    builtin; Math.max.apply(null, values) and non-sum callbacks run
+    interpreted with enclosing-scope capture."""
+    assert compile_js_reduce(
+        "function(k, v) { return v.reduce(function(a,b){return a+b;}, 0); }"
+    ) == "_sum"
+    assert compile_js_reduce(
+        "function(k, v) { return v.reduce(function(a,b){return a+b;}); }"
+    ) == "_sum"
+    mx = compile_js_reduce(
+        "function(k, v, r) { return Math.max.apply(null, v); }"
+    )
+    assert isinstance(mx, JSReduceFunction)
+    assert mx(None, [3.0, 9.0, 1.0], False) == 9.0
+    # rereduce-safe: max of maxes
+    assert mx(None, [9.0, 7.5], True) == 9.0
+    prod = compile_js_reduce(
+        "function(k, v) { return v.reduce(function(a,b){return a*b;}, 1); }"
+    )
+    assert prod(None, [2.0, 3.0, 4.0], False) == 24.0
+    closure = compile_js_reduce(
+        "function(k, v) { var t = 10;"
+        "  return v.reduce(function(a,b){return a+b+t;}, 0); }"
+    )
+    assert closure(None, [1.0, 2.0], False) == 23.0
+    assert pickle.loads(pickle.dumps(closure))(None, [1.0, 2.0],
+                                               False) == 23.0
+
+
 def test_out_of_subset_raises():
     for src in (
         "function(k, v) { while (true) {} }",

@@ -47,6 +47,31 @@ def main() -> None:
     show("q09 keys lookup (In pushdown + inline table)", inv.q09())
     show("q12 include_docs limit=50 (semi-join prune)", inv.q12())
 
+    # round 5: keyed include_docs WITHOUT a limit — the docs-side prune
+    # is an AQE-decided semi-join (no driver-side probe job); expect a
+    # LeftSemi in the adaptive plan
+    eng.update_view("bench/cust_nation")
+    show(
+        "key= include_docs no-limit (adaptive semi prune, no probe)",
+        eng.query("bench/cust_nation", stale="ok", key=7,
+                  include_docs=True).df,
+    )
+
+    # round 5: a JS reduce source that LOWERS to the builtin — plan
+    # must be the same JVM hash-aggregate as reduce='_sum' (no Python)
+    show(
+        "JS reduce lowered to _sum (partial+final hash agg, no Python)",
+        eng.query(
+            {
+                "map": eng._defs[
+                    eng.registry.resolve("bench", "flag_status_qty")
+                ].map_def,
+                "reduce": "function(k, v) { return sum(v); }",
+            },
+            group_level=1,
+        ).df,
+    )
+
     show("q28 JS-compiled view (guards pushed to scan)", inv.q28())
     show("q29 docid boundaries (coarse key_enc bounds pushed, "
          "docid tie-break residual)", inv.q29())
