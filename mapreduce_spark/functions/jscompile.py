@@ -21,16 +21,18 @@ Supported subset (each maps 1:1 onto a MapSpec capability):
 - literal keys/values: numbers, strings, ``true``/``false``/``null``;
 - array keys (``emit([a, b], …)``) and numeric array values;
 - linked-document values ``{_id: doc.f}`` (J2);
-- guarded emits: ``if`` with ``=== == !== != < <= > >=``, ``&&``,
-  ``||``, ``!``, truthiness tests, nested ifs; guards compile into
+- guarded emits: ``if``/``else`` (and ``else if`` chains) with
+  ``=== == !== != < <= > >=``, ``&&``, ``||``, ``!``, truthiness
+  tests, nested ifs; guards (and negated else-guards) compile into
   ``MapSpec.where`` so Catalyst pushes them into the parquet scan;
+- ``log(...)`` calls (upstream sandbox global) parsed and discarded;
 - multiple emits (one MapSpec per emit, unioned with emit ordinals).
 
 Anything outside the subset raises :class:`JSCompileError` naming the
 construct and its position — the deliberate fallback contract: express
 that view as a Python map fn (the generic path) instead of silently
 mis-compiling.  Loops, variable bindings, function calls, arithmetic,
-nested doc paths, and ``else`` branches are out of the subset.
+and nested doc paths are out of the subset.
 """
 
 from __future__ import annotations
@@ -187,17 +189,33 @@ class _Parser:
                 self._stmts(emits, inner, end="}")
             else:
                 self._stmt(emits, inner)
-            if self._at("else"):
-                raise JSCompileError(
-                    f"'else' at offset {self.toks[self.i][2]} is outside "
-                    "the compilable subset (split into two guarded emits "
-                    "or use a Python map function)"
-                )
+            if self._eat("else"):
+                # else ≡ the negated guard; an `else if` chain recurses
+                # through this same statement handler naturally
+                neg = guards + [("not", cond)]
+                if self._eat("{"):
+                    self._stmts(emits, neg, end="}")
+                else:
+                    self._stmt(emits, neg)
+            return
+        if tok == "log":
+            # upstream sandbox global (F1): debugging output, no
+            # effect on the view — parse and discard the balanced call
+            self._next()
+            self._expect("(")
+            depth = 1
+            while depth:
+                _k, t, _o = self._next()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+            self._eat(";")
             return
         raise JSCompileError(
             f"unsupported construct {tok!r} at offset {off} — the "
-            "compilable subset is emit(...) and if-guards; use a Python "
-            "map function for anything else"
+            "compilable subset is emit(...), if/else guards and log(); "
+            "use a Python map function for anything else"
         )
 
     def _cond(self) -> Any:
@@ -433,7 +451,12 @@ class _Compiler:
         if tag == "or":
             return f"({self.cond(ast[1])}) OR ({self.cond(ast[2])})"
         if tag == "not":
-            return f"NOT ({self.cond(ast[1])})"
+            # null-safe: JS `!undefined` is true, but SQL NOT(NULL) is
+            # NULL (row dropped) — coalesce the inner condition to
+            # false first so a missing/null field lands in the negated
+            # branch exactly like the JS interpreter path (and the
+            # compiled else-guard ≡ JS else)
+            return f"NOT COALESCE(({self.cond(ast[1])}), false)"
         if tag == "truthy":
             kind, sql = self._operand(ast[1])
             if kind == "bool":

@@ -79,8 +79,6 @@ def test_timestamp_fields_compile_to_iso(orders_schema):
         ("function(doc) { for (var i;;) emit(1, 1); }", "for"),
         ("function(doc) { var x = 1; emit(x, 1); }", "var"),
         ("function(doc) { emit(doc.a.b, 1); }", "nested"),
-        ("function(doc) { if (doc.o_orderkey) emit(1,1); else emit(2,1); }",
-         "else"),
         ("function(doc) { emit(doc.o_orderkey + 1, 1); }", "+"),
         ("function(doc) { }", "no emit"),
         ("function(doc) { emit(doc.nope, 1); }", "does not exist"),
@@ -89,6 +87,45 @@ def test_timestamp_fields_compile_to_iso(orders_schema):
 def test_unsupported_constructs_raise(orders_schema, src, hint):
     with pytest.raises(JSCompileError):
         compile_js_map(src, "orders", orders_schema)
+
+
+def test_else_branches_and_log_compile(spark, sf_dir, tmp_path):
+    """Round 5: if/else (incl. else-if chains) compiles to negated
+    guards; log() calls are parsed and discarded (upstream sandbox
+    global).  Every doc lands in exactly one branch — the three
+    compiled MapSpecs partition the table."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    js = {
+        "map": (
+            "orders",
+            """function(doc) {
+                 log('seen ' + doc.o_orderkey);
+                 if (doc.o_totalprice > 200000) {
+                   emit('big', 1);
+                 } else if (doc.o_totalprice > 100000) {
+                   emit('mid', 1);
+                 } else {
+                   emit('small', 1);
+                 }
+               }""",
+        ),
+        "reduce": "_count",
+    }
+    got = {r["key"]: r["value"]
+           for r in eng.query(js, group=True).rows()}
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = raw.count()
+    import pyspark.sql.functions as F
+
+    want = {
+        "big": raw.filter(F.col("o_totalprice") > 200000).count(),
+        "mid": raw.filter((F.col("o_totalprice") <= 200000)
+                          & (F.col("o_totalprice") > 100000)).count(),
+        "small": raw.filter(F.col("o_totalprice") <= 100000).count(),
+    }
+    want = {k: float(v) for k, v in want.items() if v}
+    assert got == want
+    assert sum(got.values()) == n  # partition: each doc exactly once
 
 
 def test_looks_like_js_discriminates():
