@@ -97,11 +97,25 @@ def main() -> None:
     ).write.parquet(f"{sf2}/mydb.parquet")
     raw_eng = Engine(spark, sf2, tempfile.mkdtemp(prefix="qs-rawv-"))
     raw_eng.put_design("d", {"byk": {
-        # interpreted JS over dynamic doc bodies
+        # interpreted JS over dynamic doc bodies — BOTH members are JS
+        # source, like a real CouchDB export; this reduce is outside
+        # the builtin-lowering set so it runs through the distributed
+        # partial/final (rereduce) phases
         "map": ("mydb", "function(doc){ emit(doc.kind, doc.n); }"),
-        "reduce": "_sum",
+        "reduce": """function(keys, values, rereduce) {
+            if (rereduce) {
+              var out = {sum: 0, count: 0};
+              for (var i = 0; i < values.length; i++) {
+                out.sum += values[i].sum;
+                out.count += values[i].count;
+              }
+              return out;
+            }
+            return {sum: sum(values), count: values.length};
+        }""",
     }})
-    print("raw+JS:", raw_eng.query("d/byk", group=True).rows())
+    print("raw+JS (custom JS reduce):",
+          raw_eng.query("d/byk", group=True).rows())
 
     # -- 4. maintenance & observability -------------------------------
     eng.update_view("app/qty")          # incremental (no-op here)

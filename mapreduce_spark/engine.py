@@ -621,15 +621,15 @@ class Engine:
                 self.spark.read.schema(VIEW_SCHEMA).parquet(delta_path)
                 .groupBy("id").agg(F.count(F.lit(1)).alias("n"))
             )
-            (
-                tomb_ids.join(delta_counts, "id", "left")
-                .select(
-                    "id",
-                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(vdir, lcounts_rel))
+            lc = tomb_ids.join(delta_counts, "id", "left").select(
+                "id",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            )
+            if int(probe["n"] or 0) <= 1_000_000:
+                # typical refresh: one small file beats partition spray
+                lc = lc.coalesce(1)
+            lc.write.mode("overwrite").parquet(
+                os.path.join(vdir, lcounts_rel)
             )
             # rows this batch supersedes: live (pre-batch) emits of the
             # changed docs, answered from the per-doc emit-count
