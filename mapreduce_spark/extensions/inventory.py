@@ -243,7 +243,61 @@ def x_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tok", "bin", "off")
 
 
+def x_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window reduce (streaming/windows.py) run in
+    batch mode — Spark's unified batch/stream semantics mean this is
+    the SAME operator `maintain`-ed over a stream; the stream≡batch
+    equivalence itself is pinned by tests/test_streaming.py, and THIS
+    row puts the shared computation under the DuckDB value-hash gate
+    (1-day tumbling windows align with epoch-aligned date_trunc)."""
+    from mapreduce_spark.sources.docs import load_table
+    from mapreduce_spark.streaming import windowed_reduce
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_reduce(
+        ev, ts_col="ts", window="1 day", keys=["event_type"],
+        value_col="value",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+        F.round("sumsqr_v", 1).alias("sumsqr_v"),
+    )
+
+
+def x_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (streaming/sessions.py, 30-minute
+    gap) in batch mode, oracle-paired against the classic lag+cumsum
+    sessionization SQL; session end = last event + gap (Spark
+    session_window semantics, reproduced in the oracle)."""
+    from mapreduce_spark.sources.docs import load_table
+    from mapreduce_spark.streaming import session_reduce
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_reduce(
+        ev, ts_col="ts", gap="30 minutes", keys=["user_id"],
+        value_col="value",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "s_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "s_end"
+        ),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("sum_v", 4).alias("sum_v"),
+    )
+
+
 EXT_QUERIES = {
+    "x_stream_window": x_stream_window,
+    "x_stream_session": x_stream_session,
     "x_pipeline": x_pipeline,
     "x_sample_stratified": x_sample_stratified,
     "x_pack_sequences": x_pack_sequences,
@@ -331,6 +385,38 @@ SELECT doc_id, {fold_hi} AS sim_hi, {fold_lo} AS sim_lo FROM s
 
 
 EXT_ORACLE_SQL = {
+    "x_stream_window": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  event_type,
+  count(*)::BIGINT AS cnt,
+  ROUND(SUM(value), 4) AS sum_v,
+  ROUND(MIN(value), 4) AS min_v,
+  ROUND(MAX(value), 4) AS max_v,
+  ROUND(SUM(value * value), 1) AS sumsqr_v
+FROM events GROUP BY 1, 2
+""",
+    # Spark session_window merges events whose [ts, ts+gap) windows
+    # OVERLAP (strict): a gap of exactly 30 minutes starts a NEW
+    # session, hence the >= break condition
+    "x_stream_session": """
+WITH t AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t
+)
+SELECT user_id::BIGINT AS user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+  count(*)::BIGINT AS cnt,
+  ROUND(SUM(value), 4) AS sum_v
+FROM s GROUP BY user_id, sess
+""",
     "x_pipeline": f"""
 WITH k AS (
   SELECT doc_id, lang, text FROM (
