@@ -295,10 +295,18 @@ class Engine:
         vdef, persisted = self._resolve(fun)
         check_reduce(vdef.reduce_def)
         has_reduce = vdef.reduce_def is not None
-        olist = [
-            QueryOptions(**q).validated(has_reduce=has_reduce)
-            for q in queries
-        ]
+        olist = []
+        for q in queries:
+            try:
+                o = QueryOptions(**q)
+            except TypeError:
+                bad = sorted(
+                    set(q) - set(QueryOptions.__dataclass_fields__)
+                )
+                raise QueryParseError(
+                    f"unknown query option(s): {', '.join(bad)}"
+                ) from None
+            olist.append(o.validated(has_reduce=has_reduce))
 
         last_seq: int | None = None
         stats: dict | None = None

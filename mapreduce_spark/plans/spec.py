@@ -64,7 +64,12 @@ class QueryOptions:
     skip: int = 0
     include_docs: bool = False
     conflicts: bool = False
+    # attachment options are accepted for API parity (upstream forwards
+    # them into the doc fetch) and ignored: attachments are a declared
+    # non-goal of the analytics engine (SURVEY §2 J3)
     attachments: bool = False
+    att_encoding_info: bool = False
+    binary: bool = False
     stale: str | None = None  # None | 'ok' | 'update_after'
     # CouchDB 2.x successor of `stale`: True (refresh first, default),
     # False (serve current index; ≡ stale='ok'), 'lazy' (serve current,

@@ -854,6 +854,21 @@ def test_auto_compaction_stays_scoped_in_manifest_mode(
     assert got == want
 
 
+def test_unknown_and_attachment_options(engine):
+    """Unknown options raise QueryParseError naming the offender
+    (not a bare TypeError); attachment options are accepted for API
+    parity and ignored (attachments = declared non-goal)."""
+    from mapreduce_spark.errors import QueryParseError
+
+    with pytest.raises(QueryParseError, match="limt"):
+        engine.query(SEG_VIEW, limt=5)
+    a = _seg_ids(engine.query(SEG_VIEW, limit=5, include_docs=True,
+                              attachments=True, att_encoding_info=True,
+                              binary=True))
+    b = _seg_ids(engine.query(SEG_VIEW, limit=5, include_docs=True))
+    assert a == b
+
+
 def test_stable_param_accepted_and_validated(engine):
     """CouchDB `stable` parity: reads here are always stable (atomic
     registry snapshots), so the option validates but never changes

@@ -248,6 +248,41 @@ def test_full_js_ddoc_persisted(spark, sf_dir, tmp_path):
     assert eng.registry.resolve("jsd", "v") == sig_before
 
 
+def test_property_stats_accumulator_rereduce_invariant():
+    """Hypothesis: for ANY value list and ANY partition of it into
+    partial groups, the interpreted {sum, count} accumulator's
+    partial→final fold equals the direct single-pass result — the
+    associativity contract reduce_custom relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    f = compile_js_reduce(STATS_JS)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            min_size=1, max_size=24,
+        ),
+        st.integers(1, 5),
+    )
+    def check(vals, nparts):
+        direct = f(None, vals, False)
+        assert direct["count"] == float(len(vals))
+        assert direct["sum"] == pytest.approx(sum(vals), rel=1e-9,
+                                              abs=1e-9)
+        # arbitrary partition → partials → rereduce
+        k = max(1, len(vals) // nparts)
+        chunks = [vals[i:i + k] for i in range(0, len(vals), k)]
+        partials = [f(None, c, False) for c in chunks]
+        folded = f(None, partials, True)
+        assert folded["count"] == direct["count"]
+        assert folded["sum"] == pytest.approx(direct["sum"], rel=1e-9,
+                                              abs=1e-9)
+
+    check()
+
+
 @pytest.mark.parametrize("nvals", [1, 2, 7, 40])
 def test_property_interpreted_sum_loop_equals_builtin(nvals):
     """A hand-rolled for-loop sum in JS equals Python sum for random
