@@ -487,13 +487,29 @@ class Engine:
 
     def _source_df(self, vdef: ViewDef, *, since: int | None = None,
                    to_seq: int | None = None) -> DataFrame:
-        """Raw-schema source rows (the changes-feed scan, S1)."""
+        """Raw-schema source rows (the changes-feed scan, S1).
+
+        The exact seq filter applies always; for composite seq
+        expressions a conservative single-column bound
+        (DocTable.seq_lo_pred/seq_hi_pred) is layered on top so the
+        scan gets parquet row-group pruning — without it an
+        incremental refresh of a multi-column-seq table reads the
+        whole table at 100 TB (arithmetic predicates never reach
+        PushedFilters)."""
         t = TABLES[vdef.table]
         df = load_table(self.spark, self.sf_dir, vdef.table)
         if since is not None:
             df = df.filter(F.expr(t.seq_expr).cast("long") > since)
+            if t.seq_lo_pred:
+                df = df.filter(
+                    F.expr(t.seq_lo_pred.format(seq=int(since)))
+                )
         if to_seq is not None:
             df = df.filter(F.expr(t.seq_expr).cast("long") <= to_seq)
+            if t.seq_hi_pred:
+                df = df.filter(
+                    F.expr(t.seq_hi_pred.format(seq=int(to_seq)))
+                )
         return df
 
     def _build(self, vdef: ViewDef, raw_df: DataFrame) -> DataFrame:

@@ -84,6 +84,17 @@ class DocTable:
     # parquet TIMESTAMP(NANOS) columns: Spark 4 has no nanos timestamp —
     # read as long via the legacy conf and convert (exact integer DIV)
     ns_timestamp_cols: tuple[str, ...] = ()
+    # Conservative PUSHABLE bounds for incremental (changes-feed)
+    # scans.  When ``seq_expr`` is arithmetic over several columns
+    # (lineitem), the exact `seq > since` filter cannot reach the
+    # parquet reader — at 100 TB every refresh would scan the whole
+    # table.  These format strings (over ``{seq}``) produce plain
+    # single-column predicates IMPLIED BY the exact filter, which DO
+    # push down to row-group pruning; the exact filter still applies
+    # on top.  None (single-column seq) needs no coarse bound — the
+    # plain comparison already pushes.
+    seq_lo_pred: str | None = None  # implied by seq_expr >  {seq}
+    seq_hi_pred: str | None = None  # implied by seq_expr <= {seq}
     # raw CouchDB-style source: the table IS documents — columns
     # ``_id STRING, seq LONG, doc_json STRING`` (+ optional
     # ``_rev STRING, _deleted BOOLEAN``), i.e. the shape of a PouchDB
@@ -131,6 +142,11 @@ TABLES: dict[str, DocTable] = {
             # TPC-H linenumber is 1..7, so *8 keeps seq strictly monotone
             "l_orderkey * 8 + l_linenumber",
             timestamp_cols=("l_shipdate",),
+            # seq = ok*8 + ln with ln ∈ [1,7]:
+            #   seq >  s ⟹ ok ≥ (s-7) div 8   (weakest safe lower bound)
+            #   seq <= s ⟹ ok ≤ (s-1) div 8
+            seq_lo_pred="l_orderkey >= (({seq} - 7) DIV 8)",
+            seq_hi_pred="l_orderkey <= (({seq} - 1) DIV 8)",
         ),
         DocTable(
             "events",

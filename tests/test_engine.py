@@ -854,6 +854,38 @@ def test_auto_compaction_stays_scoped_in_manifest_mode(
     assert got == want
 
 
+def test_incremental_source_scan_pushes_coarse_seq_bound(
+    spark, sf_dir, tmp_path
+):
+    """S1 at 100 TB: lineitem's composite seq (ok*8+ln) can't push
+    into the parquet scan, so the changes-feed scan layers a
+    conservative single-column bound that DOES (row-group pruning);
+    the exact filter still applies, so results are unchanged."""
+    from mapreduce_spark.engine import ViewDef
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    vdef = ViewDef(VIEW["map"], VIEW["reduce"])
+    since = 100_000
+
+    def fmt(df):  # executedPlan().toString() truncates PushedFilters
+        jvm = spark.sparkContext._jvm
+        return jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
+            .explainString(df._jdf.queryExecution(), "formatted")
+
+    src = eng._source_df(vdef, since=since)
+    assert "GreaterThanOrEqual(l_orderkey" in fmt(src)  # pushed bound
+    # exact-filter equivalence vs the unbounded scan
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seq = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    assert src.count() == raw.filter(seq > since).count()
+    # upper bound too (to_seq path)
+    hi = eng._source_df(vdef, since=since, to_seq=200_000)
+    assert "LessThanOrEqual(l_orderkey" in fmt(hi)
+    assert hi.count() == raw.filter(
+        (seq > since) & (seq <= 200_000)
+    ).count()
+
+
 def test_unknown_and_attachment_options(engine):
     """Unknown options raise QueryParseError naming the offender
     (not a bare TypeError); attachment options are accepted for API
