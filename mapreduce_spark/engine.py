@@ -362,6 +362,7 @@ class Engine:
                 docs = self._docs_for_join(
                     [vdef.table] + (doc_tables or []),
                     conflicts=o.conflicts,
+                    attachments=o.attachments,
                 )
                 # an applied limit statically bounds the id set we'd
                 # broadcast; key=/keys= lookups WITHOUT a limit are
@@ -1188,11 +1189,13 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _docs_for_join(self, tables: list[str],
-                       *, conflicts: bool = False) -> DataFrame:
+                       *, conflicts: bool = False,
+                       attachments: bool = False) -> DataFrame:
         """(_id, doc_json) across the tables reachable by this query."""
         out = None
         for tbl in dict.fromkeys(tables):
             d = docs_df(self.spark, self.sf_dir, tbl)
-            dj = doc_json_frame(d, conflicts=conflicts)
+            dj = doc_json_frame(d, conflicts=conflicts,
+                                attachments=attachments)
             out = dj if out is None else out.unionByName(dj)
         return out

@@ -64,10 +64,14 @@ class QueryOptions:
     skip: int = 0
     include_docs: bool = False
     conflicts: bool = False
-    # attachment options are accepted for API parity (upstream forwards
-    # them into the doc fetch) and ignored: attachments are a declared
-    # non-goal of the analytics engine (SURVEY §2 J3)
+    # J3 attachments (raw doc sources store attachment bodies in the
+    # doc): include_docs returns STUBS (data dropped; stub/length/
+    # digest added) by default, `attachments=True` inlines the base64
+    # data verbatim — CouchDB's exact contract.  Typed fixture tables
+    # carry no attachments, so the option is a no-op there.
     attachments: bool = False
+    # accepted for API parity and ignored (base64-vs-binary transport
+    # encodings don't apply to a DataFrame engine)
     att_encoding_info: bool = False
     binary: bool = False
     stale: str | None = None  # None | 'ok' | 'update_after'

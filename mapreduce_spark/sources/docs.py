@@ -327,7 +327,8 @@ def docs_df(
                    doc_space=doc_space)
 
 
-def doc_json_frame(d: DataFrame, *, conflicts: bool = False) -> DataFrame:
+def doc_json_frame(d: DataFrame, *, conflicts: bool = False,
+                   attachments: bool = True) -> DataFrame:
     """Docs DataFrame → ``(_id, doc_json)`` for include_docs joins.
 
     ``conflicts=True`` (J3; upstream #queryView forwards the flag into
@@ -336,12 +337,28 @@ def doc_json_frame(d: DataFrame, *, conflicts: bool = False) -> DataFrame:
     omits the member entirely for conflict-free docs, which matches
     ``to_json``'s null-dropping.  Engine-internal columns
     (``_deleted``, ``seq``) never reach the doc body.
+
+    ``attachments`` (J3 remainder; raw doc sources): CouchDB stores
+    attachment bodies in the doc and include_docs returns STUBS
+    (``{stub: true, length, digest}``, data dropped) unless
+    ``attachments=true`` inlines the base64 data.  Applied only to
+    bodies that actually contain ``_attachments`` (JVM contains()
+    prefilter; everything else passes through untouched).
     """
     if "doc_json" in d.columns:
         # raw CouchDB-style source: the stored body is authoritative
         # and returned verbatim (users keep _id/_rev inside it, the
-        # shape every CouchDB export has)
-        return _one_doc_per_id(d.select("_id", "doc_json"))
+        # shape every CouchDB export has) — modulo attachment stubbing
+        out = _one_doc_per_id(d.select("_id", "doc_json"))
+        if not attachments:
+            out = out.withColumn(
+                "doc_json",
+                F.when(
+                    F.col("doc_json").contains('"_attachments"'),
+                    _stub_attachments_udf(F.col("doc_json")),
+                ).otherwise(F.col("doc_json")),
+            )
+        return out
     drop = {"_deleted", "seq"}  # _id stays in the body (CouchDB docs carry it)
     if not conflicts:
         drop.add("_conflicts")
@@ -358,6 +375,54 @@ def doc_json_frame(d: DataFrame, *, conflicts: bool = False) -> DataFrame:
             F.to_json(F.struct(*cols)).alias("doc_json"),
         )
     )
+
+
+def stub_attachments(doc_json: str) -> str:
+    """One doc body → same body with attachment data replaced by
+    CouchDB stubs: ``data`` dropped; ``stub: true``, decoded
+    ``length`` and ``digest`` (``'md5-' + base64(md5(bytes))``, the
+    CouchDB digest format) added.  Non-dict members and undecodable
+    data are left untouched (robustness over strictness)."""
+    import base64
+    import hashlib
+
+    try:
+        doc = json.loads(doc_json)
+    except (TypeError, ValueError):
+        return doc_json
+    atts = doc.get("_attachments")
+    if not isinstance(atts, dict):
+        return doc_json
+    for name, att in atts.items():
+        if not isinstance(att, dict) or "data" not in att:
+            continue
+        new = {k: v for k, v in att.items() if k != "data"}
+        try:
+            raw = base64.b64decode(att["data"], validate=True)
+            new["length"] = len(raw)
+            new["digest"] = "md5-" + base64.b64encode(
+                hashlib.md5(raw).digest()
+            ).decode("ascii")
+        except (TypeError, ValueError):
+            pass
+        new["stub"] = True
+        atts[name] = new
+    return json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+
+
+def _stub_attachments_udf(col: Column) -> Column:
+    """Arrow-batched stubbing — runs only on rows the JVM prefilter
+    says contain ``_attachments``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _stub(s):
+        return s.map(stub_attachments)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf cannot resolve — attach real type objects instead
+    _stub.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_stub, "string")(col)
 
 
 def _one_doc_per_id(d: DataFrame) -> DataFrame:

@@ -230,3 +230,66 @@ def test_raw_js_semantics_corners(spark, tmp_path):
         assert got["b"][1] == {"k": None, "n": 0.0}
     finally:
         TABLES.pop("jsraw", None)
+
+
+def test_attachment_stubs_and_inline(spark, tmp_path):
+    """J3 attachments over raw doc sources: include_docs returns
+    CouchDB stubs by default (data dropped; stub/length/digest added),
+    attachments=True inlines the stored base64 verbatim."""
+    import base64
+    import hashlib
+
+    register_table(raw_doc_table("attdocs"))
+    try:
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        payload = b"hello attachment world"
+        b64 = base64.b64encode(payload).decode("ascii")
+        rows = [
+            {
+                "_id": "a1", "_rev": "1-x", "_deleted": False, "seq": 1,
+                "doc_json": json.dumps({
+                    "_id": "a1", "kind": "with",
+                    "_attachments": {
+                        "note.txt": {"content_type": "text/plain",
+                                     "revpos": 1, "data": b64},
+                    },
+                }),
+            },
+            {
+                "_id": "a2", "_rev": "1-y", "_deleted": False, "seq": 2,
+                "doc_json": json.dumps({"_id": "a2", "kind": "plain"}),
+            },
+        ]
+        spark.createDataFrame(
+            rows,
+            "_id string,_rev string,_deleted boolean,seq long,"
+            "doc_json string",
+        ).write.parquet(str(sf / "attdocs.parquet"))
+        eng = Engine(spark, str(sf), str(tmp_path / "views"))
+        view = {"map": MapSpec(
+            "attdocs",
+            ("str", "variant_get(parse_json(doc_json), '$.kind', "
+                    "'string')"),
+        )}
+
+        stubbed = {r["id"]: r["doc"]
+                   for r in eng.query(view, include_docs=True).rows()}
+        att = stubbed["a1"]["_attachments"]["note.txt"]
+        assert att["stub"] is True
+        assert "data" not in att
+        assert att["length"] == len(payload)
+        want_digest = "md5-" + base64.b64encode(
+            hashlib.md5(payload).digest()).decode("ascii")
+        assert att["digest"] == want_digest
+        assert att["content_type"] == "text/plain"
+        assert att["revpos"] == 1
+        assert "_attachments" not in stubbed["a2"]
+
+        inline = {r["id"]: r["doc"]
+                  for r in eng.query(view, include_docs=True,
+                                     attachments=True).rows()}
+        assert inline["a1"]["_attachments"]["note.txt"]["data"] == b64
+        assert "stub" not in inline["a1"]["_attachments"]["note.txt"]
+    finally:
+        TABLES.pop("attdocs", None)
