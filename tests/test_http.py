@@ -1,0 +1,134 @@
+"""S4 HTTP view passthrough: option translation, response parsing,
+error mapping — driven against a threaded stub CouchDB server
+(stdlib http.server; no network beyond loopback)."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from mapreduce_spark.errors import NotFoundError, QueryParseError
+from mapreduce_spark.sources.http import couch_query
+
+ROWS = {
+    "total_rows": 4,
+    "offset": 1,
+    "rows": [
+        {"id": "a", "key": ["x", 1], "value": 2.5},
+        {"id": "b", "key": ["x", 2], "value": 1.0,
+         "doc": {"_id": "b", "v": 7}},
+    ],
+}
+
+
+class _Stub(BaseHTTPRequestHandler):
+    seen: list = []
+
+    def _respond(self, code: int, body: dict) -> None:
+        data = json.dumps(body).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        u = urlparse(self.path)
+        _Stub.seen.append(
+            ("GET", u.path, {k: v[0] for k, v in parse_qs(u.query).items()},
+             None)
+        )
+        if "/nosuch/" in u.path:
+            self._respond(404, {"error": "not_found",
+                                "reason": "missing_named_view"})
+            return
+        if "boom" in u.query:
+            self._respond(400, {"error": "query_parse_error",
+                                "reason": "bad thing"})
+            return
+        self._respond(200, ROWS)
+
+    def do_POST(self):
+        u = urlparse(self.path)
+        n = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(n)) if n else None
+        _Stub.seen.append(
+            ("POST", u.path,
+             {k: v[0] for k, v in parse_qs(u.query).items()}, body)
+        )
+        self._respond(200, ROWS)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def server():
+    _Stub.seen = []
+    srv = HTTPServer(("127.0.0.1", 0), _Stub)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/mydb"
+    srv.shutdown()
+
+
+def test_param_translation_and_response(server):
+    res = couch_query(
+        server, "app", "by key/slash",
+        startkey=["x"], endkey=["x", {}], inclusive_end=False,
+        descending=True, limit=10, skip=2, include_docs=True,
+        conflicts=True, update="lazy", group_level=2, update_seq=True,
+    )
+    method, path, params, body = _Stub.seen[-1]
+    assert method == "GET"
+    # ddoc/view URL-escaped (slash in the view name survives)
+    assert path == "/mydb/_design/app/_view/by%20key%2Fslash"
+    assert params["startkey"] == '["x"]'
+    assert params["endkey"] == '["x",{}]'
+    assert params["inclusive_end"] == "false"
+    assert params["descending"] == "true"
+    assert params["limit"] == "10" and params["skip"] == "2"
+    assert params["include_docs"] == "true"
+    assert params["conflicts"] == "true"
+    assert params["group_level"] == "2"
+    assert params["update"] == "lazy"
+    assert params["update_seq"] == "true"
+    assert "stale" not in params  # update= given → only update sent
+    # response surface mirrors the local QueryResult
+    assert res.total_rows == 4 and res.offset == 1
+    rows = res.rows()
+    assert rows[0]["key"] == ["x", 1] and rows[0]["value"] == 2.5
+    assert rows[1]["doc"]["v"] == 7
+
+
+def test_keys_goes_as_post_body(server):
+    couch_query(server, "app", "v", keys=["a", ["b", 1]], group=True)
+    method, _path, params, body = _Stub.seen[-1]
+    assert method == "POST"
+    assert body == {"keys": ["a", ["b", 1]]}
+    assert params["group"] == "true"
+    assert "keys" not in params
+
+
+def test_error_mapping(server):
+    with pytest.raises(NotFoundError):
+        couch_query(server, "nosuch", "v")
+    with pytest.raises(QueryParseError, match="bad thing"):
+        couch_query(server, "app", "v", startkey="boom")
+    # client-side V1 still applies before any request goes out
+    n = len(_Stub.seen)
+    with pytest.raises(QueryParseError):
+        couch_query(server, "app", "v", keys=["a"], group_level=2)
+    with pytest.raises(QueryParseError):
+        couch_query(server, "app", "v", limit=-1)
+    assert len(_Stub.seen) == n  # nothing hit the wire
+
+
+def test_as_dataframe(server, spark):
+    df = couch_query(server, "app", "v").as_dataframe(spark)
+    got = {r["id"]: (r["key_json"], r["value_json"], r["doc_json"])
+           for r in df.collect()}
+    assert got["a"] == ('["x",1]', "2.5", None)
+    assert json.loads(got["b"][2]) == {"_id": "b", "v": 7}
