@@ -55,7 +55,7 @@ from mapreduce_spark.operators.query import (
 )
 from mapreduce_spark.operators.reduce import check_reduce
 from mapreduce_spark.plans.registry import Registry, signature
-from mapreduce_spark.plans.spec import UNSET, QueryOptions
+from mapreduce_spark.plans.spec import UNSET, QueryOptions, options_from
 from mapreduce_spark.sources.docs import (
     TABLES,
     doc_id_col,
@@ -295,18 +295,10 @@ class Engine:
         vdef, persisted = self._resolve(fun)
         check_reduce(vdef.reduce_def)
         has_reduce = vdef.reduce_def is not None
-        olist = []
-        for q in queries:
-            try:
-                o = QueryOptions(**q)
-            except TypeError:
-                bad = sorted(
-                    set(q) - set(QueryOptions.__dataclass_fields__)
-                )
-                raise QueryParseError(
-                    f"unknown query option(s): {', '.join(bad)}"
-                ) from None
-            olist.append(o.validated(has_reduce=has_reduce))
+        olist = [
+            options_from(q).validated(has_reduce=has_reduce)
+            for q in queries
+        ]
 
         last_seq: int | None = None
         stats: dict | None = None

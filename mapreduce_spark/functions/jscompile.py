@@ -555,7 +555,28 @@ def looks_like_js(obj: Any) -> bool:
 # AST → Python map function (raw doc sources)
 # ---------------------------------------------------------------------------
 
-_UNDEF = object()  # JS `undefined` (absent doc field)
+class _Undefined:
+    """JS ``undefined`` sentinel.  A pickle-stable singleton: compiled
+    reduce ASTs containing the ``undefined`` literal ship to executors
+    inside closures, and identity checks (``is _UNDEF``) must survive
+    the round-trip — a plain ``object()`` deserializes to a NEW
+    instance and silently breaks them."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __reduce__(self):
+        return (_Undefined, ())
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "undefined"
+
+
+_UNDEF = _Undefined()  # JS `undefined` (absent doc field)
 
 
 def _ev(ast: Any, doc: dict) -> Any:

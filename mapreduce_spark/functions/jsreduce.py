@@ -439,6 +439,51 @@ class _Return(Exception):
         self.value = value
 
 
+class _Scope:
+    """JS scope chain.  ``var`` declarations bind in the innermost
+    function scope (``declare``); plain assignment writes to the
+    NEAREST enclosing binding — so a callback mutating a captured
+    variable updates the outer variable, as JS closures do — falling
+    back to the root scope (JS's implicit-global) when unbound."""
+
+    __slots__ = ("local", "parent")
+
+    def __init__(self, local: dict | None = None,
+                 parent: "_Scope | None" = None) -> None:
+        self.local = local if local is not None else {}
+        self.parent = parent
+
+    def __contains__(self, name: str) -> bool:
+        s: _Scope | None = self
+        while s is not None:
+            if name in s.local:
+                return True
+            s = s.parent
+        return False
+
+    def __getitem__(self, name: str) -> Any:
+        s: _Scope | None = self
+        while s is not None:
+            if name in s.local:
+                return s.local[name]
+            s = s.parent
+        raise KeyError(name)
+
+    def __setitem__(self, name: str, value: Any) -> None:
+        s: _Scope = self
+        while True:
+            if name in s.local:
+                s.local[name] = value
+                return
+            if s.parent is None:
+                s.local[name] = value  # unbound → root (JS global)
+                return
+            s = s.parent
+
+    def declare(self, name: str, value: Any) -> None:
+        self.local[name] = value
+
+
 def _js_num(v: Any) -> float:
     """JS ToNumber over the subset's value space (NaN for the rest)."""
     if isinstance(v, bool):
@@ -501,18 +546,58 @@ def _builtin_sum(args: list) -> float | list:
     return sum(_js_num(v) for v in vals)
 
 
+def _js_min(args: list) -> float:
+    # JS: Math.min() = Infinity; any NaN operand → NaN
+    vals = [_js_num(a) for a in args]
+    if any(v != v for v in vals):
+        return math.nan
+    return min(vals, default=math.inf)
+
+
+def _js_max(args: list) -> float:
+    vals = [_js_num(a) for a in args]
+    if any(v != v for v in vals):
+        return math.nan
+    return max(vals, default=-math.inf)
+
+
+def _js_intop(fn):
+    # JS: Math.floor/ceil/round of NaN/±Infinity return the input
+    def op(args: list) -> float:
+        x = _js_num(args[0]) if args else math.nan
+        if x != x or math.isinf(x):
+            return x
+        return float(fn(x))
+
+    return op
+
+
+def _js_sqrt(args: list) -> float:
+    x = _js_num(args[0]) if args else math.nan
+    if x != x or x < 0:
+        return math.nan  # JS: sqrt of a negative is NaN, not an error
+    return math.sqrt(x)
+
+
+def _js_pow(args: list) -> float:
+    try:
+        r = _js_num(args[0]) ** _js_num(args[1])
+    except (OverflowError, ValueError, ZeroDivisionError):
+        return math.nan
+    if isinstance(r, complex):  # Python promotes (-x)**0.5; JS: NaN
+        return math.nan
+    return float(r)
+
+
 _MATH_FNS = {
-    # empty arg list: JS Math.min() = Infinity, Math.max() = -Infinity
-    "min": lambda args: min((_js_num(a) for a in args),
-                            default=math.inf),
-    "max": lambda args: max((_js_num(a) for a in args),
-                            default=-math.inf),
-    "abs": lambda args: abs(_js_num(args[0])),
-    "floor": lambda args: float(math.floor(_js_num(args[0]))),
-    "ceil": lambda args: float(math.ceil(_js_num(args[0]))),
-    "round": lambda args: float(math.floor(_js_num(args[0]) + 0.5)),
-    "sqrt": lambda args: math.sqrt(_js_num(args[0])),
-    "pow": lambda args: _js_num(args[0]) ** _js_num(args[1]),
+    "min": _js_min,
+    "max": _js_max,
+    "abs": lambda args: abs(_js_num(args[0])) if args else math.nan,
+    "floor": _js_intop(math.floor),
+    "ceil": _js_intop(math.ceil),
+    "round": _js_intop(lambda x: math.floor(x + 0.5)),
+    "sqrt": _js_sqrt,
+    "pow": _js_pow,
 }
 
 
@@ -521,11 +606,11 @@ def _exec_block(stmts: list, env: dict) -> None:
         _exec_stmt(s, env)
 
 
-def _exec_stmt(s: Any, env: dict) -> None:
+def _exec_stmt(s: Any, env: "_Scope") -> None:
     tag = s[0]
     if tag == "var":
         for name, e in s[1]:
-            env[name] = _UNDEF if e is None else _eval(e, env)
+            env.declare(name, _UNDEF if e is None else _eval(e, env))
     elif tag == "return":
         raise _Return(None if s[1] is None else _eval(s[1], env))
     elif tag == "if":
@@ -709,13 +794,11 @@ def _eval(e: Any, env: dict) -> Any:
 def _call(fn: Any, args: list) -> Any:
     if isinstance(fn, tuple) and fn[:1] == ("__closure__",):
         _, params, body, captured = fn
-        from collections import ChainMap
-
         local: dict = {p: _UNDEF for p in params}
         for p, a in zip(params, args):
             local[p] = a
         try:
-            _exec_block(body, ChainMap(local, captured))
+            _exec_block(body, _Scope(local, captured))
         except _Return as r:
             return r.value
         return _UNDEF  # fell off the end: undefined
@@ -874,14 +957,14 @@ class JSReduceFunction:
         self.params, self.body = _Parser(source).parse()
 
     def __call__(self, keys: Any, values: Any, rereduce: bool) -> Any:
-        env: dict[str, Any] = {}
+        local: dict[str, Any] = {}
         names = self.params + ["keys", "values", "rereduce"][len(self.params):]
         for name in names[3:]:
-            env[name] = _UNDEF  # extra params: JS binds undefined
+            local[name] = _UNDEF  # extra params: JS binds undefined
         for name, val in zip(names, (keys, values, bool(rereduce))):
-            env[name] = val
+            local[name] = val
         try:
-            _exec_block(self.body, env)
+            _exec_block(self.body, _Scope(local))
         except _Return as r:
             return _de_undef(r.value)
         return None  # fell off the end: JS returns undefined → null

@@ -39,6 +39,20 @@ def _coerce_integer(v: Any, name: str) -> int:
     raise QueryParseError(f"Invalid value for integer: {v!r}")
 
 
+def options_from(opts: dict) -> "QueryOptions":
+    """Construct QueryOptions, mapping unknown kwargs to the upstream
+    error class (a clear QueryParseError naming the offenders, never a
+    bare dataclass TypeError).  Shared by the local engine and the
+    HTTP passthrough."""
+    try:
+        return QueryOptions(**opts)
+    except TypeError:
+        bad = sorted(set(opts) - set(QueryOptions.__dataclass_fields__))
+        raise QueryParseError(
+            f"unknown query option(s): {', '.join(bad)}"
+        ) from None
+
+
 @dataclass
 class QueryOptions:
     """Validated options for one view query (SURVEY.md §2 entry-point)."""

@@ -396,15 +396,18 @@ def stub_attachments(doc_json: str) -> str:
     for name, att in atts.items():
         if not isinstance(att, dict) or "data" not in att:
             continue
-        new = {k: v for k, v in att.items() if k != "data"}
         try:
-            raw = base64.b64decode(att["data"], validate=True)
-            new["length"] = len(raw)
-            new["digest"] = "md5-" + base64.b64encode(
-                hashlib.md5(raw).digest()
-            ).decode("ascii")
+            # strip whitespace first: real CouchDB exports line-wrap
+            # base64, which strict validation would reject
+            b64 = "".join(str(att["data"]).split())
+            raw = base64.b64decode(b64, validate=True)
         except (TypeError, ValueError):
-            pass
+            continue  # undecodable: leave the attachment untouched
+        new = {k: v for k, v in att.items() if k != "data"}
+        new["length"] = len(raw)
+        new["digest"] = "md5-" + base64.b64encode(
+            hashlib.md5(raw).digest()
+        ).decode("ascii")
         new["stub"] = True
         atts[name] = new
     return json.dumps(doc, separators=(",", ":"), ensure_ascii=False)

@@ -30,7 +30,7 @@ from mapreduce_spark.errors import (
     NotFoundError,
     QueryParseError,
 )
-from mapreduce_spark.plans.spec import UNSET, QueryOptions
+from mapreduce_spark.plans.spec import UNSET, QueryOptions, options_from
 
 # options whose values are JSON-encoded in the query string (upstream
 # #addHttpParam jsonifies key-typed params)
@@ -110,6 +110,29 @@ class HttpQueryResult:
         )
 
 
+def _split_userinfo(base_url: str) -> tuple[str, str | None]:
+    """Extract URL userinfo into a Basic Authorization header value
+    (urllib does NOT do this itself — it would try to resolve
+    ``user:pass@host`` as a hostname)."""
+    u = urllib.parse.urlsplit(base_url)
+    if not u.username:
+        return base_url, None
+    import base64
+
+    cred = f"{urllib.parse.unquote(u.username)}:" \
+           f"{urllib.parse.unquote(u.password or '')}"
+    auth = "Basic " + base64.b64encode(cred.encode()).decode("ascii")
+    netloc = u.hostname or ""
+    if u.port:
+        netloc += f":{u.port}"
+    return (
+        urllib.parse.urlunsplit(
+            (u.scheme, netloc, u.path, u.query, u.fragment)
+        ),
+        auth,
+    )
+
+
 def _map_http_error(status: int, body: bytes) -> Exception:
     try:
         err = json.loads(body.decode("utf-8", "replace"))
@@ -145,21 +168,24 @@ def couch_query(
     else as query params with key-typed values JSON-encoded.  HTTP
     error bodies map onto the local error classes.
     """
-    keys = opts.pop("keys", UNSET)
-    try:
-        o = QueryOptions(keys=keys, **opts)
-    except TypeError:
-        bad = sorted(
-            set(opts) - set(QueryOptions.__dataclass_fields__)
-        )
-        raise QueryParseError(
-            f"unknown query option(s): {', '.join(bad)}"
-        ) from None
-    # client-side V1 validation, permissive about reduce presence (the
-    # ddoc lives on the server; reduce-dependent misuse comes back as
-    # a mapped query_parse_error from CouchDB itself)
-    o = o.validated(has_reduce=True)
+    o = options_from({"keys": opts.pop("keys", UNSET), **opts})
+    # client-side V1 validation.  The ddoc lives on the server, so
+    # reduce presence is unknown; assume a reduce exists only when the
+    # caller signals reduce-ness (reduce=True / group / group_level) —
+    # a bare keys= fetch then validates like a map view (CouchDB
+    # accepts it there) and reduce-view misuse comes back as a mapped
+    # query_parse_error from the server itself.
+    signals_reduce = bool(
+        opts.get("reduce")
+        or opts.get("group")
+        or opts.get("group_level") is not None
+    )
+    o = o.validated(has_reduce=signals_reduce)
     params = _encode_params(o)
+    hdrs = {"Accept": "application/json", **(headers or {})}
+    base_url, auth = _split_userinfo(base_url)
+    if auth and "Authorization" not in hdrs:
+        hdrs["Authorization"] = auth
     url = "{}/_design/{}/_view/{}".format(
         base_url.rstrip("/"),
         urllib.parse.quote(ddoc, safe=""),
@@ -167,7 +193,6 @@ def couch_query(
     )
     if params:
         url += "?" + urllib.parse.urlencode(params)
-    hdrs = {"Accept": "application/json", **(headers or {})}
     if o.keys is not UNSET:
         data = json.dumps(
             {"keys": o.keys}, separators=(",", ":")

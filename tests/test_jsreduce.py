@@ -131,6 +131,44 @@ def test_reduce_callback_and_apply_idioms():
                                                False) == 23.0
 
 
+def test_closure_writeback_and_undefined_pickle():
+    """Review round-5 findings: (1) assignment to a captured variable
+    inside a callback must update the OUTER binding (JS closure
+    semantics, scope chain); (2) the `undefined` literal must survive
+    pickling as the same sentinel (compiled reduces ship to
+    executors)."""
+    acc = compile_js_reduce(
+        "function(k, v) { var t = 0;"
+        "  v.reduce(function(a,b){ t = t + b; return 0; }, 0);"
+        "  return t; }"
+    )
+    assert acc(None, [1.0, 2.0, 3.0], False) == 6.0
+    assert pickle.loads(pickle.dumps(acc))(None, [1.0, 2.0, 3.0],
+                                           False) == 6.0
+    und = compile_js_reduce(
+        "function(k, v) {"
+        "  if (v[0] === undefined) { return 'undef'; } return 'def'; }"
+    )
+    assert und(None, [], False) == "undef"
+    assert pickle.loads(pickle.dumps(und))(None, [], False) == "undef"
+    assert pickle.loads(pickle.dumps(und))(None, [1.0], False) == "def"
+
+
+def test_math_nan_semantics():
+    """JS Math edge semantics: errors become NaN, never Python
+    exceptions that would fail the whole Spark job."""
+    import math
+
+    run = lambda src: compile_js_reduce(src)(None, [], False)  # noqa: E731
+    assert math.isnan(run("function(k,v){ return Math.sqrt(0-1); }"))
+    assert math.isnan(run("function(k,v){ return Math.round(0/0); }"))
+    assert run("function(k,v){ return Math.floor(1/0); }") == math.inf
+    assert math.isnan(run("function(k,v){ return Math.min(1, 0/0); }"))
+    assert math.isnan(
+        run("function(k,v){ return Math.pow(0-8, 0.5); }")
+    )
+
+
 def test_out_of_subset_raises():
     for src in (
         "function(k, v) { while (true) {} }",

@@ -293,3 +293,35 @@ def test_attachment_stubs_and_inline(spark, tmp_path):
         assert "stub" not in inline["a1"]["_attachments"]["note.txt"]
     finally:
         TABLES.pop("attdocs", None)
+
+
+def test_attachment_stub_whitespace_b64_and_undecodable(spark):
+    """Review round-5 finding: line-wrapped base64 (real CouchDB
+    exports wrap data) still stubs with correct length/digest;
+    genuinely undecodable data leaves the attachment untouched."""
+    import base64
+    import hashlib
+
+    from mapreduce_spark.sources.docs import stub_attachments
+
+    payload = b"0123456789" * 10
+    b64 = base64.b64encode(payload).decode("ascii")
+    wrapped = "\n".join(b64[i:i + 20] for i in range(0, len(b64), 20))
+    doc = json.dumps({
+        "_id": "w1",
+        "_attachments": {
+            "wrapped.bin": {"content_type": "application/octet-stream",
+                            "data": wrapped},
+            "broken.bin": {"content_type": "application/octet-stream",
+                           "data": "!!not-base64!!"},
+        },
+    })
+    out = json.loads(stub_attachments(doc))
+    good = out["_attachments"]["wrapped.bin"]
+    assert good["stub"] is True and "data" not in good
+    assert good["length"] == len(payload)
+    assert good["digest"] == "md5-" + base64.b64encode(
+        hashlib.md5(payload).digest()).decode("ascii")
+    bad = out["_attachments"]["broken.bin"]
+    assert bad["data"] == "!!not-base64!!"  # untouched, data preserved
+    assert "stub" not in bad
