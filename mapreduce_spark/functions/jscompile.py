@@ -25,14 +25,21 @@ Supported subset (each maps 1:1 onto a MapSpec capability):
   ``=== == !== != < <= > >=``, ``&&``, ``||``, ``!``, truthiness
   tests, nested ifs; guards (and negated else-guards) compile into
   ``MapSpec.where`` so Catalyst pushes them into the parquet scan;
+- arithmetic ``+ - *`` on same-kind operands (JS null→0 coercion
+  compiled as ``coalesce``; string ``+`` concat with null→``'null'``;
+  division is out — JS Infinity has no JSON/collation form);
+- string methods ``.substring/.slice`` (literal non-negative offsets)
+  and ``.toLowerCase/.toUpperCase`` — a method call on a null field
+  compiles to a ``IS NOT NULL`` guard, reproducing upstream tryMap's
+  throw→skip semantics;
 - ``log(...)`` calls (upstream sandbox global) parsed and discarded;
 - multiple emits (one MapSpec per emit, unioned with emit ordinals).
 
 Anything outside the subset raises :class:`JSCompileError` naming the
 construct and its position — the deliberate fallback contract: express
 that view as a Python map fn (the generic path) instead of silently
-mis-compiling.  Loops, variable bindings, function calls, arithmetic,
-and nested doc paths are out of the subset.
+mis-compiling.  Loops, variable bindings, general function calls, and
+nested doc paths are out of the subset.
 """
 
 from __future__ import annotations
@@ -245,10 +252,55 @@ class _Parser:
         return ("truthy", left)
 
     def _expr(self) -> Any:
+        """Additive expression: primary/method chains joined by
+        ``+``/``-``/``*`` (division is outside the subset — JS's
+        Infinity corner has no JSON/collation representation)."""
+        left = self._mul()
+        while self.i < len(self.toks) and self.toks[self.i][1] in (
+            "+", "-",
+        ):
+            op = self._next()[1]
+            left = ("bin", op, left, self._mul())
+        return left
+
+    def _mul(self) -> Any:
+        left = self._postfix()
+        while self._at("*"):
+            self._next()
+            left = ("bin", "*", left, self._postfix())
+        return left
+
+    def _postfix(self) -> Any:
+        e = self._primary()
+        # method calls on doc fields / computed strings:
+        # .substring/.slice/.toLowerCase/.toUpperCase
+        while (
+            self._at(".")
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1][0] == "ident"
+            and self.i + 2 < len(self.toks)
+            and self.toks[self.i + 2][1] == "("
+        ):
+            self._next()  # .
+            _k, name, off = self._next()
+            self._next()  # (
+            args = []
+            while not self._eat(")"):
+                args.append(self._expr())
+                self._eat(",")
+            e = ("method", e, name, args)
+        return e
+
+    def _primary(self) -> Any:
         kind, tok, off = self._next()
         if kind == "num":
             return ("lit", float(tok) if "." in tok or "e" in tok.lower()
                     else int(tok))
+        if tok == "-" and self.i < len(self.toks) \
+                and self.toks[self.i][0] == "num":
+            _k, n, _o = self._next()
+            return ("lit", -(float(n) if "." in n or "e" in n.lower()
+                             else int(n)))
         if kind == "str":
             return ("lit", _unquote(tok))
         if kind == "ident":
@@ -264,6 +316,10 @@ class _Parser:
                 f"unsupported identifier {tok!r} at offset {off} (only "
                 "'doc' field references and literals are compilable)"
             )
+        if tok == "(":
+            e = self._expr()
+            self._expect(")")
+            return e
         if tok == "[":
             items = []
             while not self._eat("]"):
@@ -291,7 +347,13 @@ class _Parser:
     def _field_path(self, off: int) -> str:
         parts = []
         while True:
-            if self._eat("."):
+            if self._at(".") and not (
+                self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][0] == "ident"
+                and self.i + 2 < len(self.toks)
+                and self.toks[self.i + 2][1] == "("
+            ):
+                self._next()
                 kind, tok, _ = self._next()
                 if kind != "ident":
                     raise JSCompileError(
@@ -340,6 +402,99 @@ class _Compiler:
         self.table = table
         self.t = TABLES[table]
         self.types = {f.name: f.dataType.simpleString() for f in schema}
+        # null-guards accumulated while compiling ONE emit: a JS method
+        # call on null THROWS, and upstream tryMap turns a throwing map
+        # fn into a skipped doc — compiled as `field IS NOT NULL` ANDed
+        # into that emit's where clause (reset per emit)
+        self.pending_guards: list[str] = []
+
+    # -- computed expressions (arithmetic + string methods) -------------
+
+    _STR_METHODS = ("substring", "slice", "toLowerCase", "toUpperCase")
+
+    def computed(self, ast: Any) -> tuple[str, str]:
+        """('bin'|'method'|…) AST → (kind, sql) with JS semantics."""
+        tag = ast[0]
+        if tag == "lit":
+            v = ast[1]
+            if isinstance(v, bool) or v is None:
+                raise JSCompileError(
+                    "booleans/null are not compilable inside computed "
+                    "expressions"
+                )
+            if isinstance(v, (int, float)):
+                return "num", repr(float(v))
+            return "str", _sql_str(v)
+        if tag == "doc":
+            kind, sql = self.field(ast[1])
+            if kind == "iso":  # doc space renders ISO strings
+                return "str", _ISO_SQL.format(col=sql)
+            return kind, sql
+        if tag == "bin":
+            op, l, r = ast[1], ast[2], ast[3]
+            (lk, ls) = self.computed(l)
+            (rk, rs) = self.computed(r)
+            if op == "+" and lk == rk == "str":
+                # JS string concat: null stringifies to 'null'
+                return "str", (
+                    f"concat(coalesce({ls}, 'null'), "
+                    f"coalesce({rs}, 'null'))"
+                )
+            if lk == rk == "num":
+                sql_op = {"+": "+", "-": "-", "*": "*"}[op]
+                # JS arithmetic coerces null to 0 (never throws)
+                return "num", (
+                    f"(coalesce({ls}, 0.0) {sql_op} "
+                    f"coalesce({rs}, 0.0))"
+                )
+            raise JSCompileError(
+                f"operator {op!r} between {lk} and {rk} operands is "
+                "outside the subset (same-kind operands only; JS "
+                "mixed-type coercion differs from SQL)"
+            )
+        if tag == "method":
+            base, name, args = ast[1], ast[2], ast[3]
+            bk, bs = self.computed(base)
+            if bk != "str" or name not in self._STR_METHODS:
+                raise JSCompileError(
+                    f".{name}() on a {bk} receiver is outside the "
+                    "compilable subset"
+                )
+            if base[0] == "doc":
+                # JS: null.method() throws → tryMap skips the doc
+                self.pending_guards.append(f"({bs} IS NOT NULL)")
+            if name == "toLowerCase":
+                if args:
+                    raise JSCompileError("toLowerCase() takes no args")
+                return "str", f"lower({bs})"
+            if name == "toUpperCase":
+                if args:
+                    raise JSCompileError("toUpperCase() takes no args")
+                return "str", f"upper({bs})"
+            # substring/slice with literal non-negative offsets (the
+            # common prefix/infix idiom); negative/swapped/dynamic
+            # args are out of the subset
+            lits = []
+            for a in args:
+                if a[0] != "lit" or not isinstance(a[1], (int, float)) \
+                        or a[1] < 0 or a[1] != int(a[1]):
+                    raise JSCompileError(
+                        f".{name}() supports literal non-negative "
+                        "integer offsets only"
+                    )
+                lits.append(int(a[1]))
+            if len(lits) == 1:
+                return "str", f"substr({bs}, {lits[0] + 1})"
+            if len(lits) == 2 and lits[0] <= lits[1]:
+                return "str", (
+                    f"substr({bs}, {lits[0] + 1}, {lits[1] - lits[0]})"
+                )
+            raise JSCompileError(
+                f".{name}() expects (start[, end]) with start <= end"
+            )
+        raise JSCompileError(
+            f"unsupported computed expression {tag!r}"
+        )
 
     def field(self, name: str) -> tuple[str, str]:
         """doc field → (kind, raw-SQL expr) in the doc space."""
@@ -384,9 +539,11 @@ class _Compiler:
             return ("str", _sql_str(v))
         if tag == "doc":
             return self.field(ast[1])
+        if tag in ("bin", "method"):
+            return self.computed(ast)
         raise JSCompileError(
-            f"unsupported key component {tag!r} (scalars and doc fields "
-            "only; arrays cannot nest)"
+            f"unsupported key component {tag!r} (scalars, doc fields "
+            "and computed expressions only; arrays cannot nest)"
         )
 
     def key(self, ast: Any) -> Any:
@@ -411,6 +568,8 @@ class _Compiler:
             if kind == "iso":
                 return ("str", _ISO_SQL.format(col=sql))
             return (kind, sql)
+        if tag in ("bin", "method"):
+            return self.computed(ast)
         if tag == "arr":
             exprs = []
             for a in ast[1]:
@@ -496,6 +655,8 @@ class _Compiler:
     def _operand(self, ast: Any) -> tuple[str, str]:
         if ast[0] == "doc":
             return self.field(ast[1])
+        if ast[0] in ("bin", "method"):
+            return self.computed(ast)
         if ast[0] == "lit":
             v = ast[1]
             if isinstance(v, bool):
@@ -530,12 +691,16 @@ def compile_js_map(source: str, table: str, schema) -> Any:
     c = _Compiler(table, schema)
     specs = []
     for guards, key_ast, value_ast in emits:
-        where = None
-        if guards:
-            where = " AND ".join(f"({c.cond(g)})" for g in guards)
+        c.pending_guards = []
+        conds = [f"({c.cond(g)})" for g in guards]
+        key = c.key(key_ast)
+        value = c.value(value_ast)
+        # method-on-nullable-field guards collected while compiling
+        # this emit (JS throw → tryMap doc skip)
+        conds += [g for g in dict.fromkeys(c.pending_guards)]
         specs.append(
-            MapSpec(table, c.key(key_ast), c.value(value_ast),
-                    where=where)
+            MapSpec(table, key, value,
+                    where=" AND ".join(conds) if conds else None)
         )
     return specs[0] if len(specs) == 1 else specs
 
@@ -579,6 +744,36 @@ class _Undefined:
 _UNDEF = _Undefined()  # JS `undefined` (absent doc field)
 
 
+class _MapThrow(Exception):
+    """The interpreted map fn hit a JS runtime throw (e.g. a method
+    call on null/undefined) — upstream tryMap catches it and skips the
+    doc, keeping whatever was emitted before the throw."""
+
+
+def _js_substring(s: str, i: float, j: float | None) -> str:
+    # JS String.prototype.substring: NaN/negative → 0, clamp to
+    # length, swapped args swap back
+    n = len(s)
+    a = 0 if i != i else max(0, min(int(i), n))
+    b = n if j is None else (0 if j != j else max(0, min(int(j), n)))
+    if a > b:
+        a, b = b, a
+    return s[a:b]
+
+
+def _js_slice(s: str, i: float, j: float | None) -> str:
+    # JS String.prototype.slice: negatives count from the end
+    n = len(s)
+    a = int(i) if i == i else 0
+    b = n if j is None else (int(j) if j == j else 0)
+    if a < 0:
+        a = max(0, n + a)
+    if b < 0:
+        b = max(0, n + b)
+    a, b = min(a, n), min(b, n)
+    return s[a:b] if a < b else ""
+
+
 def _ev(ast: Any, doc: dict) -> Any:
     tag = ast[0]
     if tag == "lit":
@@ -589,7 +784,88 @@ def _ev(ast: Any, doc: dict) -> Any:
         return [_ev(a, doc) for a in ast[1]]
     if tag == "obj":
         return {k: _ev(a, doc) for k, a in ast[1].items()}
+    if tag == "bin":
+        op = ast[1]
+        a, b = _ev(ast[2], doc), _ev(ast[3], doc)
+        if op == "+":
+            return _js_add(a, b)
+        if op == "-":
+            return _js_num(a) - _js_num(b)
+        if op == "*":
+            return _js_num(a) * _js_num(b)
+        raise JSCompileError(f"unsupported operator {op!r}")
+    if tag == "method":
+        recv = _ev(ast[1], doc)
+        name, args = ast[2], [_ev(a, doc) for a in ast[3]]
+        if recv is None or recv is _UNDEF:
+            raise _MapThrow(f"cannot call .{name}() on null/undefined")
+        if not isinstance(recv, str):
+            raise _MapThrow(f".{name}() on a non-string value")
+        if name == "toLowerCase":
+            return recv.lower()
+        if name == "toUpperCase":
+            return recv.upper()
+        if name == "substring":
+            return _js_substring(
+                recv, _js_num(args[0]) if args else 0.0,
+                _js_num(args[1]) if len(args) > 1 else None,
+            )
+        if name == "slice":
+            return _js_slice(
+                recv, _js_num(args[0]) if args else 0.0,
+                _js_num(args[1]) if len(args) > 1 else None,
+            )
+        raise JSCompileError(f".{name}() is outside the subset")
     raise JSCompileError(f"unsupported expression {tag!r}")
+
+
+def _js_num(v: Any) -> float:
+    """JS ToNumber over the subset's value space (NaN for the rest)."""
+    import math
+
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if v is None:
+        return 0.0
+    if isinstance(v, str):
+        s = v.strip()
+        if not s:
+            return 0.0
+        try:
+            return float(s)
+        except ValueError:
+            return math.nan
+    return math.nan  # undefined, arrays, objects
+
+
+def _js_str(v: Any) -> str:
+    """JS ToString over the subset's value space."""
+    if v is _UNDEF:
+        return "undefined"
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == int(v) and abs(v) < 1e21:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, list):
+        return ",".join("" if x is None or x is _UNDEF else _js_str(x)
+                        for x in v)
+    return str(v)
+
+
+def _js_add(a: Any, b: Any) -> Any:
+    if isinstance(a, str) or isinstance(b, str):
+        return _js_str(a) + _js_str(b)
+    return _js_num(a) + _js_num(b)
 
 
 def _truthy(v: Any) -> bool:
@@ -706,12 +982,17 @@ class JSMapFunction:
             )
 
     def __call__(self, doc: dict, emit) -> None:
-        for guards, key_ast, value_ast in self._emits:
-            if all(_cond_eval(g, doc) for g in guards):
-                emit(
-                    _de_undef(_ev(key_ast, doc)),
-                    _de_undef(_ev(value_ast, doc)),
-                )
+        try:
+            for guards, key_ast, value_ast in self._emits:
+                if all(_cond_eval(g, doc) for g in guards):
+                    emit(
+                        _de_undef(_ev(key_ast, doc)),
+                        _de_undef(_ev(value_ast, doc)),
+                    )
+        except _MapThrow:
+            # upstream tryMap: a throwing map fn skips the doc's
+            # remaining emits (earlier emits stand), not the build
+            return
 
     def __repr__(self) -> str:
         return f"JSMapFunction({self.source!r})"

@@ -55,8 +55,11 @@ from mapreduce_spark.errors import QueryParseError
 from mapreduce_spark.functions.jscompile import (
     _UNDEF,
     _de_undef,
+    _js_add,
     _js_eq,
+    _js_num,
     _js_rel,
+    _js_str,
     _truthy,
     _unquote,
 )
@@ -484,47 +487,6 @@ class _Scope:
         self.local[name] = value
 
 
-def _js_num(v: Any) -> float:
-    """JS ToNumber over the subset's value space (NaN for the rest)."""
-    if isinstance(v, bool):
-        return 1.0 if v else 0.0
-    if isinstance(v, (int, float)):
-        return float(v)
-    if v is None:
-        return 0.0
-    if isinstance(v, str):
-        s = v.strip()
-        if not s:
-            return 0.0
-        try:
-            return float(s)
-        except ValueError:
-            return math.nan
-    return math.nan  # undefined, arrays, objects
-
-
-def _js_str(v: Any) -> str:
-    """JS ToString over the subset's value space."""
-    if v is _UNDEF:
-        return "undefined"
-    if v is None:
-        return "null"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if v != v:
-            return "NaN"
-        if v == int(v) and abs(v) < 1e21:
-            return str(int(v))
-        return repr(v)
-    if isinstance(v, int):
-        return str(v)
-    if isinstance(v, list):
-        return ",".join("" if x is None or x is _UNDEF else _js_str(x)
-                        for x in v)
-    return str(v)
-
-
 def _builtin_sum(args: list) -> float | list:
     """CouchDB's map/reduce helper ``sum(values)``: numbers sum
     numerically; arrays sum element-wise (shorter zero-padded) —
@@ -680,12 +642,6 @@ def _store(target: Any, val: Any, env: dict) -> None:
             obj[i] = val
             return
     raise JSReduceError("invalid assignment target")
-
-
-def _js_add(a: Any, b: Any) -> Any:
-    if isinstance(a, str) or isinstance(b, str):
-        return _js_str(a) + _js_str(b)
-    return _js_num(a) + _js_num(b)
 
 
 def _js_div(a: Any, b: Any) -> float:

@@ -79,7 +79,11 @@ def test_timestamp_fields_compile_to_iso(orders_schema):
         ("function(doc) { for (var i;;) emit(1, 1); }", "for"),
         ("function(doc) { var x = 1; emit(x, 1); }", "var"),
         ("function(doc) { emit(doc.a.b, 1); }", "nested"),
-        ("function(doc) { emit(doc.o_orderkey + 1, 1); }", "+"),
+        ("function(doc) { emit(doc.o_orderkey / 2, 1); }", "/"),
+        ("function(doc) { emit(doc.o_orderkey + 'x', 1); }",
+         "mixed-type +"),
+        ("function(doc) { emit(doc.o_orderpriority.substring(0-2), 1); }",
+         "non-literal offset"),
         ("function(doc) { }", "no emit"),
         ("function(doc) { emit(doc.nope, 1); }", "does not exist"),
     ],
@@ -87,6 +91,101 @@ def test_timestamp_fields_compile_to_iso(orders_schema):
 def test_unsupported_constructs_raise(orders_schema, src, hint):
     with pytest.raises(JSCompileError):
         compile_js_map(src, "orders", orders_schema)
+
+
+def test_arithmetic_and_string_methods_compile(spark, sf_dir,
+                                               tmp_path):
+    """Round 5 (late): `+ - *` and substring/slice/toLowerCase/
+    toUpperCase compile to JVM expressions — in keys, values AND
+    guards — with JS null semantics (arithmetic coalesces null to 0;
+    a method on a null field becomes a NOT NULL guard = tryMap's
+    throw→skip)."""
+    import pyspark.sql.functions as F
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    js = {
+        "map": (
+            "orders",
+            """function(doc) {
+                 if (doc.o_orderpriority.substring(0, 1) === '1') {
+                   emit(doc.o_orderpriority.toLowerCase(),
+                        doc.o_totalprice * 0.1 + 5);
+                 }
+               }""",
+        ),
+        "reduce": "_sum",
+    }
+    got = {r["key"]: round(r["value"], 4)
+           for r in eng.query(js, group=True).rows()}
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        r["k"]: round(r["v"], 4)
+        for r in raw.filter(
+            F.expr("substr(o_orderpriority, 1, 1) = '1'")
+        )
+        .groupBy(F.lower("o_orderpriority").alias("k"))
+        .agg(F.sum(F.col("o_totalprice") * 0.1 + 5).alias("v"))
+        .collect()
+    }
+    assert got == want and got
+    # string concat key with a computed suffix
+    js2 = {"map": ("orders",
+                   "function(doc){ emit('p:' + doc.o_orderpriority, "
+                   "1); }"),
+           "reduce": "_count"}
+    keys = {r["key"] for r in eng.query(js2, group=True).rows()}
+    assert keys == {
+        "p:" + r["o_orderpriority"]
+        for r in raw.select("o_orderpriority").distinct().collect()
+    }
+
+
+def test_interpreted_methods_null_skip(spark, tmp_path):
+    """Raw-doc interpreter parity: a method call on a null/missing
+    field throws in JS → the doc's emits are skipped (tryMap), not
+    the build."""
+    import json as _json
+    import tempfile as _tf
+
+    from mapreduce_spark.sources.docs import (
+        TABLES,
+        raw_doc_table,
+        register_table,
+    )
+
+    register_table(raw_doc_table("methdocs"))
+    try:
+        sf2 = _tf.mkdtemp()
+        docs = [
+            {"_id": "a", "seq": 1,
+             "doc_json": _json.dumps({"name": "Alice", "n": 10})},
+            {"_id": "b", "seq": 2,
+             "doc_json": _json.dumps({"name": None, "n": 5})},
+            {"_id": "c", "seq": 3, "doc_json": _json.dumps({"n": 2})},
+        ]
+        spark.createDataFrame(
+            docs, "_id string, seq long, doc_json string"
+        ).write.parquet(f"{sf2}/methdocs.parquet")
+        eng = Engine(spark, sf2, str(tmp_path / "v"))
+        res = eng.query(
+            {"map": ("methdocs",
+                     "function(doc){ emit(doc.name.toUpperCase(), "
+                     "doc.n * 2 + 1); }")},
+            reduce=False,
+        )
+        rows = {r["id"]: (r["key"], r["value"]) for r in res.rows()}
+        assert rows == {"a": ("ALICE", 21.0)}
+        # JS substring clamp/swap semantics on the interpreter
+        res2 = eng.query(
+            {"map": ("methdocs",
+                     "function(doc){ emit(doc.name.substring(99, 2), "
+                     "null); }")},
+            reduce=False,
+        )
+        got2 = {r["id"]: r["key"] for r in res2.rows()}
+        assert got2 == {"a": "ice"}  # swapped + clamped: s[2:5+]
+    finally:
+        TABLES.pop("methdocs", None)
 
 
 def test_else_branches_and_log_compile(spark, sf_dir, tmp_path):
