@@ -44,6 +44,7 @@ nested doc paths are out of the subset.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any
 
@@ -690,18 +691,53 @@ def compile_js_map(source: str, table: str, schema) -> Any:
         )
     c = _Compiler(table, schema)
     specs = []
+    # A JS throw (method call on a null field) aborts ALL remaining
+    # emits of the doc — upstream tryMap semantics — so each emit's
+    # method-null guards also carry into every LATER emit, conditioned
+    # on the guard site actually being evaluated (an emit whose if-
+    # conds are false never evaluates its key/value, hence never
+    # throws).
+    carried: list[str] = []
     for guards, key_ast, value_ast in emits:
+        conds: list[str] = []     # this emit's WHERE conjuncts
+        survive: list[str] = []   # throw-free conjuncts for later emits
+        prior: list[str] = []     # if-conds evaluated before a site
+        for g in guards:
+            c.pending_guards = []
+            cg = f"({c.cond(g)})"
+            mg = list(dict.fromkeys(c.pending_guards))
+            if mg:
+                conds += mg
+                # this guard expression is evaluated iff all prior
+                # if-conds held; a throw there kills later emits
+                if prior:
+                    survive.append(
+                        f"(NOT ({' AND '.join(prior)}) OR "
+                        f"({' AND '.join(mg)}))"
+                    )
+                else:
+                    survive += mg
+            prior.append(cg)
+            conds.append(cg)
         c.pending_guards = []
-        conds = [f"({c.cond(g)})" for g in guards]
         key = c.key(key_ast)
         value = c.value(value_ast)
-        # method-on-nullable-field guards collected while compiling
-        # this emit (JS throw → tryMap doc skip)
-        conds += [g for g in dict.fromkeys(c.pending_guards)]
+        mg = list(dict.fromkeys(c.pending_guards))
+        if mg:
+            conds += mg
+            if prior:
+                survive.append(
+                    f"(NOT ({' AND '.join(prior)}) OR "
+                    f"({' AND '.join(mg)}))"
+                )
+            else:
+                survive += mg
+        all_conds = list(dict.fromkeys(carried + conds))
         specs.append(
             MapSpec(table, key, value,
-                    where=" AND ".join(conds) if conds else None)
+                    where=" AND ".join(all_conds) if all_conds else None)
         )
+        carried = list(dict.fromkeys(carried + survive))
     return specs[0] if len(specs) == 1 else specs
 
 
@@ -940,15 +976,20 @@ def _cond_eval(ast: Any, doc: dict) -> bool:
 def _de_undef(v: Any) -> Any:
     """Emit boundary: undefined → null as a scalar and inside arrays;
     object members holding undefined are DROPPED (JSON.stringify
-    semantics).  Numbers widen to float — JS numbers are doubles, and
-    this keeps a ddoc's view identical whether it ran the interpreted
-    or the MapSpec-compiled path (which casts to double JVM-side)."""
+    semantics).  NaN/±Infinity → null, exactly as JSON.stringify (and
+    collate.py's key rule) produce — never the non-standard
+    'NaN'/'Infinity' JSON tokens.  Numbers widen to float — JS numbers
+    are doubles, and this keeps a ddoc's view identical whether it ran
+    the interpreted or the MapSpec-compiled path (which casts to
+    double JVM-side)."""
     if v is _UNDEF:
         return None
     if isinstance(v, bool):
         return v
     if isinstance(v, int):
         return float(v)
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
     if isinstance(v, list):
         return [_de_undef(x) for x in v]
     if isinstance(v, dict):

@@ -48,6 +48,8 @@ def options_from(opts: dict) -> "QueryOptions":
         return QueryOptions(**opts)
     except TypeError:
         bad = sorted(set(opts) - set(QueryOptions.__dataclass_fields__))
+        if not bad:  # TypeError for some other reason: don't mislabel
+            raise
         raise QueryParseError(
             f"unknown query option(s): {', '.join(bad)}"
         ) from None

@@ -122,7 +122,10 @@ def _split_userinfo(base_url: str) -> tuple[str, str | None]:
     cred = f"{urllib.parse.unquote(u.username)}:" \
            f"{urllib.parse.unquote(u.password or '')}"
     auth = "Basic " + base64.b64encode(cred.encode()).decode("ascii")
-    netloc = u.hostname or ""
+    host = u.hostname or ""
+    # urlsplit strips the brackets from IPv6 literals; restore them or
+    # the rebuilt netloc's colons read as a port separator
+    netloc = f"[{host}]" if ":" in host else host
     if u.port:
         netloc += f":{u.port}"
     return (

@@ -1029,3 +1029,18 @@ def test_include_docs_never_fans_out_on_duplicate_source_rows(engine):
     rows = res.rows()
     assert len(rows) == 50
     assert all(r["doc"] is not None for r in rows)
+
+
+def test_options_from_typeerror_attribution():
+    """Round 6 (ADVICE): only map TypeError to 'unknown query option'
+    when there IS an unknown option; other TypeErrors re-raise as-is."""
+    import pytest as _pytest
+
+    from mapreduce_spark.errors import QueryParseError
+    from mapreduce_spark.plans.spec import options_from
+
+    with _pytest.raises(QueryParseError, match="unknown query option"):
+        options_from({"bogus_opt": 1})
+    with _pytest.raises(TypeError):
+        # unhashable-key style TypeError with NO unknown option names
+        options_from({1: "positional-ish"})  # type: ignore[dict-item]

@@ -165,3 +165,15 @@ def test_as_dataframe(server, spark):
            for r in df.collect()}
     assert got["a"] == ('["x",1]', "2.5", None)
     assert json.loads(got["b"][2]) == {"_id": "b", "v": 7}
+
+
+def test_split_userinfo_ipv6_host():
+    """Round 6 (ADVICE): URL auth + IPv6 literal host must re-bracket
+    the host when rebuilding the netloc."""
+    from mapreduce_spark.sources.http import _split_userinfo
+
+    url, auth = _split_userinfo("http://u:p@[::1]:5984/db")
+    assert url == "http://[::1]:5984/db"
+    assert auth is not None and auth.startswith("Basic ")
+    url2, auth2 = _split_userinfo("http://u:p@host:5984/db")
+    assert url2 == "http://host:5984/db" and auth2

@@ -370,3 +370,69 @@ def test_js_view_persists_and_truthiness_guard(spark, sf_dir, tmp_path):
     n = eng.spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     assert len(rows) == n
     assert all(isinstance(r["key"], str) and r["key"] for r in rows)
+
+
+def test_compiled_throw_aborts_later_emits(spark, tmp_path):
+    """Round 6 (ADVICE): a method call on a null field in emit #1
+    throws in JS, which aborts ALL remaining emits of the doc — the
+    compiled multi-emit path must carry the null-guard into emit #2,
+    matching the interpreted tryMap semantics exactly."""
+    import json as _json
+    import tempfile as _tf
+
+    from mapreduce_spark.sources.docs import (
+        DocTable,
+        TABLES,
+        raw_doc_table,
+        register_table,
+    )
+
+    sf2 = _tf.mkdtemp()
+    rows = [
+        ("t1", "Alpha", 10),
+        ("t2", None, 20),   # .toLowerCase() on null → throw
+        ("t3", "Gamma", 30),
+    ]
+    spark.createDataFrame(
+        rows, "tk string, name string, n int"
+    ).write.parquet(f"{sf2}/typednull.parquet")
+    register_table(DocTable("typednull", "typednull:%s", ("tk",),
+                            "abs(hash(tk))"))
+    # same docs as a raw source for the interpreted reference run
+    docs = [
+        {"_id": f"typednull:{tk}", "seq": i + 1,
+         "doc_json": _json.dumps({"tk": tk, "name": nm, "n": float(n)})}
+        for i, (tk, nm, n) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        docs, "_id string, seq long, doc_json string"
+    ).write.parquet(f"{sf2}/rawnull.parquet")
+    register_table(raw_doc_table("rawnull"))
+    src = """function(doc) {
+        emit(doc.name.toLowerCase(), doc.n);
+        emit('count', doc.n);
+    }"""
+    try:
+        eng = Engine(spark, sf2, str(tmp_path / "v"))
+        # the compiled form is MapSpecs (fast path) and emit #2 carries
+        # emit #1's null-guard forward
+        from mapreduce_spark.sources.docs import load_table
+
+        specs = compile_js_map(
+            src, "typednull",
+            load_table(spark, sf2, "typednull").schema,
+        )
+        assert isinstance(specs, list) and len(specs) == 2
+        assert all(isinstance(s, MapSpec) for s in specs)
+        assert "name IS NOT NULL" in (specs[1].where or "")
+        compiled = eng.query({"map": ("typednull", src)}, reduce=False)
+        interp = eng.query({"map": ("rawnull", src)}, reduce=False)
+        got_c = sorted((r["key"], r["value"]) for r in compiled.rows())
+        got_i = sorted((r["key"], r["value"]) for r in interp.rows())
+        assert got_c == got_i
+        # doc t2 contributes to NEITHER emit (throw aborts the doc)
+        assert got_c == [("alpha", 10.0), ("count", 10.0),
+                         ("count", 30.0), ("gamma", 30.0)]
+    finally:
+        TABLES.pop("typednull", None)
+        TABLES.pop("rawnull", None)

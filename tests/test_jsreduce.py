@@ -343,3 +343,26 @@ def test_property_interpreted_sum_loop_equals_builtin(nvals):
     p1 = loop_sum(None, vals[:cut], False)
     p2 = loop_sum(None, vals[cut:], False)
     assert loop_sum(None, [p1, p2], True) == pytest.approx(sum(vals))
+
+
+def test_nonfinite_reduce_results_serialize_as_null():
+    """Round 6 (ADVICE): NaN/±Infinity escaping an interpreted reduce
+    must come out as JSON null (JSON.stringify semantics, matching
+    collate.py's key rule) — never the non-standard 'NaN'/'Infinity'
+    tokens json.dumps would emit by default."""
+    import json
+
+    from mapreduce_spark.functions.jsreduce import compile_js_reduce
+
+    fn = compile_js_reduce(
+        "function(keys, values, rereduce) { return values[0] / 0; }"
+    )
+    out = fn(None, [1.0], False)
+    assert out is None  # Infinity → null
+    fn2 = compile_js_reduce(
+        "function(keys, values, rereduce) {"
+        "  return {m: Math.max.apply(null, []), a: [0/0, 1]}; }"
+    )
+    out2 = fn2(None, [], False)
+    assert out2 == {"m": None, "a": [None, 1.0]}
+    assert "NaN" not in json.dumps(out2)
