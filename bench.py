@@ -153,18 +153,20 @@ def main() -> None:
         # block-manager state, which made earlier rounds' numbers
         # unreproducible.  Cache cleared between operators so one
         # query's persisted intermediates can't pressure the next.
-        from mapreduce_spark.extensions.inventory import EXT_QUERIES
+        from mapreduce_spark.extensions.inventory import (
+            EXT_BENCH_QUERIES,
+        )
 
         # every extension oracle row gets a bench number (a perf
         # regression in any operator must be visible round-over-round)
-        for name in sorted(EXT_QUERIES):
+        for name in sorted(EXT_BENCH_QUERIES):
             spark.catalog.clearCache()
-            EXT_QUERIES[name](spark, sf_dir).collect()  # warmup
+            EXT_BENCH_QUERIES[name](spark, sf_dir).collect()  # warmup
             samples = []
             for _ in range(runs):
                 spark.catalog.clearCache()
                 t = time.time()
-                EXT_QUERIES[name](spark, sf_dir).collect()
+                EXT_BENCH_QUERIES[name](spark, sf_dir).collect()
                 samples.append(time.time() - t)
             per_query[name] = round(statistics.median(samples), 4)
 

@@ -485,18 +485,24 @@ class Inventory:
         )
 
     def q16(self):
-        return self._hourly_cols(
+        """group_level=5 over the full view PLUS the range-bounded
+        variant (startkey/endkey on a grouped reduce, P3×A6), unioned
+        under a ``scope`` tag — one oracle row value-checks both
+        (round 6: the driver records at most 50 rows, so same-view
+        probes share a row instead of displacing other operators)."""
+        full = self._hourly_cols(
             self._q("event_hourly", group_level=5).df
         )
-
-    def q16b(self):
-        return self._hourly_cols(
+        wk1 = self._hourly_cols(
             self._q(
                 "event_hourly",
                 group_level=5,
                 startkey=["purchase", 2024, 1, 1],
                 endkey=["purchase", 2024, 1, 8, {}],
             ).df
+        )
+        return full.withColumn("scope", F.lit("all")).unionAll(
+            wk1.withColumn("scope", F.lit("wk1"))
         )
 
     def q17(self):
@@ -799,7 +805,7 @@ class Inventory:
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
-                "q14 q15 q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 "
+                "q14 q15 q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 "
                 "q26 q27 q28 q29 q30 q31 q32 q33 q34"
             ).split()
         }
@@ -821,7 +827,7 @@ QUERIES = {
     n: _mk(n)
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
-        "q16 q16b q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
+        "q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
         "q30 q31 q32 q33 q34"
     ).split()
 }
@@ -940,25 +946,18 @@ ORACLE_SQL: dict[str, str] = {
         "|| ']' END AS k_json FROM documents"
     ),
     "q16": (
-        "SELECT event_type, "
+        "WITH g AS (SELECT event_type, "
         "EXTRACT(year FROM ts)::DOUBLE AS y, "
         "EXTRACT(month FROM ts)::DOUBLE AS m, "
         "EXTRACT(day FROM ts)::DOUBLE AS d, "
         "EXTRACT(hour FROM ts)::DOUBLE AS h, "
         "ROUND(sum(value::DOUBLE), 3) AS sum_v "
-        "FROM events GROUP BY 1, 2, 3, 4, 5"
-    ),
-    "q16b": (
-        "SELECT event_type, "
-        "EXTRACT(year FROM ts)::DOUBLE AS y, "
-        "EXTRACT(month FROM ts)::DOUBLE AS m, "
-        "EXTRACT(day FROM ts)::DOUBLE AS d, "
-        "EXTRACT(hour FROM ts)::DOUBLE AS h, "
-        "ROUND(sum(value::DOUBLE), 3) AS sum_v "
-        "FROM events WHERE event_type = 'purchase' "
-        "AND EXTRACT(year FROM ts) = 2024 AND EXTRACT(month FROM ts) = 1 "
-        "AND EXTRACT(day FROM ts) BETWEEN 1 AND 8 "
-        "GROUP BY 1, 2, 3, 4, 5"
+        "FROM events GROUP BY 1, 2, 3, 4, 5) "
+        "SELECT *, 'all' AS scope FROM g "
+        "UNION ALL "
+        "SELECT *, 'wk1' AS scope FROM g "
+        "WHERE event_type = 'purchase' AND y = 2024 AND m = 1 "
+        "AND d BETWEEN 1 AND 8"
     ),
     "q17": (
         "SELECT printf('nation:%02d', n_nationkey) AS id, "
