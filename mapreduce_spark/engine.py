@@ -213,10 +213,16 @@ class Engine:
         """Compile JS map sources; pass every other form through.
 
         Typed tables compile to MapSpec(s) (JVM path, guards pushed
-        into the scan).  Raw doc sources compile to an interpreted
-        Python map fn instead — their field types are dynamic per doc,
-        which a typed MapSpec cannot represent."""
+        into the scan) when the source fits the compilable subset;
+        out-of-subset sources (division, ``%``, ``.split()``, loops,
+        ``parseInt``, accumulator objects …) fall back to the
+        statement-level interpreter over Arrow-batched doc dicts —
+        upstream runs arbitrary JS (`[U pouchdb-abstract-
+        mapreduce#evalFunc]`), so a compile miss must never be a user
+        error.  Raw doc sources always interpret — their field types
+        are dynamic per doc, which a typed MapSpec cannot represent."""
         from mapreduce_spark.functions.jscompile import (
+            JSCompileError,
             compile_js_map,
             compile_js_map_fn,
             looks_like_js,
@@ -228,7 +234,14 @@ class Engine:
             if t is not None and t.raw_json:
                 return (table, compile_js_map_fn(src))
             schema = load_table(self.spark, self.sf_dir, table).schema
-            return compile_js_map(src, table, schema)
+            try:
+                return compile_js_map(src, table, schema)
+            except JSCompileError as ce:
+                log.info(
+                    "JS map does not fit the compiled subset (%s); "
+                    "running interpreted", ce,
+                )
+                return (table, compile_js_map_fn(src))
         return m
 
     def _normalize_reduce(self, r: Any) -> Any:

@@ -1039,6 +1039,23 @@ class JSMapFunction:
         return f"JSMapFunction({self.source!r})"
 
 
-def compile_js_map_fn(source: str) -> JSMapFunction:
-    """JS map source → interpreted Python map fn (raw-source target)."""
-    return JSMapFunction(source)
+def compile_js_map_fn(source: str):
+    """JS map source → interpreted Python map fn.
+
+    Prefers the statement-level interpreter (functions/jsmap.py —
+    var/for/closures, ``/`` ``%``, split/parseInt/JSON/…); sources it
+    cannot parse fall back to this module's narrow expression
+    interpreter so its error message (naming the construct) surfaces.
+    """
+    from mapreduce_spark.functions.jsmap import JSMapFunctionFull
+    from mapreduce_spark.functions.jsreduce import (
+        JSReduceError,
+        JSRuntimeThrow,
+    )
+
+    try:
+        return JSMapFunctionFull(source)
+    except JSRuntimeThrow:
+        raise
+    except JSReduceError:
+        return JSMapFunction(source)

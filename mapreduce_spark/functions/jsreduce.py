@@ -66,7 +66,16 @@ from mapreduce_spark.functions.jscompile import (
 
 
 class JSReduceError(QueryParseError):
-    """JS reduce source uses a construct outside the subset."""
+    """JS source uses a construct outside the interpreted subset."""
+
+
+class JSRuntimeThrow(JSReduceError):
+    """A genuine JS *runtime* throw — TypeError (member/call on
+    null/undefined, calling a non-function) or SyntaxError
+    (JSON.parse) — as opposed to an out-of-subset construct.  The map
+    path catches this to implement upstream tryMap (throw → skip the
+    doc's remaining emits); everywhere else it propagates like any
+    JSReduceError."""
 
 
 _TOKEN_RE = re.compile(
@@ -562,6 +571,66 @@ _MATH_FNS = {
     "pow": _js_pow,
 }
 
+_LIST_METHODS = frozenset(
+    "push concat indexOf join slice reduce map filter forEach".split()
+)
+# real JS Array methods OUTSIDE the subset: accessing one fails LOUD
+# (letting it run would silently skip every doc, since real JS would
+# have executed it); names JS Arrays don't have at all fall through to
+# undefined → a faithful runtime TypeError on call
+_LIST_METHODS_JS = frozenset(
+    "sort reverse every some find findIndex includes lastIndexOf pop "
+    "shift unshift splice flat flatMap keys values entries fill "
+    "copyWithin reduceRight toString".split()
+)
+_STR_METHODS = frozenset(
+    "toLowerCase toUpperCase substring substr slice split indexOf "
+    "lastIndexOf charAt charCodeAt trim replace concat startsWith "
+    "endsWith includes toString".split()
+)
+_STR_METHODS_JS = frozenset(
+    "match search matchAll padStart padEnd repeat normalize "
+    "codePointAt localeCompare at trimStart trimEnd replaceAll "
+    "valueOf".split()
+)
+_NUM_METHODS = frozenset(("toFixed", "toString"))
+
+
+def _js_parse_int(args: list) -> float:
+    """JS parseInt: leading-whitespace skip, optional sign, longest
+    digit prefix in the given radix (10 default, 16 for 0x), NaN if
+    no digits."""
+    s = _js_str(args[0]).strip() if args else ""
+    r = _js_num(args[1]) if len(args) > 1 else 0.0
+    radix = int(r) if r == r else 0
+    if radix == 0:
+        radix = 10
+    elif radix < 2 or radix > 36:
+        return math.nan
+    sign = 1
+    if s[:1] in "+-":
+        sign = -1 if s[0] == "-" else 1
+        s = s[1:]
+    if radix == 16 and s[:2].lower() == "0x":
+        s = s[2:]
+    elif radix == 10 and s[:2].lower() == "0x":
+        radix, s = 16, s[2:]
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
+    i = 0
+    while i < len(s) and s[i].lower() in digits:
+        i += 1
+    if i == 0:
+        return math.nan
+    return float(sign * int(s[:i], radix))
+
+
+def _js_parse_float(args: list) -> float:
+    s = _js_str(args[0]).strip() if args else ""
+    m = re.match(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", s)
+    if m is None:
+        return math.nan
+    return float(m.group(0))
+
 
 def _exec_block(stmts: list, env: dict) -> None:
     for s in stmts:
@@ -670,9 +739,11 @@ def _eval(e: Any, env: dict) -> Any:
         n = e[1]
         if n in env:
             return env[n]
-        if n in ("Math", "sum"):
+        if n in ("Math", "sum", "JSON", "Object", "parseInt",
+                 "parseFloat", "isNaN", "isFinite", "String", "Number",
+                 "Boolean"):
             return ("__builtin__", n)
-        raise JSReduceError(f"undefined identifier {n!r} in reduce fn")
+        raise JSReduceError(f"undefined identifier {n!r} in JS fn")
     if tag == "arr":
         return [_eval(a, env) for a in e[1]]
     if tag == "obj":
@@ -684,19 +755,50 @@ def _eval(e: Any, env: dict) -> Any:
         name = e[2]
         if isinstance(obj, tuple) and obj[:1] == ("__builtin__",):
             return ("__builtin__", f"{obj[1]}.{name}")
+        if obj is None or obj is _UNDEF:
+            # JS TypeError: only null/undefined throw on member access
+            raise JSRuntimeThrow(
+                f"cannot read property {name!r} of "
+                f"{'undefined' if obj is _UNDEF else 'null'}"
+            )
         if name == "length":
             if isinstance(obj, (list, str)):
                 return float(len(obj))
             return _UNDEF
-        if name in ("push", "concat", "indexOf", "join", "slice",
-                    "reduce"):
+        if isinstance(obj, list):
+            if name in _LIST_METHODS:
+                return ("__method__", obj, name)
+            if name in _LIST_METHODS_JS:
+                # real JS would run this — fail LOUD rather than let a
+                # .sort()/.every() ddoc silently skip every doc
+                raise JSReduceError(
+                    f"Array.{name} is outside the subset"
+                )
+            return _UNDEF  # not an Array member in JS either
+        if isinstance(obj, str):
+            if name in _STR_METHODS:
+                return ("__method__", obj, name)
+            if name in _STR_METHODS_JS:
+                raise JSReduceError(
+                    f"String.{name} is outside the subset"
+                )
+            return _UNDEF
+        if (isinstance(obj, (int, float)) and not isinstance(obj, bool)
+                and name in _NUM_METHODS):
             return ("__method__", obj, name)
         if isinstance(obj, dict):
+            if name == "hasOwnProperty":
+                return ("__method__", obj, name)
             return obj.get(name, _UNDEF)
         return _UNDEF
     if tag == "index":
         obj = _eval(e[1], env)
         idx = _eval(e[2], env)
+        if obj is None or obj is _UNDEF:
+            raise JSRuntimeThrow(
+                "cannot index "
+                f"{'undefined' if obj is _UNDEF else 'null'}"
+            )
         if isinstance(obj, list):
             i = int(_js_num(idx))
             return obj[i] if 0 <= i < len(obj) else _UNDEF
@@ -748,6 +850,10 @@ def _eval(e: Any, env: dict) -> Any:
 
 
 def _call(fn: Any, args: list) -> Any:
+    if callable(fn) and not isinstance(fn, tuple):
+        # host-injected function (emit/log on the map path): takes the
+        # evaluated JS argument list, returns a JS value
+        return fn(args)
     if isinstance(fn, tuple) and fn[:1] == ("__closure__",):
         _, params, body, captured = fn
         local: dict = {p: _UNDEF for p in params}
@@ -776,6 +882,53 @@ def _call(fn: Any, args: list) -> Any:
             if impl is None:
                 raise JSReduceError(f"{name} is outside the subset")
             return impl(args)
+        if name == "parseInt":
+            return _js_parse_int(args)
+        if name == "parseFloat":
+            return _js_parse_float(args)
+        if name == "isNaN":
+            v = _js_num(args[0]) if args else math.nan
+            return v != v
+        if name == "isFinite":
+            v = _js_num(args[0]) if args else math.nan
+            return v == v and not math.isinf(v)
+        if name == "String":
+            return _js_str(args[0]) if args else ""
+        if name == "Number":
+            return _js_num(args[0]) if args else 0.0
+        if name == "Boolean":
+            return _truthy(args[0]) if args else False
+        if name == "JSON.stringify":
+            import json as _json
+
+            if not args or args[0] is _UNDEF:
+                return _UNDEF
+
+            def intify(v):  # JS stringifies integral doubles as ints
+                if (isinstance(v, float) and v == int(v)
+                        and abs(v) < 1e15):
+                    return int(v)
+                if isinstance(v, list):
+                    return [intify(x) for x in v]
+                if isinstance(v, dict):
+                    return {k: intify(x) for k, x in v.items()}
+                return v
+
+            return _json.dumps(intify(_de_undef(args[0])),
+                               separators=(",", ":"))
+        if name == "JSON.parse":
+            import json as _json
+
+            try:
+                return _json.loads(_js_str(args[0]) if args else "")
+            except ValueError:
+                raise JSRuntimeThrow("JSON.parse: invalid JSON")
+        if name in ("Object.keys", "Object.values"):
+            o = args[0] if args else _UNDEF
+            if not isinstance(o, dict):
+                raise JSRuntimeThrow(f"{name} on a non-object")
+            return (list(o.keys()) if name == "Object.keys"
+                    else [o[k] for k in o])
         raise JSReduceError(f"{name} is not callable")
     if isinstance(fn, tuple) and fn[:1] == ("__method__",):
         _, obj, name = fn
@@ -823,8 +976,105 @@ def _call(fn: Any, args: list) -> Any:
             for i, x in enumerate(items):
                 acc = _call(cb, [acc, x, float(i + idx0)])
             return acc
+        if name in ("map", "filter", "forEach") and isinstance(obj, list):
+            if not args:
+                raise JSReduceError(f".{name}() requires a callback")
+            cb = args[0]
+            out = []
+            for i, x in enumerate(obj):
+                r = _call(cb, [x, float(i), obj])
+                if name == "map":
+                    out.append(r)
+                elif name == "filter" and _truthy(r):
+                    out.append(x)
+            return _UNDEF if name == "forEach" else out
+        if name == "hasOwnProperty" and isinstance(obj, dict):
+            return _js_str(args[0] if args else _UNDEF) in obj
+        if isinstance(obj, str):
+            return _call_str_method(obj, name, args)
+        if isinstance(obj, (int, float)) and not isinstance(obj, bool):
+            if name == "toFixed":
+                n = int(_js_num(args[0])) if args else 0
+                x = float(obj)
+                if x != x or math.isinf(x):
+                    return _js_str(x)
+                return f"{x:.{max(0, min(n, 100))}f}"
+            if name == "toString":
+                return _js_str(obj)
         raise JSReduceError(f".{name}() is outside the subset")
+    if fn is _UNDEF or fn is None:
+        # JS TypeError ("x is not a function") — a *runtime* throw,
+        # e.g. a method looked up on a receiver that lacks it
+        raise JSRuntimeThrow("call target is null/undefined")
     raise JSReduceError("call target is not a function")
+
+
+def _call_str_method(s: str, name: str, args: list) -> Any:
+    """JS String.prototype methods over the interpreted subset."""
+    from mapreduce_spark.functions.jscompile import (
+        _js_slice,
+        _js_substring,
+    )
+
+    a0 = args[0] if args else _UNDEF
+    a1 = args[1] if len(args) > 1 else _UNDEF
+    if name == "toLowerCase":
+        return s.lower()
+    if name == "toUpperCase":
+        return s.upper()
+    if name == "trim":
+        return s.strip()
+    if name == "toString":
+        return s
+    if name == "substring":
+        return _js_substring(
+            s, _js_num(a0) if args else 0.0,
+            None if a1 is _UNDEF else _js_num(a1),
+        )
+    if name == "slice":
+        return _js_slice(
+            s, _js_num(a0) if args else 0.0,
+            None if a1 is _UNDEF else _js_num(a1),
+        )
+    if name == "substr":
+        start = int(_js_num(a0)) if args else 0
+        if start < 0:
+            start = max(0, len(s) + start)
+        if a1 is _UNDEF:
+            return s[start:]
+        ln = int(_js_num(a1)) if _js_num(a1) == _js_num(a1) else 0
+        return s[start:start + max(0, ln)]
+    if name == "split":
+        if a0 is _UNDEF:
+            return [s]
+        sep = _js_str(a0)
+        if sep == "":
+            return list(s)
+        return s.split(sep)
+    if name == "indexOf":
+        return float(s.find(_js_str(a0)))
+    if name == "lastIndexOf":
+        return float(s.rfind(_js_str(a0)))
+    if name == "charAt":
+        i = int(_js_num(a0)) if args else 0
+        return s[i] if 0 <= i < len(s) else ""
+    if name == "charCodeAt":
+        i = int(_js_num(a0)) if args else 0
+        return float(ord(s[i])) if 0 <= i < len(s) else math.nan
+    if name == "replace":
+        # string pattern → replace FIRST occurrence (JS semantics;
+        # regex patterns are out of the subset)
+        return s.replace(_js_str(a0), _js_str(a1) if len(args) > 1
+                         else "undefined", 1)
+    if name == "concat":
+        return s + "".join(_js_str(a) for a in args)
+    if name == "startsWith":
+        return s.startswith(_js_str(a0))
+    if name == "endsWith":
+        return s.endswith(_js_str(a0))
+    if name == "includes":
+        return _js_str(a0) in s
+    raise JSReduceError(f".{name}() is outside the subset")
 
 
 # ---------------------------------------------------------------------------

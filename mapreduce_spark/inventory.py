@@ -212,6 +212,24 @@ VIEW_DEFS: dict[str, dict] = {
             }
         """,
     },
+    # F1 fallback tier (round 6): this ddoc uses constructs OUTSIDE
+    # the MapSpec compiler's subset (var, .split(), / and %), so the
+    # engine routes it through the statement-level interpreter
+    # (functions/jsmap.py) over Arrow-batched doc dicts of the TYPED
+    # part table — upstream parity for arbitrary-JS design docs
+    # ([U pouchdb-abstract-mapreduce#evalFunc]).
+    "js_interp": {
+        "map": (
+            "part",
+            """
+            function (doc) {
+              var w = doc.p_type.split(' ');
+              emit([w[0], doc.p_size % 5], doc.p_retailprice / 100);
+            }
+            """,
+        ),
+        "reduce": "_sum",
+    },
 }
 
 
@@ -800,13 +818,25 @@ class Inventory:
             F.get_json_object(dj, "$.lang").alias("lang"),
         )
 
+    def q35(self):
+        """F1 fallback tier: an out-of-compiled-subset JS ddoc (var,
+        .split(), ``/``, ``%``) on a TYPED table, interpreted by
+        functions/jsmap.py and reduced by the JVM ``_sum`` — grouped
+        word-of-p_type × size-bucket price totals."""
+        res = self._q("js_interp", group=True)
+        return res.df.select(
+            _j("$[0]").alias("ptype_word"),
+            _j("$[1]", "double").alias("bucket"),
+            F.round(F.col("value_num"), 2).alias("sum_v"),
+        )
+
     def all_queries(self) -> dict[str, callable]:
         return {
             n: getattr(self, n)
             for n in (
                 "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
                 "q14 q15 q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 "
-                "q26 q27 q28 q29 q30 q31 q32 q33 q34"
+                "q26 q27 q28 q29 q30 q31 q32 q33 q34 q35"
             ).split()
         }
 
@@ -828,7 +858,7 @@ QUERIES = {
     for n in (
         "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
         "q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
-        "q30 q31 q32 q33 q34"
+        "q30 q31 q32 q33 q34 q35"
     ).split()
 }
 
@@ -1081,5 +1111,11 @@ ORACLE_SQL: dict[str, str] = {
         "'2-' || md5(printf('documents:%06d', doc_id)) "
         "ELSE NULL END AS conf_rev, "
         "lang FROM documents"
+    ),
+    "q35": (
+        "SELECT string_split(p_type, ' ')[1] AS ptype_word, "
+        "(p_size % 5)::DOUBLE AS bucket, "
+        "ROUND(SUM(p_retailprice::DOUBLE / 100), 2) AS sum_v "
+        "FROM part GROUP BY 1, 2"
     ),
 }

@@ -1,0 +1,154 @@
+"""Statement-level interpreted JS map functions (F1 fallback tier):
+out-of-compiled-subset design docs must run on typed tables through
+the full interpreter (functions/jsmap.py), with the compiled MapSpec
+path still winning whenever the source fits its subset."""
+
+import json
+
+import pytest
+
+from mapreduce_spark.engine import Engine
+from mapreduce_spark.functions.jsmap import JSMapFunctionFull
+from mapreduce_spark.functions.jsreduce import JSReduceError
+from mapreduce_spark.operators.mapphase import MapSpec
+
+
+def run_map(src: str, doc: dict) -> list:
+    out = []
+    JSMapFunctionFull(src)(doc, lambda k, v: out.append((k, v)))
+    return out
+
+
+def test_interpreter_division_modulo_split():
+    src = """function(doc) {
+        var words = doc.name.split(' ');
+        emit([words[0], doc.n / 4, doc.n % 3], words.length);
+    }"""
+    assert run_map(src, {"name": "alpha beta gamma", "n": 10.0}) == [
+        (["alpha", 2.5, 1.0], 3.0)
+    ]
+
+
+def test_interpreter_parseint_tofixed_json():
+    src = """function(doc) {
+        emit(parseInt(doc.code, 10) + 1,
+             [parseFloat('2.5x'), (3.14159).toFixed(2),
+              JSON.parse(doc.payload).k,
+              JSON.stringify({a: 1})]);
+    }"""
+    doc = {"code": "042abc", "payload": '{"k": "v"}'}
+    assert run_map(src, doc) == [
+        (43.0, [2.5, "3.14", "v", '{"a":1}'])
+    ]
+
+
+def test_interpreter_loop_accumulator():
+    src = """function(doc) {
+        var total = 0;
+        for (var i = 0; i < doc.vals.length; i++) {
+            total += doc.vals[i];
+        }
+        if (total > 5) { emit(doc.tag, total); }
+    }"""
+    assert run_map(src, {"tag": "t", "vals": [1.0, 2.0, 4.0]}) == [
+        ("t", 7.0)
+    ]
+    assert run_map(src, {"tag": "t", "vals": [1.0]}) == []
+
+
+def test_interpreter_string_methods():
+    src = """function(doc) {
+        var s = doc.s;
+        emit([s.trim().charAt(0), s.indexOf('b'), s.replace('b', 'X'),
+              s.includes('cd'), 'n:' + (5.0).toString()], null);
+    }"""
+    assert run_map(src, {"s": "abcd"}) == [
+        (["a", 1.0, "aXcd", True, "n:5"], None)
+    ]
+
+
+def test_interpreter_runtime_throw_skips_rest_of_doc():
+    # method on null → TypeError → tryMap keeps earlier emits only
+    src = """function(doc) {
+        emit('first', 1);
+        emit(doc.name.split(' ')[0], 2);
+        emit('after', 3);
+    }"""
+    assert run_map(src, {"name": "ok go"}) == [
+        ("first", 1.0), ("ok", 2.0), ("after", 3.0)
+    ]
+    assert run_map(src, {"name": None}) == [("first", 1.0)]
+    # nested member access on a missing field throws too
+    src2 = "function(doc) { emit(doc.a.b, 1); }"
+    assert run_map(src2, {"a": {"b": "x"}}) == [("x", 1.0)]
+    assert run_map(src2, {}) == []
+
+
+def test_interpreter_object_helpers_and_foreach():
+    src = """function(doc) {
+        Object.keys(doc.tags).forEach(function(k) {
+            if (doc.tags.hasOwnProperty(k)) { emit(k, doc.tags[k]); }
+        });
+    }"""
+    assert sorted(run_map(src, {"tags": {"x": 1.0, "y": 2.0}})) == [
+        ("x", 1.0), ("y", 2.0)
+    ]
+
+
+def test_interpreter_out_of_subset_still_loud():
+    with pytest.raises(JSReduceError):
+        run_map("function(doc) { emit(doc.s.match('x'), 1); }",
+                {"s": "x"})
+    with pytest.raises(JSReduceError):
+        run_map("function(doc) { emit(doc.v.sort(), 1); }",
+                {"v": [2, 1]})
+
+
+def test_typed_table_fallback_end_to_end(spark, sf_dir, tmp_path):
+    """Engine-level: an out-of-subset ddoc on a TYPED fixture table
+    runs interpreted and matches the hand-computed DataFrame result;
+    a compilable ddoc on the same table still becomes MapSpec(s)."""
+    import pyspark.sql.functions as F
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    # division + split: rejected by the compiler, runs interpreted
+    js = {
+        "map": (
+            "part",
+            """function(doc) {
+                 var w = doc.p_type.split(' ');
+                 emit(w[0], doc.p_retailprice / 2);
+               }""",
+        ),
+        "reduce": "_sum",
+    }
+    got = {r["key"]: round(r["value"], 4)
+           for r in eng.query(js, group=True).rows()}
+    raw = spark.read.parquet(f"{sf_dir}/part.parquet")
+    want = {
+        r["k"]: round(r["v"], 4)
+        for r in raw.groupBy(
+            F.split("p_type", " ").getItem(0).alias("k")
+        ).agg((F.sum("p_retailprice") / 2).alias("v")).collect()
+    }
+    assert got == want and got
+    # the fallback vdef is (table, JSMapFunctionFull)
+    vd = eng._normalize_map(js["map"])
+    assert isinstance(vd, tuple) and isinstance(vd[1], JSMapFunctionFull)
+    # …while a compilable source still takes the MapSpec fast path
+    fast = eng._normalize_map(
+        ("part", "function(doc) { emit(doc.p_brand, 1); }")
+    )
+    assert isinstance(fast, MapSpec)
+
+
+def test_fallback_is_picklable_and_signature_stable():
+    import pickle
+
+    src = "function(doc) { emit(doc.x % 2, 1); }"
+    fn = JSMapFunctionFull(src)
+    fn2 = pickle.loads(pickle.dumps(fn))
+    out = []
+    fn2({"x": 5.0}, lambda k, v: out.append((k, v)))
+    assert out == [(1.0, 1.0)]
+    assert repr(fn) == repr(fn2)  # registry signature stability

@@ -160,19 +160,29 @@ def test_math_nan_semantics():
     import math
 
     run = lambda src: compile_js_reduce(src)(None, [], False)  # noqa: E731
-    assert math.isnan(run("function(k,v){ return Math.sqrt(0-1); }"))
-    assert math.isnan(run("function(k,v){ return Math.round(0/0); }"))
-    assert run("function(k,v){ return Math.floor(1/0); }") == math.inf
-    assert math.isnan(run("function(k,v){ return Math.min(1, 0/0); }"))
-    assert math.isnan(
-        run("function(k,v){ return Math.pow(0-8, 0.5); }")
-    )
+    # non-finite results cross the JSON boundary as null (round 6:
+    # JSON.stringify semantics — NaN/±Infinity stringify to null), so
+    # the observable return is None, never a Python exception
+    assert run("function(k,v){ return Math.sqrt(0-1); }") is None
+    assert run("function(k,v){ return Math.round(0/0); }") is None
+    assert run("function(k,v){ return Math.floor(1/0); }") is None
+    assert run("function(k,v){ return Math.min(1, 0/0); }") is None
+    assert run("function(k,v){ return Math.pow(0-8, 0.5); }") is None
+    # finite results keep their value — the nulling is only at the
+    # non-finite edge
+    assert run("function(k,v){ return Math.pow(2, 10); }") == 1024.0
+    # and the interpreter's INTERNAL value is a true NaN (flows
+    # through arithmetic as NaN before serialization)
+    assert run(
+        "function(k,v){ var x = Math.sqrt(0-1);"
+        " return (x === x) ? 1 : 2; }"
+    ) == 2.0
 
 
 def test_out_of_subset_raises():
     for src in (
         "function(k, v) { while (true) {} }",
-        "function(k, v) { return v.map(function(x){return x;}); }",
+        "function(k, v) { return v.sort(); }",
         "function(k, v) { throw 'no'; }",
     ):
         with pytest.raises(JSReduceError):
