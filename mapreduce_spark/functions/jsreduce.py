@@ -15,6 +15,8 @@ This module closes that parity gap Spark-first, in two tiers:
    - ``return values.length``                        → ``_count``
    - ``if (rereduce) return sum(values);
      else return values.length``  (either order)     → ``_count``
+   - ``return Math.min/max.apply(null, values)`` and the canonical
+     seeded accumulator loop (round 6)               → ``_min``/``_max``
 
    (``values.length`` alone is famously rereduce-UNSAFE; CouchDB's own
    docs prescribe the rereduce guard.  Lowering both shapes to
@@ -739,6 +741,10 @@ def _eval(e: Any, env: dict) -> Any:
         n = e[1]
         if n in env:
             return env[n]
+        if n == "Infinity":
+            return math.inf
+        if n == "NaN":
+            return math.nan
         if n in ("Math", "sum", "JSON", "Object", "parseInt",
                  "parseFloat", "isNaN", "isFinite", "String", "Number",
                  "Boolean"):
@@ -1115,6 +1121,88 @@ def _only_return(stmts: list) -> Any | None:
     return None
 
 
+def _is_minmax_apply(e: Any, values: str) -> str | None:
+    """``Math.min.apply(null, values)`` (or ``.apply(Math, …)``) →
+    '_min'/'_max'."""
+    if (
+        e[0] == "call"
+        and e[1][0] == "member" and e[1][2] == "apply"
+        and e[1][1][0] == "member"
+        and e[1][1][1] == ("name", "Math")
+        and e[1][1][2] in ("min", "max")
+        and len(e[2]) == 2
+        and e[2][0] in (("lit", None), ("name", "Math"),
+                        ("lit", _UNDEF))
+        and e[2][1] == ("name", values)
+    ):
+        return "_min" if e[1][1][2] == "min" else "_max"
+    return None
+
+
+def _is_minmax_loop(body: list, values: str) -> str | None:
+    """The canonical min/max accumulator loop → '_min'/'_max':
+
+        var m = values[0];                 // or ±Infinity
+        for (var i = 1; i < values.length; i++) {
+          if (values[i] < m) { m = values[i]; }   // or >, or swapped
+        }
+        return m;
+
+    Shape-matched exactly (single decl, canonical header, one guarded
+    assignment, trailing ``return m``); anything else interprets.
+    """
+    if len(body) != 3 or body[0][0] != "var" or len(body[0][1]) != 1:
+        return None
+    m, init = body[0][1][0]
+    if body[2] != ("return", ("name", m)):
+        return None
+    st = body[1]
+    if st[0] != "for":
+        return None
+    _, finit, fcond, fupd, fbody = st
+    # seed values[0] pairs with i starting at 1; an ±Infinity seed
+    # pairs with i starting at 0
+    seed_elem0 = init == ("index", ("name", values), ("lit", 0.0))
+    seed_inf = init in (
+        ("name", "Infinity"), ("un", "-", ("name", "Infinity")),
+    )
+    if not (seed_elem0 or seed_inf):
+        return None
+    i0 = 1.0 if seed_elem0 else 0.0
+    if finit is None or finit[0] != "var" or len(finit[1]) != 1:
+        return None
+    i, iinit = finit[1][0]
+    if iinit != ("lit", i0):
+        return None
+    if fcond != ("bin", "<", ("name", i),
+                 ("member", ("name", values), "length")):
+        return None
+    if fupd != ("assign", "+=", ("name", i), ("lit", 1.0)):
+        return None
+    if len(fbody) != 1 or fbody[0][0] != "if" or fbody[0][3]:
+        return None
+    cond, then = fbody[0][1], fbody[0][2]
+    elem = ("index", ("name", values), ("name", i))
+    if then != [("assign", "=", ("name", m), elem)]:
+        return None
+    if cond[0] != "bin" or cond[1] not in ("<", ">"):
+        return None
+    if cond[2] == elem and cond[3] == ("name", m):
+        op = cond[1]                      # values[i] OP m
+    elif cond[2] == ("name", m) and cond[3] == elem:
+        op = "<" if cond[1] == ">" else ">"  # m OP values[i], flipped
+    else:
+        return None
+    # values[i] < m → keep smaller → min; an Infinity seed must match
+    # the direction (+Infinity seeds a min, -Infinity a max)
+    lowered = "_min" if op == "<" else "_max"
+    if seed_inf:
+        neg = init[0] == "un"
+        if (lowered == "_min") != (not neg):
+            return None
+    return lowered
+
+
 def lower_js_reduce(params: list[str], body: list) -> str | None:
     """Recognize builtin-equivalent bodies → builtin name, else None."""
     values = params[1] if len(params) > 1 else "values"
@@ -1127,10 +1215,16 @@ def lower_js_reduce(params: list[str], body: list) -> str | None:
             # rereduce-unsafe as written; _count is what the author
             # means (CouchDB's docs prescribe exactly this lowering)
             return "_count"
+        mm = _is_minmax_apply(ret, values)
+        if mm is not None:
+            return mm
         # if (rereduce) ? sum(values) : values.length  — ternary form
         if ret[0] == "ternary" and ret[1] == ("name", rereduce):
             if _is_sum_of(ret[2], values) and _is_len_of(ret[3], values):
                 return "_count"
+    mm = _is_minmax_loop(body, values)
+    if mm is not None:
+        return mm
     # if (rereduce) {return sum(values)} [else] {return values.length}
     if body and body[0][0] == "if" and body[0][1] == ("name", rereduce):
         then_ret = _only_return(body[0][2])

@@ -36,7 +36,8 @@ from pyspark.sql import types as T
 
 from mapreduce_spark.errors import BuiltInError
 
-BUILTIN_NAMES = ("_sum", "_count", "_stats", "_approx_count_distinct")
+BUILTIN_NAMES = ("_sum", "_count", "_stats", "_approx_count_distinct",
+                 "_min", "_max")
 
 _TERM = "\x00"
 
@@ -167,6 +168,25 @@ def reduce_builtin(
             "key_json",
             F.to_json(stats).alias("value_json"),
             F.lit(None).cast("double").alias("value_num"),
+            null_arr.alias("value_num_arr"),
+        )
+    if name in ("_min", "_max"):
+        # engine extension (like _approx_count_distinct) and the
+        # lowering target for JS ``Math.min/max.apply(null, values)``
+        # and the canonical min/max for-loop (functions/jsreduce.py).
+        # Numeric values only: non-numeric rows carry a null value_num,
+        # which the JVM aggregate ignores — the documented divergence
+        # from JS NaN poisoning, same class as the values.length →
+        # _count lowering.
+        v = F.col("value_num")
+        agg = g.agg(
+            (F.min(v) if name == "_min" else F.max(v)).alias("value_num")
+        )
+        return agg.select(
+            "gk_enc",
+            "key_json",
+            _num_json(F.col("value_num")).alias("value_json"),
+            "value_num",
             null_arr.alias("value_num_arr"),
         )
     if name == "_sum":

@@ -111,10 +111,15 @@ def test_reduce_callback_and_apply_idioms():
     assert compile_js_reduce(
         "function(k, v) { return v.reduce(function(a,b){return a+b;}); }"
     ) == "_sum"
-    mx = compile_js_reduce(
+    # round 6: the apply idiom now LOWERS to the JVM _max builtin;
+    # the interpreter still executes it identically (property test
+    # below), e.g. when embedded in a larger non-lowerable body
+    assert compile_js_reduce(
+        "function(k, v, r) { return Math.max.apply(null, v); }"
+    ) == "_max"
+    mx = JSReduceFunction(
         "function(k, v, r) { return Math.max.apply(null, v); }"
     )
-    assert isinstance(mx, JSReduceFunction)
     assert mx(None, [3.0, 9.0, 1.0], False) == 9.0
     # rereduce-safe: max of maxes
     assert mx(None, [9.0, 7.5], True) == 9.0
@@ -376,3 +381,116 @@ def test_nonfinite_reduce_results_serialize_as_null():
     out2 = fn2(None, [], False)
     assert out2 == {"m": None, "a": [None, 1.0]}
     assert "NaN" not in json.dumps(out2)
+
+
+def test_minmax_lowering_recognition():
+    """Round 6: Math.min/max.apply and the canonical accumulator loop
+    lower to the JVM _min/_max builtins; near-miss shapes interpret."""
+    from mapreduce_spark.functions.jsreduce import compile_js_reduce
+
+    assert compile_js_reduce(
+        "function(k, v) { return Math.min.apply(null, v); }"
+    ) == "_min"
+    assert compile_js_reduce(
+        "function(keys, values, rr) "
+        "{ return Math.max.apply(Math, values); }"
+    ) == "_max"
+    loop_min = """function(keys, values, rereduce) {
+        var m = values[0];
+        for (var i = 1; i < values.length; i++) {
+            if (values[i] < m) { m = values[i]; }
+        }
+        return m;
+    }"""
+    assert compile_js_reduce(loop_min) == "_min"
+    loop_max_swapped = """function(keys, values, rereduce) {
+        var m = values[0];
+        for (var i = 1; i < values.length; i++) {
+            if (m < values[i]) { m = values[i]; }
+        }
+        return m;
+    }"""
+    assert compile_js_reduce(loop_max_swapped) == "_max"
+    inf_seed_min = """function(keys, values, rereduce) {
+        var m = Infinity;
+        for (var i = 0; i < values.length; i++) {
+            if (values[i] < m) { m = values[i]; }
+        }
+        return m;
+    }"""
+    assert compile_js_reduce(inf_seed_min) == "_min"
+    # near-miss: wrong seed direction for the comparison — interpreted
+    wrong = inf_seed_min.replace("var m = Infinity",
+                                 "var m = 0 - Infinity")
+    assert callable(compile_js_reduce(wrong))
+    # near-miss: loop mutates something else too — interpreted
+    extra = """function(keys, values, rereduce) {
+        var m = values[0];
+        var n = 0;
+        for (var i = 1; i < values.length; i++) {
+            if (values[i] < m) { m = values[i]; }
+        }
+        return m;
+    }"""
+    assert callable(compile_js_reduce(extra))
+
+
+def test_property_minmax_lowered_equals_interpreted():
+    """The lowering must be semantically invisible: the INTERPRETED
+    loop/apply forms (run through a partial/final split at any cut)
+    agree with plain min/max — which is what the _min/_max builtins
+    compute JVM-side."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_spark.functions.jsreduce import JSReduceFunction
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            min_size=1, max_size=40,
+        ),
+        st.integers(0, 39),
+    )
+    def check(vals, cut_raw):
+        cut = min(cut_raw, len(vals))
+        for src, py in (
+            ("function(k, v) { return Math.min.apply(null, v); }",
+             min),
+            ("""function(k, values, rr) {
+                  var m = values[0];
+                  for (var i = 1; i < values.length; i++) {
+                    if (values[i] > m) { m = values[i]; }
+                  }
+                  return m;
+                }""", max),
+        ):
+            fn = JSReduceFunction(src)  # bypass lowering: interpreter
+            parts = [p for p in (vals[:cut], vals[cut:]) if p]
+            partials = [fn(None, p, False) for p in parts]
+            assert fn(None, partials, True) == pytest.approx(py(vals))
+
+    check()
+
+
+def test_minmax_lowered_plan_is_jvm_only(spark, sf_dir, tmp_path):
+    """Engine end-to-end: a JS Math.max.apply reduce over a MapSpec
+    view equals the _max builtin and its physical plan contains no
+    Python evaluation (BatchEvalPython/ArrowEvalPython/FlatMapsInPandas
+    would mean the lowering regressed)."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    spec = MapSpec("events", ("str", "event_type"), ("num", "value"))
+    js = "function(keys, values, rr) " \
+         "{ return Math.max.apply(null, values); }"
+    res = eng.query({"map": spec, "reduce": js}, group=True)
+    want = {
+        r["key"]: round(r["value"], 6)
+        for r in eng.query({"map": spec, "reduce": "_max"},
+                           group=True).rows()
+    }
+    got = {r["key"]: round(r["value"], 6) for r in res.rows()}
+    assert got == want and got
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in plan
