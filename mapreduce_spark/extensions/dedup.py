@@ -37,7 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -126,43 +126,84 @@ def _cap_postings(ex: DataFrame, max_df: int | None) -> DataFrame:
 def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
                   text: str = "text", id_col: str = "doc_id",
                   max_df: int | None = JACCARD_MAX_DF) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold via inverted
-    index: explode each doc's distinct shingles, self-join on the
-    shingle (co-occurrence count = |A∩B|), then J = ∩/(|A|+|B|-∩).
-    Exact whenever no shingle hits ``max_df`` (see shingle_postings).
+    """All pairs with shingle-set Jaccard ≥ threshold, prefix-filtered
+    (AllPairs/PPJoin-style) then verified exactly.
+
+    Round 6: the previous shape self-joined EVERY posting — the
+    co-occurrence join emitted one row per shared shingle per pair
+    (1.13 M pair-rows on the 5 k-doc fixture), inherently quadratic in
+    co-occurring pairs.  The standard fix: order each doc's shingles
+    by ascending global document frequency (rarest first, ties by
+    shingle) and index only the PREFIX of length
+    ``|d| − ⌈τ·|d|⌉ + 1`` — two sets with J ≥ τ must share at least
+    one prefix token under any consistent global order (PPJoin
+    Lemma 1), and rare-token prefixes collide orders of magnitude less
+    than stopword-ish full postings.  Candidates additionally pass the
+    length filter (τ·|A| ≤ |B| ≤ |A|/τ), then verification computes
+    the TRUE intersection via ``array_intersect`` on the full shingle
+    arrays — so the reported Jaccard is exact regardless of where the
+    candidate came from.
+
+    ``max_df`` still caps candidate-generation postings as skew armor
+    (a prefix token in k docs contributes C(k,2) candidate rows), but
+    by construction prefixes hold each doc's RAREST shingles, so the
+    cap engages only on pathological corpora; verification exactness
+    is unaffected either way (the cap can only lose candidate pairs
+    whose every shared prefix token exceeds max_df).
     """
-    # postings are consumed FOUR times (set sizes, the df-frequency
-    # cap, and both self-join sides); without a persist each consumer
-    # re-runs the tokenize+shingle transform — the dominant cost.
-    # Same pattern and rationale as minhash_lsh_pairs' signature
-    # persist: MEMORY_AND_DISK (spill-safe), reclaimed by the LRU
-    # block manager (a lazily-returned DataFrame has no unpersist
-    # point).
-    ex_raw = (
-        shingle_sets(df, n, text, id_col)
-        .select("doc_id", F.explode("sh").alias("s"))
+    sets_df = shingle_sets(df, n, text, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
+    # document frequency and per-doc rank as WINDOWS, not
+    # groupBy+join round-trips: one exchange on s, one on doc_id (the
+    # sz count rides the rn window's doc_id exchange+sort).  Capped
+    # (df > max_df) tokens keep their tail ranks — ascending-df order
+    # puts them after every kept token — so filtering them afterwards
+    # never shifts a surviving token into or out of the prefix.
+    wS = Window.partitionBy("s")
+    wD = Window.partitionBy("doc_id")
+    wDo = wD.orderBy("dfreq", "s")
+    keep = (
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    if max_df is not None:
+        keep = keep & (F.col("dfreq") <= max_df)
+    pref = (
+        ex.withColumn("dfreq", F.count(F.lit(1)).over(wS))
+        .withColumn("sz", F.count(F.lit(1)).over(wD))
+        .withColumn("rn", F.row_number().over(wDo))
+        .filter(keep)
+        .select("doc_id", "s", "sz")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # shingles are distinct per doc, so |set| = posting count
-    sizes = ex_raw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    ex = _cap_postings(ex_raw, max_df)
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J ≥ τ needs τ·|A| ≤ |B| ≤ |A|/τ
+            & (F.col("b.sz") * threshold <= F.col("a.sz"))
+            & (F.col("a.sz") * threshold <= F.col("b.sz")),
+        )
+        .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"),
-                      F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"),
-                      F.col("sz").alias("sz_b"))
-    j = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    sa = sets_df.select(F.col("doc_id").alias("id_a"),
+                        F.col("sh").alias("sh_a"))
+    sb = sets_df.select(F.col("doc_id").alias("id_b"),
+                        F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    j = inter / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
     return (
-        common.join(sa, "id_a").join(sb, "id_b")
+        cand.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
