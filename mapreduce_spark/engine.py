@@ -621,7 +621,7 @@ class Engine:
                 F.count(F.lit(1)).alias("n"),
             )
             batch = entry["next_batch"]
-            delta_rel, tomb_rel = f"delta-{batch}", f"tomb-{batch}"
+            delta_rel = f"delta-{batch}"
             delta_path = os.path.join(vdir, delta_rel)
             # delta stats ride the delta-write pass (single-pass scan,
             # so count is safe without an exchange barrier)
@@ -635,18 +635,20 @@ class Engine:
             if not probe["n"]:
                 shutil.rmtree(delta_path, ignore_errors=True)
                 return
-            tomb_path = os.path.join(vdir, tomb_rel)
-            src.select(
+            # ONE (id, n) file per batch serves both roles: the n ≥ 0
+            # per-doc emit counts (future refreshes look up superseded
+            # row counts in O(changes) instead of scanning the view)
+            # AND the doc-id tombstone set — the tombstone ids are
+            # exactly lcounts' id column (n = 0 rows are deletes /
+            # no-longer-emitting docs), and every tombstone reader
+            # projects ``schema("id string")`` so parquet column
+            # pruning never materializes n.  Folding the two files
+            # saves a write job + a source re-scan per refresh.
+            lcounts_rel = tomb_rel = f"lcounts-{batch}"
+            tomb_path = os.path.join(vdir, lcounts_rel)
+            tomb_ids = src.select(
                 doc_id_col(vdef.table).alias("id")
-            ).distinct().write.mode("overwrite").parquet(tomb_path)
-            # per-doc emit counts of THIS batch (one row per changed
-            # id, n ≥ 0 — zero when a changed doc no longer emits):
-            # future refreshes look up superseded-row counts here in
-            # O(changes) instead of scanning the view
-            lcounts_rel = f"lcounts-{batch}"
-            tomb_ids = self.spark.read.schema("id string").parquet(
-                tomb_path
-            )
+            ).distinct()
             delta_counts = (
                 self.spark.read.schema(VIEW_SCHEMA).parquet(delta_path)
                 .groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -658,9 +660,7 @@ class Engine:
             if int(probe["n"] or 0) <= 1_000_000:
                 # typical refresh: one small file beats partition spray
                 lc = lc.coalesce(1)
-            lc.write.mode("overwrite").parquet(
-                os.path.join(vdir, lcounts_rel)
-            )
+            lc.write.mode("overwrite").parquet(tomb_path)
             # rows this batch supersedes: live (pre-batch) emits of the
             # changed docs, answered from the per-doc emit-count
             # metadata (counts file / manifest sidecar / layer lcounts)

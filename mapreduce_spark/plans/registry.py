@@ -20,7 +20,12 @@ open, so lazy DataFrames stay valid across refreshes):
     <storage>/registry.json
     <storage>/views/<sig>/base-v<N>/        sorted, range-partitioned
     <storage>/views/<sig>/delta-<B>/        incremental emits, batch B
-    <storage>/views/<sig>/tomb-<B>/         doc-id tombstones, batch B
+    <storage>/views/<sig>/lcounts-<B>/      (id, n) per changed doc,
+                                            batch B — doubles as the
+                                            tombstone id set (readers
+                                            project id only); legacy
+                                            stores may still hold
+                                            separate tomb-<B>/ dirs
 
 The effective view is the LSM-style fold
 ``((base ⊖ t1) ⊕ d1) ⊖ t2 ⊕ d2 …`` — see engine._assemble_view.

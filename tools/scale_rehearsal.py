@@ -19,7 +19,15 @@ Measured once per scale (cold plans, same session):
   read — the core map/reduce path;
 - ``minhash``: MinHash-LSH near-dup pairs over documents;
 - ``gemm``: blocked-GEMM embedding near-dup (the documented quadratic
-  exception).
+  exception);
+- ``refresh`` (M1): a FIXED-SIZE change batch (~60k rows at both
+  scales) applied incrementally to a lineitem view that is 10×
+  bigger at sf1.  ``refresh_first`` includes the one-time lazy
+  per-doc emit-count materialization (O(view), paid once per base
+  version); ``refresh_steady`` is the second batch — pure
+  O(changes) accounting.  O(changes) predicts a ~flat
+  ``refresh_steady`` across the 10× view-size jump (exponent ≈ 0);
+  the pre-round-5 O(view) accounting would grow it ~10×.
 
 Prints one JSON line with per-operator (sf0.1 sec, sf1 sec, exponent
 = log10(t1/t01); 1.0 = linear in the 10× row count).
@@ -138,6 +146,67 @@ def measure(spark, sf_dir: str) -> dict:
     n = dedup.embedding_near_dup_blocked(emb, 0.4).count()
     out["gemm"] = round(time.time() - t, 2)
     out["gemm_pairs"] = n
+    out.update(measure_refresh(spark, sf_dir))
+    return out
+
+
+BATCH_ROWS = 60_000  # fixed change-batch size at EVERY scale
+
+
+def measure_refresh(spark, sf_dir: str) -> dict:
+    """M1: fixed-size incremental batches against a growing view.
+
+    Carve the lineitem seq axis so the last two slices hold
+    ~BATCH_ROWS rows each regardless of scale; build the base from
+    everything below, then apply the two slices as refresh batches.
+    ``refresh_first`` pays the one-time lazy counts materialization
+    (O(view)); ``refresh_steady`` is the per-batch cost a long-lived
+    view pays forever — the number that must NOT scale with view
+    size."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.operators.mapphase import MapSpec
+    from mapreduce_spark.sources.docs import load_table
+
+    raw = load_table(spark, sf_dir, "lineitem")
+    seq = (
+        F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    ).cast("long")
+    n = raw.count()
+    qs = raw.select(seq.alias("s")).approxQuantile(
+        "s",
+        [max(0.0, 1 - 2 * BATCH_ROWS / n),
+         max(0.0, 1 - BATCH_ROWS / n)],
+        0.001,
+    )
+    s0, s1 = int(qs[0]), int(qs[1])
+
+    eng = Engine(spark, sf_dir, tempfile.mkdtemp(prefix="sfr-m1-"))
+    eng.put_design(
+        "m1",
+        {
+            "v": {
+                "map": MapSpec(
+                    "lineitem",
+                    [("str", "l_returnflag"), ("str", "l_linestatus")],
+                    ("num", "l_quantity"),
+                ),
+                "reduce": "_sum",
+            }
+        },
+    )
+    vdef = eng._resolve("m1/v")[0]
+    out = {}
+    t = time.time()
+    eng.update_view(vdef, to_seq=s0)  # base build (view - 2 batches)
+    out["refresh_base_build"] = round(time.time() - t, 2)
+    t = time.time()
+    eng.update_view(vdef, to_seq=s1)  # + lazy counts (O(view), once)
+    out["refresh_first"] = round(time.time() - t, 2)
+    t = time.time()
+    eng.update_view(vdef)  # steady state: pure O(changes)
+    out["refresh_steady"] = round(time.time() - t, 2)
     return out
 
 
@@ -169,7 +238,8 @@ def main() -> None:
     r1 = measure(spark, out_dir)
     expo = {
         k: round(math.log10(max(r1[k], 1e-3) / max(r01[k], 1e-3)), 2)
-        for k in ("build_q02", "minhash", "gemm")
+        for k in ("build_q02", "minhash", "gemm",
+                  "refresh_first", "refresh_steady")
     }
     print(json.dumps({"sf0.1": r01, "sf1": r1, "exponent": expo}))
 
