@@ -70,6 +70,57 @@ def test_jaccard_max_df_bounds_skewed_postings(docs, spark):
     assert dflt == exact and exact
 
 
+def test_jaccard_prefix_filter_equals_brute_force(spark, docs):
+    """The AllPairs/PPJoin prefix filter is lossless: on a randomized
+    small-vocabulary corpus (forced shingle collisions, planted exact
+    and near duplicates, sub-n shorties), the prefix-filtered join
+    must emit EXACTLY the brute-force all-pairs Jaccard output at
+    several thresholds."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(18)]  # tiny vocab → heavy overlap
+    texts = {}
+    for i in range(70):
+        texts[i] = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(4, 14))
+        )
+    texts[70] = texts[0]                      # exact duplicate
+    texts[71] = texts[1] + " w1 w2"           # near duplicate
+    texts[72] = "w0 w1"                       # shorter than n=3 words
+    texts[73] = "w5"                          # single token
+    rows = [(i, t, "en", "synthetic", len(t.split()))
+            for i, t in texts.items()]
+    corpus = spark.createDataFrame(rows, docs.schema)
+
+    def sh(t, n=3):
+        w = t.split(" ")
+        return {
+            " ".join(w[i:i + n]) for i in range(len(w) - n + 1)
+        } if len(w) >= n else set()
+
+    sets = {i: sh(t) for i, t in texts.items()}
+    for threshold in (0.3, 0.5, 0.8):
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            u = sets[a] | sets[b]
+            if not u:
+                continue
+            j = len(sets[a] & sets[b]) / len(u)
+            if j >= threshold:
+                want.add((a, b, round(j, 6)))
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in dedup.jaccard_pairs(
+                corpus, threshold, max_df=None
+            ).collect()
+        }
+        assert got == want, f"threshold {threshold}"
+        # the planted exact duplicate pairs at every threshold
+        assert (0, 70, 1.0) in want
+
+
 def test_minhash_short_docs_excluded_from_buckets(docs, spark):
     """Docs shorter than n tokens share the sentinel signature; they
     must be dropped before bucketing (else k short docs make 32·C(k,2)
