@@ -214,7 +214,7 @@ class Engine:
 
         Typed tables compile to MapSpec(s) (JVM path, guards pushed
         into the scan) when the source fits the compilable subset;
-        out-of-subset sources (division, ``%``, ``.split()``, loops,
+        out-of-subset sources (``.split()``, loops,
         ``parseInt``, accumulator objects …) fall back to the
         statement-level interpreter over Arrow-batched doc dicts —
         upstream runs arbitrary JS (`[U pouchdb-abstract-

@@ -25,9 +25,11 @@ Supported subset (each maps 1:1 onto a MapSpec capability):
   ``=== == !== != < <= > >=``, ``&&``, ``||``, ``!``, truthiness
   tests, nested ifs; guards (and negated else-guards) compile into
   ``MapSpec.where`` so Catalyst pushes them into the parquet scan;
-- arithmetic ``+ - *`` on same-kind operands (JS null→0 coercion
+- arithmetic ``+ - * / %`` on same-kind operands (JS null→0 coercion
   compiled as ``coalesce``; string ``+`` concat with null→``'null'``;
-  division is out — JS Infinity has no JSON/collation form);
+  ``/`` and ``%`` via ``try_divide``/``try_mod`` so the JS
+  Infinity/NaN-by-zero corners become JSON null exactly like the
+  interpreter serializes them);
 - string methods ``.substring/.slice`` (literal non-negative offsets)
   and ``.toLowerCase/.toUpperCase`` — a method call on a null field
   compiles to a ``IS NOT NULL`` guard, reproducing upstream tryMap's
@@ -254,8 +256,7 @@ class _Parser:
 
     def _expr(self) -> Any:
         """Additive expression: primary/method chains joined by
-        ``+``/``-``/``*`` (division is outside the subset — JS's
-        Infinity corner has no JSON/collation representation)."""
+        ``+``/``-`` over multiplicative ``*``/``/``/``%`` chains."""
         left = self._mul()
         while self.i < len(self.toks) and self.toks[self.i][1] in (
             "+", "-",
@@ -266,9 +267,11 @@ class _Parser:
 
     def _mul(self) -> Any:
         left = self._postfix()
-        while self._at("*"):
-            self._next()
-            left = ("bin", "*", left, self._postfix())
+        while self.i < len(self.toks) and self.toks[self.i][1] in (
+            "*", "/", "%",
+        ):
+            op = self._next()[1]
+            left = ("bin", op, left, self._postfix())
         return left
 
     def _postfix(self) -> Any:
@@ -442,12 +445,28 @@ class _Compiler:
                     f"coalesce({rs}, 'null'))"
                 )
             if lk == rk == "num":
-                sql_op = {"+": "+", "-": "-", "*": "*"}[op]
                 # JS arithmetic coerces null to 0 (never throws)
-                return "num", (
-                    f"(coalesce({ls}, 0.0) {sql_op} "
-                    f"coalesce({rs}, 0.0))"
-                )
+                l0, r0 = f"coalesce({ls}, 0.0)", f"coalesce({rs}, 0.0)"
+                if op in ("+", "-", "*"):
+                    return "num", f"({l0} {op} {r0})"
+                if op == "/":
+                    # JS x/0 → ±Infinity, 0/0 → NaN; both serialize to
+                    # JSON null (JSON.stringify) and collate as null —
+                    # try_divide returns NULL for zero divisors under
+                    # ANSI and non-ANSI alike, and the CASE folds the
+                    # residual overflow-to-Infinity corner (huge/tiny)
+                    # to null the same way the interpreter does.
+                    d = f"try_divide({l0}, {r0})"
+                    return "num", (
+                        f"(CASE WHEN abs({d}) = "
+                        "cast('Infinity' as double) "
+                        f"THEN cast(null as double) ELSE {d} END)"
+                    )
+                if op == "%":
+                    # JS remainder: sign of the dividend (Spark/Java
+                    # semantics match); x % 0 → NaN → JSON null, which
+                    # is exactly try_mod's NULL
+                    return "num", f"try_mod({l0}, {r0})"
             raise JSCompileError(
                 f"operator {op!r} between {lk} and {rk} operands is "
                 "outside the subset (same-kind operands only; JS "
@@ -829,6 +848,24 @@ def _ev(ast: Any, doc: dict) -> Any:
             return _js_num(a) - _js_num(b)
         if op == "*":
             return _js_num(a) * _js_num(b)
+        if op == "/":
+            # JS x/0 → ±Infinity, 0/0 → NaN; non-finite values
+            # serialize to JSON null downstream (JSON.stringify)
+            na, nb = _js_num(a), _js_num(b)
+            if nb == 0.0:
+                return (
+                    math.nan if na == 0.0 or math.isnan(na)
+                    else math.copysign(math.inf, na) *
+                    math.copysign(1.0, nb)
+                )
+            return na / nb
+        if op == "%":
+            # JS remainder: sign of the dividend; x % 0 → NaN
+            na, nb = _js_num(a), _js_num(b)
+            if nb == 0.0 or math.isnan(na) or math.isnan(nb) \
+                    or math.isinf(na):
+                return math.nan
+            return math.fmod(na, nb)
         raise JSCompileError(f"unsupported operator {op!r}")
     if tag == "method":
         recv = _ev(ast[1], doc)
@@ -1043,7 +1080,7 @@ def compile_js_map_fn(source: str):
     """JS map source → interpreted Python map fn.
 
     Prefers the statement-level interpreter (functions/jsmap.py —
-    var/for/closures, ``/`` ``%``, split/parseInt/JSON/…); sources it
+    var/for/closures, split/parseInt/JSON/…); sources it
     cannot parse fall back to this module's narrow expression
     interpreter so its error message (naming the construct) surfaces.
     """

@@ -13,7 +13,7 @@ engine runs three tiers, fastest first:
    ``jsreduce`` (var/let, if/else, C-style for, assignments, function
    literals with closure capture, arithmetic incl. ``/`` and ``%``,
    string/array/Math/JSON/parseInt builtins).  Anything the compiler
-   rejects — division, ``.split()``, loops, accumulator objects —
+   rejects — ``.split()``, loops, accumulator objects —
    runs here over Arrow-batched doc dicts, on ANY table (typed or
    raw).  Out-of-subset constructs still raise loud
    :class:`~mapreduce_spark.functions.jsreduce.JSReduceError` rather

@@ -79,7 +79,8 @@ def test_timestamp_fields_compile_to_iso(orders_schema):
         ("function(doc) { for (var i;;) emit(1, 1); }", "for"),
         ("function(doc) { var x = 1; emit(x, 1); }", "var"),
         ("function(doc) { emit(doc.a.b, 1); }", "nested"),
-        ("function(doc) { emit(doc.o_orderkey / 2, 1); }", "/"),
+        ("function(doc) { emit(doc.o_orderpriority / 2, 1); }",
+         "/ on a str operand"),
         ("function(doc) { emit(doc.o_orderkey + 'x', 1); }",
          "mixed-type +"),
         ("function(doc) { emit(doc.o_orderpriority.substring(0-2), 1); }",
@@ -138,6 +139,72 @@ def test_arithmetic_and_string_methods_compile(spark, sf_dir,
         "p:" + r["o_orderpriority"]
         for r in raw.select("o_orderpriority").distinct().collect()
     }
+
+
+def test_division_and_modulo_compile(spark, sf_dir, tmp_path):
+    """Round 6: `/` and `%` compile to try_divide/try_mod — JVM-side,
+    with the JS by-zero corners (x/0 → Infinity, 0/0 and x%0 → NaN)
+    serializing to JSON null exactly like the interpreter, and JS
+    remainder sign (sign of the dividend)."""
+    import pyspark.sql.functions as F
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    js = {
+        "map": (
+            "part",
+            """function(doc) {
+                 emit([doc.p_type, doc.p_size % 5],
+                      doc.p_retailprice / 100);
+               }""",
+        ),
+        "reduce": "_sum",
+    }
+    got = {
+        (r["key"][0], r["key"][1]): round(r["value"], 6)
+        for r in eng.query(js, group=True).rows()
+    }
+    raw = spark.read.parquet(f"{sf_dir}/part.parquet")
+    want = {
+        (r["t"], float(r["b"])): round(r["v"], 6)
+        for r in raw.groupBy(
+            F.col("p_type").alias("t"),
+            (F.col("p_size").cast("double") % 5).alias("b"),
+        )
+        .agg(F.sum(F.col("p_retailprice") / 100).alias("v"))
+        .collect()
+    }
+    assert got == want and got
+
+    # the ddoc stays inside the COMPILED subset (MapSpec, no Python)
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    spec = eng._normalize_map(
+        ("part", "function(doc){ emit(doc.p_size % 5, "
+                 "doc.p_retailprice / doc.p_size); }")
+    )
+    assert isinstance(spec, MapSpec)
+    assert "try_mod" in spec.key[1]
+    assert "try_divide" in spec.value[1]
+
+    # by-zero corners → null (JSON.stringify semantics) and JS
+    # remainder sign (sign of the dividend): evaluate the compiled
+    # key SQL against a hand-built frame with part's column names
+    spec2 = compile_js_map(
+        "function(doc){ emit([doc.p_retailprice / doc.p_size, "
+        "doc.p_retailprice % doc.p_size], null); }",
+        "part", spark.read.parquet(f"{sf_dir}/part.parquet").schema,
+    )
+    corners = spark.createDataFrame(
+        [(1.0, 0.0), (0.0, 0.0), (-7.0, 2.0), (7.0, -2.0)],
+        "p_retailprice double, p_size double",
+    )
+    ksqls = [s for _, s in spec2.key]
+    rows = corners.select(
+        *[F.expr(s).alias(f"k{i}") for i, s in enumerate(ksqls)]
+    ).collect()
+    assert [
+        (r["k0"], r["k1"]) for r in rows
+    ] == [(None, None), (None, None), (-3.5, -1.0), (-3.5, 1.0)]
 
 
 def test_interpreted_methods_null_skip(spark, tmp_path):
