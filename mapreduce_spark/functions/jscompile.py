@@ -34,6 +34,15 @@ Supported subset (each maps 1:1 onto a MapSpec capability):
   and ``.toLowerCase/.toUpperCase`` — a method call on a null field
   compiles to a ``IS NOT NULL`` guard, reproducing upstream tryMap's
   throw→skip semantics;
+- ``doc.f.length`` on string fields (null receiver → NOT NULL guard,
+  same throw→skip rule) and ``Math.floor/ceil/abs/sqrt/round/pow``
+  (JS ``Math.round`` half-up-toward-+∞ compiled as
+  ``floor(x + 0.5)``; NaN/Infinity-producing corners fold to JSON
+  null).  Known deviation: a non-finite value folded to SQL null
+  inside a GUARD comparison drops the row (three-valued logic),
+  where JS would compare the Infinity — by-zero divisions inside
+  ``if`` conditions are the one corner where compiled and
+  interpreted guards differ;
 - ``log(...)`` calls (upstream sandbox global) parsed and discarded;
 - multiple emits (one MapSpec per emit, unioned with emit ordinals).
 
@@ -315,10 +324,33 @@ class _Parser:
             if tok == "false":
                 return ("lit", False)
             if tok == "doc":
-                return ("doc", self._field_path(off))
+                parts = self._field_path(off)
+                if len(parts) == 2 and parts[1] == "length":
+                    # string length property (JS .length)
+                    return ("strlen", parts[0])
+                if len(parts) > 1:
+                    raise JSCompileError(
+                        f"nested field path doc.{'.'.join(parts)} is "
+                        "outside the compilable subset (flat fields "
+                        "only); use a Python map function"
+                    )
+                return ("doc", parts[0])
+            if tok == "Math" and self._at("."):
+                self._next()
+                _k, name, noff = self._next()
+                if _k != "ident" or not self._eat("("):
+                    raise JSCompileError(
+                        f"expected Math.<fn>(…) at offset {noff}"
+                    )
+                args = []
+                while not self._eat(")"):
+                    args.append(self._expr())
+                    self._eat(",")
+                return ("math", name, args)
             raise JSCompileError(
                 f"unsupported identifier {tok!r} at offset {off} (only "
-                "'doc' field references and literals are compilable)"
+                "'doc' field references, Math.<fn>() calls and literals "
+                "are compilable)"
             )
         if tok == "(":
             e = self._expr()
@@ -379,13 +411,7 @@ class _Parser:
             raise JSCompileError(
                 f"bare 'doc' reference at offset {off} is not compilable"
             )
-        if len(parts) > 1:
-            raise JSCompileError(
-                f"nested field path doc.{'.'.join(parts)} is outside the "
-                "compilable subset (flat fields only); use a Python map "
-                "function"
-            )
-        return parts[0]
+        return parts
 
 
 # ---------------------------------------------------------------------------
@@ -416,6 +442,18 @@ class _Compiler:
 
     _STR_METHODS = ("substring", "slice", "toLowerCase", "toUpperCase")
 
+    @staticmethod
+    def _num_operand(ast: Any, sql: str) -> str:
+        """Numeric operand SQL with JS ToNumber(null)=0 applied to
+        SOURCE nulls only.  Computed sub-expressions keep SQL null
+        propagation: their null encodes a folded non-finite (JS would
+        carry Infinity/NaN forward and JSON-stringify to null)."""
+        return (
+            f"coalesce({sql}, 0.0)"
+            if ast[0] in ("doc", "lit")
+            else sql
+        )
+
     def computed(self, ast: Any) -> tuple[str, str]:
         """('bin'|'method'|…) AST → (kind, sql) with JS semantics."""
         tag = ast[0]
@@ -445,8 +483,18 @@ class _Compiler:
                     f"coalesce({rs}, 'null'))"
                 )
             if lk == rk == "num":
-                # JS arithmetic coerces null to 0 (never throws)
-                l0, r0 = f"coalesce({ls}, 0.0)", f"coalesce({rs}, 0.0)"
+                # JS arithmetic coerces null to 0 (never throws) — but
+                # ONLY source nulls (doc fields / literals).  A null
+                # coming out of a computed sub-expression is a folded
+                # non-finite (by-zero division, sqrt(neg), pow
+                # overflow): JS would propagate Infinity/NaN through
+                # further arithmetic and stringify the result to null,
+                # so SQL null-propagation (x + NULL = NULL) is the
+                # faithful compilation and coalescing it to 0 would
+                # diverge.
+                l0, r0 = self._num_operand(l, ls), self._num_operand(
+                    r, rs
+                )
                 if op in ("+", "-", "*"):
                     return "num", f"({l0} {op} {r0})"
                 if op == "/":
@@ -471,6 +519,63 @@ class _Compiler:
                 f"operator {op!r} between {lk} and {rk} operands is "
                 "outside the subset (same-kind operands only; JS "
                 "mixed-type coercion differs from SQL)"
+            )
+        if tag == "strlen":
+            kind, sql = self.field(ast[1])
+            if kind == "iso":
+                # rendered ISO strings have a fixed 19-char form
+                return "num", "19.0"
+            if kind != "str":
+                raise JSCompileError(
+                    f".length on a {kind} field is outside the subset "
+                    "(string length only)"
+                )
+            # JS: null.length throws → tryMap skips the doc
+            self.pending_guards.append(f"({sql} IS NOT NULL)")
+            return "num", f"cast(length({sql}) as double)"
+        if tag == "math":
+            name, args = ast[1], ast[2]
+            compiled = []
+            for a in args:
+                k, s = self.computed(a)
+                if k != "num":
+                    raise JSCompileError(
+                        f"Math.{name}() over a {k} operand is outside "
+                        "the subset"
+                    )
+                compiled.append(self._num_operand(a, s))
+            n = len(compiled)
+            if name in ("floor", "ceil", "abs", "sqrt", "round") \
+                    and n == 1:
+                x = compiled[0]
+                if name == "floor":
+                    return "num", f"cast(floor({x}) as double)"
+                if name == "ceil":
+                    return "num", f"cast(ceil({x}) as double)"
+                if name == "abs":
+                    return "num", f"abs({x})"
+                if name == "sqrt":
+                    # JS sqrt(negative) = NaN → JSON null
+                    return "num", (
+                        f"nanvl(sqrt({x}), cast(null as double))"
+                    )
+                # JS Math.round: half-up toward +Infinity (round(-2.5)
+                # = -2) — Spark's round() is half-away-from-zero, so
+                # compile the definition instead
+                return "num", f"cast(floor({x} + 0.5) as double)"
+            if name == "pow" and n == 2:
+                # Java/Spark power() IS IEEE Math.pow = JS semantics;
+                # fold the NaN/Infinity corners (neg^frac, overflow,
+                # 0^neg) to JSON null like the interpreter serializes
+                p = f"power({compiled[0]}, {compiled[1]})"
+                return "num", (
+                    f"(CASE WHEN isnan({p}) OR abs({p}) = "
+                    "cast('Infinity' as double) "
+                    f"THEN cast(null as double) ELSE {p} END)"
+                )
+            raise JSCompileError(
+                f"Math.{name}() with {n} argument(s) is outside the "
+                "compilable subset (floor/ceil/abs/sqrt/round/pow)"
             )
         if tag == "method":
             base, name, args = ast[1], ast[2], ast[3]
@@ -559,7 +664,7 @@ class _Compiler:
             return ("str", _sql_str(v))
         if tag == "doc":
             return self.field(ast[1])
-        if tag in ("bin", "method"):
+        if tag in ("bin", "method", "strlen", "math"):
             return self.computed(ast)
         raise JSCompileError(
             f"unsupported key component {tag!r} (scalars, doc fields "
@@ -588,7 +693,7 @@ class _Compiler:
             if kind == "iso":
                 return ("str", _ISO_SQL.format(col=sql))
             return (kind, sql)
-        if tag in ("bin", "method"):
+        if tag in ("bin", "method", "strlen", "math"):
             return self.computed(ast)
         if tag == "arr":
             exprs = []
@@ -675,7 +780,7 @@ class _Compiler:
     def _operand(self, ast: Any) -> tuple[str, str]:
         if ast[0] == "doc":
             return self.field(ast[1])
-        if ast[0] in ("bin", "method"):
+        if ast[0] in ("bin", "method", "strlen", "math"):
             return self.computed(ast)
         if ast[0] == "lit":
             v = ast[1]
@@ -839,6 +944,49 @@ def _ev(ast: Any, doc: dict) -> Any:
         return [_ev(a, doc) for a in ast[1]]
     if tag == "obj":
         return {k: _ev(a, doc) for k, a in ast[1].items()}
+    if tag == "strlen":
+        v = doc.get(ast[1], _UNDEF) if isinstance(doc, dict) else _UNDEF
+        if v is None or v is _UNDEF:
+            raise _MapThrow("cannot read .length of null/undefined")
+        if isinstance(v, str):
+            return float(len(v))
+        if isinstance(v, list):
+            return float(len(v))
+        return math.nan  # JS: (5).length is undefined → NaN in math
+    if tag == "math":
+        name, args = ast[1], [_js_num(_ev(a, doc)) for a in ast[2]]
+        if name == "floor" and len(args) == 1:
+            x = args[0]
+            return x if math.isnan(x) or math.isinf(x) \
+                else float(math.floor(x))
+        if name == "ceil" and len(args) == 1:
+            x = args[0]
+            return x if math.isnan(x) or math.isinf(x) \
+                else float(math.ceil(x))
+        if name == "abs" and len(args) == 1:
+            return abs(args[0])
+        if name == "sqrt" and len(args) == 1:
+            x = args[0]
+            return math.sqrt(x) if x >= 0 else math.nan
+        if name == "round" and len(args) == 1:
+            # JS: half-up toward +Infinity
+            x = args[0]
+            return x if math.isnan(x) or math.isinf(x) \
+                else float(math.floor(x + 0.5))
+        if name == "pow" and len(args) == 2:
+            try:
+                return float(pow(args[0], args[1]))
+            except (OverflowError, ValueError, ZeroDivisionError):
+                # JS Math.pow never throws: 0^neg → Infinity,
+                # overflow → ±Infinity (sign: neg base ^ odd int),
+                # neg^fraction → NaN
+                if args[0] == 0.0 and args[1] < 0:
+                    return math.inf
+                if args[0] < 0 and args[1] != int(args[1]):
+                    return math.nan
+                neg = args[0] < 0 and int(args[1]) % 2 == 1
+                return -math.inf if neg else math.inf
+        raise JSCompileError(f"Math.{name}() is outside the subset")
     if tag == "bin":
         op = ast[1]
         a, b = _ev(ast[2], doc), _ev(ast[3], doc)

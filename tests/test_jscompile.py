@@ -207,6 +207,84 @@ def test_division_and_modulo_compile(spark, sf_dir, tmp_path):
     ] == [(None, None), (None, None), (-3.5, -1.0), (-3.5, 1.0)]
 
 
+def test_math_and_strlen_compile(spark, sf_dir, tmp_path):
+    """Round 6: Math.floor/ceil/abs/sqrt/round/pow and string .length
+    compile to JVM expressions; JS Math.round is half-up-toward-+∞
+    (floor(x+0.5)), and a computed-null (non-finite) operand
+    propagates instead of coalescing to 0."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    js = {
+        "map": (
+            "part",
+            """function(doc) {
+                 emit([Math.floor(doc.p_retailprice / 100),
+                       doc.p_type.length], 1);
+               }""",
+        ),
+        "reduce": "_count",
+    }
+    spec = eng._normalize_map(js["map"])
+    assert isinstance(spec, MapSpec)  # compiled, no Python anywhere
+    got = {
+        (r["key"][0], r["key"][1]): r["value"]
+        for r in eng.query(js, group=True).rows()
+    }
+    raw = spark.read.parquet(f"{sf_dir}/part.parquet")
+    want = {
+        (float(r["b"]), float(r["l"])): r["c"]
+        for r in raw.groupBy(
+            F.floor(F.col("p_retailprice") / 100).alias("b"),
+            F.length("p_type").alias("l"),
+        ).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want and got
+
+    # JS Math.round semantics: -2.5 rounds UP to -2 (Spark's round()
+    # would give -3); sqrt of a negative folds to null; pow works
+    schema = raw.schema
+    spec2 = compile_js_map(
+        "function(doc){ emit([Math.round(doc.p_retailprice), "
+        "Math.sqrt(doc.p_retailprice), "
+        "Math.pow(doc.p_retailprice, 2.0)], null); }",
+        "part", schema,
+    )
+    corners = spark.createDataFrame(
+        [(-2.5,), (-4.0,), (3.0,)], "p_retailprice double"
+    )
+    ksqls = [s for _, s in spec2.key]
+    rows = corners.select(
+        *[F.expr(s).alias(f"k{i}") for i, s in enumerate(ksqls)]
+    ).collect()
+    assert [(r["k0"], r["k1"], r["k2"]) for r in rows] == [
+        (-2.0, None, 6.25),
+        (-4.0, None, 16.0),
+        (3.0, 1.7320508075688772, 9.0),
+    ]
+
+    # poison propagation: a by-zero division feeding further
+    # arithmetic stays null (JS: Infinity*2 → JSON null), it is NOT
+    # coalesced back to 0
+    spec3 = compile_js_map(
+        "function(doc){ emit(doc.p_retailprice / doc.p_size * 2, "
+        "null); }",
+        "part", schema,
+    )
+    z = spark.createDataFrame(
+        [(10.0, 0.0), (10.0, 5.0)],
+        "p_retailprice double, p_size double",
+    )
+    vals = [
+        r["k"] for r in z.select(
+            F.expr(spec3.key[1]).alias("k")
+        ).collect()
+    ]
+    assert vals == [None, 4.0]
+
+
 def test_interpreted_methods_null_skip(spark, tmp_path):
     """Raw-doc interpreter parity: a method call on a null/missing
     field throws in JS → the doc's emits are skipped (tryMap), not
