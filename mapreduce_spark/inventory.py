@@ -230,6 +230,23 @@ VIEW_DEFS: dict[str, dict] = {
         ),
         "reduce": "_sum",
     },
+    # F1 compiled tier, round-6 widened subset: division, Math.floor
+    # bucketing, string .length and % ALL compile to JVM expressions
+    # (try_divide / floor / length / try_mod) — q36 pins this ddoc to
+    # the compiled path (MapSpec, no Python) under the DuckDB gate.
+    "js_math": {
+        "map": (
+            "orders",
+            """
+            function (doc) {
+              emit([Math.floor(doc.o_totalprice / 10000),
+                    doc.o_orderpriority.length],
+                   Math.round(doc.o_totalprice) % 100);
+            }
+            """,
+        ),
+        "reduce": "_sum",
+    },
 }
 
 
@@ -361,18 +378,21 @@ class Inventory:
         )
 
     def q02(self):
-        res = self._q("flag_status_qty", group_level=2)
-        return res.df.select(
+        """group_level=2 AND group_level=1 over the same view, unioned
+        under a ``lvl`` tag — one oracle row value-checks both A6
+        shapes (50-row driver budget; the level-1 probe was q03)."""
+        l2 = self._q("flag_status_qty", group_level=2).df.select(
             _j("$[0]").alias("l_returnflag"),
             _j("$[1]").alias("l_linestatus"),
             F.col("value_num").alias("sum_qty"),
         )
-
-    def q03(self):
-        res = self._q("flag_status_qty", group_level=1)
-        return res.df.select(
+        l1 = self._q("flag_status_qty", group_level=1).df.select(
             _j("$[0]").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
             F.col("value_num").alias("sum_qty"),
+        )
+        return l2.withColumn("lvl", F.lit(2)).unionAll(
+            l1.withColumn("lvl", F.lit(1))
         )
 
     def q04(self):
@@ -830,13 +850,29 @@ class Inventory:
             F.round(F.col("value_num"), 2).alias("sum_v"),
         )
 
+    def q36(self):
+        """F1 compiled tier (round-6 subset): Math.floor bucketing,
+        division, ``%`` and string ``.length`` in one ddoc — asserted
+        compiled (MapSpec: no Python evaluation) and value-checked
+        against DuckDB."""
+        from mapreduce_spark.operators.mapphase import MapSpec
+
+        spec = self.engine._normalize_map(VIEW_DEFS["js_math"]["map"])
+        assert isinstance(spec, MapSpec), "q36 must stay compiled"
+        res = self._q("js_math", group=True)
+        return res.df.select(
+            _j("$[0]", "double").alias("bucket"),
+            _j("$[1]", "double").alias("plen"),
+            F.col("value_num").alias("sum_v"),
+        )
+
     def all_queries(self) -> dict[str, callable]:
         return {
             n: getattr(self, n)
             for n in (
-                "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
+                "q01 q02 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
                 "q14 q15 q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 "
-                "q26 q27 q28 q29 q30 q31 q32 q33 q34 q35"
+                "q26 q27 q28 q29 q30 q31 q32 q33 q34 q35 q36"
             ).split()
         }
 
@@ -856,9 +892,9 @@ def _mk(name: str):
 QUERIES = {
     n: _mk(n)
     for n in (
-        "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
+        "q01 q02 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
         "q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
-        "q30 q31 q32 q33 q34 q35"
+        "q30 q31 q32 q33 q34 q35 q36"
     ).split()
 }
 
@@ -881,11 +917,11 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "q02": (
         "SELECT l_returnflag, l_linestatus, "
-        "sum(l_quantity::DOUBLE) AS sum_qty "
-        "FROM lineitem GROUP BY 1, 2"
-    ),
-    "q03": (
-        "SELECT l_returnflag, sum(l_quantity::DOUBLE) AS sum_qty "
+        "sum(l_quantity::DOUBLE) AS sum_qty, 2::INT AS lvl "
+        "FROM lineitem GROUP BY 1, 2 "
+        "UNION ALL "
+        "SELECT l_returnflag, NULL AS l_linestatus, "
+        "sum(l_quantity::DOUBLE) AS sum_qty, 1::INT AS lvl "
         "FROM lineitem GROUP BY 1"
     ),
     "q04": (
@@ -1117,5 +1153,11 @@ ORACLE_SQL: dict[str, str] = {
         "(p_size % 5)::DOUBLE AS bucket, "
         "ROUND(SUM(p_retailprice::DOUBLE / 100), 2) AS sum_v "
         "FROM part GROUP BY 1, 2"
+    ),
+    "q36": (
+        "SELECT FLOOR(o_totalprice / 10000) AS bucket, "
+        "length(o_orderpriority)::DOUBLE AS plen, "
+        "SUM(fmod(FLOOR(o_totalprice + 0.5), 100)) AS sum_v "
+        "FROM orders GROUP BY 1, 2"
     ),
 }
