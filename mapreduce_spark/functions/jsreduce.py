@@ -1203,6 +1203,88 @@ def _is_minmax_loop(body: list, values: str) -> str | None:
     return lowered
 
 
+def _is_sum_count_obj(e: Any, values: str) -> bool:
+    """``return {sum: sum(values), count: values.length}`` (either key
+    order, .reduce-callback sum accepted) — the map branch of the
+    canonical CouchDB average accumulator."""
+    return (
+        e[0] == "obj"
+        and set(e[1]) == {"sum", "count"}
+        and _is_sum_of(e[1]["sum"], values)
+        and _is_len_of(e[1]["count"], values)
+    )
+
+
+def _is_plus_assign(st: Any, target: str, e: Any) -> bool:
+    """``t += e`` or ``t = t + e``."""
+    t = ("name", target)
+    return st in (
+        ("assign", "+=", t, e),
+        ("assign", "=", t, ("bin", "+", t, e)),
+        ("assign", "=", t, ("bin", "+", e, t)),
+    )
+
+
+def _is_sum_count_rereduce(body: list, values: str) -> bool:
+    """The rereduce branch of the canonical accumulator:
+
+        var s = 0;  var c = 0;        // one or two var statements
+        for (var i = 0; i < values.length; i++) {
+          s += values[i].sum;         // either order; += or s = s + …
+          c += values[i].count;
+        }
+        return {sum: s, count: c};
+    """
+    decls: list = []
+    idx = 0
+    while idx < len(body) and body[idx][0] == "var":
+        decls.extend(body[idx][1])
+        idx += 1
+    if len(decls) != 2 or any(
+        init != ("lit", 0.0) for _, init in decls
+    ):
+        return False
+    if idx + 2 != len(body) or body[idx][0] != "for":
+        return False
+    _, finit, fcond, fupd, fbody = body[idx]
+    ret = body[idx + 1]
+    if ret[0] != "return" or ret[1][0] != "obj":
+        return False
+    obj = ret[1][1]
+    if set(obj) != {"sum", "count"}:
+        return False
+    if obj["sum"][0] != "name" or obj["count"][0] != "name":
+        return False
+    s, c = obj["sum"][1], obj["count"][1]
+    if s == c or {s, c} != {n for n, _ in decls}:
+        return False
+    if finit is None or finit[0] != "var" or len(finit[1]) != 1:
+        return False
+    i, iinit = finit[1][0]
+    if iinit != ("lit", 0.0):
+        return False
+    if fcond != ("bin", "<", ("name", i),
+                 ("member", ("name", values), "length")):
+        return False
+    if fupd != ("assign", "+=", ("name", i), ("lit", 1.0)):
+        return False
+    elem = ("index", ("name", values), ("name", i))
+    if len(fbody) != 2:
+        return False
+    adds = {
+        (s, ("member", elem, "sum")),
+        (c, ("member", elem, "count")),
+    }
+    for st in fbody:
+        for t, e in list(adds):
+            if _is_plus_assign(st, t, e):
+                adds.discard((t, e))
+                break
+        else:
+            return False
+    return not adds
+
+
 def lower_js_reduce(params: list[str], body: list) -> str | None:
     """Recognize builtin-equivalent bodies → builtin name, else None."""
     values = params[1] if len(params) > 1 else "values"
@@ -1227,7 +1309,8 @@ def lower_js_reduce(params: list[str], body: list) -> str | None:
         return mm
     # if (rereduce) {return sum(values)} [else] {return values.length}
     if body and body[0][0] == "if" and body[0][1] == ("name", rereduce):
-        then_ret = _only_return(body[0][2])
+        then_stmts = body[0][2]
+        then_ret = _only_return(then_stmts)
         else_stmts = body[0][3] or body[1:]
         else_ret = _only_return(else_stmts)
         if (
@@ -1235,6 +1318,14 @@ def lower_js_reduce(params: list[str], body: list) -> str | None:
             and _is_sum_of(then_ret, values) and _is_len_of(else_ret, values)
         ):
             return "_count"
+        # the canonical {sum, count} average accumulator (the single
+        # most documented custom reduce in CouchDB) → one JVM agg pass
+        if (
+            else_ret is not None
+            and _is_sum_count_obj(else_ret, values)
+            and _is_sum_count_rereduce(then_stmts, values)
+        ):
+            return "_sum_count"
     return None
 
 

@@ -201,13 +201,16 @@ VIEW_DEFS: dict[str, dict] = {
               if (rereduce) {
                 var s = 0;
                 var c = 0;
+                var m = Infinity;
                 for (var i = 0; i < values.length; i++) {
                   s += values[i].sum;
                   c += values[i].count;
+                  if (values[i].min < m) { m = values[i].min; }
                 }
-                return {sum: s, count: c};
+                return {sum: s, count: c, min: m};
               } else {
-                return {sum: sum(values), count: values.length};
+                return {sum: sum(values), count: values.length,
+                        min: Math.min.apply(null, values)};
               }
             }
         """,
@@ -807,9 +810,13 @@ class Inventory:
 
     def q33(self):
         """Full JS design doc (map AND reduce as JS source, F1/A4):
-        the interpreted rereduce-safe ``{sum, count}`` accumulator
+        the interpreted rereduce-safe ``{sum, count, min}`` accumulator
         runs through the distributed partial/final custom-reduce
-        phases; grouped at level 2."""
+        phases; grouped at level 2.  The ``min`` member (loop-tracked
+        on rereduce, ``Math.min.apply`` on map) deliberately keeps the
+        body one field beyond the ``_sum_count`` builtin lowering, so
+        this row pins the INTERPRETER tier every round (the lowered
+        tier has its own plan-assert + property tests)."""
         res = self._q("js_custom_stats", group_level=2)
         vj = F.col("value_json")
         return res.df.select(
@@ -820,6 +827,8 @@ class Inventory:
             ).alias("sum_p"),
             F.get_json_object(vj, "$.count").cast("double").cast("long")
             .alias("cnt"),
+            F.get_json_object(vj, "$.min").cast("double")
+            .alias("min_p"),
         )
 
     def q34(self):
@@ -1138,7 +1147,8 @@ ORACLE_SQL: dict[str, str] = {
     "q33": (
         "SELECT o_orderstatus, o_orderpriority, "
         "ROUND(sum(o_totalprice::DOUBLE), 0) AS sum_p, "
-        "count(*)::BIGINT AS cnt "
+        "count(*)::BIGINT AS cnt, "
+        "min(o_totalprice::DOUBLE) AS min_p "
         "FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1, 2"
     ),
     "q34": (

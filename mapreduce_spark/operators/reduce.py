@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from mapreduce_spark.errors import BuiltInError
 
 BUILTIN_NAMES = ("_sum", "_count", "_stats", "_approx_count_distinct",
-                 "_min", "_max")
+                 "_min", "_max", "_sum_count")
 
 _TERM = "\x00"
 
@@ -167,6 +167,29 @@ def reduce_builtin(
             "gk_enc",
             "key_json",
             F.to_json(stats).alias("value_json"),
+            F.lit(None).cast("double").alias("value_num"),
+            null_arr.alias("value_num_arr"),
+        )
+    if name == "_sum_count":
+        # engine extension: the lowering target for the canonical JS
+        # {sum: sum(values), count: values.length} average accumulator
+        # (functions/jsreduce.py) — a _stats subset, one hash agg with
+        # map-side partials.  Numeric values only (same documented
+        # divergence class as _min/_max: the interpreter would throw
+        # on non-numbers where the JVM agg skips nulls).
+        v = F.col("value_num")
+        agg = g.agg(
+            F.sum(v).alias("s"),
+            F.count(v).cast("double").alias("c"),
+        )
+        sc = F.struct(
+            F.col("s").alias("sum"),
+            F.col("c").alias("count"),
+        )
+        return agg.select(
+            "gk_enc",
+            "key_json",
+            F.to_json(sc).alias("value_json"),
             F.lit(None).cast("double").alias("value_num"),
             null_arr.alias("value_num_arr"),
         )

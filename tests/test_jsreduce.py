@@ -58,8 +58,12 @@ def test_builtin_lowering():
 
 
 def test_interpreted_rereduce_accumulator():
-    f = compile_js_reduce(STATS_JS)
-    assert isinstance(f, JSReduceFunction)
+    # round 6: compile_js_reduce LOWERS this canonical shape to the
+    # _sum_count builtin; the interpreter (instantiated directly) must
+    # still implement the identical semantics (the lowering property
+    # tests depend on this equivalence)
+    assert compile_js_reduce(STATS_JS) == "_sum_count"
+    f = JSReduceFunction(STATS_JS)
     p1 = f([["a", "d1"], ["a", "d2"]], [3, 5], False)
     p2 = f([["a", "d3"]], [10], False)
     assert p1 == {"sum": 8.0, "count": 2.0}
@@ -305,11 +309,13 @@ def test_property_stats_accumulator_rereduce_invariant():
     """Hypothesis: for ANY value list and ANY partition of it into
     partial groups, the interpreted {sum, count} accumulator's
     partial→final fold equals the direct single-pass result — the
-    associativity contract reduce_custom relies on."""
+    associativity contract reduce_custom relies on.  (Round 6:
+    compile_js_reduce lowers this shape, so the interpreter under
+    test is instantiated directly.)"""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    f = compile_js_reduce(STATS_JS)
+    f = JSReduceFunction(STATS_JS)
 
     @settings(max_examples=60, deadline=None)
     @given(
@@ -491,6 +497,124 @@ def test_minmax_lowered_plan_is_jvm_only(spark, sf_dir, tmp_path):
     }
     got = {r["key"]: round(r["value"], 6) for r in res.rows()}
     assert got == want and got
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in plan
+
+
+_SUM_COUNT_JS = """function (keys, values, rereduce) {
+  if (rereduce) {
+    var s = 0;
+    var c = 0;
+    for (var i = 0; i < values.length; i++) {
+      s += values[i].sum;
+      c += values[i].count;
+    }
+    return {sum: s, count: c};
+  } else {
+    return {sum: sum(values), count: values.length};
+  }
+}"""
+
+
+def test_sum_count_lowering_recognition():
+    """Round 6: the canonical CouchDB average accumulator lowers to
+    the _sum_count JVM builtin; near-miss shapes interpret."""
+    from mapreduce_spark.functions.jsreduce import compile_js_reduce
+
+    assert compile_js_reduce(_SUM_COUNT_JS) == "_sum_count"
+    # variants: swapped accumulation order, expanded assignment,
+    # object key order, one var statement
+    v = _SUM_COUNT_JS.replace(
+        "s += values[i].sum;\n      c += values[i].count;",
+        "c = c + values[i].count;\n      s = s + values[i].sum;",
+    ).replace("{sum: s, count: c}", "{count: c, sum: s}")
+    assert compile_js_reduce(v) == "_sum_count"
+    v2 = _SUM_COUNT_JS.replace(
+        "var s = 0;\n    var c = 0;", "var s = 0, c = 0;"
+    )
+    assert compile_js_reduce(v2) == "_sum_count"
+    # near-miss: a third tracked field (q33's {sum,count,min} form)
+    # must stay interpreted
+    v3 = _SUM_COUNT_JS.replace(
+        "var c = 0;", "var c = 0;\n    var m = Infinity;"
+    ).replace(
+        "c += values[i].count;",
+        "c += values[i].count;\n      "
+        "if (values[i].min < m) { m = values[i].min; }",
+    ).replace("{sum: s, count: c}", "{sum: s, count: c, min: m}"
+    ).replace(
+        "{sum: sum(values), count: values.length}",
+        "{sum: sum(values), count: values.length, "
+        "min: Math.min.apply(null, values)}",
+    )
+    assert callable(compile_js_reduce(v3))
+    # near-miss: wrong field pulled in the loop — interpreted
+    v4 = _SUM_COUNT_JS.replace("values[i].count", "values[i].cnt")
+    assert callable(compile_js_reduce(v4))
+    # near-miss: accumulator seeded with 1 — interpreted
+    v5 = _SUM_COUNT_JS.replace("var c = 0;", "var c = 1;")
+    assert callable(compile_js_reduce(v5))
+
+
+def test_property_sum_count_lowered_equals_interpreted():
+    """The lowering must be semantically invisible: the INTERPRETED
+    accumulator, run through a partial/final split at any cut, agrees
+    with plain (sum, count) — which is what _sum_count computes
+    JVM-side."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_spark.functions.jsreduce import JSReduceFunction
+
+    fn = JSReduceFunction(_SUM_COUNT_JS)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
+            max_size=12,
+        ),
+        st.data(),
+    )
+    def check(vals, data):
+        cut = data.draw(st.integers(0, len(vals)))
+        parts = []
+        for chunk in (vals[:cut], vals[cut:]):
+            if chunk:
+                parts.append(fn(None, chunk, False))
+        out = fn(None, parts, True) if len(parts) > 1 else parts[0]
+        assert out["count"] == len(vals)
+        assert abs(out["sum"] - sum(vals)) < 1e-6 * max(
+            1.0, abs(sum(vals))
+        )
+
+    check()
+
+
+def test_sum_count_lowered_plan_is_jvm_only(spark, sf_dir, tmp_path):
+    """Engine end-to-end: the canonical accumulator ddoc over a
+    MapSpec view equals sum+count of the builtin pair and contains no
+    Python evaluation in the physical plan."""
+    import json
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    spec = MapSpec("events", ("str", "event_type"), ("num", "value"))
+    res = eng.query({"map": spec, "reduce": _SUM_COUNT_JS}, group=True)
+    want_sum = {
+        r["key"]: round(r["value"], 6)
+        for r in eng.query({"map": spec, "reduce": "_sum"},
+                           group=True).rows()
+    }
+    want_cnt = {
+        r["key"]: r["value"]
+        for r in eng.query({"map": spec, "reduce": "_count"},
+                           group=True).rows()
+    }
+    got = {r["key"]: r["value"] for r in res.rows()}
+    assert {k: round(v["sum"], 6) for k, v in got.items()} == want_sum
+    assert {k: v["count"] for k, v in got.items()} == want_cnt
+    assert got
     plan = res.df._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in plan
