@@ -864,12 +864,12 @@ class Engine:
         else:
             old = [entry["base"]]
         old += old_counts
-        old += [
+        old += list(dict.fromkeys(
             p
             for l in entry["layers"]
             for p in (l["delta"], l["tomb"], l.get("lcounts"))
             if p
-        ]
+        ))
         # old versions become unreferenced; GC is deferred (vacuum) so
         # lazy DataFrames handed out before the compaction stay valid.
         # counts=None: the new base's counts file re-materializes
@@ -1004,12 +1004,12 @@ class Engine:
             carry_from=(entry["sidecar"], affected_rel),
         )
 
-        garbage = affected_rel + [
+        garbage = affected_rel + list(dict.fromkeys(
             p
             for l in entry["layers"]
             for p in (l["delta"], l["tomb"], l.get("lcounts"))
             if p
-        ] + [entry["sidecar"]]
+        )) + [entry["sidecar"]]
         entry.update(
             manifest=kept + part_files,
             sidecar=side_rel,

@@ -279,7 +279,7 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
         nd = normalized(emb, id_col, vec_col)
     sample = (
         nd.select("vid", "nv").orderBy("vid")
-        .limit(max(k * TRAIN_PER_CELL, k * 7)).collect()
+        .limit(k * TRAIN_PER_CELL).collect()
     )
     S = np.asarray([r.nv for r in sample], dtype=np.float64)
     # seeds: same rule as every prior round — stride 7 through the

@@ -434,9 +434,18 @@ class _Compiler:
         self.types = {f.name: f.dataType.simpleString() for f in schema}
         # null-guards accumulated while compiling ONE emit: a JS method
         # call on null THROWS, and upstream tryMap turns a throwing map
-        # fn into a skipped doc — compiled as `field IS NOT NULL` ANDed
-        # into that emit's where clause (reset per emit)
-        self.pending_guards: list[str] = []
+        # fn into a skipped doc.  Each entry is ``(ctx, guard_sql)``:
+        # ``ctx`` (SQL or None) is the short-circuit context gating
+        # whether the site is EVALUATED at all — the right side of
+        # ``&&`` runs only when the left was truthy, of ``||`` only
+        # when it was falsy — so a guard contributes `NOT ctx OR
+        # guard` (no requirement when the site is never reached).
+        self.pending_guards: list[tuple[str | None, str]] = []
+        self._guard_ctx: list[str] = []
+
+    def _push_guard(self, sql: str) -> None:
+        ctx = " AND ".join(self._guard_ctx) if self._guard_ctx else None
+        self.pending_guards.append((ctx, sql))
 
     # -- computed expressions (arithmetic + string methods) -------------
 
@@ -523,7 +532,10 @@ class _Compiler:
         if tag == "strlen":
             kind, sql = self.field(ast[1])
             if kind == "iso":
-                # rendered ISO strings have a fixed 19-char form
+                # rendered ISO strings have a fixed 19-char form —
+                # but JS null.length still throws, so the null guard
+                # applies exactly as on plain string fields
+                self._push_guard(f"({sql} IS NOT NULL)")
                 return "num", "19.0"
             if kind != "str":
                 raise JSCompileError(
@@ -531,7 +543,7 @@ class _Compiler:
                     "(string length only)"
                 )
             # JS: null.length throws → tryMap skips the doc
-            self.pending_guards.append(f"({sql} IS NOT NULL)")
+            self._push_guard(f"({sql} IS NOT NULL)")
             return "num", f"cast(length({sql}) as double)"
         if tag == "math":
             name, args = ast[1], ast[2]
@@ -587,7 +599,7 @@ class _Compiler:
                 )
             if base[0] == "doc":
                 # JS: null.method() throws → tryMap skips the doc
-                self.pending_guards.append(f"({bs} IS NOT NULL)")
+                self._push_guard(f"({bs} IS NOT NULL)")
             if name == "toLowerCase":
                 if args:
                     raise JSCompileError("toLowerCase() takes no args")
@@ -731,9 +743,28 @@ class _Compiler:
     def cond(self, ast: Any) -> str:
         tag = ast[0]
         if tag == "and":
-            return f"({self.cond(ast[1])}) AND ({self.cond(ast[2])})"
+            # JS && short-circuits: the right side (and any throwing
+            # method site in it) is EVALUATED only when the left was
+            # truthy — record that as the guard context so a null
+            # receiver on the right doesn't impose its guard on docs
+            # that never reach it (coalesce: SQL NULL left ≡ JS falsy)
+            ls = self.cond(ast[1])
+            self._guard_ctx.append(f"COALESCE(({ls}), false)")
+            try:
+                rs = self.cond(ast[2])
+            finally:
+                self._guard_ctx.pop()
+            return f"({ls}) AND ({rs})"
         if tag == "or":
-            return f"({self.cond(ast[1])}) OR ({self.cond(ast[2])})"
+            # JS || evaluates the right side only when the left was
+            # FALSY (NULL included)
+            ls = self.cond(ast[1])
+            self._guard_ctx.append(f"(NOT COALESCE(({ls}), false))")
+            try:
+                rs = self.cond(ast[2])
+            finally:
+                self._guard_ctx.pop()
+            return f"({ls}) OR ({rs})"
         if tag == "not":
             # null-safe: JS `!undefined` is true, but SQL NOT(NULL) is
             # NULL (row dropped) — coalesce the inner condition to
@@ -822,6 +853,27 @@ def compile_js_map(source: str, table: str, schema) -> Any:
     # conds are false never evaluates its key/value, hence never
     # throws).
     carried: list[str] = []
+
+    def _where_conjunct(ctx: str | None, g: str) -> str:
+        # for THIS emit: the guard must hold only when its site is
+        # actually evaluated (&&/|| short-circuit context)
+        return g if ctx is None else f"(NOT {ctx} OR {g})"
+
+    def _survive_conjunct(prior: list[str], ctx: str | None,
+                          g: str) -> str:
+        # for LATER emits: the doc dies iff the site was reached AND
+        # threw.  Reached iff all prior if-conds were JS-truthy (NULL
+        # counts as falsy — hence the COALESCE; SQL NOT(NULL) would
+        # wrongly drop the row) and the short-circuit context held.
+        reach = list(prior)
+        if ctx is not None:
+            reach.append(ctx)
+        if not reach:
+            return g
+        return (
+            f"(NOT COALESCE(({' AND '.join(reach)}), false) OR {g})"
+        )
+
     for guards, key_ast, value_ast in emits:
         conds: list[str] = []     # this emit's WHERE conjuncts
         survive: list[str] = []   # throw-free conjuncts for later emits
@@ -830,32 +882,20 @@ def compile_js_map(source: str, table: str, schema) -> Any:
             c.pending_guards = []
             cg = f"({c.cond(g)})"
             mg = list(dict.fromkeys(c.pending_guards))
-            if mg:
-                conds += mg
-                # this guard expression is evaluated iff all prior
-                # if-conds held; a throw there kills later emits
-                if prior:
-                    survive.append(
-                        f"(NOT ({' AND '.join(prior)}) OR "
-                        f"({' AND '.join(mg)}))"
-                    )
-                else:
-                    survive += mg
+            for ctx, gsql in mg:
+                conds.append(_where_conjunct(ctx, gsql))
+                # a throw at this site kills later emits — but only
+                # when the site is actually reached
+                survive.append(_survive_conjunct(prior, ctx, gsql))
             prior.append(cg)
             conds.append(cg)
         c.pending_guards = []
         key = c.key(key_ast)
         value = c.value(value_ast)
         mg = list(dict.fromkeys(c.pending_guards))
-        if mg:
-            conds += mg
-            if prior:
-                survive.append(
-                    f"(NOT ({' AND '.join(prior)}) OR "
-                    f"({' AND '.join(mg)}))"
-                )
-            else:
-                survive += mg
+        for ctx, gsql in mg:
+            conds.append(_where_conjunct(ctx, gsql))
+            survive.append(_survive_conjunct(prior, ctx, gsql))
         all_conds = list(dict.fromkeys(carried + conds))
         specs.append(
             MapSpec(table, key, value,

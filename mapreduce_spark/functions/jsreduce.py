@@ -498,6 +498,20 @@ class _Scope:
         self.local[name] = value
 
 
+def _js_to_int(v: Any) -> int:
+    """JS ToIntegerOrInfinity over the subset: NaN -> 0, +/-Infinity
+    clamps to a sentinel beyond any string/array length (the callers
+    bounds-check), truncation toward zero otherwise -- int() on NaN
+    raises in Python where JS coerces, so every index/length coercion
+    goes through here."""
+    x = _js_num(v)
+    if x != x:
+        return 0
+    if math.isinf(x):
+        return (1 << 53) if x > 0 else -(1 << 53)
+    return int(x)
+
+
 def _builtin_sum(args: list) -> float | list:
     """CouchDB's map/reduce helper ``sum(values)``: numbers sum
     numerically; arrays sum element-wise (shorter zero-padded) —
@@ -604,8 +618,11 @@ def _js_parse_int(args: list) -> float:
     no digits."""
     s = _js_str(args[0]).strip() if args else ""
     r = _js_num(args[1]) if len(args) > 1 else 0.0
-    radix = int(r) if r == r else 0
-    if radix == 0:
+    radix = int(r) if r == r and not math.isinf(r) else 0
+    # JS: only an ABSENT/0 radix (or explicit 16) auto-detects 0x —
+    # parseInt('0x10', 10) parses the base-10 prefix '0' and returns 0
+    auto = radix == 0
+    if auto:
         radix = 10
     elif radix < 2 or radix > 36:
         return math.nan
@@ -615,7 +632,7 @@ def _js_parse_int(args: list) -> float:
         s = s[1:]
     if radix == 16 and s[:2].lower() == "0x":
         s = s[2:]
-    elif radix == 10 and s[:2].lower() == "0x":
+    elif auto and s[:2].lower() == "0x":
         radix, s = 16, s[2:]
     digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
     i = 0
@@ -707,7 +724,17 @@ def _store(target: Any, val: Any, env: dict) -> None:
             obj[_js_str(idx)] = val
             return
         if isinstance(obj, list):
-            i = int(_js_num(idx))
+            n = _js_num(idx)
+            if n != n or math.isinf(n) or n < 0 or n != int(n):
+                # JS: a[NaN]/a[Infinity]/a[-1]/a[1.5] = v writes a
+                # PROPERTY, not an element -- invisible to array
+                # iteration and JSON.stringify, so a no-op here
+                return
+            i = int(n)
+            if i > (1 << 20):
+                raise JSReduceError(
+                    "sparse array assignment beyond supported size"
+                )
             while len(obj) <= i:
                 obj.append(_UNDEF)
             obj[i] = val
@@ -805,14 +832,17 @@ def _eval(e: Any, env: dict) -> Any:
                 "cannot index "
                 f"{'undefined' if obj is _UNDEF else 'null'}"
             )
-        if isinstance(obj, list):
-            i = int(_js_num(idx))
+        if isinstance(obj, (list, str)):
+            # JS [] converts the index via ToString: a[NaN]/a[1.5]
+            # are PROPERTY reads (undefined), only integer-valued
+            # numbers address elements/chars
+            n = _js_num(idx)
+            if n != n or math.isinf(n) or n != int(n):
+                return _UNDEF
+            i = int(n)
             return obj[i] if 0 <= i < len(obj) else _UNDEF
         if isinstance(obj, dict):
             return obj.get(_js_str(idx), _UNDEF)
-        if isinstance(obj, str):
-            i = int(_js_num(idx))
-            return obj[i] if 0 <= i < len(obj) else _UNDEF
         return _UNDEF
     if tag == "call":
         fn = _eval(e[1], env)
@@ -956,8 +986,8 @@ def _call(fn: Any, args: list) -> Any:
             return sep.join("" if x is None or x is _UNDEF else _js_str(x)
                             for x in obj)
         if name == "slice" and isinstance(obj, list):
-            start = int(_js_num(args[0])) if args else 0
-            end = int(_js_num(args[1])) if len(args) > 1 else len(obj)
+            start = _js_to_int(args[0]) if args else 0
+            end = _js_to_int(args[1]) if len(args) > 1 else len(obj)
             return obj[start:end]
         if name == "reduce" and isinstance(obj, list):
             # Array.prototype.reduce(callback, [init]); callback gets
@@ -1000,7 +1030,7 @@ def _call(fn: Any, args: list) -> Any:
             return _call_str_method(obj, name, args)
         if isinstance(obj, (int, float)) and not isinstance(obj, bool):
             if name == "toFixed":
-                n = int(_js_num(args[0])) if args else 0
+                n = _js_to_int(args[0]) if args else 0
                 x = float(obj)
                 if x != x or math.isinf(x):
                     return _js_str(x)
@@ -1043,12 +1073,12 @@ def _call_str_method(s: str, name: str, args: list) -> Any:
             None if a1 is _UNDEF else _js_num(a1),
         )
     if name == "substr":
-        start = int(_js_num(a0)) if args else 0
+        start = _js_to_int(a0) if args else 0
         if start < 0:
             start = max(0, len(s) + start)
         if a1 is _UNDEF:
             return s[start:]
-        ln = int(_js_num(a1)) if _js_num(a1) == _js_num(a1) else 0
+        ln = _js_to_int(a1)
         return s[start:start + max(0, ln)]
     if name == "split":
         if a0 is _UNDEF:
@@ -1062,10 +1092,10 @@ def _call_str_method(s: str, name: str, args: list) -> Any:
     if name == "lastIndexOf":
         return float(s.rfind(_js_str(a0)))
     if name == "charAt":
-        i = int(_js_num(a0)) if args else 0
+        i = _js_to_int(a0) if args else 0
         return s[i] if 0 <= i < len(s) else ""
     if name == "charCodeAt":
-        i = int(_js_num(a0)) if args else 0
+        i = _js_to_int(a0) if args else 0
         return float(ord(s[i])) if 0 <= i < len(s) else math.nan
     if name == "replace":
         # string pattern → replace FIRST occurrence (JS semantics;

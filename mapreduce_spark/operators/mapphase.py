@@ -285,6 +285,23 @@ def map_docs_to_rows(
         try:
             map_fn(doc, emit)
         except Exception as exc:  # tryMap: skip doc, log, not fatal
+            from mapreduce_spark.functions.jscompile import (
+                JSCompileError,
+            )
+            from mapreduce_spark.functions.jsreduce import (
+                JSReduceError,
+                JSRuntimeThrow,
+            )
+
+            if isinstance(
+                exc, (JSReduceError, JSCompileError)
+            ) and not isinstance(exc, JSRuntimeThrow):
+                # NOT a JS throw: the interpreter hit a construct the
+                # engine cannot run (.sort(), .match(), …).  tryMap-
+                # swallowing it would build a silently-empty/partial
+                # view; upstream would have indexed these docs, so
+                # fail the build loud instead.
+                raise
             log.warning("map fn failed on doc %s: %s", doc.get("_id"), exc)
             continue
         for i, (k, v) in enumerate(emits):

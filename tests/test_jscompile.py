@@ -581,3 +581,79 @@ def test_compiled_throw_aborts_later_emits(spark, tmp_path):
     finally:
         TABLES.pop("typednull", None)
         TABLES.pop("rawnull", None)
+
+
+def test_guard_short_circuit_contexts(spark, tmp_path):
+    """Round 6 (review): method-null guards hoisted from inside && / ||
+    apply only when their site is actually EVALUATED (JS short-circuit),
+    and a NULL prior if-cond counts as falsy (JS), not SQL-unknown.
+    Compiled specs must agree with the statement interpreter on every
+    corner doc."""
+    import tempfile as _tf
+
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.functions.jscompile import compile_js_map
+    from mapreduce_spark.functions.jsmap import compile_js_map_full
+    from mapreduce_spark.sources.docs import DocTable, register_table
+
+    rows = [
+        ("d1", 3.0, None, None),    # && LHS false, a null: no throw
+        ("d2", 7.0, None, None),    # && LHS true, a null: throw
+        ("d3", 7.0, "Xx", None),    # both sides evaluated, no throw
+        ("d4", None, None, None),   # prior cond NULL: JS falsy
+        ("d5", 0.0, "hi", None),    # || LHS truthy: RHS never runs
+        ("d6", 0.0, None, "X"),     # || LHS falsy, b ok
+        ("d7", 0.0, None, None),    # || LHS falsy, b null: throw
+    ]
+    sf2 = _tf.mkdtemp()
+    df = spark.createDataFrame(
+        rows, "tk string, n double, a string, b string"
+    )
+    df.write.parquet(f"{sf2}/guardtab.parquet")
+    register_table(
+        DocTable("guardtab", "guardtab:%s", ("tk",), "abs(hash(tk))")
+    )
+    # every emit keys [emit_id, …] so compiled (spec index) and
+    # interpreted (key[0]) emits can be matched doc-by-doc
+    sources = [
+        """function(doc) {
+             if (doc.n > 5 && doc.a.toLowerCase() == 'x') {
+               emit([1, 'k'], 1);
+             }
+             emit([2, 'k'], 1);
+           }""",
+        """function(doc) {
+             if (doc.n > 5) emit([1, doc.a.toLowerCase()], 1);
+             emit([2, 'k'], 1);
+           }""",
+        """function(doc) {
+             if (doc.a || doc.b.toLowerCase() == 'x') {
+               emit([1, 'k'], 1);
+             }
+             emit([2, 'k'], 1);
+           }""",
+    ]
+    try:
+        for src in sources:
+            specs = compile_js_map(src, "guardtab", df.schema)
+            if not isinstance(specs, list):
+                specs = [specs]
+            compiled = set()
+            for i, spec in enumerate(specs):
+                sel = df.filter(F.expr(spec.where)) if spec.where \
+                    else df
+                compiled |= {(r["tk"], i + 1) for r in
+                             sel.select("tk").collect()}
+            fn = compile_js_map_full(src)
+            interpreted = set()
+            for tk, n, a, b in rows:
+                emits = []
+                fn({"tk": tk, "n": n, "a": a, "b": b},
+                   lambda k, v: emits.append(k))
+                interpreted |= {(tk, int(k[0])) for k in emits}
+            assert compiled == interpreted, src
+    finally:
+        from mapreduce_spark.sources.docs import TABLES
+
+        TABLES.pop("guardtab", None)

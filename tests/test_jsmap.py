@@ -152,3 +152,66 @@ def test_fallback_is_picklable_and_signature_stable():
     fn2({"x": 5.0}, lambda k, v: out.append((k, v)))
     assert out == [(1.0, 1.0)]
     assert repr(fn) == repr(fn2)  # registry signature stability
+
+
+def test_out_of_subset_runtime_fails_loud():
+    """Round 6 (review): a ddoc using a construct the interpreter
+    cannot run (.sort()) must FAIL the build, not tryMap-skip every
+    doc into a silently-empty view; a genuine JS runtime throw still
+    skips just the doc."""
+    import pytest
+
+    from mapreduce_spark.errors import QueryParseError
+    from mapreduce_spark.functions.jsmap import compile_js_map_full
+    from mapreduce_spark.operators.mapphase import map_docs_to_rows
+
+    docs = [{"_id": "d1", "tags": ["b", "a"]}]
+    fn = compile_js_map_full(
+        "function(doc){ emit(doc.tags.sort()[0], 1); }"
+    )
+    with pytest.raises(QueryParseError, match="sort"):
+        map_docs_to_rows(docs, fn)
+
+    # runtime throw (member on null): doc skipped, build survives
+    fn2 = compile_js_map_full(
+        "function(doc){ emit(doc.missing.x, 1); }"
+    )
+    assert map_docs_to_rows(docs, fn2) == []
+
+
+def test_js_tointeger_coercions():
+    """Round 6 (review): NaN/Infinity string/array indices coerce per
+    JS ToInteger instead of raising ValueError/OverflowError."""
+    from mapreduce_spark.functions.jsmap import compile_js_map_full
+
+    def run(src, doc):
+        out = []
+        compile_js_map_full(src)(dict(doc), lambda k, v: out.append(k))
+        return out
+
+    # charAt(NaN) → charAt(0); charAt(Infinity) → ''
+    assert run(
+        "function(doc){ emit(doc.s.charAt(doc.s.indexOf('zz') * 'q'),"
+        " 1); }",
+        {"s": "abc"},
+    ) == ["a"]
+    assert run(
+        "function(doc){ emit(doc.s.charAt(1 / 0), 1); }",
+        {"s": "abc"},
+    ) == [""]
+    # substr with NaN length → 0-length
+    assert run(
+        "function(doc){ emit(doc.s.substr(0, 0 / 0), 1); }",
+        {"s": "abc"},
+    ) == [""]
+    # array index NaN reads undefined (emitted as null), not a crash
+    assert run(
+        "function(doc){ emit(doc.tags[0 / 0], 1); }",
+        {"tags": ["x"]},
+    ) == [None]
+    # parseInt radix 10 does NOT hex-autodetect; absent radix does
+    assert run(
+        "function(doc){ emit([parseInt(doc.s, 10), parseInt(doc.s)],"
+        " 1); }",
+        {"s": "0x10"},
+    ) == [[0.0, 16.0]]

@@ -141,11 +141,25 @@ def measure(spark, sf_dir: str) -> dict:
     out["minhash"] = round(time.time() - t, 2)
     out["minhash_pairs"] = n
 
+    # round-6 additions: the two operators whose scale paths changed
+    # (prefix-filtered exact Jaccard; sample-trained IVF)
+    t = time.time()
+    n = dedup.jaccard_pairs(docs, 0.5).count()
+    out["jaccard"] = round(time.time() - t, 2)
+    out["jaccard_pairs"] = n
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t = time.time()
     n = dedup.embedding_near_dup_blocked(emb, 0.4).count()
     out["gemm"] = round(time.time() - t, 2)
     out["gemm_pairs"] = n
+
+    from mapreduce_spark.extensions import similarity
+
+    t = time.time()
+    n = similarity.ivf_topk(emb, [0, 1, 2, 3, 4], 10).count()
+    out["ivf"] = round(time.time() - t, 2)
+
     out.update(measure_refresh(spark, sf_dir))
     return out
 
@@ -238,7 +252,7 @@ def main() -> None:
     r1 = measure(spark, out_dir)
     expo = {
         k: round(math.log10(max(r1[k], 1e-3) / max(r01[k], 1e-3)), 2)
-        for k in ("build_q02", "minhash", "gemm",
+        for k in ("build_q02", "minhash", "jaccard", "gemm", "ivf",
                   "refresh_first", "refresh_steady")
     }
     print(json.dumps({"sf0.1": r01, "sf1": r1, "exponent": expo}))
