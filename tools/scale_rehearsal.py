@@ -248,6 +248,14 @@ def main() -> None:
         print(f"# synthesized sf1 in {time.time() - t:.1f}s",
               file=sys.stderr)
 
+    # warmup leg at sf0.001: the first measurement of each operator
+    # otherwise pays JVM/codegen/Arrow initialization, which lands
+    # entirely on the sf0.1 column and biases every exponent low
+    # (observed: first-leg build_q02 17-32 s vs 9 s steady)
+    t = time.time()
+    measure(spark, "/root/testdata/sf0.001")
+    print(f"# warmup leg in {time.time() - t:.1f}s", file=sys.stderr)
+
     r01 = measure(spark, SF01)
     r1 = measure(spark, out_dir)
     expo = {
