@@ -30,10 +30,14 @@ Supported subset (each maps 1:1 onto a MapSpec capability):
   ``/`` and ``%`` via ``try_divide``/``try_mod`` so the JS
   Infinity/NaN-by-zero corners become JSON null exactly like the
   interpreter serializes them);
-- string methods ``.substring/.slice`` (literal non-negative offsets)
-  and ``.toLowerCase/.toUpperCase`` — a method call on a null field
-  compiles to a ``IS NOT NULL`` guard, reproducing upstream tryMap's
-  throw→skip semantics;
+- string methods ``.substring/.slice`` (literal non-negative offsets),
+  ``.toLowerCase/.toUpperCase``, ``.indexOf`` (literal needle;
+  ``instr()-1``, with the ``=== 0`` / ``>= 0`` / ``=== -1`` idioms
+  rewritten to pushable ``startswith``/``contains`` predicates — the
+  canonical ``doc._id.indexOf('user:') === 0`` type-scoping guard
+  prunes at the scan) and ES6 ``.startsWith/.endsWith/.includes`` —
+  a method call on a null field compiles to a ``IS NOT NULL`` guard,
+  reproducing upstream tryMap's throw→skip semantics;
 - ``doc.f.length`` on string fields (null receiver → NOT NULL guard,
   same throw→skip rule) and ``Math.floor/ceil/abs/sqrt/round/pow``
   (JS ``Math.round`` half-up-toward-+∞ compiled as
@@ -449,7 +453,8 @@ class _Compiler:
 
     # -- computed expressions (arithmetic + string methods) -------------
 
-    _STR_METHODS = ("substring", "slice", "toLowerCase", "toUpperCase")
+    _STR_METHODS = ("substring", "slice", "toLowerCase", "toUpperCase",
+                    "indexOf", "startsWith", "endsWith", "includes")
 
     @staticmethod
     def _num_operand(ast: Any, sql: str) -> str:
@@ -608,6 +613,29 @@ class _Compiler:
                 if args:
                     raise JSCompileError("toUpperCase() takes no args")
                 return "str", f"upper({bs})"
+            if name in ("indexOf", "startsWith", "endsWith",
+                        "includes"):
+                # literal search string only (the ddoc idiom:
+                # doc._id.indexOf('user:') === 0 type-scoping)
+                if len(args) != 1 or args[0][0] != "lit" \
+                        or not isinstance(args[0][1], str):
+                    raise JSCompileError(
+                        f".{name}() supports exactly one literal "
+                        "string argument"
+                    )
+                pat = _sql_str(args[0][1])
+                if name == "indexOf":
+                    # JS 0-based, -1 for absent ≡ instr()-1 (1-based,
+                    # 0 for absent); cmp() rewrites the === 0 /
+                    # >= 0 / === -1 idioms to pushable
+                    # startswith/contains predicates
+                    return "num", (
+                        f"cast(instr({bs}, {pat}) - 1 as double)"
+                    )
+                fn = {"startsWith": "startswith",
+                      "endsWith": "endswith",
+                      "includes": "contains"}[name]
+                return "bool", f"{fn}({bs}, {pat})"
             # substring/slice with literal non-negative offsets (the
             # common prefix/infix idiom); negative/swapped/dynamic
             # args are out of the subset
@@ -783,6 +811,9 @@ class _Compiler:
             return f"({sql} IS NOT NULL)"
         if tag == "cmp":
             op, l, r = ast[1], ast[2], ast[3]
+            idiom = self._indexof_idiom(op, l, r)
+            if idiom is not None:
+                return idiom
             sql_op = {"===": "=", "==": "=", "!==": "<>", "!=": "<>",
                       "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
             # null comparisons → IS [NOT] NULL
@@ -807,6 +838,68 @@ class _Compiler:
                 rs = _ISO_SQL.format(col=rs) if rk == "iso" else rs
             return f"({ls} {sql_op} {rs})"
         raise JSCompileError(f"unsupported condition {tag!r}")
+
+    def _indexof_idiom(self, op: str, l: Any, r: Any) -> str | None:
+        """``x.indexOf(lit) === 0`` and friends → pushable
+        startswith/contains predicates.
+
+        The generic path compiles indexOf to ``instr()-1`` — correct
+        but opaque to parquet pushdown; the canonical CouchDB
+        type-scoping guard (``doc._id.indexOf('user:') === 0``)
+        becomes a ``StartsWith`` the scan can prune on.  Shapes
+        outside the table (e.g. ``> 0``) return None and take the
+        generic numeric comparison."""
+
+        def is_idx(a: Any) -> bool:
+            return (
+                a[0] == "method" and a[2] == "indexOf"
+                and len(a[3]) == 1 and a[3][0][0] == "lit"
+                and isinstance(a[3][0][1], str)
+            )
+
+        def lit01(a: Any) -> bool:
+            return (
+                a[0] == "lit"
+                and isinstance(a[1], (int, float))
+                and not isinstance(a[1], bool)
+                and float(a[1]) in (0.0, -1.0)
+            )
+
+        if is_idx(l) and lit01(r):
+            m, n = l, float(r[1])
+        elif is_idx(r) and lit01(l):
+            m, n = r, float(l[1])
+            op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(
+                op, op
+            )
+        else:
+            return None
+        shape = {
+            ("===", 0.0): "pre", ("==", 0.0): "pre",
+            ("!==", 0.0): "npre", ("!=", 0.0): "npre",
+            (">=", 0.0): "has", (">", -1.0): "has",
+            ("!==", -1.0): "has", ("!=", -1.0): "has",
+            ("===", -1.0): "nhas", ("==", -1.0): "nhas",
+            ("<", 0.0): "nhas", ("<=", -1.0): "nhas",
+        }.get((op, n))
+        if shape is None:
+            return None
+        bk, bs = self.computed(m[1])
+        if bk != "str":
+            raise JSCompileError(
+                f".indexOf() on a {bk} receiver is outside the "
+                "compilable subset"
+            )
+        if m[1][0] == "doc":
+            # JS: null.indexOf() throws → tryMap skips the doc
+            self._push_guard(f"({bs} IS NOT NULL)")
+        pat = _sql_str(m[3][0][1])
+        return {
+            "pre": f"startswith({bs}, {pat})",
+            "npre": f"(NOT startswith({bs}, {pat}))",
+            "has": f"contains({bs}, {pat})",
+            "nhas": f"(NOT contains({bs}, {pat}))",
+        }[shape]
 
     def _operand(self, ast: Any) -> tuple[str, str]:
         if ast[0] == "doc":
@@ -1076,6 +1169,14 @@ def _ev(ast: Any, doc: dict) -> Any:
                 recv, _js_num(args[0]) if args else 0.0,
                 _js_num(args[1]) if len(args) > 1 else None,
             )
+        if name == "indexOf":
+            return float(recv.find(_js_str(args[0] if args else _UNDEF)))
+        if name == "startsWith":
+            return recv.startswith(_js_str(args[0] if args else _UNDEF))
+        if name == "endsWith":
+            return recv.endswith(_js_str(args[0] if args else _UNDEF))
+        if name == "includes":
+            return _js_str(args[0] if args else _UNDEF) in recv
         raise JSCompileError(f".{name}() is outside the subset")
     raise JSCompileError(f"unsupported expression {tag!r}")
 

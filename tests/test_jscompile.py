@@ -657,3 +657,81 @@ def test_guard_short_circuit_contexts(spark, tmp_path):
         from mapreduce_spark.sources.docs import TABLES
 
         TABLES.pop("guardtab", None)
+
+
+def test_indexof_and_es6_string_predicates(spark, sf_dir, tmp_path):
+    """Round 6: .indexOf (instr()-1) and ES6 startsWith/endsWith/
+    includes compile to JVM expressions; the canonical
+    `doc.f.indexOf('p') === 0` type-scoping guard rewrites to a
+    pushable startswith() predicate that reaches the parquet scan."""
+    import pyspark.sql.functions as F
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    # semantics: compiled output == DataFrame equivalent
+    js = {
+        "map": (
+            "orders",
+            """function(doc) {
+                 if (doc.o_orderpriority.indexOf('URGENT') >= 0) {
+                   emit(doc.o_orderpriority.indexOf('-'), 1);
+                 }
+               }""",
+        ),
+        "reduce": "_count",
+    }
+    got = {r["key"]: r["value"]
+           for r in eng.query(js, group=True).rows()}
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        float(r["k"]): float(r["c"])
+        for r in raw.filter(F.col("o_orderpriority").contains("URGENT"))
+        .groupBy(
+            (F.instr("o_orderpriority", "-") - 1).alias("k")
+        ).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want and got
+
+    # idiom rewrites: === 0 → startswith (and the scan can push it)
+    schema = raw.schema
+    spec = compile_js_map(
+        "function(doc){ if (doc.o_orderpriority.indexOf('1-') === 0)"
+        " emit(doc.o_orderkey, 1); }",
+        "orders", schema,
+    )
+    assert "startswith(o_orderpriority, '1-')" in spec.where
+    assert "instr" not in spec.where
+    spec2 = compile_js_map(
+        "function(doc){ if (doc.o_orderpriority.indexOf('x') === -1)"
+        " emit(1, 1); }",
+        "orders", schema,
+    )
+    assert "NOT contains(o_orderpriority, 'x')" in spec2.where
+    # ES6 predicates in guards
+    spec3 = compile_js_map(
+        "function(doc){ if (doc.o_orderpriority.startsWith('2') && "
+        "doc.o_orderpriority.endsWith('H') && "
+        "doc.o_orderpriority.includes('IG')) emit(1, 1); }",
+        "orders", schema,
+    )
+    for frag in ("startswith(o_orderpriority, '2')",
+                 "endswith(o_orderpriority, 'H')",
+                 "contains(o_orderpriority, 'IG')"):
+        assert frag in spec3.where
+    # absent-needle indexOf returns -1 (instr-1), JS parity
+    spec4 = compile_js_map(
+        "function(doc){ emit(doc.o_orderpriority.indexOf('zz'), 1); }",
+        "orders", schema,
+    )
+    row = raw.limit(1).select(F.expr(spec4.key[1]).alias("k")).first()
+    assert row["k"] == -1.0
+
+    # pushdown: the rewritten guard reaches the parquet scan of the
+    # BASE table at build time
+    res = eng.query(
+        {"map": ("orders",
+                 "function(doc){ if (doc.o_orderpriority"
+                 ".indexOf('1-') === 0) emit(doc.o_orderkey, 1); }")},
+        reduce=False,
+    )
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(o_orderpriority,1-)" in plan, plan[:2000]
