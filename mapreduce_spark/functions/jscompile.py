@@ -950,7 +950,7 @@ def compile_js_map(source: str, table: str, schema) -> Any:
     def _where_conjunct(ctx: str | None, g: str) -> str:
         # for THIS emit: the guard must hold only when its site is
         # actually evaluated (&&/|| short-circuit context)
-        return g if ctx is None else f"(NOT {ctx} OR {g})"
+        return g if ctx is None else f"(NOT ({ctx}) OR {g})"
 
     def _survive_conjunct(prior: list[str], ctx: str | None,
                           g: str) -> str:
@@ -1155,29 +1155,16 @@ def _ev(ast: Any, doc: dict) -> Any:
             raise _MapThrow(f"cannot call .{name}() on null/undefined")
         if not isinstance(recv, str):
             raise _MapThrow(f".{name}() on a non-string value")
-        if name == "toLowerCase":
-            return recv.lower()
-        if name == "toUpperCase":
-            return recv.upper()
-        if name == "substring":
-            return _js_substring(
-                recv, _js_num(args[0]) if args else 0.0,
-                _js_num(args[1]) if len(args) > 1 else None,
-            )
-        if name == "slice":
-            return _js_slice(
-                recv, _js_num(args[0]) if args else 0.0,
-                _js_num(args[1]) if len(args) > 1 else None,
-            )
-        if name == "indexOf":
-            return float(recv.find(_js_str(args[0] if args else _UNDEF)))
-        if name == "startsWith":
-            return recv.startswith(_js_str(args[0] if args else _UNDEF))
-        if name == "endsWith":
-            return recv.endswith(_js_str(args[0] if args else _UNDEF))
-        if name == "includes":
-            return _js_str(args[0] if args else _UNDEF) in recv
-        raise JSCompileError(f".{name}() is outside the subset")
+        # ONE string-method implementation across both interpreter
+        # tiers (jsreduce._call_str_method — lazy import, jsreduce
+        # imports this module at load time), so the raw-doc and
+        # typed-table fallback paths can never drift apart on
+        # fromIndex/position semantics
+        from mapreduce_spark.functions.jsreduce import (
+            _call_str_method,
+        )
+
+        return _call_str_method(recv, name, args)
     raise JSCompileError(f"unsupported expression {tag!r}")
 
 

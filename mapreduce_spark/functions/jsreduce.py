@@ -712,9 +712,15 @@ def _store(target: Any, val: Any, env: dict) -> None:
     if tag == "member":
         obj = _eval(target[1], env)
         if not isinstance(obj, dict):
-            raise JSReduceError(
-                f"cannot set member {target[2]!r} on non-object"
-            )
+            if obj is None or obj is _UNDEF:
+                # JS TypeError (both modes) -- a runtime throw
+                raise JSRuntimeThrow(
+                    f"cannot set member {target[2]!r} on "
+                    f"{'undefined' if obj is _UNDEF else 'null'}"
+                )
+            # sloppy-mode JS: member write on a primitive is a
+            # silent no-op (ddocs run non-strict upstream)
+            return
         obj[target[2]] = val
         return
     if tag == "index":
@@ -776,7 +782,18 @@ def _eval(e: Any, env: dict) -> Any:
                  "parseFloat", "isNaN", "isFinite", "String", "Number",
                  "Boolean"):
             return ("__builtin__", n)
-        raise JSReduceError(f"undefined identifier {n!r} in JS fn")
+        if n in ("Date", "RegExp", "Array", "Error", "Function",
+                 "Symbol", "Promise", "Map", "Set", "Proxy",
+                 "Reflect", "BigInt", "Intl", "eval", "require"):
+            # a REAL JS global the engine cannot run: fail LOUD (a
+            # runtime-throw classification would tryMap-skip every
+            # doc into a silently wrong view)
+            raise JSReduceError(
+                f"the {n} global is outside the subset"
+            )
+        # plain unknown name: JS ReferenceError -- a genuine runtime
+        # throw (tryMap skips the doc; reduce errors propagate)
+        raise JSRuntimeThrow(f"undefined identifier {n!r} in JS fn")
     if tag == "arr":
         return [_eval(a, env) for a in e[1]]
     if tag == "obj":
@@ -1042,7 +1059,8 @@ def _call(fn: Any, args: list) -> Any:
         # JS TypeError ("x is not a function") — a *runtime* throw,
         # e.g. a method looked up on a receiver that lacks it
         raise JSRuntimeThrow("call target is null/undefined")
-    raise JSReduceError("call target is not a function")
+    # JS TypeError ("x is not a function") for any non-callable
+    raise JSRuntimeThrow("call target is not a function")
 
 
 def _call_str_method(s: str, name: str, args: list) -> Any:
@@ -1088,9 +1106,17 @@ def _call_str_method(s: str, name: str, args: list) -> Any:
             return list(s)
         return s.split(sep)
     if name == "indexOf":
-        return float(s.find(_js_str(a0)))
+        # JS fromIndex: clamp to [0, len]; NaN -> 0
+        start = min(max(_js_to_int(a1), 0), len(s)) \
+            if a1 is not _UNDEF else 0
+        return float(s.find(_js_str(a0), start))
     if name == "lastIndexOf":
-        return float(s.rfind(_js_str(a0)))
+        if a1 is _UNDEF or _js_num(a1) != _js_num(a1):
+            return float(s.rfind(_js_str(a0)))
+        # JS fromIndex: search starts at most at that position
+        end = min(max(_js_to_int(a1), 0), len(s))
+        needle = _js_str(a0)
+        return float(s.rfind(needle, 0, end + len(needle)))
     if name == "charAt":
         i = _js_to_int(a0) if args else 0
         return s[i] if 0 <= i < len(s) else ""
@@ -1105,11 +1131,18 @@ def _call_str_method(s: str, name: str, args: list) -> Any:
     if name == "concat":
         return s + "".join(_js_str(a) for a in args)
     if name == "startsWith":
-        return s.startswith(_js_str(a0))
+        pos = min(max(_js_to_int(a1), 0), len(s)) \
+            if a1 is not _UNDEF else 0
+        return s.startswith(_js_str(a0), pos)
     if name == "endsWith":
-        return s.endswith(_js_str(a0))
+        # JS endPosition: the string is considered only up to there
+        end = min(max(_js_to_int(a1), 0), len(s)) \
+            if a1 is not _UNDEF else len(s)
+        return s[:end].endswith(_js_str(a0))
     if name == "includes":
-        return _js_str(a0) in s
+        pos = min(max(_js_to_int(a1), 0), len(s)) \
+            if a1 is not _UNDEF else 0
+        return _js_str(a0) in s[pos:]
     raise JSReduceError(f".{name}() is outside the subset")
 
 

@@ -633,6 +633,15 @@ def test_guard_short_circuit_contexts(spark, tmp_path):
              }
              emit([2, 'k'], 1);
            }""",
+        # review-2 repro: nested || over && — the guard context is a
+        # CONJUNCTION, so the NOT in the where-conjunct must
+        # parenthesize it (SQL NOT binds tighter than AND)
+        """function(doc) {
+             if (doc.a || doc.n > 5 && doc.b.toLowerCase() == 'x') {
+               emit([1, 'k'], 1);
+             }
+             emit([2, 'k'], 1);
+           }""",
     ]
     try:
         for src in sources:

@@ -215,3 +215,58 @@ def test_js_tointeger_coercions():
         " 1); }",
         {"s": "0x10"},
     ) == [[0.0, 16.0]]
+
+
+def test_runtime_error_classification():
+    """Round 6 (review 2): a plain typo'd identifier is a JS
+    ReferenceError — a runtime throw that tryMap-skips just the doc —
+    while a REAL unsupported global (Date) still fails the build loud,
+    and fromIndex/position args on the string predicates follow JS."""
+    import pytest
+
+    from mapreduce_spark.errors import QueryParseError
+    from mapreduce_spark.functions.jsmap import compile_js_map_full
+    from mapreduce_spark.operators.mapphase import map_docs_to_rows
+
+    # typo ReferenceError inside a guarded branch: only the doc that
+    # reaches it is skipped
+    fn = compile_js_map_full(
+        "function(doc){ if (doc.flag) { emit(typoVar, 1); } "
+        "emit(doc._id, 1); }"
+    )
+    docs = [{"_id": "d1", "flag": True}, {"_id": "d2", "flag": False}]
+    rows = map_docs_to_rows(docs, fn)
+    assert [r["id"] for r in rows] == ["d2"]
+
+    # Date is a real JS global the engine can't run: loud
+    fn2 = compile_js_map_full(
+        "function(doc){ emit(Date.now(), 1); }"
+    )
+    with pytest.raises(QueryParseError, match="Date"):
+        map_docs_to_rows([{"_id": "d1"}], fn2)
+
+    # member write on a primitive: sloppy-mode silent no-op
+    fn3 = compile_js_map_full(
+        "function(doc){ var x = 5; x.y = 1; emit(doc._id, 1); }"
+    )
+    assert len(map_docs_to_rows([{"_id": "d1"}], fn3)) == 1
+
+    # fromIndex / position arguments (JS semantics, both tiers share
+    # one implementation)
+    def run(src, doc):
+        out = []
+        compile_js_map_full(src)(dict(doc), lambda k, v: out.append(k))
+        return out
+
+    assert run(
+        "function(doc){ emit([doc.s.indexOf('x', 1), "
+        "doc.s.lastIndexOf('x', 1), "
+        "doc.s.startsWith('a', 1), doc.s.endsWith('x', 1), "
+        "doc.s.includes('x', 1)], 1); }",
+        {"s": "xax"},
+    ) == [[2.0, 0.0, True, True, True]]
+    assert run(
+        "function(doc){ emit([doc.s.endsWith('a', 2), "
+        "doc.s.includes('x', 3)], 1); }",
+        {"s": "xax"},
+    ) == [[True, False]]

@@ -159,6 +159,7 @@ def measure(spark, sf_dir: str) -> dict:
     t = time.time()
     n = similarity.ivf_topk(emb, [0, 1, 2, 3, 4], 10).count()
     out["ivf"] = round(time.time() - t, 2)
+    out["ivf_rows"] = n
 
     out.update(measure_refresh(spark, sf_dir))
     return out
