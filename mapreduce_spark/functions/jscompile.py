@@ -761,10 +761,31 @@ class _Compiler:
                 kind, sql = self.field(obj["_id"][1])
                 if kind == "str":
                     return ("link", sql)
-            raise JSCompileError(
-                "object values are compilable only as linked documents "
-                "({_id: doc.<string field>})"
-            )
+            if "_id" in obj:
+                # upstream treats ANY object value carrying _id as a
+                # linked document; only the pure {_id: doc.field}
+                # shape compiles — the interpreter tier handles the
+                # mixed form with full link semantics
+                raise JSCompileError(
+                    "object values containing _id are linked "
+                    "documents; only {_id: doc.<string field>} "
+                    "compiles"
+                )
+            # flat object value of compilable scalars (the common
+            # {total: doc.x, count: 1} accumulator-feed shape)
+            members = []
+            for mname, a in obj.items():
+                mv = self.value(a)
+                if mv is None:
+                    members.append((mname, ("null", "null")))
+                elif mv[0] in ("num", "str", "bool"):
+                    members.append((mname, mv))
+                else:
+                    raise JSCompileError(
+                        "object value members must be scalars "
+                        f"(member {mname!r} is {mv[0]})"
+                    )
+            return ("obj", members)
         raise JSCompileError(f"unsupported value expression {tag!r}")
 
     # -- guards ----------------------------------------------------------

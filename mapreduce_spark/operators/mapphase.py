@@ -183,6 +183,26 @@ def build_view_structured_on(df: DataFrame, spec: MapSpec) -> DataFrame:
             value_json = F.concat(
                 F.lit('{"_id":'), json_scalar_col(vc, "str"), F.lit("}")
             )
+        elif vkind == "obj":
+            # flat object value {name: scalar, …} — JS member order
+            # preserved (JSON.stringify order); members are
+            # (name, (kind, sql)) with kind num/str/bool/null.
+            # Escaping rides json_scalar_col (Jackson); null member
+            # values render as JSON null like JS
+            parts: list[Column] = [F.lit("{")]
+            for i, (mname, (mk, mexpr)) in enumerate(v[1]):
+                if i:
+                    parts.append(F.lit(","))
+                parts.append(F.lit(json.dumps(mname) + ":"))
+                if mk == "null":
+                    parts.append(F.lit("null"))
+                else:
+                    mc = F.expr(mexpr)
+                    if mk == "num":
+                        mc = mc.cast("double")
+                    parts.append(json_scalar_col(mc, mk))
+            parts.append(F.lit("}"))
+            value_json = F.concat(*parts)
         else:
             raise ValueError(f"unknown value kind {vkind!r}")
 

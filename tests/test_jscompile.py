@@ -744,3 +744,56 @@ def test_indexof_and_es6_string_predicates(spark, sf_dir, tmp_path):
     )
     plan = res.df._jdf.queryExecution().executedPlan().toString()
     assert "StringStartsWith(o_orderpriority,1-)" in plan, plan[:2000]
+
+
+def test_object_value_emits_compile(spark, sf_dir, tmp_path):
+    """Round 6: flat object values ({total: doc.x, c: 1}) compile to a
+    JVM-built JSON column — the common accumulator-feed emit shape no
+    longer forces the whole ddoc onto the interpreter — and a JS
+    custom reduce over the compiled object values works end to end."""
+    import pyspark.sql.functions as F
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    src = ("orders",
+           "function(doc){ emit(doc.o_orderpriority, "
+           "{t: doc.o_totalprice, c: 1, tag: 'x', z: null}); }")
+    spec = eng._normalize_map(src)
+    assert isinstance(spec, MapSpec)  # compiled, not interpreted
+    res = eng.query({"map": src}, reduce=False, limit=3)
+    for r in res.rows():
+        v = r["value"]
+        assert set(v) == {"t", "c", "tag", "z"}
+        assert v["c"] == 1.0 and v["tag"] == "x" and v["z"] is None
+        assert isinstance(v["t"], float)
+
+    # the canonical pairing: compiled obj-value map + JS custom reduce
+    js = {
+        "map": src,
+        "reduce": """function(keys, values, rereduce) {
+            var s = 0; var c = 0;
+            for (var i = 0; i < values.length; i++) {
+              s += values[i].t; c += values[i].c;
+            }
+            return {t: s, c: c};
+        }""",
+    }
+    got = {
+        r["key"]: (round(r["value"]["t"], 2), r["value"]["c"])
+        for r in eng.query(js, group=True).rows()
+    }
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        r["k"]: (round(r["s"], 2), float(r["c"]))
+        for r in raw.groupBy(F.col("o_orderpriority").alias("k"))
+        .agg(F.sum("o_totalprice").alias("s"),
+             F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want and got
+
+    # an object value carrying _id beyond the pure link shape keeps
+    # upstream's linked-document semantics via the interpreter tier
+    mixed = eng._normalize_map(
+        ("orders",
+         "function(doc){ emit(1, {_id: doc.o_orderpriority, x: 2}); }")
+    )
+    assert not isinstance(mixed, MapSpec)
