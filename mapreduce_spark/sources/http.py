@@ -212,3 +212,90 @@ def couch_query(
     except urllib.error.HTTPError as e:
         raise _map_http_error(e.code, e.read()) from None
     return HttpQueryResult(body)
+
+
+def _encode_body_query(o: QueryOptions) -> dict[str, Any]:
+    """Validated options → one member of a ``queries`` POST body.
+
+    Unlike the query string (where every value is a string and
+    key-typed params are JSON-encoded), the queries body carries
+    JSON-TYPED values: keys as raw JSON, booleans as booleans,
+    integers as numbers (upstream batch endpoint semantics)."""
+    out: dict[str, Any] = {}
+    for name in _JSON_PARAMS + ("keys",):
+        v = getattr(o, name)
+        if v is not UNSET:
+            out[name] = v
+    for name in _PLAIN_PARAMS:
+        if name == "stale" and o.update is not UNSET:
+            continue
+        v = getattr(o, name)
+        if v is not UNSET and v is not None:
+            out[name] = v
+    for name in _BOOL_PARAMS:
+        v = getattr(o, name)
+        if v is UNSET or v is None:
+            continue
+        default = QueryOptions.__dataclass_fields__[name].default
+        if v != default:
+            out[name] = bool(v)
+    for name in _INT_PARAMS:
+        v = getattr(o, name)
+        if v is not None and not (name == "skip" and v == 0):
+            out[name] = int(v)
+    return out
+
+
+def couch_query_batch(
+    base_url: str,
+    ddoc: str,
+    view: str,
+    queries: list[dict],
+    *,
+    timeout: float = 30.0,
+    headers: dict[str, str] | None = None,
+) -> list[HttpQueryResult]:
+    """POST ``…/_view/<view>/queries`` (CouchDB ≥ 2.2): several query
+    option sets served from ONE view fetch — the HTTP mirror of the
+    local ``Engine.query_batch``.
+
+    Each member of ``queries`` is validated client-side exactly like
+    a single ``couch_query`` call; values travel JSON-typed in the
+    body.  Returns one :class:`HttpQueryResult` per query, in request
+    order.
+    """
+    body_queries = []
+    for q in queries:
+        o = options_from(dict(q))
+        signals_reduce = bool(
+            q.get("reduce") or q.get("group")
+            or q.get("group_level") is not None
+        )
+        body_queries.append(
+            _encode_body_query(o.validated(has_reduce=signals_reduce))
+        )
+    hdrs = {
+        "Accept": "application/json",
+        "Content-Type": "application/json",
+        **(headers or {}),
+    }
+    base_url, auth = _split_userinfo(base_url)
+    if auth and "Authorization" not in hdrs:
+        hdrs["Authorization"] = auth
+    url = "{}/_design/{}/_view/{}/queries".format(
+        base_url.rstrip("/"),
+        urllib.parse.quote(ddoc, safe=""),
+        urllib.parse.quote(view, safe=""),
+    )
+    data = json.dumps(
+        {"queries": body_queries}, separators=(",", ":")
+    ).encode("utf-8")
+    req = urllib.request.Request(
+        url, data=data, headers=hdrs, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        raise _map_http_error(e.code, e.read()) from None
+    return [HttpQueryResult(r) for r in body.get("results", [])]

@@ -58,6 +58,12 @@ class _Stub(BaseHTTPRequestHandler):
             ("POST", u.path,
              {k: v[0] for k, v in parse_qs(u.query).items()}, body)
         )
+        if u.path.endswith("/queries"):
+            self._respond(
+                200,
+                {"results": [ROWS] * len(body.get("queries", []))},
+            )
+            return
         self._respond(200, ROWS)
 
     def log_message(self, *a):  # quiet
@@ -177,3 +183,35 @@ def test_split_userinfo_ipv6_host():
     assert auth is not None and auth.startswith("Basic ")
     url2, auth2 = _split_userinfo("http://u:p@host:5984/db")
     assert url2 == "http://host:5984/db" and auth2
+
+
+def test_batch_queries_endpoint(server):
+    """couch_query_batch POSTs the queries body (CouchDB >= 2.2) with
+    JSON-TYPED values and returns one result per query in order."""
+    from mapreduce_spark.sources.http import couch_query_batch
+
+    res = couch_query_batch(
+        server, "app", "byk",
+        [
+            {"startkey": ["x"], "endkey": ["x", {}], "limit": 5,
+             "descending": True},
+            {"keys": [["x", 1], ["x", 2]], "include_docs": True},
+            {"group_level": 1},
+        ],
+    )
+    method, path, _params, body = _Stub.seen[-1]
+    assert method == "POST"
+    assert path == "/mydb/_design/app/_view/byk/queries"
+    q0, q1, q2 = body["queries"]
+    # JSON-typed, not string-encoded
+    assert q0 == {"startkey": ["x"], "endkey": ["x", {}], "limit": 5,
+                  "descending": True}
+    assert q1 == {"keys": [["x", 1], ["x", 2]], "include_docs": True}
+    assert q2 == {"group_level": 1}
+    assert len(res) == 3
+    assert res[0].total_rows == 4 and res[1].rows()[1]["doc"]["v"] == 7
+
+    # client-side V1 validation applies per member
+    with pytest.raises(QueryParseError):
+        couch_query_batch(server, "app", "byk",
+                          [{"group_level": -1}])
