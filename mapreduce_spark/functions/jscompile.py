@@ -1088,6 +1088,9 @@ def _js_slice(s: str, i: float, j: float | None) -> str:
     return s[a:b] if a < b else ""
 
 
+_CSM = None  # cached jsreduce._call_str_method (circular import)
+
+
 def _ev(ast: Any, doc: dict) -> Any:
     tag = ast[0]
     if tag == "lit":
@@ -1177,15 +1180,17 @@ def _ev(ast: Any, doc: dict) -> Any:
         if not isinstance(recv, str):
             raise _MapThrow(f".{name}() on a non-string value")
         # ONE string-method implementation across both interpreter
-        # tiers (jsreduce._call_str_method — lazy import, jsreduce
-        # imports this module at load time), so the raw-doc and
-        # typed-table fallback paths can never drift apart on
-        # fromIndex/position semantics
-        from mapreduce_spark.functions.jsreduce import (
-            _call_str_method,
-        )
+        # tiers (jsreduce._call_str_method — resolved lazily because
+        # jsreduce imports this module at load time, then cached:
+        # this runs once per method call per doc)
+        global _CSM
+        if _CSM is None:
+            from mapreduce_spark.functions.jsreduce import (
+                _call_str_method,
+            )
 
-        return _call_str_method(recv, name, args)
+            _CSM = _call_str_method
+        return _CSM(recv, name, args)
     raise JSCompileError(f"unsupported expression {tag!r}")
 
 

@@ -69,6 +69,9 @@ class JSMapFunctionFull:
         for extra in names[1:]:
             local[extra] = _UNDEF
         local[names[0]] = doc
+        # JS bindings the sandbox provides (see JSReduceFunction)
+        local.setdefault("this", {})
+        local.setdefault("arguments", [doc])
         try:
             _exec_block(self.body, _Scope(local))
         except _Return:

@@ -396,9 +396,12 @@ class _Parser:
             if tok == "undefined":
                 return ("lit", _UNDEF)
             if tok == "function":
-                # function literal (e.g. a values.reduce callback)
+                # function literal (e.g. a values.reduce callback);
+                # an optional NAME binds the closure inside its own
+                # body (named function expression)
+                fname = None
                 if self._peek()[0] == "ident":
-                    self._next()  # optional name
+                    fname = self._next()[1]
                 self._expect("(")
                 params: list[str] = []
                 while not self._eat(")"):
@@ -410,7 +413,7 @@ class _Parser:
                             f"unexpected {t2!r} in parameter list at {o2}"
                         )
                 self._expect("{")
-                return ("func", params, self._block())
+                return ("func", params, self._block(), fname)
             return ("name", tok)
         if tok == "(":
             e = self._expr()
@@ -711,6 +714,24 @@ def _store(target: Any, val: Any, env: dict) -> None:
         return
     if tag == "member":
         obj = _eval(target[1], env)
+        if isinstance(obj, list):
+            if target[2] == "length":
+                n = _js_num(val)
+                if n != n or math.isinf(n) or n < 0 or n != int(n):
+                    # JS RangeError: invalid array length
+                    raise JSRuntimeThrow("invalid array length")
+                i = int(n)
+                if i > (1 << 20):
+                    raise JSReduceError(
+                        "array length beyond supported size"
+                    )
+                del obj[i:]
+                while len(obj) < i:
+                    obj.append(_UNDEF)
+                return
+            # non-length member write on an array: a JS property,
+            # invisible to element iteration and JSON.stringify
+            return
         if not isinstance(obj, dict):
             if obj is None or obj is _UNDEF:
                 # JS TypeError (both modes) -- a runtime throw
@@ -799,7 +820,17 @@ def _eval(e: Any, env: dict) -> Any:
     if tag == "obj":
         return {k: _eval(v, env) for k, v in e[1].items()}
     if tag == "func":
-        return ("__closure__", e[1], e[2], env)  # env captured by ref
+        fname = e[3] if len(e) > 3 else None
+        if fname is None:
+            return ("__closure__", e[1], e[2], env)  # env by ref
+        # named function expression: the name is in scope INSIDE the
+        # body only (JS semantics) — an extra scope link carrying the
+        # closure itself
+        self_scope: dict = {}
+        wrap = _Scope(self_scope, env)
+        clo = ("__closure__", e[1], e[2], wrap)
+        self_scope[fname] = clo
+        return clo
     if tag == "member":
         obj = _eval(e[1], env)
         name = e[2]
@@ -912,6 +943,7 @@ def _call(fn: Any, args: list) -> Any:
         local: dict = {p: _UNDEF for p in params}
         for p, a in zip(params, args):
             local[p] = a
+        local.setdefault("arguments", list(args))
         try:
             _exec_block(body, _Scope(local, captured))
         except _Return as r:
@@ -1417,6 +1449,13 @@ class JSReduceFunction:
             local[name] = _UNDEF  # extra params: JS binds undefined
         for name, val in zip(names, (keys, values, bool(rereduce))):
             local[name] = val
+        # real JS bindings a sandboxed fn still sees: `this` (the
+        # sandbox global object — member reads yield undefined) and
+        # `arguments`; classifying them as unknown identifiers would
+        # ReferenceError-skip silently
+        local.setdefault("this", {})
+        local.setdefault("arguments",
+                         [keys, values, bool(rereduce)])
         try:
             _exec_block(self.body, _Scope(local))
         except _Return as r:

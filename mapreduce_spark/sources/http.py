@@ -46,13 +46,15 @@ _BOOL_PARAMS = (
 _INT_PARAMS = ("group_level", "limit", "skip")
 
 
-def _encode_params(o: QueryOptions) -> dict[str, str]:
-    """Validated options → CouchDB query-string params."""
-    out: dict[str, str] = {}
-    for name in _JSON_PARAMS:
+def _set_params(o: QueryOptions, *, with_keys: bool = False):
+    """Yield ``(kind, name, value)`` for every SET option — the ONE
+    place that knows which options travel and when (stale suppressed
+    when update= was given, booleans only off-default, skip=0
+    elided).  Both wire encoders stringify from this."""
+    for name in _JSON_PARAMS + (("keys",) if with_keys else ()):
         v = getattr(o, name)
         if v is not UNSET:
-            out[name] = json.dumps(v, separators=(",", ":"))
+            yield "json", name, v
     for name in _PLAIN_PARAMS:
         if name == "stale" and o.update is not UNSET:
             # validated() mirrors update= onto stale for the local
@@ -60,18 +62,33 @@ def _encode_params(o: QueryOptions) -> dict[str, str]:
             continue
         v = getattr(o, name)
         if v is not UNSET and v is not None:
-            out[name] = str(v).lower() if isinstance(v, bool) else str(v)
+            yield "plain", name, v
     for name in _BOOL_PARAMS:
         v = getattr(o, name)
         if v is UNSET or v is None:
             continue
         default = QueryOptions.__dataclass_fields__[name].default
         if v != default:
-            out[name] = "true" if v else "false"
+            yield "bool", name, bool(v)
     for name in _INT_PARAMS:
         v = getattr(o, name)
         if v is not None and not (name == "skip" and v == 0):
-            out[name] = str(int(v))
+            yield "int", name, int(v)
+
+
+def _encode_params(o: QueryOptions) -> dict[str, str]:
+    """Validated options → CouchDB query-string params (all strings;
+    key-typed values JSON-encoded, upstream #addHttpParam)."""
+    out: dict[str, str] = {}
+    for kind, name, v in _set_params(o):
+        if kind == "json":
+            out[name] = json.dumps(v, separators=(",", ":"))
+        elif kind == "bool":
+            out[name] = "true" if v else "false"
+        elif kind == "plain" and isinstance(v, bool):
+            out[name] = str(v).lower()
+        else:
+            out[name] = str(v)
     return out
 
 
@@ -152,6 +169,30 @@ def _map_http_error(status: int, body: bytes) -> Exception:
     return QueryParseError(f"{name} (HTTP {status}): {reason}")
 
 
+def _view_url(base_url: str, ddoc: str, view: str,
+              suffix: str = "") -> str:
+    return "{}/_design/{}/_view/{}{}".format(
+        base_url.rstrip("/"),
+        urllib.parse.quote(ddoc, safe=""),
+        urllib.parse.quote(view, safe=""),
+        suffix,
+    )
+
+
+def _request_json(url: str, hdrs: dict, *, data: bytes | None = None,
+                  timeout: float) -> dict:
+    """One GET/POST round-trip with the shared error mapping."""
+    req = urllib.request.Request(
+        url, data=data, headers=hdrs,
+        method="POST" if data is not None else "GET",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        raise _map_http_error(e.code, e.read()) from None
+
+
 def couch_query(
     base_url: str,
     ddoc: str,
@@ -189,29 +230,18 @@ def couch_query(
     base_url, auth = _split_userinfo(base_url)
     if auth and "Authorization" not in hdrs:
         hdrs["Authorization"] = auth
-    url = "{}/_design/{}/_view/{}".format(
-        base_url.rstrip("/"),
-        urllib.parse.quote(ddoc, safe=""),
-        urllib.parse.quote(view, safe=""),
-    )
+    url = _view_url(base_url, ddoc, view)
     if params:
         url += "?" + urllib.parse.urlencode(params)
+    data = None
     if o.keys is not UNSET:
         data = json.dumps(
             {"keys": o.keys}, separators=(",", ":")
         ).encode("utf-8")
         hdrs["Content-Type"] = "application/json"
-        req = urllib.request.Request(
-            url, data=data, headers=hdrs, method="POST"
-        )
-    else:
-        req = urllib.request.Request(url, headers=hdrs, method="GET")
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            body = json.loads(resp.read().decode("utf-8"))
-    except urllib.error.HTTPError as e:
-        raise _map_http_error(e.code, e.read()) from None
-    return HttpQueryResult(body)
+    return HttpQueryResult(
+        _request_json(url, hdrs, data=data, timeout=timeout)
+    )
 
 
 def _encode_body_query(o: QueryOptions) -> dict[str, Any]:
@@ -220,30 +250,12 @@ def _encode_body_query(o: QueryOptions) -> dict[str, Any]:
     Unlike the query string (where every value is a string and
     key-typed params are JSON-encoded), the queries body carries
     JSON-TYPED values: keys as raw JSON, booleans as booleans,
-    integers as numbers (upstream batch endpoint semantics)."""
-    out: dict[str, Any] = {}
-    for name in _JSON_PARAMS + ("keys",):
-        v = getattr(o, name)
-        if v is not UNSET:
-            out[name] = v
-    for name in _PLAIN_PARAMS:
-        if name == "stale" and o.update is not UNSET:
-            continue
-        v = getattr(o, name)
-        if v is not UNSET and v is not None:
-            out[name] = v
-    for name in _BOOL_PARAMS:
-        v = getattr(o, name)
-        if v is UNSET or v is None:
-            continue
-        default = QueryOptions.__dataclass_fields__[name].default
-        if v != default:
-            out[name] = bool(v)
-    for name in _INT_PARAMS:
-        v = getattr(o, name)
-        if v is not None and not (name == "skip" and v == 0):
-            out[name] = int(v)
-    return out
+    integers as numbers (upstream batch endpoint semantics).  The
+    option-selection rules live in ``_set_params`` — shared with the
+    query-string encoder so the two wire paths cannot drift."""
+    return {
+        name: v for _kind, name, v in _set_params(o, with_keys=True)
+    }
 
 
 def couch_query_batch(
@@ -282,20 +294,11 @@ def couch_query_batch(
     base_url, auth = _split_userinfo(base_url)
     if auth and "Authorization" not in hdrs:
         hdrs["Authorization"] = auth
-    url = "{}/_design/{}/_view/{}/queries".format(
-        base_url.rstrip("/"),
-        urllib.parse.quote(ddoc, safe=""),
-        urllib.parse.quote(view, safe=""),
-    )
     data = json.dumps(
         {"queries": body_queries}, separators=(",", ":")
     ).encode("utf-8")
-    req = urllib.request.Request(
-        url, data=data, headers=hdrs, method="POST"
+    body = _request_json(
+        _view_url(base_url, ddoc, view, "/queries"), hdrs,
+        data=data, timeout=timeout,
     )
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            body = json.loads(resp.read().decode("utf-8"))
-    except urllib.error.HTTPError as e:
-        raise _map_http_error(e.code, e.read()) from None
     return [HttpQueryResult(r) for r in body.get("results", [])]

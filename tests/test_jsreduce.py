@@ -618,3 +618,33 @@ def test_sum_count_lowered_plan_is_jvm_only(spark, sf_dir, tmp_path):
     plan = res.df._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in plan
+
+
+def test_real_js_bindings_and_array_length():
+    """Round 6 (review 3): `this`/`arguments`/named-function-expression
+    self-names are REAL JS bindings (not ReferenceErrors that would
+    silently skip docs), and `a.length = n` truncates/extends like JS
+    while non-length array member writes stay invisible properties."""
+    fn = JSReduceFunction(
+        """function (keys, values, rereduce) {
+             var f = function fact(n) {
+               return n < 2 ? 1 : n * fact(n - 1);
+             };
+             var a = [];
+             for (var i = 0; i < values.length; i++) { a.push(values[i]); }
+             a.length = 2;               // JS truncation
+             a.junk = 9;                 // property: invisible
+             return [f(4), this.x, arguments.length, a];
+           }"""
+    )
+    out = fn(None, [10.0, 20.0, 30.0], False)
+    assert out[0] == 24.0            # named fn self-recursion
+    assert out[1] is None            # this.x → undefined → null
+    assert out[2] == 3.0             # arguments bound
+    assert out[3] == [10.0, 20.0]    # length assignment truncated
+
+    # extension pads with undefined → null after de-undef
+    fn2 = JSReduceFunction(
+        "function (k, v) { var a = [1]; a.length = 3; return a; }"
+    )
+    assert fn2(None, [0], False) == [1.0, None, None]
