@@ -47,6 +47,9 @@ Supported subset (each maps 1:1 onto a MapSpec capability):
   where JS would compare the Infinity — by-zero divisions inside
   ``if`` conditions are the one corner where compiled and
   interpreted guards differ;
+- the conditional operator ``c ? a : b`` in keys and values
+  (``CASE WHEN``; same-kind branches; branch throw-guards gated on
+  the condition — JS evaluates only the taken branch);
 - ``log(...)`` calls (upstream sandbox global) parsed and discarded;
 - multiple emits (one MapSpec per emit, unioned with emit ordinals).
 
@@ -76,7 +79,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
-  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||[-+*/%(){}\[\],;.:<>!=])
+  | (?P<punct>===|!==|==|!=|<=|>=|&&|\|\||[-+*/%(){}\[\],;.:<>!=?])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -260,14 +263,35 @@ class _Parser:
             c = self._cond()
             self._expect(")")
             return c
-        left = self._expr()
+        left = self._add_expr()
         if self._peek()[1] in ("===", "==", "!==", "!=", "<=", ">=",
                                "<", ">"):
             op = self._next()[1]
-            return ("cmp", op, left, self._expr())
+            return ("cmp", op, left, self._add_expr())
         return ("truthy", left)
 
     def _expr(self) -> Any:
+        """Value expression, with the JS conditional operator: first
+        tries ``<condition> ? <expr> : <expr>`` (backtracking when no
+        ``?`` follows — conditions and value expressions share their
+        additive prefix).  Comparison OPERANDS parse via ``_add_expr``
+        to keep the grammar finite; nested/chained ternaries associate
+        right like JS."""
+        save = self.i
+        try:
+            cond = self._cond()
+            if self._at("?"):
+                self._next()
+                t = self._expr()
+                self._expect(":")
+                f = self._expr()
+                return ("ternary", cond, t, f)
+        except JSCompileError:
+            pass
+        self.i = save
+        return self._add_expr()
+
+    def _add_expr(self) -> Any:
         """Additive expression: primary/method chains joined by
         ``+``/``-`` over multiplicative ``*``/``/``/``%`` chains."""
         left = self._mul()
@@ -534,6 +558,30 @@ class _Compiler:
                 "outside the subset (same-kind operands only; JS "
                 "mixed-type coercion differs from SQL)"
             )
+        if tag == "ternary":
+            # JS evaluates ONLY the taken branch, so each branch's
+            # throw-guards are gated on the condition's truth value
+            # via the same short-circuit context machinery as &&/||
+            c_sql = f"({self.cond(ast[1])})"
+            c_true = f"COALESCE({c_sql}, false)"
+            self._guard_ctx.append(c_true)
+            try:
+                tk, ts = self.computed(ast[2])
+            finally:
+                self._guard_ctx.pop()
+            self._guard_ctx.append(f"(NOT {c_true})")
+            try:
+                fk, fs = self.computed(ast[3])
+            finally:
+                self._guard_ctx.pop()
+            if tk != fk:
+                raise JSCompileError(
+                    f"ternary branches of different kinds ({tk} vs "
+                    f"{fk}) are outside the compilable subset"
+                )
+            return tk, (
+                f"(CASE WHEN {c_true} THEN {ts} ELSE {fs} END)"
+            )
         if tag == "strlen":
             kind, sql = self.field(ast[1])
             if kind == "iso":
@@ -704,7 +752,7 @@ class _Compiler:
             return ("str", _sql_str(v))
         if tag == "doc":
             return self.field(ast[1])
-        if tag in ("bin", "method", "strlen", "math"):
+        if tag in ("bin", "method", "strlen", "math", "ternary"):
             return self.computed(ast)
         raise JSCompileError(
             f"unsupported key component {tag!r} (scalars, doc fields "
@@ -733,7 +781,7 @@ class _Compiler:
             if kind == "iso":
                 return ("str", _ISO_SQL.format(col=sql))
             return (kind, sql)
-        if tag in ("bin", "method", "strlen", "math"):
+        if tag in ("bin", "method", "strlen", "math", "ternary"):
             return self.computed(ast)
         if tag == "arr":
             exprs = []
@@ -925,7 +973,7 @@ class _Compiler:
     def _operand(self, ast: Any) -> tuple[str, str]:
         if ast[0] == "doc":
             return self.field(ast[1])
-        if ast[0] in ("bin", "method", "strlen", "math"):
+        if ast[0] in ("bin", "method", "strlen", "math", "ternary"):
             return self.computed(ast)
         if ast[0] == "lit":
             v = ast[1]
@@ -1101,6 +1149,10 @@ def _ev(ast: Any, doc: dict) -> Any:
         return [_ev(a, doc) for a in ast[1]]
     if tag == "obj":
         return {k: _ev(a, doc) for k, a in ast[1].items()}
+    if tag == "ternary":
+        return _ev(
+            ast[2] if _cond_eval(ast[1], doc) else ast[3], doc
+        )
     if tag == "strlen":
         v = doc.get(ast[1], _UNDEF) if isinstance(doc, dict) else _UNDEF
         if v is None or v is _UNDEF:

@@ -797,3 +797,75 @@ def test_object_value_emits_compile(spark, sf_dir, tmp_path):
          "function(doc){ emit(1, {_id: doc.o_orderpriority, x: 2}); }")
     )
     assert not isinstance(mixed, MapSpec)
+
+
+def test_ternary_compiles(spark, sf_dir, tmp_path):
+    """Round 6: the JS conditional operator compiles to CASE WHEN in
+    keys and values, with branch throw-guards gated on the condition
+    (only the TAKEN branch evaluates in JS)."""
+    import pyspark.sql.functions as F
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    js = {
+        "map": (
+            "orders",
+            """function(doc) {
+                 emit(doc.o_totalprice > 150000 ? 'big' : 'small',
+                      doc.o_orderstatus === 'O' ? 1 : 2);
+               }""",
+        ),
+        "reduce": "_sum",
+    }
+    spec = eng._normalize_map(js["map"])
+    assert isinstance(spec, MapSpec)  # compiled
+    got = {r["key"]: r["value"]
+           for r in eng.query(js, group=True).rows()}
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        r["k"]: float(r["v"])
+        for r in raw.groupBy(
+            F.when(F.col("o_totalprice") > 150000, "big")
+            .otherwise("small").alias("k")
+        ).agg(F.sum(
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(2)
+        ).alias("v")).collect()
+    }
+    assert got == want and set(got) == {"big", "small"}
+
+    # branch guard gating: the method in the taken-branch-only
+    # position must not impose its null-guard on the other branch
+    # (compiled == interpreted over corner docs)
+    from mapreduce_spark.functions.jsmap import compile_js_map_full
+    from mapreduce_spark.sources.docs import DocTable, register_table
+    import tempfile as _tf
+
+    rows = [("t1", 10.0, None), ("t2", 1.0, None), ("t3", 10.0, "Ab")]
+    sf2 = _tf.mkdtemp()
+    df = spark.createDataFrame(rows, "tk string, n double, s string")
+    df.write.parquet(f"{sf2}/terntab.parquet")
+    register_table(
+        DocTable("terntab", "terntab:%s", ("tk",), "abs(hash(tk))")
+    )
+    src = ("function(doc){ emit(doc.n > 5 ? doc.s.toLowerCase() "
+           ": 'low', 1); }")
+    try:
+        spec2 = compile_js_map(src, "terntab", df.schema)
+        sel = df.filter(F.expr(spec2.where)) if spec2.where else df
+        compiled = {
+            (r["tk"], r["k"]) for r in
+            sel.select("tk", F.expr(spec2.key[1]).alias("k")).collect()
+        }
+        fn = compile_js_map_full(src)
+        interpreted = set()
+        for tk, n, s in rows:
+            emits = []
+            fn({"tk": tk, "n": n, "s": s},
+               lambda k, v: emits.append(k))
+            interpreted |= {(tk, k) for k in emits}
+        # t1: n>5, s null → JS throws → skipped; t2 → 'low';
+        # t3 → 'ab'
+        assert compiled == interpreted == {("t2", "low"), ("t3", "ab")}
+    finally:
+        from mapreduce_spark.sources.docs import TABLES
+
+        TABLES.pop("terntab", None)
