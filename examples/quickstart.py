@@ -60,6 +60,34 @@ def main() -> None:
                 }"""),
             "reduce": "_count",
         },
+        # round-6 compiled subset: Math bucketing, ternary, prefix
+        # guard (pushed to the scan as startswith), object value,
+        # and the canonical {sum, count} reduce LOWERED to one JVM
+        # aggregate — no JS engine, no Python, full pushdown
+        "avg_price": {
+            "map": ("orders", """
+                function (doc) {
+                  if (doc.o_orderpriority.indexOf('1-') === 0) {
+                    emit([Math.floor(doc.o_totalprice / 100000),
+                          doc.o_orderstatus === 'O' ? 'open' : 'done'],
+                         doc.o_totalprice);
+                  }
+                }"""),
+            "reduce": """
+                function (keys, values, rereduce) {
+                  if (rereduce) {
+                    var s = 0;
+                    var c = 0;
+                    for (var i = 0; i < values.length; i++) {
+                      s += values[i].sum;
+                      c += values[i].count;
+                    }
+                    return {sum: s, count: c};
+                  } else {
+                    return {sum: sum(values), count: values.length};
+                  }
+                }""",
+        },
     })
 
     print("grouped _sum:",
@@ -68,6 +96,8 @@ def main() -> None:
           eng.query("app/seg", group=True, limit=1).rows())
     print("JS view:",
           eng.query("app/big_orders", group=True, limit=2).rows())
+    print("JS math/ternary view (lowered {sum,count} reduce):",
+          eng.query("app/avg_price", group_level=1).rows()[:2])
 
     # -- 2. the query surface -----------------------------------------
     print("range+docid page:", len(eng.query(
