@@ -905,6 +905,50 @@ class _Compiler:
             if "iso" in (lk, rk):  # compare in ISO-string space
                 ls = _ISO_SQL.format(col=ls) if lk == "iso" else ls
                 rs = _ISO_SQL.format(col=rs) if rk == "iso" else rs
+            # JS null comparison semantics vs SQL three-valued logic:
+            # - `null !== lit` is TRUE in JS, but SQL `<>` yields NULL
+            #   and drops the row → inequality always compiles
+            #   null-safe (NOT <=>)
+            # - `null === null` is TRUE in JS → equality between two
+            #   FIELDS compiles null-safe (<=>); against a literal the
+            #   plain `=` already matches JS (both falsy on null) and
+            #   stays pushable as EqualTo
+            if op in ("!==", "!="):
+                return f"(NOT ({ls} <=> {rs}))"
+            if op in ("===", "==") and l[0] != "lit" and r[0] != "lit":
+                return f"({ls} <=> {rs})"
+            # - relational over NUMBERS coerces null to 0 in JS
+            #   (ToNumber).  With a literal side the null outcome is
+            #   known at compile time: fold it to a pushable
+            #   `x op lit [OR x IS NULL]`; field-vs-field coalesces
+            #   source nulls (computed operands keep null-propagation
+            #   — the documented non-finite deviation)
+            if lk == rk == "num" and op in ("<", "<=", ">", ">="):
+                import operator as _op
+
+                py = {"<": _op.lt, "<=": _op.le,
+                      ">": _op.gt, ">=": _op.ge}[op]
+
+                def _litval(a):
+                    return (
+                        float(a[1])
+                        if a[0] == "lit"
+                        and isinstance(a[1], (int, float))
+                        and not isinstance(a[1], bool)
+                        else None
+                    )
+
+                rl, rr = _litval(l), _litval(r)
+                if l[0] == "doc" and rr is not None:
+                    base = f"({ls} {sql_op} {rs})"
+                    return (f"({base} OR {ls} IS NULL)"
+                            if py(0.0, rr) else base)
+                if r[0] == "doc" and rl is not None:
+                    base = f"({ls} {sql_op} {rs})"
+                    return (f"({base} OR {rs} IS NULL)"
+                            if py(rl, 0.0) else base)
+                ls = self._num_operand(l, ls)
+                rs = self._num_operand(r, rs)
             return f"({ls} {sql_op} {rs})"
         raise JSCompileError(f"unsupported condition {tag!r}")
 
@@ -1323,24 +1367,26 @@ def _js_eq(a: Any, b: Any) -> bool:
 
 
 def _js_rel(op: str, a: Any, b: Any) -> bool:
-    """Relational ops: defined for same-type number/string pairs
-    (the compilable subset); anything else — including undefined/null
-    operands — is False, matching NaN-style JS comparisons.  (JS's
-    null-coerces-to-0 corner is deliberately out of the subset.)"""
-    ok_num = (
-        isinstance(a, (int, float)) and not isinstance(a, bool)
-        and isinstance(b, (int, float)) and not isinstance(b, bool)
-    )
-    ok_str = isinstance(a, str) and isinstance(b, str)
-    if not (ok_num or ok_str):
-        return False
+    """JS abstract relational comparison: two strings compare
+    lexically (UTF-16 code units ≈ Python str compare for the BMP);
+    everything else goes through ToNumber — null → 0, booleans → 0/1,
+    undefined/non-numeric strings → NaN, and any NaN makes the
+    comparison False.  (Round 6: previously null operands were
+    blanket-False, which diverged from both JS and the compiled
+    path's ToNumber(null)=0 relational folding.)"""
+    if isinstance(a, str) and isinstance(b, str):
+        x, y = a, b
+    else:
+        x, y = _js_num(a), _js_num(b)
+        if x != x or y != y:  # NaN never compares
+            return False
     if op == "<":
-        return a < b
+        return x < y
     if op == ">":
-        return a > b
+        return x > y
     if op == "<=":
-        return a <= b
-    return a >= b
+        return x <= y
+    return x >= y
 
 
 def _cond_eval(ast: Any, doc: dict) -> bool:

@@ -869,3 +869,164 @@ def test_ternary_compiles(spark, sf_dir, tmp_path):
         from mapreduce_spark.sources.docs import TABLES
 
         TABLES.pop("terntab", None)
+
+
+def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
+    """Grammar fuzzer over the ROUND-6 compiled subset (arithmetic
+    incl. / and %, Math.*, .length, string methods, indexOf idioms,
+    ternaries, guards with &&/||/!): random kind-correct ddocs must
+    produce IDENTICAL emits from the compiled MapSpec path and the
+    statement interpreter over a corner-rich table (nulls, zeros,
+    negatives, empty strings).  Division stays out of guard
+    conditions — the one documented compiled/interpreted deviation
+    (non-finite inside a comparison)."""
+    import math as _math
+    import random
+    import tempfile as _tf
+
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.functions.jscompile import compile_js_map
+    from mapreduce_spark.functions.jsmap import compile_js_map_full
+    from mapreduce_spark.sources.docs import (
+        DocTable,
+        TABLES,
+        register_table,
+    )
+
+    rows = [
+        ("d0", "Alpha", "x-1", 10.0, 2.0),
+        ("d1", None, "user:9", -7.5, 0.0),
+        ("d2", "", "zz", 0.0, 3.0),
+        ("d3", "Beta-X", "user:1", 5.0, -2.0),
+        ("d4", None, "", None, 1.0),
+        ("d5", "gamma", "x-2", 2.5, 0.0),
+    ]
+    sf2 = _tf.mkdtemp()
+    df = spark.createDataFrame(
+        rows, "tk string, s string, t string, n double, m double"
+    )
+    df.write.parquet(f"{sf2}/fuzztab.parquet")
+    register_table(
+        DocTable("fuzztab", "fuzztab:%s", ("tk",), "abs(hash(tk))")
+    )
+
+    rng = random.Random(20260814)
+
+    def num_expr(depth, in_cond):
+        c = rng.randint(0, 7 if depth > 0 else 1)
+        if c == 0:
+            return rng.choice(["doc.n", "doc.m"])
+        if c == 1:
+            return rng.choice(["2", "0.5", "3"])
+        if c == 2:
+            op = rng.choice(
+                ["+", "-", "*"] if in_cond else ["+", "-", "*", "/",
+                                                 "%"]
+            )
+            return (f"({num_expr(depth - 1, in_cond)} {op} "
+                    f"{num_expr(depth - 1, in_cond)})")
+        if c == 3:
+            f = rng.choice(["floor", "ceil", "abs", "round"])
+            return f"Math.{f}({num_expr(depth - 1, in_cond)})"
+        if c == 4:
+            return "doc.t.length"
+        if c == 5:
+            return "doc.s.length"          # null receiver → throw
+        if c == 6:
+            return f"doc.t.indexOf('{rng.choice(['x', 'user:'])}')"
+        return (f"({cond(depth - 1)} ? {num_expr(depth - 1, in_cond)}"
+                f" : {num_expr(depth - 1, in_cond)})")
+
+    def str_expr(depth):
+        c = rng.randint(0, 4 if depth > 0 else 1)
+        if c == 0:
+            return rng.choice(["doc.t", "doc.s"])
+        if c == 1:
+            return rng.choice(["'lit'", "'x'"])
+        if c == 2:
+            return f"({str_expr(depth - 1)} + {str_expr(depth - 1)})"
+        if c == 3:
+            m = rng.choice(["toLowerCase()", "toUpperCase()",
+                            "substring(0, 2)"])
+            return f"doc.{rng.choice(['s', 't'])}.{m}"
+        return (f"({cond(depth - 1)} ? {str_expr(depth - 1)} : "
+                f"{str_expr(depth - 1)})")
+
+    def cond(depth):
+        c = rng.randint(0, 4 if depth > 0 else 1)
+        if c == 0:
+            op = rng.choice(["===", "!==", "<", ">", "<=", ">="])
+            return f"{num_expr(depth - 1, True)} {op} " \
+                   f"{num_expr(depth - 1, True)}"
+        if c == 1:
+            op = rng.choice(["===", "!=="])
+            return f"{str_expr(depth - 1)} {op} 'x-1'"
+        if c == 2:
+            return f"({cond(depth - 1)} && {cond(depth - 1)})"
+        if c == 3:
+            return f"({cond(depth - 1)} || {cond(depth - 1)})"
+        return f"!({cond(depth - 1)})"
+
+    def norm(v):
+        if isinstance(v, float):
+            if _math.isnan(v) or _math.isinf(v):
+                return None
+            return round(v, 8)
+        if isinstance(v, list):
+            return tuple(norm(x) for x in v)
+        return v
+
+    checked = 0
+    try:
+        for i in range(40):
+            guards = "".join(
+                f"if ({cond(1)}) {{ " for _ in range(rng.randint(0, 2))
+            )
+            key = rng.choice([num_expr(2, False), str_expr(2)])
+            val = rng.choice([num_expr(2, False), "null", "1"])
+            src = ("function(doc) { " + guards +
+                   f"emit({key}, {val});" +
+                   " }" * guards.count("{") + " }")
+            try:
+                specs = compile_js_map(src, "fuzztab", df.schema)
+            except JSCompileError:
+                continue  # generator strayed out of subset: fine
+            if not isinstance(specs, list):
+                specs = [specs]
+            compiled = set()
+            for spec in specs:
+                sel = df.filter(F.expr(spec.where)) if spec.where \
+                    else df
+                ksqls = (
+                    [c[1] for c in spec.key]
+                    if isinstance(spec.key, list) else [spec.key[1]]
+                )
+                vsql = spec.value[1] if spec.value else "null"
+                for r in sel.select(
+                    "tk",
+                    *[F.expr(k).alias(f"k{j}")
+                      for j, k in enumerate(ksqls)],
+                    F.expr(vsql).alias("v"),
+                ).collect():
+                    compiled.add((
+                        r["tk"],
+                        tuple(norm(r[f"k{j}"])
+                              for j in range(len(ksqls))),
+                        norm(r["v"]),
+                    ))
+            fn = compile_js_map_full(src)
+            interpreted = set()
+            for tk, s, t, n, m in rows:
+                emits = []
+                fn({"tk": tk, "s": s, "t": t, "n": n, "m": m},
+                   lambda k, v: emits.append((k, v)))
+                for k, v in emits:
+                    kt = (tuple(norm(x) for x in k)
+                          if isinstance(k, list) else (norm(k),))
+                    interpreted.add((tk, kt, norm(v)))
+            assert compiled == interpreted, f"case {i}: {src}"
+            checked += 1
+        assert checked >= 15, f"only {checked} in-subset cases"
+    finally:
+        TABLES.pop("fuzztab", None)
