@@ -961,7 +961,10 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
                    f"{num_expr(depth - 1, True)}"
         if c == 1:
             op = rng.choice(["===", "!=="])
-            return f"{str_expr(depth - 1)} {op} 'x-1'"
+            rhs = rng.choice(["'x-1'", "null"])
+            lhs = (f"doc.{rng.choice(['s', 't', 'n'])}"
+                   if rhs == "null" else str_expr(depth - 1))
+            return f"{lhs} {op} {rhs}"
         if c == 2:
             return f"({cond(depth - 1)} && {cond(depth - 1)})"
         if c == 3:
@@ -979,7 +982,7 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
 
     checked = 0
     try:
-        for i in range(40):
+        for i in range(60):
             guards = "".join(
                 f"if ({cond(1)}) {{ " for _ in range(rng.randint(0, 2))
             )
