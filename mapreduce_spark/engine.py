@@ -40,7 +40,11 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_spark.errors import NotFoundError, QueryParseError
+from mapreduce_spark.errors import (
+    BuiltInError,
+    NotFoundError,
+    QueryParseError,
+)
 from mapreduce_spark.operators.mapphase import (
     VIEW_SCHEMA,
     MapSpec,
@@ -92,6 +96,28 @@ class ViewDef:
     @property
     def sig(self) -> str:
         return signature(self.map_def, self.reduce_def)
+
+    @property
+    def sum_statically_invalid(self) -> bool:
+        """True when a structured view emits values that fail the
+        upstream ``_sum`` contract BY CONSTRUCTION: any MapSpec with a
+        str/bool/obj/link value or no value at all.  These emit
+        value_num/value_num_arr as literal-NULL columns, which lets
+        Catalyst fold the per-row runtime guard away (when(guard,
+        NULL) → NULL, per union branch too) — so the error must be
+        static.  Deliberately conservative for multi-emit views: the
+        error fires even if the offending emit's where-guard happens
+        to match zero docs (upstream would lazily succeed there).
+        Dynamic Python/interpreted views return False — their values
+        are real columns and the runtime guard handles parity."""
+        m = self.map_def
+        specs = m if isinstance(m, list) else [m]
+        if not all(isinstance(s, MapSpec) for s in specs):
+            return False
+        return any(
+            s.value is None or s.value[0] not in ("num", "num_arr")
+            for s in specs
+        )
 
     @property
     def value_hint(self) -> tuple | None:
@@ -348,6 +374,17 @@ class Engine:
             vdef.reduce_def is not None if o.reduce is None else o.reduce
         )
         if will_reduce:
+            if vdef.reduce_def == "_sum" and vdef.sum_statically_invalid:
+                # structured views emit value_num/value_num_arr as
+                # LITERAL NULL columns when the value kind is not
+                # numeric, and Catalyst folds the runtime value guard
+                # away with them (when(guard, NULL) → NULL) — so the
+                # upstream builtin_reduce_error must be raised here,
+                # before any job, from the static value kinds
+                raise BuiltInError(
+                    "builtin_reduce_error: _sum requires numbers or "
+                    "arrays of numbers"
+                )
             red = query_reduced(
                 view, o, vdef.reduce_def, value_hint=vdef.value_hint,
                 observed_width=(

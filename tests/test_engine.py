@@ -1044,3 +1044,43 @@ def test_options_from_typeerror_attribution():
     with _pytest.raises(TypeError):
         # unhashable-key style TypeError with NO unknown option names
         options_from({1: "positional-ish"})  # type: ignore[dict-item]
+
+
+def test_sum_over_structured_nonnumeric_errors(engine):
+    """Round 6: _sum over a STRUCTURED view whose value kind is
+    statically non-numeric (str / obj / no value) raises the upstream
+    builtin_reduce_error BEFORE any job — the runtime guard rides
+    literal-NULL value columns there, which Catalyst folds away
+    (when(guard, NULL) → NULL), so the static check is the only
+    reliable parity path for MapSpec views."""
+    from mapreduce_spark.errors import BuiltInError
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    for bad in (
+        MapSpec("nation", ("num", "n_regionkey"),
+                ("str", "n_name")),
+        MapSpec("nation", ("num", "n_regionkey")),  # no value at all
+    ):
+        with pytest.raises(BuiltInError, match="builtin_reduce_error"):
+            engine.query({"map": bad, "reduce": "_sum"}, group=True)
+    # compiled JS object value + _sum: same static error
+    with pytest.raises(BuiltInError, match="builtin_reduce_error"):
+        engine.query(
+            {"map": ("events",
+                     "function(doc){ emit(doc.event_type, "
+                     "{v: doc.value}); }"),
+             "reduce": "_sum"},
+            group=True,
+        )
+    # a MIXED multi-emit (one numeric, one object) also errors
+    # statically: Catalyst folds the runtime guard per UNION BRANCH,
+    # so the literal-NULL branch would silently vanish from the sum —
+    # conservative static parity is the only reliable behavior
+    with pytest.raises(BuiltInError, match="builtin_reduce_error"):
+        engine.query(
+            {"map": ("events",
+                     "function(doc){ emit(doc.event_type, doc.value); "
+                     "emit(doc.event_type, {v: 1}); }"),
+             "reduce": "_sum"},
+            group=True,
+        )
