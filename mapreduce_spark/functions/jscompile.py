@@ -515,7 +515,24 @@ class _Compiler:
             (lk, ls) = self.computed(l)
             (rk, rs) = self.computed(r)
             if op == "+" and lk == rk == "str":
-                # JS string concat: null stringifies to 'null'
+                # JS `+` does string concat only when an operand IS a
+                # string after ToPrimitive: null + 'a' → 'nulla', but
+                # null + null → numeric 0.  Concat is therefore
+                # compiled only when one side is statically
+                # non-null — a literal, or a method result (null
+                # receivers are throw-guarded away).  Two nullable
+                # fields could both be null at runtime, flipping the
+                # RESULT KIND per row; that stays on the interpreter.
+                def _nonnull_str(a: Any) -> bool:
+                    return a[0] in ("lit", "method")
+
+                if not (_nonnull_str(l) or _nonnull_str(r)):
+                    raise JSCompileError(
+                        "string + between two nullable fields is "
+                        "outside the compiled subset (JS null + null "
+                        "is numeric 0, not 'nullnull'); the "
+                        "interpreter tier runs it exactly"
+                    )
                 return "str", (
                     f"concat(coalesce({ls}, 'null'), "
                     f"coalesce({rs}, 'null'))"
