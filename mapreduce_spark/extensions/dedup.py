@@ -586,3 +586,139 @@ def embedding_near_dup_blocked(
     return exploded.groupBy("pi", "pj").applyInPandas(
         gemm_tile, out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering — connected components over the near-dup graph
+# ---------------------------------------------------------------------------
+#
+# Pair generation (minhash_lsh_pairs & friends) answers "which pairs
+# are near-dups"; a real dedup pipeline then needs "which GROUP does
+# each doc belong to" so it can keep one representative per group.
+# That is connected components over the pair graph.  The algorithm is
+# the alternating large-star / small-star method of Kiveris et al.,
+# "Connected Components in MapReduce and Beyond" (ACM SoCC 2014, public
+# paper): each round is two hash-shuffle stages (a groupBy-min and a
+# re-keyed emit), the edge set only ever shrinks toward a star forest,
+# and convergence takes O(log² n) rounds (O(log n) in practice — 3-4
+# rounds on real dup graphs, whose components are tiny and star-like
+# almost immediately).  No vertex ever needs its whole component in
+# memory, so the operator scales to any component shape that fits the
+# cluster, unlike label-propagation-until-fixpoint which needs
+# diameter-many rounds.
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: for every node u, connect every strictly
+    LARGER neighbor to m(u) = min(Γ(u) ∪ {u})."""
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges big→small, then connect every
+    smaller-or-equal neighbor (and u itself) to m(u)."""
+    oriented = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = oriented.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    selfs = mins.select("src", F.col("m").alias("dst"))
+    return (
+        nbrs.union(selfs)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, root) for every node of ``edges``: root = the minimum
+    node id of the node's connected component (roots map to
+    themselves).
+
+    Alternating large-star/small-star until the edge-set fingerprint
+    (count + xxhash64 bit_xor — detection only, never in the output) is
+    stable; each round is localCheckpoint()ed so the iterative plan
+    doesn't grow without bound (on a real cluster this is a reliable
+    checkpoint to the cluster FS — same call shape).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n, h = e.agg(
+            F.count("*"), F.bit_xor(F.xxhash64("src", "dst"))
+        ).first()
+        if prev == (n, h):
+            break
+        prev = (n, h)
+    # fixed points of the alternation are star forests rooted at the
+    # component minimum: every non-root has exactly one (node → root)
+    # edge, roots have none
+    links = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("root")
+    )
+    return nodes.join(links, "node", "left").select(
+        "node", F.coalesce("root", "node").alias("root")
+    )
+
+
+def duplicate_clusters(df: DataFrame, threshold: float,
+                       num_perm: int = MINHASH_PERMS,
+                       bands: int = LSH_BANDS, n: int = 3,
+                       text: str = "text", id_col: str = "doc_id",
+                       pairs: DataFrame | None = None) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every document in at
+    least one verified near-dup pair: cluster_id = the minimum doc_id
+    of its connected component of the MinHash-LSH pair graph.  A
+    keep-one-per-group dedup is then ``filter(doc_id = cluster_id)``
+    (plus all the singletons that never appear here).
+
+    ``pairs`` overrides the edge source (e.g. simhash_pairs or an
+    embedding near-dup frame with id_a/id_b columns).
+    """
+    e = (
+        pairs
+        if pairs is not None
+        else minhash_lsh_pairs(df, threshold, num_perm, bands, n,
+                               text, id_col)
+    )
+    labels = connected_components(e, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias(id_col),
+            F.col("root").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+    )

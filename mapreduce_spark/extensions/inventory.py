@@ -99,6 +99,16 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS, not just pairs: connected components
+    (alternating large-star/small-star) over the verified MinHash-LSH
+    near-dup pair graph; cluster_id = min doc_id of the component.
+    Keep-one-per-group dedup is then ``doc_id = cluster_id`` plus the
+    singletons.  Oracle: DuckDB recursive CTE computing the min
+    reachable doc_id over the same exact-Jaccard pair graph."""
+    return dedup.duplicate_clusters(_docs(spark, sf_dir), JACCARD_T)
+
+
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact blocked-GEMM path: the fixture threshold (0.4) sits in the
     # bulk of the pair-cosine distribution, where LSH banding cannot
@@ -335,6 +345,7 @@ EXT_QUERIES = {
     "x_dedup_jaccard": x_dedup_jaccard,
     "x_dedup_minhash": x_dedup_minhash,
     "x_dedup_simhash": x_dedup_simhash,
+    "x_dedup_clusters": x_dedup_clusters,
     "x_dedup_embedding": x_dedup_embedding,
     "x_sim_topk": x_sim_topk,
     "x_sim_lsh": x_sim_lsh,
@@ -544,6 +555,25 @@ FROM documents
 """,
     "x_dedup_jaccard": _JACCARD_PAIRS_SQL,
     "x_dedup_minhash": _JACCARD_PAIRS_SQL,
+    "x_dedup_clusters": f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} s FROM t),
+p AS (
+  SELECT a.doc_id id_a, b.doc_id id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+e AS (SELECT id_a a, id_b b FROM p WHERE j >= {JACCARD_T}
+      UNION SELECT id_b, id_a FROM p WHERE j >= {JACCARD_T}),
+r AS (SELECT a AS node, a AS reach FROM e
+      UNION SELECT r.node, e.b FROM r JOIN e ON e.a = r.reach),
+lab AS (SELECT node AS doc_id, min(reach) AS cluster_id
+        FROM r GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+FROM lab
+""",
     "x_dedup_simhash": _simhash_sql(),
     "x_dedup_embedding": f"""
 WITH p AS (

@@ -591,10 +591,22 @@ class Inventory:
         )
 
     def q19(self):
-        res = self._q("supp_part", group_level=1, skip=2, limit=5)
-        return res.df.select(
-            _j("$[0]", "double").alias("l_suppkey"),
-            F.col("value_num").cast("long").alias("cnt"),
+        """Post-reduce pagination (A8) in BOTH directions over the
+        same supp_part group_level=1 reduce, merged under a ``dir``
+        tag (round-6 oracle-budget repack; desc half was q27) — one
+        oracle row value-checks A8 asc and A8×O2 desc."""
+
+        def _rows(**kw):
+            res = self._q("supp_part", group_level=1, **kw)
+            return res.df.select(
+                _j("$[0]", "double").alias("l_suppkey"),
+                F.col("value_num").cast("long").alias("cnt"),
+            )
+
+        asc = _rows(skip=2, limit=5)
+        desc = _rows(descending=True, skip=3, limit=4)
+        return asc.withColumn("dir", F.lit("asc")).unionAll(
+            desc.withColumn("dir", F.lit("desc"))
         )
 
     def q21(self):
@@ -646,15 +658,6 @@ class Inventory:
         res = self._q("hiqty_flag", group=True)
         return res.df.select(
             _j("$").alias("l_returnflag"),
-            F.col("value_num").cast("long").alias("cnt"),
-        )
-
-    def q27(self):
-        """descending grouped reduce with pagination (A8 × O2)."""
-        res = self._q("supp_part", group_level=1, descending=True,
-                      skip=3, limit=4)
-        return res.df.select(
-            _j("$[0]", "double").alias("l_suppkey"),
             F.col("value_num").cast("long").alias("cnt"),
         )
 
@@ -881,7 +884,7 @@ class Inventory:
             for n in (
                 "q01 q02 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 "
                 "q14 q15 q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 "
-                "q26 q27 q28 q29 q30 q31 q32 q33 q34 q35 q36"
+                "q26 q28 q29 q30 q31 q32 q33 q34 q35 q36"
             ).split()
         }
 
@@ -902,7 +905,7 @@ QUERIES = {
     n: _mk(n)
     for n in (
         "q01 q02 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 "
-        "q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q27 q28 q29 "
+        "q16 q17 q18 q19 q20 q21 q22 q23 q24 q25 q26 q28 q29 "
         "q30 q31 q32 q33 q34 q35 q36"
     ).split()
 }
@@ -1044,8 +1047,13 @@ ORACLE_SQL: dict[str, str] = {
         "FROM lineitem GROUP BY 1, 2"
     ),
     "q19": (
-        "SELECT l_suppkey::DOUBLE AS l_suppkey, count(*)::BIGINT AS cnt "
-        "FROM lineitem GROUP BY 1 ORDER BY 1 OFFSET 2 LIMIT 5"
+        "SELECT * FROM ("
+        "SELECT l_suppkey::DOUBLE AS l_suppkey, "
+        "count(*)::BIGINT AS cnt, 'asc' AS dir "
+        "FROM lineitem GROUP BY 1 ORDER BY 1 OFFSET 2 LIMIT 5) "
+        "UNION ALL SELECT * FROM ("
+        "SELECT l_suppkey::DOUBLE, count(*)::BIGINT, 'desc' "
+        "FROM lineitem GROUP BY 1 ORDER BY 1 DESC OFFSET 3 LIMIT 4)"
     ),
     "q23": (
         "SELECT event_type, "
@@ -1071,11 +1079,6 @@ ORACLE_SQL: dict[str, str] = {
     "q26": (
         "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem "
         "WHERE l_quantity > 45 GROUP BY 1"
-    ),
-    "q27": (
-        "SELECT l_suppkey::DOUBLE AS l_suppkey, "
-        "count(*)::BIGINT AS cnt FROM lineitem "
-        "GROUP BY 1 ORDER BY 1 DESC OFFSET 3 LIMIT 4"
     ),
     "q22": (
         "SELECT 'null' AS k_json, "

@@ -199,6 +199,79 @@ def test_simhash_pairs_blocking_finds_near_dups(docs):
     assert got == want
 
 
+def _uf_min_labels(edges):
+    """Driver-side union-find oracle: node → min id of its component."""
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def test_connected_components_equals_union_find(spark):
+    """Alternating large-star/small-star vs a driver-side union-find
+    on seeded random graphs plus a 64-node path — the worst case for
+    naive min-label propagation (diameter-many rounds) that the star
+    alternation must close in O(log n)."""
+    import random
+
+    cases = []
+    for seed in (0, 2, 5):
+        rng = random.Random(seed)
+        n = rng.choice([10, 50, 200])
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, n * 2))
+        ]
+        cases.append([e for e in edges if e[0] != e[1]])
+    cases.append([(i, i + 1) for i in range(63)])  # path-64
+    for edges in cases:
+        want = _uf_min_labels(edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["root"]
+            for r in dedup.connected_components(df).collect()
+        }
+        assert got == want
+
+
+def test_duplicate_clusters_match_pair_graph(docs):
+    """duplicate_clusters rows are EXACTLY the connected components of
+    the verified minhash pair graph: min-id labels, correct sizes, and
+    only docs that occur in ≥1 pair."""
+    edges = [
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    ]
+    assert edges, "fixture should contain planted near-duplicates"
+    want = _uf_min_labels(edges)
+    rows = dedup.duplicate_clusters(docs, 0.5).collect()
+    got = {r.doc_id: r.cluster_id for r in rows}
+    assert got == want
+    from collections import Counter
+
+    sizes = Counter(want.values())
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
