@@ -470,6 +470,12 @@ class _Compiler:
         # guard` (no requirement when the site is never reached).
         self.pending_guards: list[tuple[str | None, str]] = []
         self._guard_ctx: list[str] = []
+        # ToNumber-context SQL for ternary nodes, keyed by AST node
+        # id: JS applies ToNumber(null)=0 PER TAKEN BRANCH, so a
+        # ternary consumed as a numeric operand coalesces each
+        # field/literal branch individually instead of treating the
+        # whole CASE as a computed (non-finite-encoding) expression
+        self._tonum: dict[int, str] = {}
 
     def _push_guard(self, sql: str) -> None:
         ctx = " AND ".join(self._guard_ctx) if self._guard_ctx else None
@@ -480,12 +486,16 @@ class _Compiler:
     _STR_METHODS = ("substring", "slice", "toLowerCase", "toUpperCase",
                     "indexOf", "startsWith", "endsWith", "includes")
 
-    @staticmethod
-    def _num_operand(ast: Any, sql: str) -> str:
+    def _num_operand(self, ast: Any, sql: str) -> str:
         """Numeric operand SQL with JS ToNumber(null)=0 applied to
         SOURCE nulls only.  Computed sub-expressions keep SQL null
         propagation: their null encodes a folded non-finite (JS would
-        carry Infinity/NaN forward and JSON-stringify to null)."""
+        carry Infinity/NaN forward and JSON-stringify to null).
+        Ternaries use their per-branch ToNumber form (cached during
+        ``computed``): the taken branch decides the coalescing, so
+        ``c ? 3 : doc.n`` over null ``doc.n`` is 0, not null."""
+        if id(ast) in self._tonum:
+            return self._tonum[id(ast)]
         return (
             f"coalesce({sql}, 0.0)"
             if ast[0] in ("doc", "lit")
@@ -595,6 +605,14 @@ class _Compiler:
                 raise JSCompileError(
                     f"ternary branches of different kinds ({tk} vs "
                     f"{fk}) are outside the compilable subset"
+                )
+            if tk == "num":
+                # per-branch ToNumber form for numeric consumers (see
+                # _num_operand) — built here where branch SQL exists
+                self._tonum[id(ast)] = (
+                    f"(CASE WHEN {c_true} "
+                    f"THEN {self._num_operand(ast[2], ts)} "
+                    f"ELSE {self._num_operand(ast[3], fs)} END)"
                 )
             return tk, (
                 f"(CASE WHEN {c_true} THEN {ts} ELSE {fs} END)"

@@ -927,7 +927,13 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
             return (f"({num_expr(depth - 1, in_cond)} {op} "
                     f"{num_expr(depth - 1, in_cond)})")
         if c == 3:
-            f = rng.choice(["floor", "ceil", "abs", "round"])
+            f = rng.choice(["floor", "ceil", "abs", "round", "sqrt"])
+            if f == "sqrt" and not in_cond:
+                # sqrt(negative) = NaN → folded null; valid in emit
+                # positions where non-finite propagation applies
+                return f"Math.sqrt({num_expr(depth - 1, in_cond)})"
+            if f == "sqrt":
+                f = "abs"
             return f"Math.{f}({num_expr(depth - 1, in_cond)})"
         if c == 4:
             return "doc.t.length"
@@ -954,7 +960,7 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
                 f"{str_expr(depth - 1)})")
 
     def cond(depth):
-        c = rng.randint(0, 4 if depth > 0 else 1)
+        c = rng.randint(0, 5 if depth > 0 else 1)
         if c == 0:
             op = rng.choice(["===", "!==", "<", ">", "<=", ">="])
             return f"{num_expr(depth - 1, True)} {op} " \
@@ -969,6 +975,10 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
             return f"({cond(depth - 1)} && {cond(depth - 1)})"
         if c == 3:
             return f"({cond(depth - 1)} || {cond(depth - 1)})"
+        if c == 4 and depth > 0:
+            m = rng.choice(["startsWith", "endsWith", "includes"])
+            lit = rng.choice(["'x'", "'user:'", "'a'"])
+            return f"doc.{rng.choice(['s', 't'])}.{m}({lit})"
         return f"!({cond(depth - 1)})"
 
     def norm(v):
@@ -982,7 +992,7 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
 
     checked = 0
     try:
-        for i in range(60):
+        for i in range(90):
             guards = "".join(
                 f"if ({cond(1)}) {{ " for _ in range(rng.randint(0, 2))
             )
@@ -1030,6 +1040,6 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
                     interpreted.add((tk, kt, norm(v)))
             assert compiled == interpreted, f"case {i}: {src}"
             checked += 1
-        assert checked >= 15, f"only {checked} in-subset cases"
+        assert checked >= 25, f"only {checked} in-subset cases"
     finally:
         TABLES.pop("fuzztab", None)
