@@ -282,6 +282,24 @@ def minhash_signatures(df: DataFrame, num_perm: int = MINHASH_PERMS,
     )
 
 
+def _band_buckets(num_perm: int, bands: int) -> Column:
+    """Band bucket array: polynomial fold of each band's minhash
+    values in the 31-bit domain (spurious bucket collisions only add
+    candidates, which the exact-Jaccard verification discards)."""
+    rows = num_perm // bands
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice("sig", b * rows + 1, rows),
+                F.lit(0).cast("long"),
+                lambda acc, v: (acc * F.lit(1000003) + v)
+                % F.lit(_M31).cast("long"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, threshold: float,
                       num_perm: int = MINHASH_PERMS,
                       bands: int = LSH_BANDS, n: int = 3,
@@ -297,7 +315,6 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
     signatures (near-dup candidate sets are tiny relative to the
     corpus).
     """
-    rows = num_perm // bands
     # the signature frame feeds FOUR plan branches (both sides of the
     # band self-join + both candidate-verification joins); without a
     # persist each branch re-runs shingling + the md5/affine signature
@@ -308,20 +325,17 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
     sigs = minhash_signatures(df, num_perm, n, text, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # band bucket = polynomial fold of the band's minhash values in the
-    # 31-bit domain (spurious bucket collisions only add candidates,
-    # which the exact-Jaccard verification discards)
-    band_arr = F.array(
-        *[
-            F.aggregate(
-                F.slice("sig", b * rows + 1, rows),
-                F.lit(0).cast("long"),
-                lambda acc, v: (acc * F.lit(1000003) + v)
-                % F.lit(_M31).cast("long"),
-            )
-            for b in range(bands)
-        ]
-    )
+    return minhash_pairs_from_sigs(sigs, threshold, num_perm, bands)
+
+
+def minhash_pairs_from_sigs(sigs: DataFrame, threshold: float,
+                            num_perm: int = MINHASH_PERMS,
+                            bands: int = LSH_BANDS) -> DataFrame:
+    """The band-join + verify half of ``minhash_lsh_pairs``, over an
+    existing ``minhash_signatures`` frame (doc_id, sig, sz, sh) — the
+    reusable piece for incremental/streaming dedup, where signatures
+    are computed once and stored."""
+    band_arr = _band_buckets(num_perm, bands)
     # empty-shingle docs (shorter than n words) can never reach any
     # Jaccard threshold > 0, but their shared sentinel signature would
     # collide in every band — 32·C(k,2) candidate rows for k short
@@ -358,6 +372,45 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
             "id_b",
             (inter / union).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_pairs_between(sigs_a: DataFrame, sigs_b: DataFrame,
+                          threshold: float,
+                          num_perm: int = MINHASH_PERMS,
+                          bands: int = LSH_BANDS) -> DataFrame:
+    """Verified near-dup pairs (id_a from ``sigs_a``, id_b from
+    ``sigs_b``, Jaccard ≥ threshold) BETWEEN two signature frames —
+    the probe step of incremental dedup, where a new batch is checked
+    against an accumulated signature index.  Same band-bucket equi-join
+    + exact-Jaccard verification as the self-join variant; at index
+    scale the stored side should be bucketed by (band, bkt) so the
+    probe join prunes to matching buckets.
+    """
+    band_arr = _band_buckets(num_perm, bands)
+
+    def buckets(s, side):
+        return s.filter(F.size("sh") > 0).select(
+            F.col("doc_id").alias(f"id_{side}"),
+            F.posexplode(band_arr).alias("band", "bkt"),
+        )
+
+    cand = (
+        buckets(sigs_a, "a")
+        .join(buckets(sigs_b, "b"), ["band", "bkt"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs_a.select(F.col("doc_id").alias("id_a"),
+                       F.col("sh").alias("sh_a"))
+    sb = sigs_b.select(F.col("doc_id").alias("id_b"),
+                       F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

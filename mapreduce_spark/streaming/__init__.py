@@ -13,8 +13,16 @@ streaming layer therefore has two parts:
   sliding-window aggregates over the same builtin reduce vocabulary
   (_count/_sum/_stats), for the "time window as key" idiom (Q16)
   expressed with real event-time semantics instead of key prefixes.
+- ``dedup`` — streaming deduplication for ingest pipelines: exact
+  content dedup with watermark-TTL state, and near-dup dedup against
+  all of history via a foreachBatch-maintained MinHash signature
+  index.
 """
 
+from mapreduce_spark.streaming.dedup import (
+    incremental_minhash_dedup,
+    stream_exact_dedup,
+)
 from mapreduce_spark.streaming.maintain import (
     file_changes_stream,
     maintain_view,
@@ -27,7 +35,9 @@ from mapreduce_spark.streaming.windows import windowed_reduce
 
 __all__ = [
     "file_changes_stream",
+    "incremental_minhash_dedup",
     "maintain_view",
+    "stream_exact_dedup",
     "running_totals",
     "session_reduce",
     "windowed_reduce",

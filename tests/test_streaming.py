@@ -345,3 +345,99 @@ def test_stream_raw_changes_feed_maintenance(spark, tmp_path):
         assert got == exp
     finally:
         TABLES.pop("feed", None)
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup
+# ---------------------------------------------------------------------------
+
+def test_stream_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful stream dedup keeps exactly one row per content
+    fingerprint — the same fp set as the deterministic batch rule."""
+    from mapreduce_spark.streaming.dedup import stream_exact_dedup
+
+    src = f"{sf_dir}/documents.parquet"
+    base = spark.read.parquet(src)
+    # plant exact duplicates: 20 docs re-ingested under higher ids
+    batch = base.unionByName(
+        base.filter(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    planted = str(tmp_path / "docs_planted")
+    batch.write.parquet(planted)
+    batch = spark.read.parquet(planted)
+    src = planted
+    b = stream_exact_dedup(batch, text="text", id_col="doc_id")
+    want_fps = sorted(r["fp"] for r in b.select("fp").collect())
+    assert len(want_fps) == len(set(want_fps))
+    # the batch rule is keep-FIRST: every kept id is the min of its
+    # fp-group
+    grp = batch.select(
+        F.md5("text").alias("fp"), "doc_id"
+    ).groupBy("fp").agg(F.min("doc_id").alias("min_id"))
+    kept = {(r["fp"], r["doc_id"]) for r in b.select("fp", "doc_id").collect()}
+    assert kept == {(r["fp"], r["min_id"]) for r in grp.collect()}
+
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(planted)
+    out = stream_exact_dedup(stream, text="text", id_col="doc_id")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["fp"] for r in spark.sql(
+        "SELECT fp FROM dedup_test").collect()]
+    assert sorted(got) == want_fps  # one row per fp, same fp set
+    assert len(want_fps) < batch.count()  # fixture has exact dups
+
+
+def test_incremental_minhash_dedup_replays_two_step_rule(
+        spark, sf_dir, tmp_path):
+    """foreachBatch near-dup dedup over two batches equals a
+    driver-side replay of the rule (drop index near-dups, then keep
+    one representative per within-batch component) on EXACT Jaccard
+    pairs — minhash candidates are recall-1 on this fixture (pinned
+    by test_minhash_equals_exact_jaccard)."""
+    from mapreduce_spark.extensions import dedup as bdedup
+    from mapreduce_spark.streaming.dedup import incremental_minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mid = 250
+    b1 = docs.filter(F.col("doc_id") < mid)
+    b2 = docs.filter(F.col("doc_id") >= mid)
+    idx_dir = str(tmp_path / "sig_idx")
+    handle = incremental_minhash_dedup(idx_dir, 0.5)
+    handle(b1, 0)
+    handle(b2, 1)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx_dir).select("doc_id").collect()
+    )
+    assert len(got) == len(set(got))
+
+    # driver-side replay on exact pairs
+    pairs = {
+        frozenset((r.id_a, r.id_b))
+        for r in bdedup.jaccard_pairs(docs, 0.5).collect()
+    }
+    def near(a, b):
+        return frozenset((a, b)) in pairs
+    kept = []
+    for ids in (
+        sorted(r["doc_id"] for r in b1.select("doc_id").collect()),
+        sorted(r["doc_id"] for r in b2.select("doc_id").collect()),
+    ):
+        novel = [d for d in ids
+                 if not any(near(d, k) for k in kept)]
+        # connected components among novel, keep min of each
+        from tests.test_extensions import _uf_min_labels
+        edges = [(a, b) for a in novel for b in novel
+                 if a < b and near(a, b)]
+        labels = _uf_min_labels(edges)
+        kept.extend(d for d in novel if labels.get(d, d) == d)
+    assert got == sorted(kept)
+    assert len(got) < docs.count()  # something was deduped
