@@ -141,6 +141,14 @@ def measure(spark, sf_dir: str) -> dict:
     out["minhash"] = round(time.time() - t, 2)
     out["minhash_pairs"] = n
 
+    # round-6 addition: duplicate clustering = minhash pairs + the
+    # alternating-star connected-components rounds; the delta vs
+    # `minhash` above is the CC cost alone
+    t = time.time()
+    n = dedup.duplicate_clusters(docs, 0.5).count()
+    out["clusters"] = round(time.time() - t, 2)
+    out["clusters_rows"] = n
+
     # round-6 additions: the two operators whose scale paths changed
     # (prefix-filtered exact Jaccard; sample-trained IVF)
     t = time.time()
