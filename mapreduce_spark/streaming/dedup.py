@@ -112,6 +112,8 @@ def incremental_minhash_dedup(index_dir: str, threshold: float, *,
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         sigs = minhash_signatures(
             batch_df, num_perm, n, text, id_col
@@ -119,8 +121,13 @@ def incremental_minhash_dedup(index_dir: str, threshold: float, *,
         try:
             try:
                 idx = spark.read.parquet(index_dir)
+                # a RETRY of this micro-batch (foreachBatch is
+                # at-least-once) must not see its own partial output
+                # as "history", or every retried doc would probe as
+                # its own duplicate
+                idx = idx.filter(F.col("batch_id") != batch_id)
                 have_index = True
-            except Exception:
+            except AnalysisException:  # first batch: no index yet
                 have_index = False
             cur = sigs
             if have_index:
@@ -141,9 +148,17 @@ def incremental_minhash_dedup(index_dir: str, threshold: float, *,
                 .select(F.col("node").alias("doc_id"))
             )
             kept = cur.join(dups, "doc_id", "left_anti")
-            kept.select("doc_id", "sig", "sz", "sh").write.mode(
-                "append"
-            ).parquet(index_dir)
+            # dynamic partition overwrite keyed by batch_id makes a
+            # micro-batch retry IDEMPOTENT: the retry replaces only
+            # its own partition, never appending duplicates
+            (
+                kept.select("doc_id", "sig", "sz", "sh")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(index_dir)
+            )
         finally:
             sigs.unpersist()
 

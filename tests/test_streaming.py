@@ -412,6 +412,7 @@ def test_incremental_minhash_dedup_replays_two_step_rule(
     idx_dir = str(tmp_path / "sig_idx")
     handle = incremental_minhash_dedup(idx_dir, 0.5)
     handle(b1, 0)
+    handle(b1, 0)  # micro-batch RETRY must be idempotent
     handle(b2, 1)
     got = sorted(
         r["doc_id"]
