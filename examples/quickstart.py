@@ -162,6 +162,15 @@ def main() -> None:
     d = dedup.exact_dedup(corpus)
     keep = corpus.join(d.filter(~F.col("is_dup")).select("doc_id"),
                        "doc_id")
+    # near-dup GROUPS: MinHash pairs → connected components; keep one
+    # representative (min doc_id) per duplicate cluster
+    clusters = dedup.duplicate_clusters(keep, 0.5)
+    near_dups = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    keep = keep.join(near_dups, "doc_id", "left_anti")
+    print("near-dup clusters:",
+          clusters.select("cluster_id").distinct().count(),
+          "docs removed:", near_dups.count())
     samp = sampling.stratified_sample(keep, 10, stratum_col="lang")
     packed = sampling.pack_sequences(
         samp.select("doc_id", "lang",
