@@ -442,3 +442,41 @@ def test_incremental_minhash_dedup_replays_two_step_rule(
         kept.extend(d for d in novel if labels.get(d, d) == d)
     assert got == sorted(kept)
     assert len(got) < docs.count()  # something was deduped
+
+
+def test_stream_exact_dedup_ttl_path(spark, tmp_path):
+    """With an event-time column the stream dedup takes the
+    watermark-TTL route (dropDuplicatesWithinWatermark): duplicates
+    arriving within the delay are dropped, output is one row per
+    fingerprint."""
+    from mapreduce_spark.streaming.dedup import stream_exact_dedup
+
+    rows = [
+        (1, "alpha beta", "2026-01-01 10:00:00"),
+        (2, "alpha beta", "2026-01-01 10:10:00"),   # dup within TTL
+        (3, "gamma delta", "2026-01-01 10:20:00"),
+        (4, "alpha beta", "2026-01-01 10:25:00"),   # dup within TTL
+        (5, "epsilon", "2026-01-01 11:00:00"),
+    ]
+    src = str(tmp_path / "ttl_in")
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_exact_dedup(
+        stream, text="text", id_col="doc_id", ts_col="ts",
+        watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ttl_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fp, doc_id FROM ttl_test").collect()
+    fps = [r["fp"] for r in got]
+    assert len(fps) == len(set(fps)) == 3
