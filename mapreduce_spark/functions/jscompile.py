@@ -453,6 +453,16 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _sql_num(v: float) -> str:
+    """JS number literal → SQL.  A bare ``0.5`` in Spark SQL text is
+    DECIMAL(1,1), so literal-vs-literal arithmetic would run in
+    decimal (``0.5 / 3`` → 0.166667, scale 6) instead of JS IEEE-754
+    doubles; the explicit double cast (constant-folded by Catalyst,
+    so comparisons stay pushable literals) keeps every compiled
+    expression in double arithmetic."""
+    return f"cast({float(v)!r} as double)"
+
+
 class _Compiler:
     def __init__(self, table: str, schema) -> None:
         from mapreduce_spark.sources.docs import TABLES
@@ -513,7 +523,7 @@ class _Compiler:
                     "expressions"
                 )
             if isinstance(v, (int, float)):
-                return "num", repr(float(v))
+                return "num", _sql_num(v)
             return "str", _sql_str(v)
         if tag == "doc":
             kind, sql = self.field(ast[1])
@@ -783,7 +793,7 @@ class _Compiler:
             if isinstance(v, bool):
                 return ("bool", "true" if v else "false")
             if isinstance(v, (int, float)):
-                return ("num", repr(float(v)))
+                return ("num", _sql_num(v))
             return ("str", _sql_str(v))
         if tag == "doc":
             return self.field(ast[1])
@@ -809,7 +819,7 @@ class _Compiler:
             if isinstance(v, bool):
                 return ("bool", "true" if v else "false")
             if isinstance(v, (int, float)):
-                return ("num", repr(float(v)))
+                return ("num", _sql_num(v))
             return ("str", _sql_str(v))
         if tag == "doc":
             kind, sql = self.field(ast[1])
@@ -823,7 +833,7 @@ class _Compiler:
             for a in ast[1]:
                 if a[0] == "lit" and isinstance(a[1], (int, float)) \
                         and not isinstance(a[1], bool):
-                    exprs.append(repr(float(a[1])))
+                    exprs.append(_sql_num(a[1]))
                 elif a[0] == "doc":
                     kind, sql = self.field(a[1])
                     if kind != "num":
@@ -1059,7 +1069,7 @@ class _Compiler:
             if isinstance(v, bool):
                 return "bool", ("true" if v else "false")
             if isinstance(v, (int, float)):
-                return "num", repr(float(v))
+                return "num", _sql_num(v)
             if isinstance(v, str):
                 return "str", _sql_str(v)
         raise JSCompileError(

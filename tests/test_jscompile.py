@@ -39,10 +39,11 @@ def test_array_key_guard_and_literals(orders_schema):
         "orders", orders_schema,
     )
     assert spec.key == [("str", "o_orderpriority"), ("str", "'x'"),
-                        ("num", "2.0"), ("null", "null")]
-    assert spec.value == ("num", "1.0")
+                        ("num", "cast(2.0 as double)"),
+                        ("null", "null")]
+    assert spec.value == ("num", "cast(1.0 as double)")
     assert "o_orderstatus = 'O'" in spec.where
-    assert "o_totalprice > 10" in spec.where
+    assert "o_totalprice > cast(10.0 as double)" in spec.where
 
 
 def test_multi_emit_and_doc_id_and_link(orders_schema):
@@ -998,8 +999,14 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
             )
             key = rng.choice([num_expr(2, False), str_expr(2)])
             val = rng.choice([num_expr(2, False), "null", "1"])
-            src = ("function(doc) { " + guards +
-                   f"emit({key}, {val});" +
+            emits = f"emit({key}, {val});"
+            if rng.random() < 0.4:
+                # multi-emit: exercises pending-guard carrying (a
+                # throw in emit 1 must abort emit 2 on both tiers)
+                k2 = rng.choice([num_expr(1, False), str_expr(1)])
+                v2 = rng.choice([num_expr(1, False), "null"])
+                emits += f" emit({k2}, {v2});"
+            src = ("function(doc) { " + guards + emits +
                    " }" * guards.count("{") + " }")
             try:
                 specs = compile_js_map(src, "fuzztab", df.schema)
