@@ -269,8 +269,8 @@ def main() -> None:
     r1 = measure(spark, out_dir)
     expo = {
         k: round(math.log10(max(r1[k], 1e-3) / max(r01[k], 1e-3)), 2)
-        for k in ("build_q02", "minhash", "jaccard", "gemm", "ivf",
-                  "refresh_first", "refresh_steady")
+        for k in ("build_q02", "minhash", "clusters", "jaccard",
+                  "gemm", "ivf", "refresh_first", "refresh_steady")
     }
     print(json.dumps({"sf0.1": r01, "sf1": r1, "exponent": expo}))
 
