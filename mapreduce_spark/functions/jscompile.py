@@ -994,6 +994,50 @@ class _Compiler:
                             if py(rl, 0.0) else base)
                 ls = self._num_operand(l, ls)
                 rs = self._num_operand(r, rs)
+            if lk != "num" and op in ("<", "<=", ">", ">="):
+                # STRING-space relational (str / rendered-iso): two JS
+                # strings compare lexically — SQL matches — but a null
+                # field flips JS to NUMERIC comparison (ToNumber(null)
+                # = 0 vs ToNumber(other)).  Against a LITERAL the null
+                # outcome folds at compile time into a pushable
+                # `x op lit [OR x IS NULL]` (only numeric-looking
+                # literals like '' or '12' can make it true — NaN
+                # comparisons are false, matching the plain SQL drop).
+                # A nullable field against a runtime string (another
+                # field, a method result) cannot be folded: the
+                # interpreter tier runs it exactly.
+                import math as _math
+                import operator as _op
+
+                py = {"<": _op.lt, "<=": _op.le,
+                      ">": _op.gt, ">=": _op.ge}[op]
+
+                def _slit(a):
+                    return (
+                        a[1]
+                        if a[0] == "lit" and isinstance(a[1], str)
+                        else None
+                    )
+
+                sides = ((l, ls, r, rs, lambda t: py(0.0, t)),
+                         (r, rs, l, ls, lambda t: py(t, 0.0)))
+                for fld, fsql, other, osql, null_out in sides:
+                    if fld[0] != "doc":
+                        continue
+                    lit = _slit(other)
+                    if lit is None:
+                        raise JSCompileError(
+                            "relational between a nullable string "
+                            "field and a runtime string is outside "
+                            "the compiled subset (JS null compares "
+                            "numerically); the interpreter tier runs "
+                            "it exactly"
+                        )
+                    t = _js_num(lit)
+                    base = f"({ls} {sql_op} {rs})"
+                    if not _math.isnan(t) and null_out(t):
+                        return f"({base} OR {fsql} IS NULL)"
+                    return base
             return f"({ls} {sql_op} {rs})"
         raise JSCompileError(f"unsupported condition {tag!r}")
 

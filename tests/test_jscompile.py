@@ -961,7 +961,7 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
                 f"{str_expr(depth - 1)})")
 
     def cond(depth):
-        c = rng.randint(0, 5 if depth > 0 else 1)
+        c = rng.randint(0, 6 if depth > 0 else 1)
         if c == 0:
             op = rng.choice(["===", "!==", "<", ">", "<=", ">="])
             return f"{num_expr(depth - 1, True)} {op} " \
@@ -980,6 +980,11 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
             m = rng.choice(["startsWith", "endsWith", "includes"])
             lit = rng.choice(["'x'", "'user:'", "'a'"])
             return f"doc.{rng.choice(['s', 't'])}.{m}({lit})"
+        if c == 5 and depth > 0:
+            # string relational (JS lexicographic UTF-16 order)
+            op = rng.choice(["<", ">", "<=", ">="])
+            lit = rng.choice(["'Beta'", "'a'", "'x-1'", "''"])
+            return f"doc.{rng.choice(['s', 't'])} {op} {lit}"
         return f"!({cond(depth - 1)})"
 
     def norm(v):
@@ -1000,12 +1005,18 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
             key = rng.choice([num_expr(2, False), str_expr(2)])
             val = rng.choice([num_expr(2, False), "null", "1"])
             emits = f"emit({key}, {val});"
-            if rng.random() < 0.4:
+            r = rng.random()
+            if r < 0.4:
                 # multi-emit: exercises pending-guard carrying (a
                 # throw in emit 1 must abort emit 2 on both tiers)
                 k2 = rng.choice([num_expr(1, False), str_expr(1)])
                 v2 = rng.choice([num_expr(1, False), "null"])
                 emits += f" emit({k2}, {v2});"
+            elif r < 0.6:
+                # if/else emit branches: negated-guard compilation
+                k2 = rng.choice([num_expr(1, False), str_expr(1)])
+                emits = (f"if ({cond(1)}) {{ {emits} }} "
+                         f"else {{ emit({k2}, null); }}")
             src = ("function(doc) { " + guards + emits +
                    " }" * guards.count("{") + " }")
             try:
