@@ -27,9 +27,11 @@ Supported subset (each maps 1:1 onto a MapSpec capability):
   ``MapSpec.where`` so Catalyst pushes them into the parquet scan;
 - arithmetic ``+ - * / %`` on same-kind operands (JS null→0 coercion
   compiled as ``coalesce``; string ``+`` concat with null→``'null'``;
-  ``/`` and ``%`` via ``try_divide``/``try_mod`` so the JS
-  Infinity/NaN-by-zero corners become JSON null exactly like the
-  interpreter serializes them);
+  ``/`` and ``%`` compiled to TRUE IEEE-754 semantics — x/0 → ±Inf,
+  0/0 → NaN, x%0 → NaN, x%±Inf → x — with non-finites CARRIED through
+  further arithmetic like JS doubles (x / Infinity is 0, not null)
+  and folded to JSON null only at the emit boundary, exactly where
+  JSON.stringify folds them);
 - string methods ``.substring/.slice`` (literal non-negative offsets),
   ``.toLowerCase/.toUpperCase``, ``.indexOf`` (literal needle;
   ``instr()-1``, with the ``=== 0`` / ``>= 0`` / ``=== -1`` idioms
@@ -41,12 +43,11 @@ Supported subset (each maps 1:1 onto a MapSpec capability):
 - ``doc.f.length`` on string fields (null receiver → NOT NULL guard,
   same throw→skip rule) and ``Math.floor/ceil/abs/sqrt/round/pow``
   (JS ``Math.round`` half-up-toward-+∞ compiled as
-  ``floor(x + 0.5)``; NaN/Infinity-producing corners fold to JSON
-  null).  Known deviation: a non-finite value folded to SQL null
-  inside a GUARD comparison drops the row (three-valued logic),
-  where JS would compare the Infinity — by-zero divisions inside
-  ``if`` conditions are the one corner where compiled and
-  interpreted guards differ;
+  ``floor(x + 0.5)``; sqrt(neg)/pow corners carry real IEEE
+  NaN/Infinity).  In GUARD comparisons an Infinity operand compares
+  natively like JS; a NaN operand is nulled out (``nanvl``) because
+  Spark orders NaN greatest where JS compares it false — both tiers
+  agree on every comparison outcome;
 - the conditional operator ``c ? a : b`` in keys and values
   (``CASE WHEN``; same-kind branches; branch throw-guards gated on
   the condition — JS evaluates only the taken branch);
@@ -573,23 +574,38 @@ class _Compiler:
                 if op in ("+", "-", "*"):
                     return "num", f"({l0} {op} {r0})"
                 if op == "/":
-                    # JS x/0 → ±Infinity, 0/0 → NaN; both serialize to
-                    # JSON null (JSON.stringify) and collate as null —
-                    # try_divide returns NULL for zero divisors under
-                    # ANSI and non-ANSI alike, and the CASE folds the
-                    # residual overflow-to-Infinity corner (huge/tiny)
-                    # to null the same way the interpreter does.
-                    d = f"try_divide({l0}, {r0})"
+                    # True IEEE-754 division, carried through: JS x/0
+                    # → ±Infinity (sign from both operands, -0.0
+                    # divisor detected via its string form), 0/0 →
+                    # NaN.  Non-finites flow onward like JS doubles —
+                    # x / Infinity is 0, NOT null — and fold to JSON
+                    # null only at the emit boundary
+                    # (mapphase.fold_nonfinite), exactly where
+                    # JSON.stringify folds them.  Spark's `/` can't
+                    # produce them itself (zero divisor → NULL/error),
+                    # so the zero-divisor case is constructed.
                     return "num", (
-                        f"(CASE WHEN abs({d}) = "
-                        "cast('Infinity' as double) "
-                        f"THEN cast(null as double) ELSE {d} END)"
+                        f"(CASE WHEN {r0} = 0 THEN "
+                        f"(CASE WHEN {l0} = 0 OR isnan({l0}) "
+                        "THEN cast('NaN' as double) "
+                        f"WHEN ({l0} > 0) = (NOT startswith("
+                        f"cast({r0} as string), '-')) "
+                        "THEN cast('Infinity' as double) "
+                        "ELSE cast('-Infinity' as double) END) "
+                        f"ELSE {l0} / {r0} END)"
                     )
                 if op == "%":
                     # JS remainder: sign of the dividend (Spark/Java
-                    # semantics match); x % 0 → NaN → JSON null, which
-                    # is exactly try_mod's NULL
-                    return "num", f"try_mod({l0}, {r0})"
+                    # match for finite operands); the IEEE corners are
+                    # constructed — x % 0 and Inf % x → NaN, finite x
+                    # % ±Infinity → x — and carried like division
+                    inf = "cast('Infinity' as double)"
+                    return "num", (
+                        f"(CASE WHEN {r0} = 0 OR abs({l0}) = {inf} "
+                        "THEN cast('NaN' as double) "
+                        f"WHEN abs({r0}) = {inf} THEN {l0} "
+                        f"ELSE {l0} % {r0} END)"
+                    )
             raise JSCompileError(
                 f"operator {op!r} between {lk} and {rk} operands is "
                 "outside the subset (same-kind operands only; JS "
@@ -658,31 +674,37 @@ class _Compiler:
             if name in ("floor", "ceil", "abs", "sqrt", "round") \
                     and n == 1:
                 x = compiled[0]
+
+                def ieee(int_sql: str) -> str:
+                    # Spark's floor/ceil(double) return BIGINT, so a
+                    # non-finite input would overflow to ±Long.MIN —
+                    # JS floor/ceil/round pass NaN/±Infinity through
+                    # unchanged; preserve them around the int op
+                    return (
+                        f"(CASE WHEN isnan({x}) OR abs({x}) = "
+                        f"cast('Infinity' as double) THEN {x} "
+                        f"ELSE {int_sql} END)"
+                    )
+
                 if name == "floor":
-                    return "num", f"cast(floor({x}) as double)"
+                    return "num", ieee(f"cast(floor({x}) as double)")
                 if name == "ceil":
-                    return "num", f"cast(ceil({x}) as double)"
+                    return "num", ieee(f"cast(ceil({x}) as double)")
                 if name == "abs":
                     return "num", f"abs({x})"
                 if name == "sqrt":
-                    # JS sqrt(negative) = NaN → JSON null
-                    return "num", (
-                        f"nanvl(sqrt({x}), cast(null as double))"
-                    )
+                    # IEEE: sqrt(negative) = NaN, carried (folds to
+                    # JSON null at the emit boundary)
+                    return "num", f"sqrt({x})"
                 # JS Math.round: half-up toward +Infinity (round(-2.5)
                 # = -2) — Spark's round() is half-away-from-zero, so
                 # compile the definition instead
-                return "num", f"cast(floor({x} + 0.5) as double)"
+                return "num", ieee(f"cast(floor({x} + 0.5) as double)")
             if name == "pow" and n == 2:
                 # Java/Spark power() IS IEEE Math.pow = JS semantics;
-                # fold the NaN/Infinity corners (neg^frac, overflow,
-                # 0^neg) to JSON null like the interpreter serializes
-                p = f"power({compiled[0]}, {compiled[1]})"
-                return "num", (
-                    f"(CASE WHEN isnan({p}) OR abs({p}) = "
-                    "cast('Infinity' as double) "
-                    f"THEN cast(null as double) ELSE {p} END)"
-                )
+                # NaN/Infinity corners (neg^frac, overflow, 0^neg)
+                # carry like JS doubles and fold at the emit boundary
+                return "num", f"power({compiled[0]}, {compiled[1]})"
             raise JSCompileError(
                 f"Math.{name}() with {n} argument(s) is outside the "
                 "compilable subset (floor/ceil/abs/sqrt/round/pow)"
@@ -950,6 +972,19 @@ class _Compiler:
             if "iso" in (lk, rk):  # compare in ISO-string space
                 ls = _ISO_SQL.format(col=ls) if lk == "iso" else ls
                 rs = _ISO_SQL.format(col=rs) if rk == "iso" else rs
+
+            def _cmpable(a: Any, sql: str) -> str:
+                # Spark ORDERS NaN as the greatest double and treats
+                # NaN = NaN as true; JS NaN compares false to
+                # everything.  Computed operands carry real IEEE
+                # non-finites now — null a NaN out at comparison
+                # sites (NULL compares falsy, and the <=> / NOT <=>
+                # null cases line up with the JS null rules below).
+                if lk == rk == "num" and a[0] not in ("doc", "lit"):
+                    return f"nanvl({sql}, cast(null as double))"
+                return sql
+
+            ls, rs = _cmpable(l, ls), _cmpable(r, rs)
             # JS null comparison semantics vs SQL three-valued logic:
             # - `null !== lit` is TRUE in JS, but SQL `<>` yields NULL
             #   and drops the row → inequality always compiles
@@ -966,8 +1001,8 @@ class _Compiler:
             #   (ToNumber).  With a literal side the null outcome is
             #   known at compile time: fold it to a pushable
             #   `x op lit [OR x IS NULL]`; field-vs-field coalesces
-            #   source nulls (computed operands keep null-propagation
-            #   — the documented non-finite deviation)
+            #   source nulls (a computed operand's NaN is nulled by
+            #   _cmpable; its Infinity compares natively like JS)
             if lk == rk == "num" and op in ("<", "<=", ">", ">="):
                 import operator as _op
 
@@ -992,8 +1027,8 @@ class _Compiler:
                     base = f"({ls} {sql_op} {rs})"
                     return (f"({base} OR {rs} IS NULL)"
                             if py(rl, 0.0) else base)
-                ls = self._num_operand(l, ls)
-                rs = self._num_operand(r, rs)
+                ls = _cmpable(l, self._num_operand(l, ls))
+                rs = _cmpable(r, self._num_operand(r, rs))
             if lk != "num" and op in ("<", "<=", ">", ">="):
                 # STRING-space relational (str / rendered-iso): two JS
                 # strings compare lexically — SQL matches — but a null

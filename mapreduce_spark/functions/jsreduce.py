@@ -1310,6 +1310,138 @@ def _is_sum_count_obj(e: Any, values: str) -> bool:
     )
 
 
+_STATS_FIELDS = ("sum", "min", "max", "count", "sumsqr")
+
+
+def _is_sumsqr_fold(e: Any, values: str) -> bool:
+    """The sumsqr member of the canonical CouchDB stats map branch:
+
+        (function() { var s = 0;
+           values.forEach(function(v) { s += v * v });
+           return s })()
+
+    (the exact IIFE from the CouchDB "Reduce/Rereduce" docs example),
+    or the same accumulation as an indexed for loop."""
+    if not (
+        e[0] == "call" and not e[2]
+        and isinstance(e[1], tuple) and e[1][0] == "func"
+        and not e[1][1]
+    ):
+        return False
+    body = e[1][2]
+    if len(body) != 3 or body[0][0] != "var" or len(body[0][1]) != 1:
+        return False
+    s, init = body[0][1][0]
+    if init != ("lit", 0.0) or body[2] != ("return", ("name", s)):
+        return False
+    st = body[1]
+    # forEach form
+    if (
+        st[0] == "expr" and st[1][0] == "call"
+        and st[1][1] == ("member", ("name", values), "forEach")
+        and len(st[1][2]) == 1
+        and isinstance(st[1][2][0], tuple) and st[1][2][0][0] == "func"
+    ):
+        params, fbody = st[1][2][0][1], st[1][2][0][2]
+        if not params or len(fbody) != 1:
+            return False
+        v = ("name", params[0])
+        return _is_plus_assign(fbody[0], s, ("bin", "*", v, v))
+    # indexed for-loop form
+    if st[0] == "for":
+        _, finit, fcond, fupd, fbody = st
+        if finit is None or finit[0] != "var" or len(finit[1]) != 1:
+            return False
+        i, iinit = finit[1][0]
+        if iinit != ("lit", 0.0):
+            return False
+        if fcond != ("bin", "<", ("name", i),
+                     ("member", ("name", values), "length")):
+            return False
+        if fupd != ("assign", "+=", ("name", i), ("lit", 1.0)):
+            return False
+        elem = ("index", ("name", values), ("name", i))
+        return len(fbody) == 1 and _is_plus_assign(
+            fbody[0], s, ("bin", "*", elem, elem)
+        )
+    return False
+
+
+def _is_stats_obj(e: Any, values: str) -> bool:
+    """The map branch of the canonical CouchDB custom-stats reduce
+    (the exact example in the CouchDB "Reduce/Rereduce" docs):
+
+        return {sum: sum(values), min: Math.min.apply(null, values),
+                max: Math.max.apply(null, values),
+                count: values.length, sumsqr: <IIFE or for loop>}
+    """
+    return (
+        e[0] == "obj"
+        and set(e[1]) == set(_STATS_FIELDS)
+        and _is_sum_of(e[1]["sum"], values)
+        and _is_minmax_apply(e[1]["min"], values) == "_min"
+        and _is_minmax_apply(e[1]["max"], values) == "_max"
+        and _is_len_of(e[1]["count"], values)
+        and _is_sumsqr_fold(e[1]["sumsqr"], values)
+    )
+
+
+def _is_reduce_fold(e: Any, values: str, field: str,
+                    kind: str) -> bool:
+    """``values.reduce(function(a, b) { return <acc> }, <seed>)``
+    rereduce folds of the canonical stats example:
+
+    - kind 'sum': acc = ``a + b.<field>`` (either order), seed 0
+    - kind 'min': acc = ``Math.min(a, b.min)``, seed ``Infinity``
+    - kind 'max': acc = ``Math.max(a, b.max)``, seed ``-Infinity``
+    """
+    if not (
+        e[0] == "call"
+        and e[1] == ("member", ("name", values), "reduce")
+        and len(e[2]) == 2
+        and isinstance(e[2][0], tuple) and e[2][0][0] == "func"
+    ):
+        return False
+    params, body = e[2][0][1], e[2][0][2]
+    if len(params) < 2:
+        return False
+    a = ("name", params[0])
+    fld = ("member", ("name", params[1]), field)
+    ret = _only_return(body)
+    if ret is None:
+        return False
+    if kind == "sum":
+        return e[2][1] == ("lit", 0.0) and ret in (
+            ("bin", "+", a, fld), ("bin", "+", fld, a)
+        )
+    seed = (
+        ("name", "Infinity") if kind == "min"
+        else ("un", "-", ("name", "Infinity"))
+    )
+    if e[2][1] != seed:
+        return False
+    callee = ("member", ("name", "Math"), kind)
+    return (
+        ret[0] == "call" and ret[1] == callee
+        and len(ret[2]) == 2 and set(ret[2]) == {a, fld}
+    )
+
+
+def _is_stats_rereduce_obj(e: Any, values: str) -> bool:
+    """The rereduce branch of the canonical stats example: per-field
+    ``values.reduce`` folds (sum/count/sumsqr additive with seed 0,
+    min/max via Math.min/max with ±Infinity seeds)."""
+    if e[0] != "obj" or set(e[1]) != set(_STATS_FIELDS):
+        return False
+    return (
+        _is_reduce_fold(e[1]["sum"], values, "sum", "sum")
+        and _is_reduce_fold(e[1]["count"], values, "count", "sum")
+        and _is_reduce_fold(e[1]["sumsqr"], values, "sumsqr", "sum")
+        and _is_reduce_fold(e[1]["min"], values, "min", "min")
+        and _is_reduce_fold(e[1]["max"], values, "max", "max")
+    )
+
+
 def _is_plus_assign(st: Any, target: str, e: Any) -> bool:
     """``t += e`` or ``t = t + e``."""
     t = ("name", target)
@@ -1421,6 +1553,18 @@ def lower_js_reduce(params: list[str], body: list) -> str | None:
             and _is_sum_count_rereduce(then_stmts, values)
         ):
             return "_sum_count"
+        # the full canonical stats accumulator — the exact example in
+        # the CouchDB "Reduce/Rereduce" docs — → the _stats builtin
+        # (one hash agg, map-side partials, no Python).  JSON member
+        # ORDER follows _stats (sum,count,min,max,sumsqr) rather than
+        # the ddoc's insertion order — order-insignificant JSON, same
+        # documented divergence class as _min/_max on non-numbers.
+        if (
+            then_ret is not None and else_ret is not None
+            and _is_stats_obj(else_ret, values)
+            and _is_stats_rereduce_obj(then_ret, values)
+        ):
+            return "_stats"
     return None
 
 

@@ -113,6 +113,18 @@ class MapSpec:
         return [self.key], False
 
 
+def fold_nonfinite(c: Column) -> Column:
+    """NaN/±Infinity → null at the EMIT boundary — the key rule
+    (collate normalize: NaN/±Inf → null) and JSON.stringify's value
+    rule in one place.  Compiled JS arithmetic carries real IEEE
+    non-finites through intermediate expressions (x / Infinity is 0,
+    not null), so the fold happens here, where a number becomes a
+    stored key/value — exactly where JS folds it."""
+    return F.when(
+        F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), F.lit(None)
+    ).otherwise(c)
+
+
 def _comp_cols(comp: Component) -> tuple[Column, Column]:
     """(enc_col, json_col) for one component over the raw table."""
     kind = comp[0]
@@ -123,7 +135,7 @@ def _comp_cols(comp: Component) -> tuple[Column, Column]:
         expr = F.date_format(expr, ISO_FMT)
         kind = "str"
     if kind == "num":
-        expr = expr.cast("double")
+        expr = fold_nonfinite(expr.cast("double"))
     return enc_component_col(expr, kind), json_scalar_col(expr, kind)
 
 
@@ -164,11 +176,14 @@ def build_view_structured_on(df: DataFrame, spec: MapSpec) -> DataFrame:
     if v is not None:
         vkind = v[0]
         if vkind == "num":
-            vc = F.expr(v[1]).cast("double")
+            vc = fold_nonfinite(F.expr(v[1]).cast("double"))
             value_num = vc
             value_json = json_scalar_col(vc, "num")
         elif vkind == "num_arr":
-            arr = F.array(*[F.expr(e).cast("double") for e in v[1]])
+            arr = F.array(
+                *[fold_nonfinite(F.expr(e).cast("double"))
+                  for e in v[1]]
+            )
             value_num_arr = arr
             value_json = F.to_json(arr)
         elif vkind == "str":
@@ -199,7 +214,7 @@ def build_view_structured_on(df: DataFrame, spec: MapSpec) -> DataFrame:
                 else:
                     mc = F.expr(mexpr)
                     if mk == "num":
-                        mc = mc.cast("double")
+                        mc = fold_nonfinite(mc.cast("double"))
                     parts.append(json_scalar_col(mc, mk))
             parts.append(F.lit("}"))
             value_json = F.concat(*parts)

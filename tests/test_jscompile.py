@@ -143,10 +143,11 @@ def test_arithmetic_and_string_methods_compile(spark, sf_dir,
 
 
 def test_division_and_modulo_compile(spark, sf_dir, tmp_path):
-    """Round 6: `/` and `%` compile to try_divide/try_mod — JVM-side,
-    with the JS by-zero corners (x/0 → Infinity, 0/0 and x%0 → NaN)
-    serializing to JSON null exactly like the interpreter, and JS
-    remainder sign (sign of the dividend)."""
+    """Round 6 (late): `/` and `%` compile to constructed IEEE-754
+    expressions — x/0 → ±Infinity, 0/0 and x%0 → NaN, carried through
+    further arithmetic like JS doubles and folded to JSON null only
+    at the emit boundary — and JS remainder keeps the dividend's
+    sign."""
     import pyspark.sql.functions as F
 
     eng = Engine(spark, sf_dir, str(tmp_path))
@@ -184,28 +185,50 @@ def test_division_and_modulo_compile(spark, sf_dir, tmp_path):
                  "doc.p_retailprice / doc.p_size); }")
     )
     assert isinstance(spec, MapSpec)
-    assert "try_mod" in spec.key[1]
-    assert "try_divide" in spec.value[1]
+    assert "%" in spec.key[1]
+    assert "/" in spec.value[1]
 
-    # by-zero corners → null (JSON.stringify semantics) and JS
-    # remainder sign (sign of the dividend): evaluate the compiled
-    # key SQL against a hand-built frame with part's column names
+    # IEEE corners carried in the RAW expressions (x/0 → ±Inf, 0/0
+    # and x%0 → NaN, x/±Inf → 0), folded to null only at the emit
+    # boundary (mapphase.fold_nonfinite) — JSON.stringify semantics;
+    # JS remainder keeps the dividend's sign
+    import math
+
+    from mapreduce_spark.operators.mapphase import fold_nonfinite
+
     spec2 = compile_js_map(
         "function(doc){ emit([doc.p_retailprice / doc.p_size, "
-        "doc.p_retailprice % doc.p_size], null); }",
+        "doc.p_retailprice % doc.p_size, "
+        "doc.p_retailprice / (doc.p_retailprice / doc.p_size)], "
+        "null); }",
         "part", spark.read.parquet(f"{sf_dir}/part.parquet").schema,
     )
     corners = spark.createDataFrame(
-        [(1.0, 0.0), (0.0, 0.0), (-7.0, 2.0), (7.0, -2.0)],
+        [(1.0, 0.0), (0.0, 0.0), (-7.0, 2.0), (7.0, -2.0),
+         (-1.0, 0.0)],
         "p_retailprice double, p_size double",
     )
     ksqls = [s for _, s in spec2.key]
-    rows = corners.select(
+    raw = corners.select(
         *[F.expr(s).alias(f"k{i}") for i, s in enumerate(ksqls)]
     ).collect()
-    assert [
-        (r["k0"], r["k1"]) for r in rows
-    ] == [(None, None), (None, None), (-3.5, -1.0), (-3.5, 1.0)]
+    inf = float("inf")
+    assert raw[0]["k0"] == inf                     # 1/0 → +Inf
+    assert math.isnan(raw[1]["k0"])                # 0/0 → NaN
+    assert math.isnan(raw[0]["k1"])                # x % 0 → NaN
+    assert (raw[2]["k0"], raw[2]["k1"]) == (-3.5, -1.0)
+    assert (raw[3]["k0"], raw[3]["k1"]) == (-3.5, 1.0)
+    assert raw[4]["k0"] == -inf                    # -1/0 → -Inf
+    assert raw[0]["k2"] == 0.0                     # x / Inf → 0 (JS!)
+    assert raw[4]["k2"] == 0.0                     # -1 / -Inf → +0
+    # the emit boundary folds the non-finites to null
+    folded = corners.select(
+        *[fold_nonfinite(F.expr(s).cast("double")).alias(f"k{i}")
+          for i, s in enumerate(ksqls)]
+    ).collect()
+    assert [(r["k0"], r["k1"]) for r in folded[:2]] == [
+        (None, None), (None, None)
+    ]
 
 
 def test_math_and_strlen_compile(spark, sf_dir, tmp_path):
@@ -245,7 +268,8 @@ def test_math_and_strlen_compile(spark, sf_dir, tmp_path):
     assert got == want and got
 
     # JS Math.round semantics: -2.5 rounds UP to -2 (Spark's round()
-    # would give -3); sqrt of a negative folds to null; pow works
+    # would give -3); sqrt of a negative is IEEE NaN (folded to null
+    # at the emit boundary, not inside the expression); pow works
     schema = raw.schema
     spec2 = compile_js_map(
         "function(doc){ emit([Math.round(doc.p_retailprice), "
@@ -260,15 +284,20 @@ def test_math_and_strlen_compile(spark, sf_dir, tmp_path):
     rows = corners.select(
         *[F.expr(s).alias(f"k{i}") for i, s in enumerate(ksqls)]
     ).collect()
-    assert [(r["k0"], r["k1"], r["k2"]) for r in rows] == [
-        (-2.0, None, 6.25),
-        (-4.0, None, 16.0),
-        (3.0, 1.7320508075688772, 9.0),
-    ]
+    import math as _math
 
-    # poison propagation: a by-zero division feeding further
-    # arithmetic stays null (JS: Infinity*2 → JSON null), it is NOT
-    # coalesced back to 0
+    assert [(r["k0"], r["k2"]) for r in rows] == [
+        (-2.0, 6.25), (-4.0, 16.0), (3.0, 9.0)
+    ]
+    assert _math.isnan(rows[0]["k1"]) and _math.isnan(rows[1]["k1"])
+    assert rows[2]["k1"] == 1.7320508075688772
+
+    # non-finite propagation: a by-zero division feeding further
+    # arithmetic carries the REAL Infinity (JS: Infinity*2 →
+    # Infinity, folded to JSON null only at the emit boundary), it
+    # is NOT coalesced back to 0
+    from mapreduce_spark.operators.mapphase import fold_nonfinite
+
     spec3 = compile_js_map(
         "function(doc){ emit(doc.p_retailprice / doc.p_size * 2, "
         "null); }",
@@ -278,12 +307,19 @@ def test_math_and_strlen_compile(spark, sf_dir, tmp_path):
         [(10.0, 0.0), (10.0, 5.0)],
         "p_retailprice double, p_size double",
     )
-    vals = [
+    raw_vals = [
         r["k"] for r in z.select(
             F.expr(spec3.key[1]).alias("k")
         ).collect()
     ]
-    assert vals == [None, 4.0]
+    assert raw_vals[0] == float("inf") and raw_vals[1] == 4.0
+    folded_vals = [
+        r["k"] for r in z.select(
+            fold_nonfinite(F.expr(spec3.key[1]).cast("double"))
+            .alias("k")
+        ).collect()
+    ]
+    assert folded_vals == [None, 4.0]
 
 
 def test_interpreted_methods_null_skip(spark, tmp_path):
@@ -878,9 +914,10 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
     ternaries, guards with &&/||/!): random kind-correct ddocs must
     produce IDENTICAL emits from the compiled MapSpec path and the
     statement interpreter over a corner-rich table (nulls, zeros,
-    negatives, empty strings).  Division stays out of guard
-    conditions — the one documented compiled/interpreted deviation
-    (non-finite inside a comparison)."""
+    negatives, empty strings).  Division and modulo run in guard
+    conditions too: compiled arithmetic carries real IEEE
+    non-finites (round-6 late), Infinity compares natively and NaN
+    is nulled at comparison sites, so both tiers agree everywhere."""
     import math as _math
     import random
     import tempfile as _tf
@@ -921,20 +958,11 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
         if c == 1:
             return rng.choice(["2", "0.5", "3"])
         if c == 2:
-            op = rng.choice(
-                ["+", "-", "*"] if in_cond else ["+", "-", "*", "/",
-                                                 "%"]
-            )
+            op = rng.choice(["+", "-", "*", "/", "%"])
             return (f"({num_expr(depth - 1, in_cond)} {op} "
                     f"{num_expr(depth - 1, in_cond)})")
         if c == 3:
             f = rng.choice(["floor", "ceil", "abs", "round", "sqrt"])
-            if f == "sqrt" and not in_cond:
-                # sqrt(negative) = NaN → folded null; valid in emit
-                # positions where non-finite propagation applies
-                return f"Math.sqrt({num_expr(depth - 1, in_cond)})"
-            if f == "sqrt":
-                f = "abs"
             return f"Math.{f}({num_expr(depth - 1, in_cond)})"
         if c == 4:
             return "doc.t.length"

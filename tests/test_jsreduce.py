@@ -648,3 +648,122 @@ def test_real_js_bindings_and_array_length():
         "function (k, v) { var a = [1]; a.length = 3; return a; }"
     )
     assert fn2(None, [0], False) == [1.0, None, None]
+
+
+_STATS_JS = """function(keys, values, rereduce) {
+  if (rereduce) {
+    return {
+      'sum': values.reduce(function(a, b) { return a + b.sum }, 0),
+      'min': values.reduce(function(a, b) { return Math.min(a, b.min) }, Infinity),
+      'max': values.reduce(function(a, b) { return Math.max(a, b.max) }, -Infinity),
+      'count': values.reduce(function(a, b) { return a + b.count }, 0),
+      'sumsqr': values.reduce(function(a, b) { return a + b.sumsqr }, 0)
+    }
+  } else {
+    return {
+      'sum': sum(values),
+      'min': Math.min.apply(null, values),
+      'max': Math.max.apply(null, values),
+      'count': values.length,
+      'sumsqr': (function() {
+        var sumsqr = 0;
+        values.forEach(function (value) { sumsqr += value * value });
+        return sumsqr;
+      })()
+    }
+  }
+}"""
+
+
+def test_stats_lowering_recognition():
+    """Round 6 (late): the EXACT canonical stats reduce from the
+    CouchDB "Reduce/Rereduce" docs lowers to the _stats builtin;
+    near-miss shapes interpret."""
+    from mapreduce_spark.functions.jsreduce import compile_js_reduce
+
+    assert compile_js_reduce(_STATS_JS) == "_stats"
+    # indexed for-loop sumsqr variant also lowers
+    v = _STATS_JS.replace(
+        """(function() {
+        var sumsqr = 0;
+        values.forEach(function (value) { sumsqr += value * value });
+        return sumsqr;
+      })()""",
+        """(function() {
+        var s = 0;
+        for (var i = 0; i < values.length; i++) {
+          s += values[i] * values[i];
+        }
+        return s;
+      })()""",
+    )
+    assert compile_js_reduce(v) == "_stats"
+    # near-miss: min rereduce seeded 0 (changes semantics) — interpret
+    assert callable(compile_js_reduce(
+        _STATS_JS.replace("}, Infinity)", "}, 0)")
+    ))
+    # near-miss: sumsqr accumulates value (not value*value) — interpret
+    assert callable(compile_js_reduce(
+        _STATS_JS.replace("sumsqr += value * value", "sumsqr += value")
+    ))
+    # near-miss: wrong rereduce field pulled (b.sum into sumsqr) —
+    # interpret
+    assert callable(compile_js_reduce(
+        _STATS_JS.replace("return a + b.sumsqr", "return a + b.sum")
+    ))
+
+
+def test_property_stats_lowered_equals_interpreted():
+    """The interpreted canonical stats accumulator, split at any
+    partial/final cut, equals the plain (sum, count, min, max,
+    sumsqr) — what _stats computes JVM-side."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_spark.functions.jsreduce import JSReduceFunction
+
+    fn = JSReduceFunction(_STATS_JS)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
+            max_size=12,
+        ),
+        st.data(),
+    )
+    def check(vals, data):
+        cut = data.draw(st.integers(0, len(vals)))
+        parts = [fn(None, c, False)
+                 for c in (vals[:cut], vals[cut:]) if c]
+        out = fn(None, parts, True) if len(parts) > 1 else parts[0]
+        assert out["count"] == len(vals)
+        assert out["min"] == min(vals)
+        assert out["max"] == max(vals)
+        tol = 1e-6 * max(1.0, abs(sum(vals)))
+        assert abs(out["sum"] - sum(vals)) < tol
+        sq = sum(v * v for v in vals)
+        assert abs(out["sumsqr"] - sq) < 1e-6 * max(1.0, sq)
+
+    check()
+
+
+def test_stats_lowered_plan_is_jvm_only(spark, sf_dir, tmp_path):
+    """Engine end-to-end: the canonical stats ddoc over a MapSpec view
+    equals the _stats builtin exactly and evaluates no Python."""
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    spec = MapSpec("events", ("str", "event_type"), ("num", "value"))
+    res = eng.query({"map": spec, "reduce": _STATS_JS}, group=True)
+    want = {
+        r["key"]: r["value"]
+        for r in eng.query({"map": spec, "reduce": "_stats"},
+                           group=True).rows()
+    }
+    got = {r["key"]: r["value"] for r in res.rows()}
+    assert got == want and got
+    assert set(next(iter(got.values()))) == {
+        "sum", "count", "min", "max", "sumsqr"
+    }
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert marker not in plan
