@@ -1418,6 +1418,8 @@ def _js_num(v: Any) -> float:
     """JS ToNumber over the subset's value space (NaN for the rest)."""
     import math
 
+    if hasattr(v, "js_number_value"):  # JSDate: the time value
+        return v.js_number_value()
     if isinstance(v, bool):
         return 1.0 if v else 0.0
     if isinstance(v, (int, float)):
@@ -1458,6 +1460,13 @@ def _js_str(v: Any) -> str:
 
 
 def _js_add(a: Any, b: Any) -> Any:
+    # a Date's ToPrimitive DEFAULT hint is string (the one JS object
+    # where `date + x` concatenates), unlike its number-hinted
+    # relational comparisons
+    if hasattr(a, "to_json_value"):
+        a = _js_str(a)
+    if hasattr(b, "to_json_value"):
+        b = _js_str(b)
     if isinstance(a, str) or isinstance(b, str):
         return _js_str(a) + _js_str(b)
     return _js_num(a) + _js_num(b)
@@ -1555,6 +1564,11 @@ def _de_undef(v: Any) -> Any:
         return [_de_undef(x) for x in v]
     if isinstance(v, dict):
         return {k: _de_undef(x) for k, x in v.items() if x is not _UNDEF}
+    if hasattr(v, "to_json_value"):
+        # JSDate: toJSON() at every serialization boundary — emit keys
+        # (pouchdb-collate normalizeKey: Date → date.toJSON()), emit
+        # values and reduce returns (JSON.stringify calls toJSON)
+        return v.to_json_value()
     return v
 
 

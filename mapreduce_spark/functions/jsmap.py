@@ -12,10 +12,12 @@ engine runs three tiers, fastest first:
 3. **This module** — the statement-level interpreter shared with
    ``jsreduce`` (var/let, if/else, C-style for, assignments, function
    literals with closure capture, arithmetic incl. ``/`` and ``%``,
-   string/array/Math/JSON/parseInt builtins).  Anything the compiler
-   rejects — ``.split()``, loops, accumulator objects —
-   runs here over Arrow-batched doc dicts, on ANY table (typed or
-   raw).  Out-of-subset constructs still raise loud
+   string/array/Math/JSON/parseInt builtins, and a deterministic JS
+   ``Date`` — ``new Date(value)``, UTC-pinned getters,
+   ``Date.parse``/``Date.UTC``; see functions/jsdate.py).  Anything
+   the compiler rejects — ``.split()``, loops, accumulator objects,
+   date bucketing — runs here over Arrow-batched doc dicts, on ANY
+   table (typed or raw).  Out-of-subset constructs still raise loud
    :class:`~mapreduce_spark.functions.jsreduce.JSReduceError` rather
    than silently mis-indexing.
 

@@ -65,6 +65,12 @@ from mapreduce_spark.functions.jscompile import (
     _truthy,
     _unquote,
 )
+from mapreduce_spark.functions.jsdate import (
+    JSDate,
+    construct_date,
+    make_day_ms,
+    parse_date,
+)
 
 
 class JSReduceError(QueryParseError):
@@ -395,6 +401,23 @@ class _Parser:
                 return ("lit", False)
             if tok == "undefined":
                 return ("lit", _UNDEF)
+            if tok == "new":
+                # new-expression: `new Ctor(args)` (parens optional,
+                # JS NewExpression); postfix member/call chains then
+                # apply to the CONSTRUCTED object, matching JS
+                # precedence for `new Date(x).getTime()`
+                k2, t2, o2 = self._next()
+                if k2 != "ident":
+                    raise JSReduceError(
+                        f"expected a constructor name after 'new' "
+                        f"at offset {o2}"
+                    )
+                cargs: list = []
+                if self._eat("("):
+                    while not self._eat(")"):
+                        cargs.append(self._expr())
+                        self._eat(",")
+                return ("new", t2, cargs)
             if tok == "function":
                 # function literal (e.g. a values.reduce callback);
                 # an optional NAME binds the closure inside its own
@@ -801,9 +824,9 @@ def _eval(e: Any, env: dict) -> Any:
             return math.nan
         if n in ("Math", "sum", "JSON", "Object", "parseInt",
                  "parseFloat", "isNaN", "isFinite", "String", "Number",
-                 "Boolean"):
+                 "Boolean", "Date"):
             return ("__builtin__", n)
-        if n in ("Date", "RegExp", "Array", "Error", "Function",
+        if n in ("RegExp", "Array", "Error", "Function",
                  "Symbol", "Promise", "Map", "Set", "Proxy",
                  "Reflect", "BigInt", "Intl", "eval", "require"):
             # a REAL JS global the engine cannot run: fail LOUD (a
@@ -815,6 +838,21 @@ def _eval(e: Any, env: dict) -> Any:
         # plain unknown name: JS ReferenceError -- a genuine runtime
         # throw (tryMap skips the doc; reduce errors propagate)
         raise JSRuntimeThrow(f"undefined identifier {n!r} in JS fn")
+    if tag == "new":
+        cname, cargs = e[1], e[2]
+        if cname != "Date":
+            raise JSReduceError(
+                f"new {cname}() is outside the subset"
+            )
+        if not cargs:
+            raise JSReduceError(
+                "new Date() with no arguments reads the current "
+                "wall clock — a nondeterministic view (incremental "
+                "refresh and rebuild would disagree); pass the "
+                "doc's timestamp: new Date(doc.ts)"
+            )
+        vals = [_eval(a, env) for a in cargs]
+        return construct_date(vals, _js_num, _js_str)
     if tag == "arr":
         return [_eval(a, env) for a in e[1]]
     if tag == "obj":
@@ -867,6 +905,14 @@ def _eval(e: Any, env: dict) -> Any:
         if (isinstance(obj, (int, float)) and not isinstance(obj, bool)
                 and name in _NUM_METHODS):
             return ("__method__", obj, name)
+        if isinstance(obj, JSDate):
+            if name in _DATE_METHODS:
+                return ("__method__", obj, name)
+            if name.startswith(("get", "set", "to")):
+                raise JSReduceError(
+                    f"Date.prototype.{name} is outside the subset"
+                )
+            return _UNDEF
         if isinstance(obj, dict):
             if name == "hasOwnProperty":
                 return ("__method__", obj, name)
@@ -1014,6 +1060,20 @@ def _call(fn: Any, args: list) -> Any:
                 raise JSRuntimeThrow(f"{name} on a non-object")
             return (list(o.keys()) if name == "Object.keys"
                     else [o[k] for k in o])
+        if name == "Date.parse":
+            a = args[0] if args else _UNDEF
+            return (parse_date(a) if isinstance(a, str)
+                    else parse_date(_js_str(a)))
+        if name == "Date.UTC":
+            if not args:
+                return math.nan
+            return make_day_ms(*[_js_num(a) for a in args[:7]])
+        if name in ("Date", "Date.now"):
+            raise JSReduceError(
+                f"{name}() reads the current wall clock — a "
+                "nondeterministic view; pass the doc's timestamp "
+                "through new Date(value) instead"
+            )
         raise JSReduceError(f"{name} is not callable")
     if isinstance(fn, tuple) and fn[:1] == ("__method__",):
         _, obj, name = fn
@@ -1075,6 +1135,8 @@ def _call(fn: Any, args: list) -> Any:
             return _UNDEF if name == "forEach" else out
         if name == "hasOwnProperty" and isinstance(obj, dict):
             return _js_str(args[0] if args else _UNDEF) in obj
+        if isinstance(obj, JSDate):
+            return _call_date_method(obj, name)
         if isinstance(obj, str):
             return _call_str_method(obj, name, args)
         if isinstance(obj, (int, float)) and not isinstance(obj, bool):
@@ -1093,6 +1155,45 @@ def _call(fn: Any, args: list) -> Any:
         raise JSRuntimeThrow("call target is null/undefined")
     # JS TypeError ("x is not a function") for any non-callable
     raise JSRuntimeThrow("call target is not a function")
+
+
+_DATE_GETTERS = {
+    "getTime": "time", "valueOf": "time",
+    "getFullYear": "year", "getUTCFullYear": "year",
+    "getMonth": "month", "getUTCMonth": "month",
+    "getDate": "date", "getUTCDate": "date",
+    "getDay": "day", "getUTCDay": "day",
+    "getHours": "hours", "getUTCHours": "hours",
+    "getMinutes": "minutes", "getUTCMinutes": "minutes",
+    "getSeconds": "seconds", "getUTCSeconds": "seconds",
+    "getMilliseconds": "milliseconds",
+    "getUTCMilliseconds": "milliseconds",
+    "getTimezoneOffset": "tzoffset",
+}
+_DATE_METHODS = frozenset(_DATE_GETTERS) | {
+    "toISOString", "toJSON", "toString",
+}
+
+
+def _call_date_method(d: JSDate, name: str) -> Any:
+    """Date.prototype getters + serializers (UTC == local — see the
+    jsdate module docstring determinism contract)."""
+    if name in _DATE_GETTERS:
+        return d.get(_DATE_GETTERS[name])
+    if name == "toISOString":
+        try:
+            return d.to_iso()
+        except ValueError:  # JS RangeError on an Invalid Date
+            raise JSRuntimeThrow(
+                "toISOString on an Invalid Date"
+            ) from None
+    if name == "toJSON":
+        return d.to_json_value()
+    if name == "toString":
+        return str(d)
+    raise JSReduceError(
+        f"Date.prototype.{name}() is outside the subset"
+    )
 
 
 def _call_str_method(s: str, name: str, args: list) -> Any:

@@ -270,3 +270,131 @@ def test_runtime_error_classification():
         "doc.s.includes('x', 3)], 1); }",
         {"s": "xax"},
     ) == [[True, False]]
+
+
+# ---------------------------------------------------------------------------
+# JS Date (round 6 late)
+# ---------------------------------------------------------------------------
+
+def _run_map(src, doc):
+    out = []
+    JSMapFunctionFull(src)(dict(doc), lambda k, v: out.append((k, v)))
+    return out
+
+
+def test_date_bucketing_and_getters():
+    """The canonical date-bucketing ddoc idiom: new Date(doc.ts) with
+    UTC getters (local == UTC by the engine's determinism contract)."""
+    got = _run_map(
+        """function(doc) {
+             var d = new Date(doc.ts);
+             emit([d.getUTCFullYear(), d.getUTCMonth() + 1,
+                   d.getUTCDate(), d.getUTCDay(), d.getUTCHours()],
+                  d.getTime());
+           }""",
+        {"ts": "1995-03-17T10:30:00Z"},
+    )
+    # 1995-03-17 was a Friday (5)
+    assert got == [([1995.0, 3.0, 17.0, 5.0, 10.0], 795436200000.0)]
+
+
+def test_date_emit_key_is_tojson_iso():
+    """pouchdb-collate normalizeKey: a Date key becomes its toJSON()
+    ISO string; an Invalid Date's toJSON is null."""
+    assert _run_map(
+        "function(doc){ emit(new Date(doc.ms), new Date('nope')); }",
+        {"ms": 0},
+    ) == [("1970-01-01T00:00:00.000Z", None)]
+
+
+def test_date_component_constructor_js_rules():
+    """JS MakeDay rules: 0-99 years get +1900, month indexes overflow
+    by rolling (12 → next January, -1 → previous December), leap days
+    are real."""
+    assert _run_map(
+        "function(doc){ var d = new Date(98, 12, 1); "
+        "emit([d.getFullYear(), d.getMonth()], null); }", {},
+    ) == [([1999.0, 0.0], None)]
+    assert _run_map(
+        "function(doc){ emit(new Date(2000, 1, 29).toISOString(), "
+        "null); }", {},
+    ) == [("2000-02-29T00:00:00.000Z", None)]
+    assert _run_map(
+        "function(doc){ emit(new Date(2019, -1, 31).toISOString(), "
+        "null); }", {},
+    ) == [("2018-12-31T00:00:00.000Z", None)]
+
+
+def test_date_parse_utc_and_coercions():
+    """Date.parse / Date.UTC agree on ISO forms; relational compare
+    is numeric (time value) while + takes the Date's STRING
+    ToPrimitive default; negative ms wrap correctly."""
+    got = _run_map(
+        """function(doc){
+             emit([Date.parse('2020-06-01'), Date.UTC(2020, 5, 1),
+                   isNaN(Date.parse('garbage')),
+                   new Date(5000) > new Date(100),
+                   new Date(0) + '!'], null); }""", {},
+    )
+    k = got[0][0]
+    assert k[0] == k[1] == 1590969600000.0
+    assert k[2] is True and k[3] is True
+    assert k[4] == "1970-01-01T00:00:00.000Z!"
+    got = _run_map(
+        "function(doc){ var d = new Date(-1); "
+        "emit([d.getUTCDay(), d.getUTCHours(), "
+        "d.getUTCMilliseconds(), d.getUTCFullYear()], null); }", {},
+    )
+    assert got[0][0] == [3.0, 23.0, 999.0, 1969.0]
+
+
+def test_date_now_and_zero_arg_fail_loud():
+    """Determinism contract: wall-clock reads are a loud error, not a
+    silently time-dependent view."""
+    import pytest
+
+    from mapreduce_spark.functions.jsreduce import JSReduceError
+
+    for bad in ("function(doc){ emit(new Date(), 1); }",
+                "function(doc){ emit(Date.now(), 1); }"):
+        with pytest.raises(JSReduceError,
+                           match="nondeterministic|wall clock"):
+            _run_map(bad, {})
+
+
+def test_date_view_end_to_end(spark, sf_dir, tmp_path):
+    """Engine-level: a date-bucketing ddoc over the typed events
+    table routes to the interpreter tier (new Date is out of the
+    compiled subset) and equals the Spark-side year/month/day
+    grouping of the same column."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    js = {
+        "map": (
+            "events",
+            """function(doc) {
+                 var d = new Date(doc.ts);
+                 emit([d.getUTCFullYear(), d.getUTCMonth() + 1,
+                       d.getUTCDate()], null);
+               }""",
+        ),
+        "reduce": "_count",
+    }
+    got = {
+        tuple(r["key"]): r["value"]
+        for r in eng.query(js, group=True).rows()
+    }
+    from mapreduce_spark.sources.docs import load_table
+
+    raw = load_table(spark, sf_dir, "events")
+    want = {
+        (float(r["y"]), float(r["m"]), float(r["d"])): float(r["c"])
+        for r in raw.groupBy(
+            F.year("ts").alias("y"), F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+        ).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want and got
