@@ -364,6 +364,26 @@ class _Parser:
                         "only); use a Python map function"
                     )
                 return ("doc", parts[0])
+            if tok == "new":
+                # compiled subset: new Date(doc.<tsfield>) followed by
+                # a getter call (handled in computed()).  Any other
+                # constructor/argument shape interprets.
+                _k2, ctor, coff = self._next()
+                if ctor != "Date" or not self._eat("("):
+                    raise JSCompileError(
+                        f"only new Date(doc.<field>) is compilable "
+                        f"(at offset {coff}); the interpreter tier "
+                        "runs other constructors"
+                    )
+                arg = self._expr()
+                self._expect(")")
+                if arg[0] != "doc":
+                    raise JSCompileError(
+                        "new Date() over a computed argument is "
+                        "outside the compiled subset; the "
+                        "interpreter tier runs it"
+                    )
+                return ("newdate", arg[1])
             if tok == "Math" and self._at("."):
                 self._next()
                 _k, name, noff = self._next()
@@ -496,6 +516,52 @@ class _Compiler:
 
     _STR_METHODS = ("substring", "slice", "toLowerCase", "toUpperCase",
                     "indexOf", "startsWith", "endsWith", "includes")
+
+    _DATE_GETTER_SQL = {
+        # JS getter → SQL over a (coalesced) timestamp ts; UTC == the
+        # pinned session timezone, so both variants compile the same.
+        # Spark dayofweek is Sunday=1, JS getDay is Sunday=0.
+        "getFullYear": "year({ts})", "getUTCFullYear": "year({ts})",
+        "getMonth": "(month({ts}) - 1)",        # JS month INDEX
+        "getUTCMonth": "(month({ts}) - 1)",
+        "getDate": "day({ts})", "getUTCDate": "day({ts})",
+        "getDay": "(dayofweek({ts}) - 1)",
+        "getUTCDay": "(dayofweek({ts}) - 1)",
+        "getHours": "hour({ts})", "getUTCHours": "hour({ts})",
+        "getMinutes": "minute({ts})", "getUTCMinutes": "minute({ts})",
+        "getSeconds": "second({ts})", "getUTCSeconds": "second({ts})",
+    }
+
+    def _date_getter(self, field: str, name: str,
+                     args: list) -> tuple[str, str]:
+        """``new Date(doc.ts).getUTCFullYear()`` and friends over a
+        TYPED timestamp column → plain JVM date functions (pushdown-
+        and partition-prune-friendly — the Spark-idiomatic date
+        bucketing).  The interpreter sees the doc-space rendered ISO
+        string (second precision, UTC), so only getters invariant
+        under second-truncation compile; getTime / getMilliseconds /
+        the serializers interpret.  A NULL column is JS null →
+        ToNumber 0 → the epoch (so the receiver coalesces), matching
+        ``new Date(null)``."""
+        if args:
+            raise JSCompileError(f"Date {name}() takes no arguments")
+        kind, sql = self.field(field)
+        if kind != "iso":
+            raise JSCompileError(
+                f"new Date(doc.{field}) over a {kind} field is "
+                "outside the compiled subset (typed timestamp "
+                "columns only); the interpreter tier runs it"
+            )
+        tpl = self._DATE_GETTER_SQL.get(name)
+        if tpl is None:
+            if name == "getTimezoneOffset":
+                return "num", "cast(0.0 as double)"
+            raise JSCompileError(
+                f"Date.prototype.{name}() is outside the compiled "
+                "subset; the interpreter tier runs it"
+            )
+        ts = f"coalesce({sql}, timestamp '1970-01-01 00:00:00')"
+        return "num", f"cast({tpl.format(ts=ts)} as double)"
 
     def _num_operand(self, ast: Any, sql: str) -> str:
         """Numeric operand SQL with JS ToNumber(null)=0 applied to
@@ -711,6 +777,8 @@ class _Compiler:
             )
         if tag == "method":
             base, name, args = ast[1], ast[2], ast[3]
+            if base[0] == "newdate":
+                return self._date_getter(base[1], name, args)
             bk, bs = self.computed(base)
             if bk != "str" or name not in self._STR_METHODS:
                 raise JSCompileError(

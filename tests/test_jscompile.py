@@ -1089,3 +1089,62 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
         assert checked >= 25, f"only {checked} in-subset cases"
     finally:
         TABLES.pop("fuzztab", None)
+
+
+def test_date_getters_compile_on_typed_tables(spark, sf_dir,
+                                              tmp_path):
+    """Round 6 (late): new Date(doc.ts).getUTC*() over a TYPED
+    timestamp column compiles to plain JVM date functions (year/
+    month/day/dayofweek/hour…) — the Spark-idiomatic date bucketing —
+    and equals the interpreter tier on the same source.  Non-getter
+    shapes (getTime, serializers, string receivers) stay interpreted.
+    """
+    from mapreduce_spark.functions.jscompile import compile_js_map_fn
+
+    eng = Engine(spark, sf_dir, str(tmp_path))
+    src = """function(doc) {
+      emit([new Date(doc.ts).getUTCFullYear(),
+            new Date(doc.ts).getUTCMonth() + 1,
+            new Date(doc.ts).getUTCDate(),
+            new Date(doc.ts).getUTCDay()], 1);
+    }"""
+    spec = eng._normalize_map(("events", src))
+    assert isinstance(spec, MapSpec)
+    assert "year(" in spec.key[0][1]
+    got = {
+        tuple(r["key"]): r["value"]
+        for r in eng.query({"map": spec, "reduce": "_count"},
+                           group=True).rows()
+    }
+    interp = {
+        tuple(r["key"]): r["value"]
+        for r in eng.query(
+            {"map": ("events", compile_js_map_fn(src)),
+             "reduce": "_count"}, group=True,
+        ).rows()
+    }
+    assert got == interp and got
+
+    # getter in a GUARD compiles too (lands in the scan's filters)
+    spec2 = eng._normalize_map((
+        "events",
+        "function(doc){ if (new Date(doc.ts).getUTCFullYear() === "
+        "2024) emit(doc.event_type, 1); }",
+    ))
+    assert isinstance(spec2, MapSpec) and "year(" in spec2.where
+
+    # out-of-subset date shapes interpret (no silent miscompile)
+    for bad in (
+        "function(doc){ emit(new Date(doc.ts).getTime(), 1); }",
+        "function(doc){ emit(new Date(doc.ts).toISOString(), 1); }",
+        "function(doc){ emit(new Date(doc.event_type)"
+        ".getUTCFullYear(), 1); }",   # string receiver
+        "function(doc){ emit(new Date(doc.ts), 1); }",  # bare Date
+    ):
+        with pytest.raises(JSCompileError):
+            compile_js_map(
+                bad, "events",
+                __import__("mapreduce_spark.sources.docs",
+                           fromlist=["load_table"])
+                .load_table(spark, sf_dir, "events").schema,
+            )
