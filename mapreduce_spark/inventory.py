@@ -223,11 +223,13 @@ VIEW_DEFS: dict[str, dict] = {
     # ([U pouchdb-abstract-mapreduce#evalFunc]).
     "js_interp": {
         "map": (
-            "part",
+            "events",
             """
             function (doc) {
-              var w = doc.p_type.split(' ');
-              emit([w[0], doc.p_size % 5], doc.p_retailprice / 100);
+              var w = doc.event_type.split('r');
+              var d = new Date(doc.ts);
+              emit([w[0], d.getUTCDate(), d.getUTCDay()],
+                   doc.value / 100);
             }
             """,
         ),
@@ -852,13 +854,16 @@ class Inventory:
 
     def q35(self):
         """F1 fallback tier: an out-of-compiled-subset JS ddoc (var,
-        .split(), ``/``, ``%``) on a TYPED table, interpreted by
-        functions/jsmap.py and reduced by the JVM ``_sum`` — grouped
-        word-of-p_type × size-bucket price totals."""
+        .split(), ``new Date`` bucketing with UTC getters, ``/``) on
+        a TYPED table, interpreted by functions/jsmap.py and reduced
+        by the JVM ``_sum`` — grouped word × day-of-month ×
+        day-of-week value totals (round-6 late: Date coverage under
+        the DuckDB gate)."""
         res = self._q("js_interp", group=True)
         return res.df.select(
-            _j("$[0]").alias("ptype_word"),
-            _j("$[1]", "double").alias("bucket"),
+            _j("$[0]").alias("word"),
+            _j("$[1]", "double").alias("dom"),
+            _j("$[2]", "double").alias("dow"),
             F.round(F.col("value_num"), 2).alias("sum_v"),
         )
 
@@ -1162,10 +1167,10 @@ ORACLE_SQL: dict[str, str] = {
         "lang FROM documents"
     ),
     "q35": (
-        "SELECT string_split(p_type, ' ')[1] AS ptype_word, "
-        "(p_size % 5)::DOUBLE AS bucket, "
-        "ROUND(SUM(p_retailprice::DOUBLE / 100), 2) AS sum_v "
-        "FROM part GROUP BY 1, 2"
+        "SELECT string_split(event_type, 'r')[1] AS word, "
+        "day(ts)::DOUBLE AS dom, dayofweek(ts)::DOUBLE AS dow, "
+        "ROUND(SUM(value::DOUBLE / 100), 2) AS sum_v "
+        "FROM events GROUP BY 1, 2, 3"
     ),
     "q36": (
         "SELECT FLOOR(o_totalprice / 10000) AS bucket, "
