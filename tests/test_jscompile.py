@@ -932,6 +932,16 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
         register_table,
     )
 
+    import datetime as _dt
+
+    ts_vals = [
+        _dt.datetime(2024, 1, 7, 23, 59, 59),   # a Sunday
+        _dt.datetime(1970, 1, 1, 0, 0, 0),      # the epoch
+        None,                                   # new Date(null) = epoch
+        _dt.datetime(2000, 2, 29, 12, 30, 15),  # leap day
+        _dt.datetime(1969, 12, 31, 23, 0, 1),   # pre-epoch
+        _dt.datetime(1995, 3, 17, 10, 30, 0),
+    ]
     rows = [
         ("d0", "Alpha", "x-1", 10.0, 2.0),
         ("d1", None, "user:9", -7.5, 0.0),
@@ -940,9 +950,12 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
         ("d4", None, "", None, 1.0),
         ("d5", "gamma", "x-2", 2.5, 0.0),
     ]
+    rows = [r + (ts_vals[i],) for i, r in enumerate(rows)]
     sf2 = _tf.mkdtemp()
     df = spark.createDataFrame(
-        rows, "tk string, s string, t string, n double, m double"
+        rows,
+        "tk string, s string, t string, n double, m double, "
+        "ts timestamp",
     )
     df.write.parquet(f"{sf2}/fuzztab.parquet")
     register_table(
@@ -952,7 +965,7 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
     rng = random.Random(20260814)
 
     def num_expr(depth, in_cond):
-        c = rng.randint(0, 7 if depth > 0 else 1)
+        c = rng.randint(0, 8 if depth > 0 else 1)
         if c == 0:
             return rng.choice(["doc.n", "doc.m"])
         if c == 1:
@@ -970,6 +983,13 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
             return "doc.s.length"          # null receiver → throw
         if c == 6:
             return f"doc.t.indexOf('{rng.choice(['x', 'user:'])}')"
+        if c == 7:
+            # compiled Date getters over the typed ts column (round-6
+            # late): both tiers must agree incl. null ts (= epoch)
+            g = rng.choice(["getUTCFullYear", "getUTCMonth",
+                            "getUTCDate", "getUTCDay", "getUTCHours",
+                            "getUTCMinutes", "getUTCSeconds"])
+            return f"new Date(doc.ts).{g}()"
         return (f"({cond(depth - 1)} ? {num_expr(depth - 1, in_cond)}"
                 f" : {num_expr(depth - 1, in_cond)})")
 
@@ -1076,9 +1096,12 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
                     ))
             fn = compile_js_map_full(src)
             interpreted = set()
-            for tk, s, t, n, m in rows:
+            for tk, s, t, n, m, ts in rows:
                 emits = []
-                fn({"tk": tk, "s": s, "t": t, "n": n, "m": m},
+                iso = (ts.strftime("%Y-%m-%dT%H:%M:%S")
+                       if ts is not None else None)
+                fn({"tk": tk, "s": s, "t": t, "n": n, "m": m,
+                    "ts": iso},
                    lambda k, v: emits.append((k, v)))
                 for k, v in emits:
                     kt = (tuple(norm(x) for x in k)
