@@ -614,16 +614,17 @@ _MATH_FNS = {
 }
 
 _LIST_METHODS = frozenset(
-    "push concat indexOf join slice reduce map filter forEach".split()
+    "push concat indexOf join slice reduce map filter forEach "
+    "sort reverse every some find findIndex includes lastIndexOf "
+    "pop shift unshift toString".split()
 )
 # real JS Array methods OUTSIDE the subset: accessing one fails LOUD
 # (letting it run would silently skip every doc, since real JS would
 # have executed it); names JS Arrays don't have at all fall through to
 # undefined → a faithful runtime TypeError on call
 _LIST_METHODS_JS = frozenset(
-    "sort reverse every some find findIndex includes lastIndexOf pop "
-    "shift unshift splice flat flatMap keys values entries fill "
-    "copyWithin reduceRight toString".split()
+    "splice flat flatMap keys values entries fill "
+    "copyWithin reduceRight".split()
 )
 _STR_METHODS = frozenset(
     "toLowerCase toUpperCase substring substr slice split indexOf "
@@ -1133,6 +1134,74 @@ def _call(fn: Any, args: list) -> Any:
                 elif name == "filter" and _truthy(r):
                     out.append(x)
             return _UNDEF if name == "forEach" else out
+        if name in ("every", "some") and isinstance(obj, list):
+            if not args:
+                raise JSReduceError(f".{name}() requires a callback")
+            for i, x in enumerate(obj):
+                t = _truthy(_call(args[0], [x, float(i), obj]))
+                if name == "every" and not t:
+                    return False
+                if name == "some" and t:
+                    return True
+            return name == "every"  # every([]) true, some([]) false
+        if name in ("find", "findIndex") and isinstance(obj, list):
+            if not args:
+                raise JSReduceError(f".{name}() requires a callback")
+            for i, x in enumerate(obj):
+                if _truthy(_call(args[0], [x, float(i), obj])):
+                    return x if name == "find" else float(i)
+            return _UNDEF if name == "find" else -1.0
+        if name == "includes" and isinstance(obj, list):
+            # SameValueZero: unlike indexOf, NaN matches NaN
+            a0 = args[0] if args else _UNDEF
+            a0_nan = isinstance(a0, float) and a0 != a0
+            return any(
+                _js_eq(x, a0)
+                or (a0_nan and isinstance(x, float) and x != x)
+                for x in obj
+            )
+        if name == "lastIndexOf" and isinstance(obj, list):
+            a0 = args[0] if args else _UNDEF
+            for i in range(len(obj) - 1, -1, -1):
+                if _js_eq(obj[i], a0):
+                    return float(i)
+            return -1.0
+        if name == "sort" and isinstance(obj, list):
+            # ES2019: stable; undefined elements go LAST without
+            # consulting the comparator; default order is ToString
+            # (UTF-16); a comparator's NaN result counts as 0
+            import functools as _ft
+
+            cb = args[0] if args else None
+            defined = [x for x in obj if x is not _UNDEF]
+            n_undef = len(obj) - len(defined)
+            if cb is None:
+                defined.sort(key=_js_str)
+            else:
+                def cmp(a, b):
+                    r = _js_num(_call(cb, [a, b]))
+                    if r != r:
+                        return 0
+                    return -1 if r < 0 else (1 if r > 0 else 0)
+
+                defined.sort(key=_ft.cmp_to_key(cmp))
+            obj[:] = defined + [_UNDEF] * n_undef
+            return obj
+        if name == "reverse" and isinstance(obj, list):
+            obj.reverse()
+            return obj
+        if name == "pop" and isinstance(obj, list):
+            return obj.pop() if obj else _UNDEF
+        if name == "shift" and isinstance(obj, list):
+            return obj.pop(0) if obj else _UNDEF
+        if name == "unshift" and isinstance(obj, list):
+            obj[:0] = args
+            return float(len(obj))
+        if name == "toString" and isinstance(obj, list):
+            return ",".join(
+                "" if x is None or x is _UNDEF else _js_str(x)
+                for x in obj
+            )
         if name == "hasOwnProperty" and isinstance(obj, dict):
             return _js_str(args[0] if args else _UNDEF) in obj
         if isinstance(obj, JSDate):

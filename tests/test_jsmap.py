@@ -100,8 +100,11 @@ def test_interpreter_out_of_subset_still_loud():
         run_map("function(doc) { emit(doc.s.match('x'), 1); }",
                 {"s": "x"})
     with pytest.raises(JSReduceError):
-        run_map("function(doc) { emit(doc.v.sort(), 1); }",
+        run_map("function(doc) { emit(doc.v.splice(0, 1), 1); }",
                 {"v": [2, 1]})
+    # .sort() is IN the subset now (round 6 late)
+    assert run_map("function(doc) { emit(doc.v.sort(), 1); }",
+                   {"v": [2.0, 1.0]}) == [([1.0, 2.0], 1.0)]
 
 
 def test_typed_table_fallback_end_to_end(spark, sf_dir, tmp_path):
@@ -156,7 +159,7 @@ def test_fallback_is_picklable_and_signature_stable():
 
 def test_out_of_subset_runtime_fails_loud():
     """Round 6 (review): a ddoc using a construct the interpreter
-    cannot run (.sort()) must FAIL the build, not tryMap-skip every
+    cannot run (.splice()) must FAIL the build, not tryMap-skip every
     doc into a silently-empty view; a genuine JS runtime throw still
     skips just the doc."""
     import pytest
@@ -167,9 +170,9 @@ def test_out_of_subset_runtime_fails_loud():
 
     docs = [{"_id": "d1", "tags": ["b", "a"]}]
     fn = compile_js_map_full(
-        "function(doc){ emit(doc.tags.sort()[0], 1); }"
+        "function(doc){ emit(doc.tags.splice(0, 1)[0], 1); }"
     )
-    with pytest.raises(QueryParseError, match="sort"):
+    with pytest.raises(QueryParseError, match="splice"):
         map_docs_to_rows(docs, fn)
 
     # runtime throw (member on null): doc skipped, build survives

@@ -191,7 +191,7 @@ def test_math_nan_semantics():
 def test_out_of_subset_raises():
     for src in (
         "function(k, v) { while (true) {} }",
-        "function(k, v) { return v.sort(); }",
+        "function(k, v) { return v.splice(0, 1); }",
         "function(k, v) { throw 'no'; }",
     ):
         with pytest.raises(JSReduceError):
@@ -767,3 +767,52 @@ def test_stats_lowered_plan_is_jvm_only(spark, sf_dir, tmp_path):
     plan = res.df._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert marker not in plan
+
+
+def test_array_methods_js_semantics():
+    """Round 6 (late): sort (ToString default order, comparator form,
+    stability contract), reverse, every/some (vacuous truths),
+    find/findIndex, includes (SameValueZero: NaN matches) vs indexOf
+    (strict: NaN never matches), lastIndexOf, pop/shift/unshift,
+    toString."""
+    from mapreduce_spark.functions.jsreduce import JSReduceFunction
+
+    fn = JSReduceFunction("""function(keys, values, rereduce) {
+      var a = [3, 1, 2];
+      var out = [];
+      out.push(a.sort().join('-'));
+      out.push([10, 9, 1].sort().join('-'));      // ToString order!
+      out.push([10, 9, 1].sort(function(x, y){ return x - y; })
+               .join('-'));
+      out.push(a.reverse().join('-'));
+      out.push([1, 2, 3].every(function(x){ return x > 0; }));
+      out.push([1, 2, 3].some(function(x){ return x > 2; }));
+      out.push([].every(function(x){ return false; }));
+      out.push([].some(function(x){ return true; }));
+      out.push([5, 6, 7].find(function(x){ return x > 5; }));
+      out.push([5, 6, 7].findIndex(function(x){ return x > 5; }));
+      out.push([5, 6].find(function(x){ return x > 9; }));
+      out.push([1, 0/0, 2].includes(0/0));  // SameValueZero
+      out.push([1, 0/0, 2].indexOf(0/0));   // strict: -1
+      out.push([1, 2, 1].lastIndexOf(1));
+      var b = [1, 2, 3];
+      out.push(b.pop()); out.push(b.shift());
+      out.push(b.unshift(9, 8));
+      out.push(b.toString());
+      return out;
+    }""")
+    assert fn(None, [], False) == [
+        "1-2-3", "1-10-9", "1-9-10", "3-2-1", True, True, True,
+        False, 6.0, 1.0, None, True, -1.0, 2.0, 3.0, 1.0, 3.0,
+        "9,8,2",
+    ]
+    # splice stays a LOUD out-of-subset error, not a silent skip
+    import pytest
+
+    from mapreduce_spark.functions.jsreduce import JSReduceError
+
+    bad = JSReduceFunction(
+        "function(k, v, r) { var a = [1]; return a.splice(0, 1); }"
+    )
+    with pytest.raises(JSReduceError, match="splice"):
+        bad(None, [], False)
