@@ -222,6 +222,23 @@ class _Parser:
         if tok == "for":
             self._next()
             self._expect("(")
+            # for-in: `for ([var] k in obj) body` — enumerates object
+            # keys in insertion order / array index strings (JS `in`
+            # is a reserved word, so the lookahead is unambiguous)
+            save = self.i
+            if self._at("var") or self._at("let"):
+                self._next()
+            if (
+                self.i + 1 < len(self.toks)
+                and self.toks[self.i][0] == "ident"
+                and self.toks[self.i + 1][1] == "in"
+            ):
+                k = self._next()[1]
+                self._next()  # 'in'
+                obj = self._expr()
+                self._expect(")")
+                return ("forin", k, obj, self._stmt_or_block())
+            self.i = save
             init: Any = None
             if not self._at(";"):
                 if self._at("var") or self._at("let"):
@@ -709,6 +726,19 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
                 raise JSReduceError(
                     "reduce for-loop exceeded 10M iterations (runaway?)"
                 )
+    elif tag == "forin":
+        _, k, oexpr, body = s
+        obj = _eval(oexpr, env)
+        if isinstance(obj, dict):
+            keys = list(obj.keys())  # JS own-key insertion order
+        elif isinstance(obj, (list, str)):
+            keys = [str(i) for i in range(len(obj))]
+        else:
+            keys = []  # null/undefined/primitives: zero iterations
+        env.declare(k, _UNDEF)
+        for key in keys:
+            env[k] = key
+            _exec_block(body, env)
     elif tag == "assign":
         _, op, target, e = s
         val = _eval(e, env)

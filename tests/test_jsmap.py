@@ -401,3 +401,29 @@ def test_date_view_end_to_end(spark, sf_dir, tmp_path):
         ).agg(F.count(F.lit(1)).alias("c")).collect()
     }
     assert got == want and got
+
+
+def test_for_in_enumeration():
+    """Round 6 (late): for-in — the "emit every field" ddoc pattern.
+    Object keys enumerate in insertion order, array indices come as
+    STRINGS, and null/undefined objects iterate zero times (JS
+    semantics, no throw)."""
+    got = run_map(
+        """function(doc) {
+             for (var k in doc) {
+               if (k !== '_id') { emit(k, doc[k]); }
+             }
+           }""",
+        {"_id": "d1", "a": 1.0, "b": "x"},
+    )
+    assert got == [("a", 1.0), ("b", "x")]
+    got = run_map(
+        """function(doc) {
+             var out = [];
+             for (k in doc.arr) { out.push(k + ':' + doc.arr[k]); }
+             for (k in doc.missing) { out.push('never'); }
+             emit(out.join(','), null);
+           }""",
+        {"arr": [10.0, 20.0]},
+    )
+    assert got == [("0:10,1:20", None)]
