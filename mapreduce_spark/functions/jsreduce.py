@@ -219,6 +219,30 @@ class _Parser:
                 else:
                     other = self._stmt_or_block()
             return ("if", cond, then, other)
+        if tok == "while":
+            self._next()
+            self._expect("(")
+            cond = self._expr()
+            self._expect(")")
+            return ("while", cond, self._stmt_or_block())
+        if tok == "do":
+            self._next()
+            body = self._stmt_or_block()
+            if not self._eat("while"):
+                raise JSReduceError("do without while")
+            self._expect("(")
+            cond = self._expr()
+            self._expect(")")
+            self._eat(";")
+            return ("dowhile", body, cond)
+        if tok == "break":
+            self._next()
+            self._eat(";")
+            return ("break",)
+        if tok == "continue":
+            self._next()
+            self._eat(";")
+            return ("continue",)
         if tok == "for":
             self._next()
             self._expect("(")
@@ -496,6 +520,14 @@ class _Return(Exception):
         self.value = value
 
 
+class _Break(Exception):
+    """JS ``break`` — caught by the innermost enclosing loop."""
+
+
+class _Continue(Exception):
+    """JS ``continue`` — caught by the innermost enclosing loop."""
+
+
 class _Scope:
     """JS scope chain.  ``var`` declarations bind in the innermost
     function scope (``declare``); plain assignment writes to the
@@ -718,7 +750,12 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
             _exec_stmt(init, env)
         steps = 0
         while cond is None or _truthy(_eval(cond, env)):
-            _exec_block(body, env)
+            try:
+                _exec_block(body, env)
+            except _Break:
+                break
+            except _Continue:
+                pass
             if upd is not None:
                 _exec_stmt(upd, env)
             steps += 1
@@ -726,6 +763,28 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
                 raise JSReduceError(
                     "reduce for-loop exceeded 10M iterations (runaway?)"
                 )
+    elif tag in ("while", "dowhile"):
+        cond = s[1] if tag == "while" else s[2]
+        body = s[2] if tag == "while" else s[1]
+        steps = 0
+        first = tag == "dowhile"  # do-while runs the body once first
+        while first or _truthy(_eval(cond, env)):
+            first = False
+            try:
+                _exec_block(body, env)
+            except _Break:
+                break
+            except _Continue:
+                pass
+            steps += 1
+            if steps > 10_000_000:
+                raise JSReduceError(
+                    "while-loop exceeded 10M iterations (runaway?)"
+                )
+    elif tag == "break":
+        raise _Break()
+    elif tag == "continue":
+        raise _Continue()
     elif tag == "forin":
         _, k, oexpr, body = s
         obj = _eval(oexpr, env)
@@ -738,7 +797,12 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
         env.declare(k, _UNDEF)
         for key in keys:
             env[k] = key
-            _exec_block(body, env)
+            try:
+                _exec_block(body, env)
+            except _Break:
+                break
+            except _Continue:
+                continue
     elif tag == "assign":
         _, op, target, e = s
         val = _eval(e, env)

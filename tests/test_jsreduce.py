@@ -190,7 +190,7 @@ def test_math_nan_semantics():
 
 def test_out_of_subset_raises():
     for src in (
-        "function(k, v) { while (true) {} }",
+        "function(k, v) { try { return 1; } catch (e) {} }",
         "function(k, v) { return v.splice(0, 1); }",
         "function(k, v) { throw 'no'; }",
     ):
@@ -816,3 +816,30 @@ def test_array_methods_js_semantics():
     )
     with pytest.raises(JSReduceError, match="splice"):
         bad(None, [], False)
+
+
+def test_while_dowhile_break_continue():
+    """Round 6 (late): while / do-while / break / continue with JS
+    semantics (break/continue bind to the innermost loop; do-while
+    runs its body once before the test)."""
+    fn = JSReduceFunction("""function(k, values, r) {
+      var out = [];
+      var i = 0;
+      while (i < values.length) {
+        if (values[i] === 3) { i++; continue; }
+        if (values[i] > 8) { break; }
+        out.push(values[i]);
+        i++;
+      }
+      var j = 0;
+      do { out.push('d' + j); j++; } while (j < 2);
+      for (var q = 0; q < 10; q++) {
+        if (q === 2) continue;
+        if (q === 4) break;
+        out.push(q);
+      }
+      return out;
+    }""")
+    assert fn(None, [1.0, 3.0, 5.0, 9.0, 2.0], False) == [
+        1.0, 5.0, "d0", "d1", 0.0, 1.0, 3.0
+    ]
