@@ -79,11 +79,27 @@ class JSReduceError(QueryParseError):
 
 class JSRuntimeThrow(JSReduceError):
     """A genuine JS *runtime* throw — TypeError (member/call on
-    null/undefined, calling a non-function) or SyntaxError
-    (JSON.parse) — as opposed to an out-of-subset construct.  The map
-    path catches this to implement upstream tryMap (throw → skip the
-    doc's remaining emits); everywhere else it propagates like any
-    JSReduceError."""
+    null/undefined, calling a non-function), SyntaxError
+    (JSON.parse), or a user ``throw`` statement — as opposed to an
+    out-of-subset construct.  The map path catches this to implement
+    upstream tryMap (throw → skip the doc's remaining emits); a
+    ``try``/``catch`` in the ddoc catches it first; everywhere else
+    it propagates like any JSReduceError.
+
+    ``js_value`` is what a catch clause binds: the thrown value for a
+    user ``throw`` (any JS value, including null), else an
+    Error-shaped ``{name, message}`` dict for engine-raised
+    TypeErrors."""
+
+    _NO_VALUE = object()
+
+    def __init__(self, message: str,
+                 js_value: Any = _NO_VALUE) -> None:
+        super().__init__(message)
+        if js_value is JSRuntimeThrow._NO_VALUE:
+            self.js_value: Any = {"name": "Error", "message": message}
+        else:
+            self.js_value = js_value
 
 
 _TOKEN_RE = re.compile(
@@ -185,6 +201,26 @@ class _Parser:
             out.append(self._stmt())
         return out
 
+    def _function_literal(self) -> Any:
+        """Body of a function literal, the ``function`` keyword
+        already consumed; an optional NAME binds the closure inside
+        its own body (named function expression)."""
+        fname = None
+        if self._peek()[0] == "ident":
+            fname = self._next()[1]
+        self._expect("(")
+        params: list[str] = []
+        while not self._eat(")"):
+            k2, t2, o2 = self._next()
+            if k2 == "ident":
+                params.append(t2)
+            elif t2 != ",":
+                raise JSReduceError(
+                    f"unexpected {t2!r} in parameter list at {o2}"
+                )
+        self._expect("{")
+        return ("func", params, self._block(), fname)
+
     def _stmt_or_block(self) -> list:
         if self._eat("{"):
             return self._block()
@@ -219,6 +255,44 @@ class _Parser:
                 else:
                     other = self._stmt_or_block()
             return ("if", cond, then, other)
+        if (
+            tok == "function"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1][0] == "ident"
+        ):
+            # statement-level function DECLARATION: bind the name like
+            # `var f = function f(){…}`.  (Not hoisted — a
+            # use-before-definition throws instead of silently
+            # resolving; ddocs define helpers before use.)
+            self._next()  # 'function'
+            e = self._function_literal()
+            return ("var", [(e[3], e)])
+        if tok == "throw":
+            self._next()
+            e = self._expr()
+            self._eat(";")
+            return ("throw", e)
+        if tok == "try":
+            self._next()
+            self._expect("{")
+            block = self._block()
+            handler = None
+            if self._eat("catch"):
+                param = None
+                if self._eat("("):
+                    k2, p, _o2 = self._next()
+                    if k2 == "ident":
+                        param = p
+                    self._expect(")")
+                self._expect("{")
+                handler = (param, self._block())
+            final = None
+            if self._eat("finally"):
+                self._expect("{")
+                final = self._block()
+            if handler is None and final is None:
+                raise JSReduceError("try without catch or finally")
+            return ("try", block, handler, final)
         if tok == "while":
             self._next()
             self._expect("(")
@@ -460,24 +534,7 @@ class _Parser:
                         self._eat(",")
                 return ("new", t2, cargs)
             if tok == "function":
-                # function literal (e.g. a values.reduce callback);
-                # an optional NAME binds the closure inside its own
-                # body (named function expression)
-                fname = None
-                if self._peek()[0] == "ident":
-                    fname = self._next()[1]
-                self._expect("(")
-                params: list[str] = []
-                while not self._eat(")"):
-                    k2, t2, o2 = self._next()
-                    if k2 == "ident":
-                        params.append(t2)
-                    elif t2 != ",":
-                        raise JSReduceError(
-                            f"unexpected {t2!r} in parameter list at {o2}"
-                        )
-                self._expect("{")
-                return ("func", params, self._block(), fname)
+                return self._function_literal()
             return ("name", tok)
         if tok == "(":
             e = self._expr()
@@ -785,6 +842,29 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
         raise _Break()
     elif tag == "continue":
         raise _Continue()
+    elif tag == "throw":
+        val = _eval(s[1], env)
+        raise JSRuntimeThrow(f"uncaught JS throw: {_js_str(val)!r}",
+                             js_value=_de_undef(val))
+    elif tag == "try":
+        _, block, handler, final = s
+        try:
+            try:
+                _exec_block(block, env)
+            except JSRuntimeThrow as ex:
+                # only genuine JS throws are catchable; out-of-subset
+                # engine errors (plain JSReduceError) must stay loud
+                if handler is None:
+                    raise
+                param, hblock = handler
+                if param is not None:
+                    env.declare(param, ex.js_value)
+                _exec_block(hblock, env)
+        finally:
+            # JS finally runs on fall-through, throw, return, break,
+            # and continue alike — Python's finally matches exactly
+            if final is not None:
+                _exec_block(final, env)
     elif tag == "forin":
         _, k, oexpr, body = s
         obj = _eval(oexpr, env)

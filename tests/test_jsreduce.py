@@ -190,7 +190,7 @@ def test_math_nan_semantics():
 
 def test_out_of_subset_raises():
     for src in (
-        "function(k, v) { try { return 1; } catch (e) {} }",
+        "function(k, v) { switch (v.length) { default: return 1; } }",
         "function(k, v) { return v.splice(0, 1); }",
         "function(k, v) { throw 'no'; }",
     ):
@@ -843,3 +843,39 @@ def test_while_dowhile_break_continue():
     assert fn(None, [1.0, 3.0, 5.0, 9.0, 2.0], False) == [
         1.0, 5.0, "d0", "d1", 0.0, 1.0, 3.0
     ]
+
+
+def test_throw_try_catch_finally_and_fn_decls():
+    """Round 6 (late): user throw (tryMap doc-skip parity), try/catch
+    binding the thrown value (objects, null, engine Error shapes),
+    finally on fall-through and return, and statement-level function
+    declarations (recursive helpers)."""
+    from mapreduce_spark.functions.jsmap import JSMapFunctionFull
+    from mapreduce_spark.functions.jsreduce import JSRuntimeThrow
+
+    fn = JSReduceFunction("""function(k, v, r) {
+      var out = [];
+      try { out.push(JSON.parse('{bad')); }
+      catch (e) { out.push('caught:' + e.name); }
+      finally { out.push('fin'); }
+      try { throw {code: 42}; } catch (err) { out.push(err.code); }
+      try { throw null; } catch (z) { out.push(z === null); }
+      function f(n) { return n < 2 ? 1 : n * f(n - 1); }
+      out.push(f(4));
+      return out;
+    }""")
+    assert fn(None, [], False) == [
+        "caught:Error", "fin", 42.0, True, 24.0
+    ]
+    # uncaught throw in a MAP fn: doc skipped, earlier emits stand
+    out = []
+    JSMapFunctionFull(
+        "function(doc){ emit('before', 1); throw 'skip'; }"
+    )({}, lambda k, v: out.append(k))
+    assert out == ["before"]
+    # uncaught throw in a reduce propagates with the thrown value
+    with pytest.raises(JSRuntimeThrow) as ei:
+        JSReduceFunction(
+            "function(k,v,r){ throw 'boom'; }"
+        )(None, [], False)
+    assert ei.value.js_value == "boom"
