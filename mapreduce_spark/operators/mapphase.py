@@ -359,7 +359,21 @@ def build_view_python(
 def build_view_python_on(
     df: DataFrame, table: str, map_fn: Callable[[dict, Callable], None]
 ) -> DataFrame:
-    """Python map path over an arbitrary raw-schema DataFrame."""
+    """Python map path over an arbitrary raw-schema DataFrame.
+
+    The interpreted map fn is the per-row cost center, so its
+    parallelism must NOT be whatever the parquet file count happens
+    to be (one small fixture file → one Python worker while 31 cores
+    idle — measured 22 s → 3 s at sf0.1).  Repartition up to the
+    session's shuffle parallelism when the source arrives with fewer
+    partitions; the round-robin exchange costs far less than the
+    serial Python it prevents, and at cluster scale real tables
+    already exceed the target so this is a no-op."""
+    target = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     docs = as_docs(df, table)
     col_order = [f.name for f in VIEW_SCHEMA.fields]
     # resolve the DocTable driver-side: user-registered tables are not
