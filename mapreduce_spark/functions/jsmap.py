@@ -32,7 +32,10 @@ from typing import Any, Callable
 
 from mapreduce_spark.functions.jscompile import _UNDEF, _de_undef
 from mapreduce_spark.functions.jsreduce import (
+    JSReduceError,
     JSRuntimeThrow,
+    _Break,
+    _Continue,
     _exec_block,
     _Parser,
     _Return,
@@ -78,6 +81,10 @@ class JSMapFunctionFull:
             _exec_block(self.body, _Scope(local))
         except _Return:
             pass  # a map fn's return value is ignored
+        except (_Break, _Continue):
+            raise JSReduceError(
+                "break/continue outside a loop"
+            ) from None
         except JSRuntimeThrow:
             # upstream tryMap: the throw skips the doc's remaining
             # emits (earlier emits stand), never the build

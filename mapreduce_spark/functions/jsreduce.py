@@ -1169,6 +1169,12 @@ def _call(fn: Any, args: list) -> Any:
             _exec_block(body, _Scope(local, captured))
         except _Return as r:
             return r.value
+        except (_Break, _Continue):
+            # illegal break/continue at function top level is a JS
+            # SyntaxError — never let it escape into a CALLER's loop
+            raise JSReduceError(
+                "break/continue outside a loop"
+            ) from None
         return _UNDEF  # fell off the end: undefined
     if isinstance(fn, tuple) and fn[:1] == ("__builtin__",):
         name = fn[1]
@@ -1948,6 +1954,10 @@ class JSReduceFunction:
             _exec_block(self.body, _Scope(local))
         except _Return as r:
             return _de_undef(r.value)
+        except (_Break, _Continue):
+            raise JSReduceError(
+                "break/continue outside a loop"
+            ) from None
         return None  # fell off the end: JS returns undefined → null
 
     def __repr__(self) -> str:
