@@ -743,12 +743,14 @@ class _Compiler:
 
                 def ieee(int_sql: str) -> str:
                     # Spark's floor/ceil(double) return BIGINT, so a
-                    # non-finite input would overflow to ±Long.MIN —
-                    # JS floor/ceil/round pass NaN/±Infinity through
-                    # unchanged; preserve them around the int op
+                    # non-finite input would overflow to ±Long.MIN
+                    # and a finite |x| ≥ 2^63 saturates — JS passes
+                    # NaN/±Infinity through unchanged, and every
+                    # double with |x| ≥ 2^53 is already integral, so
+                    # both cases return x itself
                     return (
-                        f"(CASE WHEN isnan({x}) OR abs({x}) = "
-                        f"cast('Infinity' as double) THEN {x} "
+                        f"(CASE WHEN isnan({x}) OR abs({x}) >= "
+                        f"cast(9007199254740992.0 as double) THEN {x} "
                         f"ELSE {int_sql} END)"
                     )
 
@@ -1009,6 +1011,11 @@ class _Compiler:
             if kind == "bool":
                 return f"({sql})"
             if kind == "num":
+                # JS Boolean(NaN) is FALSE, but Spark NaN <> 0 is
+                # true — null a computed NaN out first (doc fields
+                # are JSON numbers, never NaN)
+                if ast[1][0] not in ("doc", "lit"):
+                    sql = f"nanvl({sql}, cast(null as double))"
                 return f"({sql} IS NOT NULL AND {sql} <> 0)"
             if kind == "str":
                 return f"({sql} IS NOT NULL AND {sql} <> '')"
@@ -1045,14 +1052,16 @@ class _Compiler:
                 # Spark ORDERS NaN as the greatest double and treats
                 # NaN = NaN as true; JS NaN compares false to
                 # everything.  Computed operands carry real IEEE
-                # non-finites now — null a NaN out at comparison
-                # sites (NULL compares falsy, and the <=> / NOT <=>
-                # null cases line up with the JS null rules below).
+                # non-finites now — null a NaN out at RELATIONAL
+                # sites (NULL compares falsy; real JS nulls never
+                # reach a relational un-coalesced).
                 if lk == rk == "num" and a[0] not in ("doc", "lit"):
                     return f"nanvl({sql}, cast(null as double))"
                 return sql
 
-            ls, rs = _cmpable(l, ls), _cmpable(r, rs)
+            computed_num = lk == rk == "num" and (
+                l[0] not in ("doc", "lit") or r[0] not in ("doc", "lit")
+            )
             # JS null comparison semantics vs SQL three-valued logic:
             # - `null !== lit` is TRUE in JS, but SQL `<>` yields NULL
             #   and drops the row → inequality always compiles
@@ -1061,10 +1070,24 @@ class _Compiler:
             #   FIELDS compiles null-safe (<=>); against a literal the
             #   plain `=` already matches JS (both falsy on null) and
             #   stays pushable as EqualTo
+            # - a COMPUTED numeric side may carry NaN, which equals
+            #   NOTHING in JS (not even itself) while Spark's <=>
+            #   would both match NaN<=>NaN and conflate a nanvl'd NaN
+            #   with a true null — so equality over computed numbers
+            #   guards with isnan() on the RAW operands instead
+            if computed_num and op in ("===", "==", "!==", "!="):
+                eq = (
+                    f"(coalesce(NOT (isnan({ls}) OR isnan({rs})), "
+                    f"true) AND ({ls} <=> {rs}))"
+                )
+                if op in ("!==", "!="):
+                    return f"(NOT {eq})"
+                return eq
             if op in ("!==", "!="):
                 return f"(NOT ({ls} <=> {rs}))"
             if op in ("===", "==") and l[0] != "lit" and r[0] != "lit":
                 return f"({ls} <=> {rs})"
+            ls, rs = _cmpable(l, ls), _cmpable(r, rs)
             # - relational over NUMBERS coerces null to 0 in JS
             #   (ToNumber).  With a literal side the null outcome is
             #   known at compile time: fold it to a pushable
@@ -1300,6 +1323,24 @@ def compile_js_map(source: str, table: str, schema) -> Any:
                     where=" AND ".join(all_conds) if all_conds else None)
         )
         carried = list(dict.fromkeys(carried + survive))
+    # size backstop: the IEEE CASE templates repeat each operand up
+    # to 3×, so a pathologically deep arithmetic chain grows the
+    # compiled SQL ~3^depth — past a sane bound the interpreter tier
+    # is both correct and cheaper than Catalyst parsing megabytes of
+    # expression text
+    for spec in specs:
+        kparts = (
+            [sql for _, sql in spec.key]
+            if isinstance(spec.key, list) else [spec.key[1]]
+        )
+        total = sum(map(len, kparts)) + len(spec.where or "") + (
+            len(str(spec.value[1])) if spec.value else 0
+        )
+        if total > 200_000:
+            raise JSCompileError(
+                "compiled expression exceeds the size bound (deeply "
+                "nested arithmetic); the interpreter tier runs it"
+            )
     return specs[0] if len(specs) == 1 else specs
 
 
@@ -1524,6 +1565,8 @@ def _js_str(v: Any) -> str:
     if isinstance(v, list):
         return ",".join("" if x is None or x is _UNDEF else _js_str(x)
                         for x in v)
+    if isinstance(v, dict):
+        return "[object Object]"
     return str(v)
 
 

@@ -88,6 +88,13 @@ def make_day_ms(year: float, month: float = 0.0, day: float = 1.0,
     return total if abs(total) <= _MAX_MS else math.nan
 
 
+def _days_in_month(y: int, m: int) -> int:
+    if m == 2:
+        leap = y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+        return 29 if leap else 28
+    return 31 if m in (1, 3, 5, 7, 8, 10, 12) else 30
+
+
 _ISO_RE = re.compile(
     r"^([+-]\d{6}|\d{4})(?:-(\d{2})(?:-(\d{2}))?)?"
     r"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?"
@@ -106,7 +113,9 @@ def parse_date(s: str) -> float:
     y = int(m.group(1))
     mo = int(m.group(2) or 1)
     d = int(m.group(3) or 1)
-    if not (1 <= mo <= 12 and 1 <= d <= 31):
+    if not (1 <= mo <= 12 and 1 <= d <= _days_in_month(y, mo)):
+        # real engines REJECT impossible ISO dates ("2019-02-29" is
+        # Invalid Date, it does not roll like the component ctor)
         return math.nan
     h = int(m.group(4) or 0)
     mi = int(m.group(5) or 0)

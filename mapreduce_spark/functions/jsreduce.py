@@ -629,6 +629,23 @@ class _Scope:
     def declare(self, name: str, value: Any) -> None:
         self.local[name] = value
 
+    def shadow(self, name: str, value: Any) -> tuple[bool, Any]:
+        """Bind ``name`` in the innermost scope for a catch block,
+        returning (had_prior_local_binding, prior_value) for
+        ``unshadow``.  Only the innermost dict is saved: an OUTER
+        binding of the same name is merely shadowed by the new local
+        entry and reappears when it is removed."""
+        had = name in self.local
+        old = self.local.get(name)
+        self.local[name] = value
+        return had, old
+
+    def unshadow(self, name: str, had: bool, old: Any) -> None:
+        if had:
+            self.local[name] = old
+        else:
+            self.local.pop(name, None)
+
 
 def _js_to_int(v: Any) -> int:
     """JS ToIntegerOrInfinity over the subset: NaN -> 0, +/-Infinity
@@ -843,9 +860,12 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
     elif tag == "continue":
         raise _Continue()
     elif tag == "throw":
+        # the thrown value is LIVE JS state (a catch binding reads it
+        # as-is — Dates keep their methods, undefined stays
+        # undefined); only the error MESSAGE is stringified
         val = _eval(s[1], env)
         raise JSRuntimeThrow(f"uncaught JS throw: {_js_str(val)!r}",
-                             js_value=_de_undef(val))
+                             js_value=val)
     elif tag == "try":
         _, block, handler, final = s
         try:
@@ -857,9 +877,20 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
                 if handler is None:
                     raise
                 param, hblock = handler
-                if param is not None:
-                    env.declare(param, ex.js_value)
-                _exec_block(hblock, env)
+                if param is None:
+                    _exec_block(hblock, env)
+                else:
+                    # the catch param is BLOCK-scoped to the handler
+                    # (even pre-ES6), while `var` declarations inside
+                    # the handler stay function-scoped — so shadow
+                    # the param for the handler's duration and
+                    # restore the outer binding after, rather than
+                    # opening a child scope that would trap vars
+                    had, old = env.shadow(param, ex.js_value)
+                    try:
+                        _exec_block(hblock, env)
+                    finally:
+                        env.unshadow(param, had, old)
         finally:
             # JS finally runs on fall-through, throw, return, break,
             # and continue alike — Python's finally matches exactly
@@ -980,8 +1011,12 @@ def _js_div(a: Any, b: Any) -> float:
 
 def _js_mod(a: Any, b: Any) -> float:
     x, y = _js_num(a), _js_num(b)
-    if y == 0 or x != x or y != y:
+    if y == 0 or x != x or y != y or math.isinf(x):
+        # JS: x % 0, NaN operands, and ±Infinity % y are all NaN
+        # (Python's fmod raises ValueError on an infinite dividend)
         return math.nan
+    if math.isinf(y):
+        return x  # finite % ±Infinity = the dividend
     return math.fmod(x, y)
 
 

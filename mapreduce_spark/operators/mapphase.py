@@ -369,9 +369,13 @@ def build_view_python_on(
     partitions; the round-robin exchange costs far less than the
     serial Python it prevents, and at cluster scale real tables
     already exceed the target so this is a no-op."""
-    target = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    raw = df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
     )
+    try:
+        target = int(raw)
+    except (TypeError, ValueError):  # e.g. "auto" under managed AQE
+        target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     docs = as_docs(df, table)

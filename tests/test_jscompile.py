@@ -1171,3 +1171,70 @@ def test_date_getters_compile_on_typed_tables(spark, sf_dir,
                            fromlist=["load_table"])
                 .load_table(spark, sf_dir, "events").schema,
             )
+
+
+def test_nan_guard_semantics_match_interpreter(spark, tmp_path):
+    """Adversarial-review regressions: a computed NaN is FALSY in
+    compiled truthiness guards (Spark NaN <> 0 is true, JS
+    Boolean(NaN) is false), never equal to anything including itself
+    and never conflated with a true null in null-safe equality, and
+    Math.floor of a huge finite double returns it unchanged (no
+    BIGINT saturation)."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.functions.jsmap import compile_js_map_full
+    from mapreduce_spark.sources.docs import (
+        DocTable,
+        TABLES,
+        register_table,
+    )
+
+    register_table(DocTable("nantab", "nantab:%s", ("tk",),
+                            "abs(hash(tk))"))
+    try:
+        df = spark.createDataFrame(
+            [("d0", 1.0, 0.0, None), ("d1", 0.0, 0.0, 2.0),
+             ("d2", 6.0, 3.0, 2.0), ("d3", 4.0, 0.0, None)],
+            "tk string, a double, b double, c double",
+        )
+
+        def both(src):
+            specs = compile_js_map(src, "nantab", df.schema)
+            specs = specs if isinstance(specs, list) else [specs]
+            comp = set()
+            for sp in specs:
+                sel = df.filter(F.expr(sp.where)) if sp.where else df
+                comp |= {r["tk"] for r in sel.select("tk").collect()}
+            fn = compile_js_map_full(src)
+            interp = set()
+            for row in df.collect():
+                d = {"tk": row.tk, "a": row.a, "b": row.b,
+                     "c": row.c}
+                fn(d, lambda k, v, _t=row.tk: interp.add(_t))
+            return comp, interp
+
+        for src in (
+            "function(doc){ if (doc.a % doc.b) emit(1, 1); }",
+            "function(doc){ if (!(doc.a / doc.b)) emit(1, 1); }",
+            "function(doc){ if (doc.a % doc.b === doc.c) "
+            "emit(1, 1); }",
+            "function(doc){ if (doc.a % doc.b !== doc.c) "
+            "emit(1, 1); }",
+            "function(doc){ if (doc.a % doc.b === doc.a % doc.b) "
+            "emit(1, 1); }",
+            "function(doc){ if (doc.a / doc.b !== doc.a / doc.b) "
+            "emit(1, 1); }",
+        ):
+            comp, interp = both(src)
+            assert comp == interp, (src, comp, interp)
+
+        spec = compile_js_map(
+            "function(doc){ emit(Math.floor(doc.a * 1e30), 1); }",
+            "nantab", df.schema,
+        )
+        r = df.limit(1).select(
+            F.expr(spec.key[1]).alias("k")
+        ).collect()[0]["k"]
+        assert r == 1e30
+    finally:
+        TABLES.pop("nantab", None)

@@ -879,3 +879,32 @@ def test_throw_try_catch_finally_and_fn_decls():
             "function(k,v,r){ throw 'boom'; }"
         )(None, [], False)
     assert ei.value.js_value == "boom"
+
+
+def test_review_findings_round6_late():
+    """Adversarial-review regressions: catch param is BLOCK-scoped
+    (outer binding restored), thrown values stay LIVE (a caught Date
+    keeps its methods, thrown undefined binds undefined), impossible
+    ISO dates are Invalid Date (no month roll), Infinity % x is NaN
+    without a Python ValueError, and default sort stringifies objects
+    as [object Object]."""
+    from mapreduce_spark.functions.jsmap import JSMapFunctionFull
+
+    out = JSReduceFunction("""function(k,v,r){
+      var e = 'outer';
+      try { JSON.parse('{bad'); } catch (e) {}
+      var a; var b;
+      try { throw new Date(5); } catch (err) { a = err.getTime(); }
+      try { throw undefined; } catch (u) { b = (u === undefined); }
+      var inf = 1 / 0;
+      return [e, a, b, inf % 3 !== inf % 3,
+              ['a', {}, 'Z'].sort().join('|')];
+    }""")(None, [], False)
+    assert out == ["outer", 5.0, True, True,
+                   "Z|[object Object]|a"], out
+    emits = []
+    JSMapFunctionFull(
+        "function(doc){ emit([new Date('2019-02-29').toJSON(), "
+        "new Date('2020-02-29').getUTCDate()], 1); }"
+    )({}, lambda k, v: emits.append(k))
+    assert emits == [[None, 29.0]]
