@@ -66,15 +66,17 @@ def x_text_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality stats + language-ID + fingerprints joined on doc_id —
-    the three text-analysis operators value-checked in one driver row
-    (round-6 repack of the 50-row CORRECTNESS budget).  Each operator
-    is still a narrow single-scan JVM map; the joins are same-source
-    equi-joins that AQE turns broadcast at oracle scale."""
+    """Quality stats + language-ID + fingerprints + repetition
+    signals joined on doc_id — the text-analysis operators
+    value-checked in one driver row (round-6 repack of the 50-row
+    CORRECTNESS budget).  Each operator is still a narrow
+    single-scan JVM map; the joins are same-source equi-joins that
+    AQE turns broadcast at oracle scale."""
     s = x_text_stats(spark, sf_dir)
     l = x_text_langid(spark, sf_dir)
     fp = x_text_fp(spark, sf_dir)
-    return s.join(l, "doc_id").join(fp, "doc_id")
+    rep = text.repetition_features(_docs(spark, sf_dir))
+    return s.join(l, "doc_id").join(fp, "doc_id").join(rep, "doc_id")
 
 
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +363,11 @@ EXT_BENCH_QUERIES = {
     "x_text_stats": x_text_stats,
     "x_text_langid": x_text_langid,
     "x_text_fp": x_text_fp,
+    "x_text_rep": (
+        lambda spark, sf_dir: text.repetition_features(
+            _docs(spark, sf_dir)
+        )
+    ),
     "x_mm_features": x_mm_features,
     "x_mm_ppm": x_mm_ppm,
     "x_mm_wav": x_mm_wav,
@@ -542,9 +549,22 @@ SELECT doc_id, md5(text) AS text_md5,
  coalesce(list_min(list_transform({_SHINGLES},
                                   s -> substr(md5(s),1,16))), '')
    AS rolling_fp
-FROM t)
-SELECT stats.*, lang.pred_lang, lang.score, fp.text_md5, fp.rolling_fp
+FROM t),
+rep AS (
+SELECT doc_id,
+ ROUND(CASE WHEN len(bi) > 0
+       THEN 1.0 - len(list_distinct(bi))::DOUBLE / len(bi)
+       ELSE 0.0 END, 4) AS dup_bigram_ratio,
+ ROUND(coalesce(list_max(list_transform(list_distinct(w),
+         t -> len(list_filter(w, x -> x = t))))::DOUBLE
+       / greatest(len(w), 1), 0.0), 4) AS top_token_ratio
+FROM (SELECT doc_id, w,
+        [w[i]||' '||w[i+1] for i in range(1, len(w))] AS bi
+      FROM t))
+SELECT stats.*, lang.pred_lang, lang.score, fp.text_md5,
+       fp.rolling_fp, rep.dup_bigram_ratio, rep.top_token_ratio
 FROM stats JOIN lang USING (doc_id) JOIN fp USING (doc_id)
+     JOIN rep USING (doc_id)
 """,
     "x_dedup_exact": """
 SELECT doc_id, md5(text) AS fp,

@@ -134,3 +134,38 @@ def fingerprints(df: DataFrame, text: str = "text",
         F.md5(F.col(text)).alias("text_md5"),
         F.coalesce(rolling, F.lit("")).alias("rolling_fp"),
     )
+
+
+def repetition_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-doc repetition signals — the published pretraining-corpus
+    repetition filters (Gopher-style rules, public papers): the
+    fraction of duplicated word bigrams and the frequency share of
+    the single most repeated token.  Both are narrow single-scan JVM
+    expressions (zip_with bigrams; a per-distinct-token filter count
+    — O(distinct·n) per doc, fine at document scale), no shuffle, and
+    exactly mirrored in DuckDB list functions for the oracle."""
+    w = tokens(text)
+    n = F.size(w)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(w, 1, pair_len),
+        F.slice(w, 2, pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    dup_bigram = F.when(
+        F.size(bi) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi),
+    ).otherwise(F.lit(0.0))
+    counts = F.transform(
+        F.array_distinct(w),
+        lambda t: F.size(F.filter(w, lambda x: x == t)),
+    )
+    top_token = F.coalesce(
+        F.array_max(counts) / F.greatest(n, F.lit(1)),
+        F.lit(0.0),
+    )
+    return df.select(
+        "doc_id",
+        F.round(dup_bigram, 4).alias("dup_bigram_ratio"),
+        F.round(top_token, 4).alias("top_token_ratio"),
+    )

@@ -515,3 +515,25 @@ def test_pack_sequences_stream_invariants(spark, sf_dir):
         for r in rs:
             assert r["bin"] * budget + r["off"] == pos, lang
             pos += r["n_tok"]
+
+
+def test_repetition_features(spark):
+    """Gopher-style repetition signals: duplicated-bigram fraction
+    and top-token frequency share, with degenerate-length guards."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab,ba,ab,ba,ab → 2/5 distinct
+            (2, "w x y z"),              # all unique
+            (3, "spam spam spam spam"),  # one token dominates
+            (4, "solo"),                 # no bigrams
+            (5, ""),                     # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["dup_bigram_ratio"], r["top_token_ratio"])
+           for r in text.repetition_features(df).collect()}
+    assert got[1] == (round(1 - 2 / 5, 4), round(3 / 6, 4))
+    assert got[2] == (0.0, 0.25)
+    assert got[3] == (round(1 - 1 / 3, 4), 1.0)
+    assert got[4] == (0.0, 1.0)
+    assert got[5][0] == 0.0
