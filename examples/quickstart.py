@@ -98,6 +98,14 @@ def main() -> None:
           eng.query("app/big_orders", group=True, limit=2).rows())
     print("JS math/ternary view (lowered {sum,count} reduce):",
           eng.query("app/avg_price", group_level=1).rows()[:2])
+    # date-bucketing ddoc: compiles to year()/month() (JVM, prunable)
+    print("JS date view:", eng.query({
+        "map": ("orders",
+                "function(doc){ emit([new Date(doc.o_orderdate)"
+                ".getUTCFullYear(), new Date(doc.o_orderdate)"
+                ".getUTCMonth() + 1], doc.o_totalprice); }"),
+        "reduce": "_sum",
+    }, group_level=1, limit=2).rows())
 
     # -- 2. the query surface -----------------------------------------
     print("range+docid page:", len(eng.query(
