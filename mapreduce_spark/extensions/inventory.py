@@ -259,17 +259,24 @@ PIPE_BUDGET = 512
 
 def x_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining prep, one composed lazy plan:
-    exact-dedup → keep canonical docs → stratified sample (15/lang) →
-    packing coordinates at a 512-token budget.  TWO hash exchanges
-    total in the executed plan: the content-digest groupBy, and ONE
-    lang exchange shared by the sampler's and packer's windows
+    exact-dedup → NEAR-dup cluster removal (MinHash pairs →
+    connected components, keep the min-id representative) →
+    stratified sample (15/lang) → packing coordinates at a
+    512-token budget.  Besides the dedup stages' own exchanges
+    (content-digest groupBy; band-bucket join + star rounds), ONE
+    lang exchange is shared by the sampler's and packer's windows
     (identical partitioning → Catalyst reuses it); the survivors
-    join goes broadcast under AQE."""
+    joins go broadcast under AQE."""
     docs = _docs(spark, sf_dir)
     d = dedup.exact_dedup(docs)
     keep = docs.join(
         d.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
     )
+    clusters = dedup.duplicate_clusters(keep, JACCARD_T)
+    near = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    keep = keep.join(near, "doc_id", "left_anti")
     samp = sampling.stratified_sample(keep, PIPE_N, stratum_col="lang")
     toks = samp.select(
         "doc_id", "lang",
@@ -474,15 +481,30 @@ SELECT user_id::BIGINT AS user_id,
 FROM s GROUP BY user_id, sess
 """,
     "x_pipeline": f"""
-WITH k AS (
+WITH RECURSIVE
+k AS (
   SELECT doc_id, lang, text FROM (
     SELECT doc_id, lang, text,
       min(doc_id) OVER (PARTITION BY md5(text)) AS canon
     FROM documents) WHERE doc_id = canon),
+t0 AS (SELECT doc_id, string_split(text,' ') w FROM k),
+sh0 AS (SELECT doc_id, {_SHINGLES} s FROM t0),
+p0 AS (
+  SELECT a.doc_id id_a, b.doc_id id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+  FROM sh0 a JOIN sh0 b ON a.doc_id < b.doc_id),
+e0 AS (SELECT id_a a, id_b b FROM p0 WHERE j >= {JACCARD_T}
+       UNION SELECT id_b, id_a FROM p0 WHERE j >= {JACCARD_T}),
+r0 AS (SELECT a AS node, a AS reach FROM e0
+       UNION SELECT r0.node, e0.b FROM r0 JOIN e0 ON e0.a = r0.reach),
+lab AS (SELECT node, min(reach) AS cluster_id FROM r0 GROUP BY node),
+k2 AS (SELECT k.* FROM k LEFT JOIN lab ON k.doc_id = lab.node
+       WHERE lab.node IS NULL OR lab.cluster_id = k.doc_id),
 s AS (
   SELECT doc_id, lang, text FROM (
-    SELECT k.*, row_number() OVER (PARTITION BY lang
-      ORDER BY md5(doc_id::VARCHAR || ':'), doc_id) rk FROM k)
+    SELECT k2.*, row_number() OVER (PARTITION BY lang
+      ORDER BY md5(doc_id::VARCHAR || ':'), doc_id) rk FROM k2)
   WHERE rk <= {PIPE_N}),
 t AS (SELECT doc_id, lang,
   len(string_split(text,' '))::BIGINT n_tok FROM s),
