@@ -92,7 +92,21 @@ class ViewDef:
             return m.table
         if isinstance(m, list):
             return m[0].table
+        if hasattr(m, "specs"):  # VariantJSView (compiled raw JS)
+            return m.table
         return m[0]
+
+    @property
+    def _spec_list(self) -> list | None:
+        """MapSpec list when the view is statically structured
+        (MapSpec / list of MapSpecs / VariantJSView), else None."""
+        m = self.map_def
+        if hasattr(m, "specs"):
+            m = m.specs
+        specs = m if isinstance(m, list) else [m]
+        if all(isinstance(s, MapSpec) for s in specs):
+            return specs
+        return None
 
     @property
     def sig(self) -> str:
@@ -111,9 +125,8 @@ class ViewDef:
         to match zero docs (upstream would lazily succeed there).
         Dynamic Python/interpreted views return False — their values
         are real columns and the runtime guard handles parity."""
-        m = self.map_def
-        specs = m if isinstance(m, list) else [m]
-        if not all(isinstance(s, MapSpec) for s in specs):
+        specs = self._spec_list
+        if specs is None:
             return False
         return any(
             s.value is None or s.value[0] not in ("num", "num_arr")
@@ -127,11 +140,12 @@ class ViewDef:
         Derivable only for structured MapSpec views; Python map fns are
         dynamic → None (runtime probe).  Mixed number/array emits widen
         to the max array width (CouchDB sum: a number counts as [n])."""
-        m = self.map_def
-        specs = m if isinstance(m, list) else [m]
+        specs = self._spec_list
+        if specs is None:
+            return None
         widths: list[int] = []
         for s in specs:
-            if not isinstance(s, MapSpec) or s.value is None:
+            if s.value is None:
                 return None
             vk = s.value[0]
             if vk == "num":
@@ -236,7 +250,8 @@ class Engine:
             reg_views[name] = {"sig": vd.sig}
         self.registry.put_design(ddoc, reg_views)
 
-    def _normalize_map(self, m: Any) -> Any:
+    def _normalize_map(self, m: Any, *,
+                       allow_variant: bool = True) -> Any:
         """Compile JS map sources; pass every other form through.
 
         Typed tables compile to MapSpec(s) (JVM path, guards pushed
@@ -246,8 +261,15 @@ class Engine:
         statement-level interpreter over Arrow-batched doc dicts —
         upstream runs arbitrary JS (`[U pouchdb-abstract-
         mapreduce#evalFunc]`), so a compile miss must never be a user
-        error.  Raw doc sources always interpret — their field types
-        are dynamic per doc, which a typed MapSpec cannot represent."""
+        error.  Raw doc sources compile to drift-guarded Variant
+        expressions (functions/jsvariant.py) when sampled inference
+        types every referenced field — at 100 TB the per-doc Python
+        interpreter is the costliest residual on the build path — and
+        interpret otherwise; a contract violation mid-build falls back
+        transparently (same signature, see update_view).  Temporary
+        views skip the variant tier (``allow_variant=False``): their
+        result DataFrame is evaluated by the CALLER, so a drift raise
+        there could not be caught and retried engine-side."""
         from mapreduce_spark.functions.jscompile import (
             JSCompileError,
             compile_js_map,
@@ -259,6 +281,20 @@ class Engine:
             table, src = m
             t = TABLES.get(table)
             if t is not None and t.raw_json:
+                if allow_variant:
+                    from mapreduce_spark.functions.jsvariant import (
+                        compile_js_map_variant,
+                    )
+
+                    try:
+                        return compile_js_map_variant(
+                            self.spark, self.sf_dir, table, src
+                        )
+                    except JSCompileError as ce:
+                        log.info(
+                            "raw-source JS map stays on the "
+                            "interpreter tier (%s)", ce,
+                        )
                 return (table, compile_js_map_fn(src))
             schema = load_table(self.spark, self.sf_dir, table).schema
             try:
@@ -519,10 +555,12 @@ class Engine:
             return self._defs[sig], True
         # temporary view (S7): ephemeral, never persisted
         if isinstance(fun, dict):
-            return ViewDef(self._normalize_map(fun["map"]),
-                           self._normalize_reduce(fun.get("reduce"))), False
+            return ViewDef(
+                self._normalize_map(fun["map"], allow_variant=False),
+                self._normalize_reduce(fun.get("reduce"))), False
         if isinstance(fun, (MapSpec, list, tuple)):
-            return ViewDef(self._normalize_map(fun)), False
+            return ViewDef(
+                self._normalize_map(fun, allow_variant=False)), False
         raise QueryParseError(f"cannot resolve view from {fun!r}")
 
     # ------------------------------------------------------------------
@@ -591,6 +629,8 @@ class Engine:
                 ~F.coalesce(F.col("_deleted"), F.lit(False))
             )
         m = vdef.map_def
+        if hasattr(m, "specs"):  # VariantJSView: compiled raw JS
+            m = m.specs
         if isinstance(m, MapSpec):
             return build_view_structured_on(raw_df, m)
         if isinstance(m, list):
@@ -609,12 +649,46 @@ class Engine:
                     to_seq: int | None = None) -> None:
         """Incremental view refresh (M1): map changed docs, tombstone
         their previous emits, append a (tomb, delta) layer; full build
-        on first touch; compact when the layer stack grows."""
+        on first touch; compact when the layer stack grows.
+
+        Variant-compiled raw-JS views (functions/jsvariant.py) are
+        drift-guarded: a doc violating the sampled field contract
+        raises mid-build, and the refresh transparently retries on the
+        interpreter tier — the signature is source-derived and
+        identical across tiers, so the persisted view (layers already
+        written by the compiled tier are value-identical on the docs
+        it accepted) simply continues under the swapped map fn."""
         vdef = (
             vdef_or_name
             if isinstance(vdef_or_name, ViewDef)
             else self._resolve(vdef_or_name)[0]
         )
+        try:
+            return self._update_view_impl(vdef, changes, to_seq)
+        except Exception as e:
+            from mapreduce_spark.functions.jsvariant import (
+                VariantJSView,
+                is_drift_error,
+            )
+
+            m = vdef.map_def
+            if not (isinstance(m, VariantJSView) and is_drift_error(e)):
+                raise
+            log.warning(
+                "raw-doc contract drift in view %s; retrying this "
+                "refresh on the interpreter tier: %s",
+                vdef.sig, str(e)[:200],
+            )
+            from mapreduce_spark.functions.jscompile import (
+                compile_js_map_fn,
+            )
+
+            vdef.map_def = (m.table, compile_js_map_fn(m.source))
+            return self._update_view_impl(vdef, changes, to_seq)
+
+    def _update_view_impl(self, vdef: ViewDef,
+                          changes: DataFrame | None = None,
+                          to_seq: int | None = None) -> None:
         sig = vdef.sig
         t = TABLES[vdef.table]
         with self.registry.view_lock(sig):

@@ -34,6 +34,8 @@ value-checkable against a SQL oracle.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
@@ -43,6 +45,8 @@ from pyspark.sql import types as T
 
 from mapreduce_spark.extensions.text import shingles, tokens
 from mapreduce_spark.extensions.util import right_size
+
+log = logging.getLogger("mapreduce_spark.dedup")
 
 # MinHash defaults: 32 bands × 3 rows = 96 permutations.
 MINHASH_PERMS = 96
@@ -234,49 +238,64 @@ def minhash_signatures(df: DataFrame, num_perm: int = MINHASH_PERMS,
                        n: int = 3, text: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(doc_id, sig array<long>[num_perm], sz, sh) — min hash per
-    permutation.
+    permutation, 100% JVM (round-7: the former Arrow/numpy fold was
+    the hottest Python stage shared by minhash, clusters, the
+    composed pipeline and streaming dedup, and Python-worker startup
+    storms made its latency bimodal — VERDICT r6 #4).
 
-    One md5 per shingle (JVM-side, oracle-replicable) produces a
-    31-bit base hash; the num_perm affine permutations
-    (aᵢ·h + bᵢ) mod 2³¹−1 and their mins are then folded in ONE
-    Arrow-batched numpy kernel — a (num_perm × |sh|) int64
-    broadcast-multiply + min per doc (products < 2⁶², no overflow;
-    bit-identical to long arithmetic).  Spark's higher-order-function
-    lambdas are CodegenFallback (interpreted per element), so the
-    equivalent 96 × array_min(transform(hs, …)) plan is ~3.5× slower
-    than the vectorized kernel; md5 stays in the JVM because that IS
-    codegen'd and keeps the hash oracle-checkable.
+    One md5 per shingle (JVM-side, codegen'd, oracle-replicable)
+    produces a 31-bit base hash; the num_perm affine permutations
+    (aᵢ·h + bᵢ) mod 2³¹−1 fold as num_perm whole-stage-codegen'd
+    ``min`` aggregates over the exploded shingles, grouped by doc —
+    NOT as array_min(transform(…)) per row, whose higher-order-
+    function lambdas are CodegenFallback (interpreted per element,
+    measured ~3.5× slower).  The groupBy adds one exchange the
+    per-row kernel did not have, but partial aggregation collapses
+    each doc to a single row map-side (a doc's shingles share a row,
+    hence a partition), so the shuffle carries ≈ docs × (num_perm
+    longs + shingle set) — the same bytes the signature frame itself
+    occupies, with zero Python workers anywhere.  All values are
+    bit-identical to the previous kernel (a·h < 2⁶², no overflow).
 
-    Empty shingle sets (doc shorter than n words) get an all-sentinel
-    signature; such docs collide in every band, but candidate
-    verification computes 0/0 Jaccard (null) and drops the pair —
-    same observable output as the null-bucket behavior of a pure-JVM
-    array_min(empty)=null signature.
+    Empty shingle sets (doc shorter than n words) ride a null
+    placeholder element: their mins coalesce to the all-sentinel
+    signature and collect_set drops the null, so such docs keep
+    ``sh = []`` — same observable output as before (their band
+    collisions verify to 0/0 Jaccard = null and drop).
     """
     consts = _perm_consts(num_perm)
-    A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
-    B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            if len(h) == 0:
-                out.append(np.full(num_perm, _M31, dtype=np.int64))
-                continue
-            hv = np.asarray(h, dtype=np.int64)[None, :]
-            out.append(((A * hv + B) % _M31).min(axis=1))
-        return pd.Series(out)
-
     sets_ = shingle_sets(df, n, text, id_col)
-    base = F.transform(
-        "sh",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
-        .cast("long") % F.lit(_M31).cast("long"),
-    )
-    return sets_.select(
+    ex = sets_.select(
         "doc_id",
-        _sig(base).alias("sig"),
+        F.explode(
+            F.when(F.size("sh") > 0, F.col("sh"))
+            .otherwise(F.array(F.lit(None).cast("string")))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "s",
+        (
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("long") % F.lit(_M31).cast("long")
+        ).alias("h"),
+    )
+    m31 = F.lit(_M31).cast("long")
+    aggs = [
+        F.coalesce(
+            F.min(
+                (F.lit(a).cast("long") * F.col("h")
+                 + F.lit(b).cast("long")) % m31
+            ),
+            m31,
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    out = ex.groupBy("doc_id").agg(*aggs,
+                                   F.collect_set("s").alias("sh"))
+    return out.select(
+        "doc_id",
+        F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
+        .alias("sig"),
         F.size("sh").alias("sz"),
         "sh",
     )
@@ -639,6 +658,67 @@ def embedding_near_dup_blocked(
     return exploded.groupBy("pi", "pj").applyInPandas(
         gemm_tile, out_schema
     )
+
+
+# auto-routing bounds for embedding_near_dup_pairs: above this corpus
+# size the O(N²·d) exact tile product stops being a defensible default
+# (at 10⁹ vectors the pair space is 5·10¹⁷ — no cluster runs it), and
+# below this cosine threshold hyperplane-LSH banding cannot reach
+# recall ≈ 1 no matter the parameters (see similarity.near_dup_lsh's
+# recall math), so exactness genuinely requires the GEMM
+EXACT_MAX_DOCS = 200_000
+LSH_MIN_THRESHOLD = 0.8
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec_col: str = "embedding", exact: bool | None = None,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs with scale-aware routing — THE entry
+    point composed pipelines should call.
+
+    ``exact=True`` pins the blocked-GEMM tile product (exact by
+    contract, O(N²·d)); ``exact=False`` pins the random-hyperplane
+    LSH candidates-then-verify path (linear-ish, recall ≈ 1 only for
+    cosine ≥ ~0.8).  The default (None) routes: corpora ≤
+    EXACT_MAX_DOCS get the exact form, larger corpora get LSH when
+    the threshold supports it — and keep the exact form with a loud
+    log when it does not (a silent 0.3-recall answer is worse than a
+    slow exact one; opt in to LSH explicitly to override).
+
+    ``corpus_count`` skips the sizing count when the caller already
+    knows N (pipelines usually do).
+    """
+    if exact is True:
+        return embedding_near_dup_blocked(
+            emb, threshold, id_col, vec_col
+        )
+    if exact is False:
+        from mapreduce_spark.extensions.similarity import near_dup_lsh
+
+        return near_dup_lsh(emb, threshold, id_col, vec_col)
+    n = (
+        int(corpus_count)
+        if corpus_count is not None
+        else emb.select(id_col).count()
+    )
+    if n <= EXACT_MAX_DOCS:
+        return embedding_near_dup_blocked(
+            emb, threshold, id_col, vec_col,
+            n_blocks=max(1, -(-n // NEAR_DUP_BLOCK_ROWS)),
+        )
+    if threshold >= LSH_MIN_THRESHOLD:
+        from mapreduce_spark.extensions.similarity import near_dup_lsh
+
+        return near_dup_lsh(emb, threshold, id_col, vec_col)
+    log.warning(
+        "embedding_near_dup_pairs: corpus of %d vectors with cosine "
+        "threshold %.2f — below the LSH recall floor (%.2f), so the "
+        "EXACT O(N²·d) tile product runs; pass exact=False to accept "
+        "approximate recall instead", n, threshold, LSH_MIN_THRESHOLD,
+    )
+    return embedding_near_dup_blocked(emb, threshold, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------

@@ -112,11 +112,14 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact blocked-GEMM path: the fixture threshold (0.4) sits in the
-    # bulk of the pair-cosine distribution, where LSH banding cannot
-    # reach recall 1 (see similarity.near_dup_lsh docstring) — exact
-    # tiling is the only oracle-equal shape at this threshold
-    out = dedup.embedding_near_dup_blocked(_emb(spark, sf_dir), COSINE_T)
+    # scale-routed entry point (dedup.embedding_near_dup_pairs): at
+    # fixture sizes (≤ EXACT_MAX_DOCS) it selects the exact blocked-
+    # GEMM tiling — the only oracle-equal shape at this threshold
+    # (0.4 sits in the bulk of the pair-cosine distribution, where
+    # LSH banding cannot reach recall 1) — while corpora beyond the
+    # documented cap route to the linear-ish LSH path by default
+    # (tests/test_extensions.py pins the routing table)
+    out = dedup.embedding_near_dup_pairs(_emb(spark, sf_dir), COSINE_T)
     return out.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )

@@ -485,12 +485,21 @@ def _sql_num(v: float) -> str:
 
 
 class _Compiler:
-    def __init__(self, table: str, schema) -> None:
+    def __init__(self, table: str, schema,
+                 variant_types: dict[str, str] | None = None) -> None:
         from mapreduce_spark.sources.docs import TABLES
 
         self.table = table
         self.t = TABLES[table]
-        self.types = {f.name: f.dataType.simpleString() for f in schema}
+        # variant mode (functions/jsvariant.py): raw doc sources have
+        # one dynamic doc_json column; field kinds come from sampled
+        # inference and extraction is drift-guarded variant_get SQL
+        self.variant_types = variant_types
+        self.types = (
+            {}
+            if schema is None
+            else {f.name: f.dataType.simpleString() for f in schema}
+        )
         # null-guards accumulated while compiling ONE emit: a JS method
         # call on null THROWS, and upstream tryMap turns a throwing map
         # fn into a skipped doc.  Each entry is ``(ctx, guard_sql)``:
@@ -856,6 +865,18 @@ class _Compiler:
             raise JSCompileError(
                 f"doc.{name} is engine metadata and not compilable"
             )
+        if self.variant_types is not None:
+            from mapreduce_spark.functions.jsvariant import (
+                variant_field_sql,
+            )
+
+            kind = self.variant_types.get(name)
+            if kind is None:
+                raise JSCompileError(
+                    f"doc.{name} has no inferred scalar kind in the "
+                    "sampled corpus"
+                )
+            return kind, variant_field_sql(name, kind)
         dt = self.types.get(name)
         if dt is None:
             raise JSCompileError(
@@ -1247,12 +1268,16 @@ class _Compiler:
         )
 
 
-def compile_js_map(source: str, table: str, schema) -> Any:
+def compile_js_map(source: str, table: str, schema,
+                   variant_types: dict[str, str] | None = None) -> Any:
     """JS map-function source → MapSpec (or list of MapSpecs).
 
     ``schema``: the RAW table schema (``load_table(...).schema``) —
     field kinds (str/num/iso/bool) are inferred from it, mirroring the
-    doc-space conversion in ``sources.docs.as_docs``.
+    doc-space conversion in ``sources.docs.as_docs``.  With
+    ``variant_types`` (raw doc sources, functions/jsvariant.py) the
+    schema is ignored and fields extract via drift-guarded
+    ``variant_get`` SQL instead.
 
     Raises :class:`JSCompileError` (a QueryParseError) for any
     construct outside the subset — see module docstring.
@@ -1265,7 +1290,7 @@ def compile_js_map(source: str, table: str, schema) -> Any:
             "map function contains no emit() call — a view with no "
             "emits indexes nothing"
         )
-    c = _Compiler(table, schema)
+    c = _Compiler(table, schema, variant_types=variant_types)
     specs = []
     # A JS throw (method call on a null field) aborts ALL remaining
     # emits of the doc — upstream tryMap semantics — so each emit's

@@ -1,0 +1,295 @@
+"""Compile JS design-doc map functions over RAW doc sources to JVM
+Variant expressions (Spark 4 ``parse_json`` / ``variant_get``).
+
+Upstream runs arbitrary JS per document (`[U pouchdb-abstract-
+mapreduce#evalFunc]`); the reference's raw doc model is schema-less
+JSON.  Until round 6 every JS view over a ``DocTable.raw_json`` source
+ran the per-doc Python interpreter — the single most expensive residual
+Python cost on a 100 TB build path.  This module moves the common
+subset JVM-side:
+
+1. **Sampled type inference** — one tiny Spark job over ≤10k live docs
+   computes ``schema_of_variant_agg(variant_get(v, '$.f'))`` for each
+   doc field the JS source references.  Unambiguous scalar merges
+   (STRING / numeric / BOOLEAN / VOID) become compile kinds; anything
+   mixed (VARIANT), structured (OBJECT/ARRAY) or absent falls back to
+   the interpreter tier — a compile miss is never a user error.
+
+2. **Guarded field extraction** — every compiled field reference is
+
+       CASE WHEN variant_get(V,'$.f') IS NULL           -- JS undefined
+              THEN raise_error('[MR_RAW_DRIFT] …')
+            WHEN schema_of_variant(variant_get(V,'$.f')) not in <kinds>
+              THEN raise_error('[MR_RAW_DRIFT] …')       -- type drift
+            ELSE variant_get(V, '$.f', '<sql type>') END
+
+   The guards exist because typed ``variant_get`` silently COERCES
+   across kinds (number 1 → '1', string '1.5' → 1.5) — a silent
+   wrong answer — and because JS ``undefined`` (absent field) and
+   ``null`` (JSON null) diverge in ToNumber / ``=== null`` / string-
+   concat contexts.  Raising on *every* divergence keeps the compiled
+   tier exactly equal to the interpreter on the docs it accepts, and
+   the engine catches the raise and transparently re-runs the build on
+   the interpreter tier (same registry signature, see VariantJSView).
+
+3. **Sample validation build** — before accepting the compiled form,
+   the specs are evaluated over the same ≤10k-doc sample with a noop
+   write; a raise here (sparse field, mixed type the agg sample
+   missed) rejects the compile up front instead of aborting a full
+   100 TB build.
+
+Scale: the inference + validation jobs are O(sample), not O(table);
+the accepted compiled build is pure JVM (parse_json + variant_get +
+the JVM collation encoders) with zero Python workers — plan-asserted
+in tests/test_variant.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from mapreduce_spark.functions.jscompile import (
+    JSCompileError,
+    _Parser,
+)
+
+SAMPLE_DOCS = 10_000
+
+# identifier-safe JSON-path component (anything else interprets: the
+# variant path quoting rules for exotic member names are not worth
+# auditing against JS semantics)
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_KIND_OF_DDL = {
+    "STRING": "str",
+    "BOOLEAN": "bool",
+    "BIGINT": "num",
+    "INT": "num",
+    "SMALLINT": "num",
+    "TINYINT": "num",
+    "FLOAT": "num",
+    "DOUBLE": "num",
+    # all-null field: 'num' is the faithful JS default — arithmetic
+    # sees ToNumber(null)=0, method receivers guard-skip, emit
+    # positions render null; a string comparison against it simply
+    # fails to compile (kind mismatch) and interprets
+    "VOID": "num",
+}
+
+# runtime schema guard per kind: the set of schema_of_variant() DDL
+# strings the typed extraction may legally see (VOID = JSON null)
+_GUARD_SQL = {
+    "num": (
+        "({sov} IN ('BIGINT','INT','SMALLINT','TINYINT','FLOAT',"
+        "'DOUBLE','VOID') OR startswith({sov}, 'DECIMAL'))"
+    ),
+    "str": "({sov} IN ('STRING','VOID'))",
+    "bool": "({sov} IN ('BOOLEAN','VOID'))",
+}
+
+_SQL_TYPE = {"num": "double", "str": "string", "bool": "boolean"}
+
+DRIFT_MARK = "MR_RAW_DRIFT"
+
+
+def _ddl_kind(ddl: str | None) -> str | None:
+    if ddl is None:
+        return None
+    if ddl.startswith("DECIMAL"):
+        return "num"
+    return _KIND_OF_DDL.get(ddl)
+
+
+def variant_field_sql(name: str, kind: str,
+                      doc_col: str = "doc_json") -> str:
+    """Guarded typed extraction of one doc field (module docstring §2)."""
+    vg = f"variant_get(parse_json({doc_col}), '$.{name}')"
+    sov = f"schema_of_variant({vg})"
+    guard = _GUARD_SQL[kind].format(sov=sov)
+    return (
+        f"(CASE WHEN {vg} IS NULL THEN "
+        f"raise_error('[{DRIFT_MARK}] doc.{name} is absent "
+        f"(JS undefined) — interpreter tier required') "
+        f"WHEN NOT {guard} THEN "
+        f"raise_error('[{DRIFT_MARK}] doc.{name} drifted from "
+        f"inferred kind {kind} — interpreter tier required') "
+        f"ELSE variant_get(parse_json({doc_col}), '$.{name}', "
+        f"'{_SQL_TYPE[kind]}') END)"
+    )
+
+
+@dataclass
+class VariantJSView:
+    """A raw-source JS map fn compiled to Variant MapSpec(s).
+
+    ``__repr__`` matches the interpreter tier's ``(table, fn)`` repr
+    exactly (``fallback_repr``, captured from the interpreter object
+    this source would otherwise become), so the registry signature —
+    upstream: md5 of the SOURCE, [U pouchdb-abstract-mapreduce
+    #createView] — is identical across tiers and a runtime drift
+    fallback swaps tiers under the SAME persisted view.
+    """
+
+    table: str
+    source: str
+    specs: Any  # MapSpec | list[MapSpec]
+    fallback_repr: str = ""
+
+    def __repr__(self) -> str:
+        return self.fallback_repr
+
+
+def referenced_doc_fields(source: str) -> list[str] | None:
+    """Top-level doc fields a subset-parsable JS map source references,
+    or None when the source is outside the subset grammar."""
+    try:
+        emits = _Parser(source).parse()
+    except JSCompileError:
+        return None
+    fields: list[str] = []
+
+    def walk(ast: Any) -> None:
+        if not isinstance(ast, tuple):
+            return
+        tag = ast[0]
+        if tag in ("doc", "strlen", "newdate"):
+            if isinstance(ast[1], str) and ast[1] not in fields:
+                fields.append(ast[1])
+            return
+        for a in ast[1:]:
+            if isinstance(a, tuple):
+                walk(a)
+            elif isinstance(a, list):
+                for x in a:
+                    walk(x)
+            elif isinstance(a, dict):
+                for x in a.values():
+                    walk(x)
+
+    for guards, key_ast, value_ast in emits:
+        for g in guards:
+            walk(g)
+        walk(key_ast)
+        walk(value_ast)
+    if not emits:
+        return None
+    return fields
+
+
+def infer_variant_types(df, fields: list[str]) -> dict[str, str] | None:
+    """Sampled per-field kind inference (module docstring §1).
+
+    One aggregate job over ≤SAMPLE_DOCS live docs of ``df`` (raw
+    schema, ``doc_json`` column).  Returns {field: kind} or None when
+    any referenced field is unmappable (mixed/structured/absent) or
+    the sample is empty."""
+    from pyspark.sql import functions as F
+
+    if not fields:
+        return {}
+    for f in fields:
+        if f == "_id":
+            continue
+        if not _IDENT.match(f) or f in ("_rev", "_deleted"):
+            return None
+    probe = [f for f in fields if f != "_id"]
+    if not probe:
+        return {}
+    d = df
+    if "_deleted" in d.columns:
+        d = d.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    d = d.filter(F.col("doc_json").isNotNull()).limit(SAMPLE_DOCS)
+    aggs = [
+        F.expr(
+            "schema_of_variant_agg("
+            f"variant_get(parse_json(doc_json), '$.{f}'))"
+        ).alias(f"t{i}")
+        for i, f in enumerate(probe)
+    ]
+    # presence: missing fields are SQL NULL (JSON null is a variant
+    # null, counted) — a field absent from EVERY sampled doc has no
+    # evidence of a kind (schema_of_variant_agg still says VOID), so
+    # it rejects the compile rather than guessing
+    aggs += [
+        F.count(
+            F.expr(f"variant_get(parse_json(doc_json), '$.{f}')")
+        ).alias(f"p{i}")
+        for i, f in enumerate(probe)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = d.agg(*aggs).collect()[0]
+    if row["n"] == 0:
+        return None
+    out: dict[str, str] = {}
+    for i, f in enumerate(probe):
+        kind = _ddl_kind(row[f"t{i}"])
+        if kind is None or row[f"p{i}"] == 0:
+            return None
+        out[f] = kind
+    return out
+
+
+def compile_js_map_variant(spark, sf_dir: str, table: str,
+                           source: str) -> VariantJSView:
+    """JS raw-source map fn → VariantJSView (or JSCompileError).
+
+    Orchestrates: parse → sampled inference → compile (jscompile
+    subset with variant field extraction) → sample validation build.
+    Any miss raises JSCompileError so the caller falls back to the
+    interpreter tier."""
+    from mapreduce_spark.functions.jscompile import compile_js_map
+    from mapreduce_spark.operators.mapphase import (
+        build_view_structured_on,
+    )
+    from mapreduce_spark.sources.docs import load_table
+
+    fields = referenced_doc_fields(source)
+    if fields is None:
+        raise JSCompileError("source is outside the subset grammar")
+    df = load_table(spark, sf_dir, table)
+    if "doc_json" not in df.columns:
+        raise JSCompileError(f"table {table!r} has no doc_json column")
+    kinds = infer_variant_types(df, fields)
+    if kinds is None:
+        raise JSCompileError(
+            "referenced doc fields are not unambiguous scalars in the "
+            "sampled corpus (mixed / structured / absent)"
+        )
+    specs = compile_js_map(source, table, None, variant_types=kinds)
+    # validation build over the same bounded sample: evaluates every
+    # compiled expression (noop sink reads all columns), so a sparse
+    # or mixed-typed field the inference agg tolerated raises HERE,
+    # not halfway into a full build
+    d = df
+    if "_deleted" in d.columns:
+        from pyspark.sql import functions as F
+
+        d = d.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    d = d.filter("doc_json IS NOT NULL").limit(SAMPLE_DOCS)
+    try:
+        for spec in specs if isinstance(specs, list) else [specs]:
+            built = build_view_structured_on(d, spec)
+            built.write.format("noop").mode("overwrite").save()
+    except Exception as e:  # Py4J error classes vary; match by text
+        if is_drift_error(e):
+            raise JSCompileError(
+                "sampled docs violate the inferred field contract "
+                "(sparse or mixed-typed field); interpreter tier runs "
+                "this source"
+            )
+        raise
+    from mapreduce_spark.functions.jscompile import compile_js_map_fn
+
+    return VariantJSView(
+        table, source, specs,
+        fallback_repr=repr((table, compile_js_map_fn(source))),
+    )
+
+
+def is_drift_error(exc: BaseException) -> bool:
+    """True when a Spark job failure is a raw-doc contract violation
+    (our raise_error sentinel, or variant_get's own cast error)."""
+    s = str(exc)
+    return DRIFT_MARK in s or "INVALID_VARIANT_CAST" in s

@@ -328,6 +328,36 @@ def test_near_dup_lsh_equals_exact_on_near_corpus(emb, spark):
     assert got == want
 
 
+def test_embedding_near_dup_routing(emb):
+    """The scale router (VERDICT r6 #2): small corpora and sub-recall-
+    floor thresholds stay on the exact tile product; a corpus beyond
+    EXACT_MAX_DOCS with a high threshold defaults to LSH — its plan
+    must contain NO tile self-product (no applyInPandas GEMM stage)."""
+    def plan(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    gemm = "FlatMapGroupsInPandas"  # the GEMM tile stage's plan node
+    # small corpus → exact, regardless of threshold
+    assert gemm in plan(dedup.embedding_near_dup_pairs(emb, 0.9))
+    # huge corpus + high threshold → LSH: no tile product anywhere
+    big = dedup.embedding_near_dup_pairs(
+        emb, 0.9, corpus_count=10**9
+    )
+    assert gemm not in plan(big)
+    # huge corpus + low threshold → exactness requires GEMM; stays
+    # exact (loud log) rather than silently dropping recall
+    assert gemm in plan(
+        dedup.embedding_near_dup_pairs(emb, 0.4, corpus_count=10**9)
+    )
+    # explicit opt-ins pin the tier
+    assert gemm in plan(
+        dedup.embedding_near_dup_pairs(emb, 0.9, exact=True)
+    )
+    assert gemm not in plan(
+        dedup.embedding_near_dup_pairs(emb, 0.4, exact=False)
+    )
+
+
 def test_lsh_topk_recall(emb):
     """RP-LSH top-k must recover most of the exact top-k (recall@10).
 

@@ -1,0 +1,187 @@
+"""Variant-compiled raw-JS tier (functions/jsvariant.py).
+
+Upstream runs arbitrary JS per doc over schema-less JSON
+[U pouchdb-abstract-mapreduce#evalFunc]; the engine compiles the
+subset to drift-guarded JVM Variant expressions and must (a) produce
+byte-identical view rows vs the interpreter tier, (b) keep Python out
+of the build plan, (c) fall back transparently — same registry
+signature — the moment a doc violates the sampled field contract.
+"""
+
+import json
+
+import pytest
+
+from mapreduce_spark.engine import Engine
+from mapreduce_spark.functions.jscompile import (
+    JSCompileError,
+    compile_js_map_fn,
+)
+from mapreduce_spark.functions.jsvariant import (
+    VariantJSView,
+    compile_js_map_variant,
+    infer_variant_types,
+    referenced_doc_fields,
+)
+from mapreduce_spark.sources.docs import raw_doc_table, register_table
+
+JS = ("function(doc) { if (doc.lang !== 'en') "
+      "{ emit([doc.lang, doc.n % 10], doc.n); } }")
+
+
+def _mkdocs(n=200):
+    docs = []
+    for i in range(n):
+        d = {"_id": f"d:{i:04d}", "lang": ["en", "fr", "de"][i % 3],
+             "n": float(i), "flag": i % 2 == 0}
+        if i % 5 == 0:
+            d["extra"] = None
+        docs.append((d["_id"], i, json.dumps(d)))
+    return docs
+
+
+@pytest.fixture()
+def raw_sf(spark, tmp_path):
+    df = spark.createDataFrame(_mkdocs(), ["_id", "seq", "doc_json"])
+    sf = str(tmp_path / "raw")
+    df.write.mode("overwrite").parquet(f"{sf}/vdocs.parquet")
+    register_table(raw_doc_table("vdocs"))
+    return sf
+
+
+def _group_rows(eng, name):
+    res = eng.query(name, group=True, stale="ok")
+    return {tuple(r["key"]): r["value"] for r in res.rows()}
+
+
+def test_referenced_fields():
+    assert referenced_doc_fields(JS) == ["lang", "n"]
+    assert referenced_doc_fields("function(doc){}") is None
+    assert referenced_doc_fields(
+        "function(doc){ emit(doc.a.b, 1); }"
+    ) is None  # nested path is outside the subset grammar
+
+
+def test_inference(spark, raw_sf):
+    from mapreduce_spark.sources.docs import load_table
+
+    df = load_table(spark, raw_sf, "vdocs")
+    kinds = infer_variant_types(df, ["lang", "n", "flag", "extra"])
+    assert kinds == {
+        "lang": "str", "n": "num", "flag": "bool", "extra": "num",
+    }  # all-null field defaults to num (JS ToNumber(null) = 0)
+    assert infer_variant_types(df, ["nope"]) is None
+
+
+def test_compiles_and_matches_interpreter(spark, raw_sf, tmp_path):
+    eng = Engine(spark, raw_sf, str(tmp_path / "v1"))
+    eng.put_design("dd", {"v": {"map": ("vdocs", JS), "reduce": "_sum"}})
+    vd = next(iter(eng._defs.values()))
+    assert isinstance(vd.map_def, VariantJSView)
+    eng.update_view("dd/v")
+    compiled = _group_rows(eng, "dd/v")
+
+    eng2 = Engine(spark, raw_sf, str(tmp_path / "v2"))
+    eng2.put_design(
+        "dd", {"v": {"map": ("vdocs", compile_js_map_fn(JS)),
+                     "reduce": "_sum"}})
+    eng2.update_view("dd/v")
+    assert compiled == _group_rows(eng2, "dd/v")
+    assert len(compiled) == 20
+
+
+def test_signature_stable_across_tiers(spark, raw_sf):
+    v = compile_js_map_variant(spark, raw_sf, "vdocs", JS)
+    assert repr(v) == repr(("vdocs", compile_js_map_fn(JS)))
+
+
+def test_build_plan_has_no_python(spark, raw_sf):
+    from mapreduce_spark.operators.mapphase import (
+        build_view_structured_on,
+    )
+    from mapreduce_spark.sources.docs import load_table
+
+    v = compile_js_map_variant(spark, raw_sf, "vdocs", JS)
+    specs = v.specs if isinstance(v.specs, list) else [v.specs]
+    for spec in specs:
+        plan = build_view_structured_on(
+            load_table(spark, raw_sf, "vdocs"), spec
+        )._jdf.queryExecution().executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython",
+                    "MapInPandas", "PythonUDF"):
+            assert bad not in plan, f"{bad} in compiled build plan"
+
+
+def test_drift_falls_back_same_sig(spark, raw_sf, tmp_path):
+    eng = Engine(spark, raw_sf, str(tmp_path / "v3"))
+    eng.put_design("dd", {"v": {"map": ("vdocs", JS), "reduce": "_sum"}})
+    vd = next(iter(eng._defs.values()))
+    eng.update_view("dd/v")
+    sig = vd.sig
+
+    drift = [("d:9999", 10_000, json.dumps(
+        {"_id": "d:9999", "lang": 42, "n": 1.0, "flag": True}))]
+    spark.createDataFrame(
+        drift, ["_id", "seq", "doc_json"]
+    ).write.mode("append").parquet(f"{raw_sf}/vdocs.parquet")
+    eng.update_view("dd/v")  # raises inside, retries interpreted
+    assert vd.sig == sig
+    assert not isinstance(vd.map_def, VariantJSView)
+    got = _group_rows(eng, "dd/v")
+    assert got[(42, 1.0)] == 1.0  # the mixed-type doc, via interpreter
+
+
+def test_sparse_field_rejected_by_validation(spark, tmp_path):
+    # 'maybe' appears on half the docs and feeds the KEY unguarded:
+    # JS emits undefined→null for the others, which the compiled tier
+    # cannot represent (flavor-b raises) — the sample validation build
+    # must reject the compile up front
+    docs = []
+    for i in range(100):
+        d = {"_id": f"s:{i:03d}", "k": float(i)}
+        if i % 2 == 0:
+            d["maybe"] = f"m{i}"
+        docs.append((d["_id"], i, json.dumps(d)))
+    sf = str(tmp_path / "sparse")
+    spark.createDataFrame(docs, ["_id", "seq", "doc_json"]).write.mode(
+        "overwrite").parquet(f"{sf}/sdocs.parquet")
+    register_table(raw_doc_table("sdocs"))
+    with pytest.raises(JSCompileError):
+        compile_js_map_variant(
+            spark, sf, "sdocs",
+            "function(doc) { emit(doc.maybe, doc.k); }",
+        )
+    # engine path: falls back silently to the interpreter tier
+    eng = Engine(spark, sf, str(tmp_path / "v4"))
+    eng.put_design("dd", {"v": {"map": (
+        "sdocs", "function(doc) { emit(doc.maybe, doc.k); }")}})
+    vd = next(iter(eng._defs.values()))
+    assert not isinstance(vd.map_def, VariantJSView)
+    eng.update_view("dd/v")
+    rows = eng.query("dd/v", stale="ok", reduce=False).rows()
+    assert len(rows) == 100  # undefined keys normalize to null rows
+    assert sum(1 for r in rows if r["key"] is None) == 50
+
+
+def test_json_null_behaves_as_typed_null(spark, raw_sf, tmp_path):
+    # doc.extra is JSON null on every 5th doc and absent otherwise —
+    # absent from the REFERENCED set here uses only 'n'; emit value
+    # arithmetic over an always-present field with occasional nulls is
+    # the typed-table nullable-column semantics, proven equal to the
+    # interpreter on the same corpus
+    js = "function(doc) { emit(doc._id, doc.n + 1); }"
+    eng = Engine(spark, raw_sf, str(tmp_path / "v5"))
+    eng.put_design("dd", {"v": {"map": ("vdocs", js)}})
+    vd = next(iter(eng._defs.values()))
+    assert isinstance(vd.map_def, VariantJSView)
+    eng.update_view("dd/v")
+    got = {r["key"]: r["value"]
+           for r in eng.query("dd/v", stale="ok", reduce=False).rows()}
+
+    eng2 = Engine(spark, raw_sf, str(tmp_path / "v6"))
+    eng2.put_design(
+        "dd", {"v": {"map": ("vdocs", compile_js_map_fn(js))}})
+    eng2.update_view("dd/v")
+    want = {r["key"]: r["value"]
+            for r in eng2.query("dd/v", stale="ok", reduce=False).rows()}
+    assert got == want
