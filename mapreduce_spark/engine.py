@@ -339,6 +339,171 @@ class Engine:
         with ThreadPoolExecutor(max_workers=max_parallel) as ex:
             list(ex.map(self.update_view, names))
 
+    def build_ddoc(self, ddoc: str, max_parallel: int = 4) -> None:
+        """Materialize ALL views of a design doc — from ONE source
+        scan where possible (SURVEY §2 M1; CouchDB builds a ddoc's
+        views together, [U couchdb couch_mrview], and at 100 TB the
+        scan dominates the build, so N separate per-view scans are
+        N−1 wasted passes).
+
+        Structured views (MapSpec / compiled-JS, incl. the variant
+        tier) over the SAME table that are on their FIRST build fuse
+        into a single job: every view's emits are computed per source
+        row (per-emit CASE guards replace the pushed-down WHERE — the
+        scan must read rows other views keep anyway), written with one
+        range exchange on (view, key_enc) and one partitioned-by-view
+        sink whose subdirectories become the per-view base layers.
+        Everything else — interpreted views, other tables, incremental
+        refreshes — falls back to the per-view path, as does the whole
+        group on a raw-doc contract drift.
+        """
+        views = self.registry.design_views(ddoc)
+        names = [f"{ddoc}/{n}" for n in views]
+        fusable: list[tuple[str, ViewDef]] = []
+        rest: list[str] = []
+        for name, sig in views.items():
+            vdef = self._defs.get(sig)
+            entry = self.registry.get_view(sig)
+            built = entry is not None and (
+                entry.get("base") is not None or entry.get("layers")
+            )
+            if (
+                vdef is not None
+                and not built
+                and vdef._spec_list is not None
+            ):
+                fusable.append((f"{ddoc}/{name}", vdef))
+            else:
+                rest.append(f"{ddoc}/{name}")
+        by_table: dict[str, list[tuple[str, ViewDef]]] = {}
+        for name, vdef in fusable:
+            by_table.setdefault(vdef.table, []).append((name, vdef))
+        for table, group in by_table.items():
+            if len(group) < 2:
+                rest.extend(n for n, _ in group)
+                continue
+            try:
+                self._build_fused([v for _, v in group])
+            except Exception as e:
+                from mapreduce_spark.functions.jsvariant import (
+                    is_drift_error,
+                )
+
+                if not is_drift_error(e):
+                    raise
+                log.warning(
+                    "fused ddoc build hit a raw-doc contract drift; "
+                    "falling back to per-view builds: %s", str(e)[:200],
+                )
+                rest.extend(n for n, _ in group)
+        if rest:
+            self.build_views(rest, max_parallel)
+
+    def _fused_frame(self, vdefs: list[ViewDef],
+                     src: DataFrame) -> DataFrame:
+        """One-scan frame of every view's emits, tagged ``_vw`` (the
+        vdef ordinal).  Each (view, emit-site) contributes a CASE-
+        guarded struct per source row; nulls (guard false) drop after
+        ONE explode — all JVM, no union (a union would re-instance the
+        scan per branch: Spark does not CSE across union children)."""
+        from mapreduce_spark.operators.mapphase import (
+            spec_output_columns,
+        )
+
+        entries = []
+        for i, vdef in enumerate(vdefs):
+            for j, spec in enumerate(vdef._spec_list):
+                cols = spec_output_columns(spec)
+                cols["emit_ord"] = F.lit(j)
+                struct = F.struct(
+                    F.lit(i).alias("_vw"),
+                    *[cols[f.name].cast(f.dataType).alias(f.name)
+                      for f in VIEW_SCHEMA.fields],
+                )
+                guard = (
+                    F.expr(spec.where) if spec.where else F.lit(True)
+                )
+                entries.append(F.when(guard, struct))
+        return (
+            src.select(F.explode(F.array(*entries)).alias("r"))
+            .filter(F.col("r").isNotNull())
+            .select("r.*")
+        )
+
+    def _build_fused(self, vdefs: list[ViewDef]) -> None:
+        import tempfile as _tf
+
+        t = TABLES[vdefs[0].table]
+        sigs = [v.sig for v in vdefs]
+        locks = [self.registry.view_lock(s) for s in sorted(sigs)]
+        for lk in locks:
+            lk.__enter__()
+        try:
+            src = self._source_df(vdefs[0])
+            seq_col = F.expr(t.seq_expr).cast("long")
+            obs = Observation()
+            src = src.observe(obs, F.max(seq_col).alias("mx"))
+            fused = self._fused_frame(vdefs, self._pre_map(t, src))
+            # one range exchange on (view, key) keeps each view's rows
+            # contiguous AND key-ordered; the CollectMetrics with the
+            # per-view counts sits ABOVE it so the range partitioner's
+            # sampling pass cannot double-count
+            vobs = Observation()
+            metrics = []
+            for i in range(len(vdefs)):
+                vw = F.col("_vw") == i
+                metrics.append(
+                    F.count(F.when(vw, 1)).alias(f"rows{i}")
+                )
+                metrics.append(
+                    F.max(F.when(vw, F.size("value_num_arr")))
+                    .alias(f"w{i}")
+                )
+            tmp = _tf.mkdtemp(prefix="fused-",
+                              dir=self.registry.storage_dir)
+            (
+                fused.repartitionByRange("_vw", "key_enc", "id")
+                .observe(vobs, *metrics)
+                .sortWithinPartitions("_vw", "key_enc", "id",
+                                      "emit_ord")
+                .write.partitionBy("_vw")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+            m = vobs.get
+            mx = int(obs.get["mx"] or 0)
+            for i, vdef in enumerate(vdefs):
+                sig = vdef.sig
+                entry = self.registry.ensure_view(sig)
+                vdir = self.registry.view_dir(sig)
+                base_rel = "base-v1"
+                dest = os.path.join(vdir, base_rel)
+                os.makedirs(vdir, exist_ok=True)
+                shutil.rmtree(dest, ignore_errors=True)
+                part = os.path.join(tmp, f"_vw={i}")
+                if os.path.isdir(part):
+                    os.rename(part, dest)
+                else:  # a view whose guards matched nothing
+                    self.spark.createDataFrame(
+                        [], VIEW_SCHEMA
+                    ).write.mode("overwrite").parquet(dest)
+                entry.update(
+                    base=base_rel, base_version=1, last_seq=mx,
+                    stats={
+                        "rows": int(m[f"rows{i}"] or 0),
+                        "sum_w": (
+                            int(m[f"w{i}"])
+                            if m[f"w{i}"] is not None else -1
+                        ),
+                    },
+                    counts=None,
+                )
+                self.registry.set_view(sig, entry)
+            shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            for lk in reversed(locks):
+                lk.__exit__(None, None, None)
+
     def view_cleanup(self) -> dict:
         res = self.registry.view_cleanup()
         for sig in res["removed"]:
@@ -594,26 +759,18 @@ class Engine:
                 )
         return df
 
-    def _build(self, vdef: ViewDef, raw_df: DataFrame) -> DataFrame:
-        """Run the map phase over raw-schema rows (non-deleted only).
+    def _pre_map(self, t: Any, raw_df: DataFrame) -> DataFrame:
+        """Doc-space normalization before any map fn sees a row.
 
-        Deliberately NO input repartition here: the encode work runs
-        map-side on the scan splits, and measurements at sf0.1 show an
-        up-front round-robin shuffle costs more than the parallelism
-        it buys (the range partitioner's sampling pass would also run
-        over the extra exchange).  On a real cluster the scan split
-        count comes from ``spark.sql.files.maxPartitionBytes`` — tune
-        that, not the plan."""
-        t = TABLES[vdef.table]
+        A raw source is a changes LOG: several versions of a doc may
+        coexist (edits append, deletes are tombstone rows).  CouchDB's
+        by-seq indexer sees each doc once at its latest rev, so
+        collapse to latest-per-_id before mapping — one shuffle on
+        _id, the inherent cost of log compaction (fixture tables are
+        snapshots: exactly one row per pk, no collapse needed).
+        Applies per refresh batch too: two edits of one doc in a batch
+        emit only the newer.  Deleted docs never reach a map fn."""
         if t.raw_json:
-            # a raw source is a changes LOG: several versions of a doc
-            # may coexist (edits append, deletes are tombstone rows).
-            # CouchDB's by-seq indexer sees each doc once at its latest
-            # rev, so collapse to latest-per-_id before mapping — one
-            # shuffle on _id, the inherent cost of log compaction
-            # (fixture tables are snapshots: exactly one row per pk,
-            # no collapse needed).  Applies per refresh batch too: two
-            # edits of one doc in a batch emit only the newer.
             from pyspark.sql import Window
 
             w = Window.partitionBy("_id").orderBy(
@@ -628,6 +785,19 @@ class Engine:
             raw_df = raw_df.filter(
                 ~F.coalesce(F.col("_deleted"), F.lit(False))
             )
+        return raw_df
+
+    def _build(self, vdef: ViewDef, raw_df: DataFrame) -> DataFrame:
+        """Run the map phase over raw-schema rows (non-deleted only).
+
+        Deliberately NO input repartition here: the encode work runs
+        map-side on the scan splits, and measurements at sf0.1 show an
+        up-front round-robin shuffle costs more than the parallelism
+        it buys (the range partitioner's sampling pass would also run
+        over the extra exchange).  On a real cluster the scan split
+        count comes from ``spark.sql.files.maxPartitionBytes`` — tune
+        that, not the plan."""
+        raw_df = self._pre_map(TABLES[vdef.table], raw_df)
         m = vdef.map_def
         if hasattr(m, "specs"):  # VariantJSView: compiled raw JS
             m = m.specs

@@ -89,6 +89,23 @@ _TOKEN_RE = re.compile(
 def _tokenize(src: str) -> list[tuple[str, str, int]]:
     out, pos = [], 0
     while pos < len(src):
+        if src[pos] == "/" and src[pos + 1:pos + 2] not in ("/", "*"):
+            # regex literal vs division: same lexer heuristic as the
+            # statement interpreter (jsreduce), shared helpers
+            from mapreduce_spark.functions.jsreduce import (
+                JSReduceError,
+                _lex_regex,
+                _regex_allowed,
+            )
+
+            if _regex_allowed(out[-1] if out else None):
+                try:
+                    tok, end = _lex_regex(src, pos)
+                except JSReduceError as ex:
+                    raise JSCompileError(str(ex)) from None
+                out.append(("regex", tok, pos))
+                pos = end
+                continue
         m = _TOKEN_RE.match(src, pos)
         if m is None:
             raise JSCompileError(
@@ -345,6 +362,9 @@ class _Parser:
                              else int(n)))
         if kind == "str":
             return ("lit", _unquote(tok))
+        if kind == "regex":
+            body, _, flags = tok[1:].rpartition("/")
+            return ("regexlit", body, flags)
         if kind == "ident":
             if tok == "null":
                 return ("lit", None)
@@ -472,6 +492,47 @@ _ISO_SQL = 'date_format({col}, "yyyy-MM-dd\'T\'HH:mm:ss")'
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+_REGEX_SPECIALS = set("\\.^$*+?()[]{}|")
+
+
+def _literal_regex(pat: str, flags: str) -> tuple[str, str]:
+    """Classify an anchored-literal JS regex: ('exact'|'prefix'|
+    'suffix'|'contains', literal).  Anything else (flags, any special
+    char in the body) raises JSCompileError → the interpreter tier
+    (functions/jsregex.py) runs the full regex."""
+    if flags:
+        raise JSCompileError(
+            "regex flags are outside the compiled subset"
+        )
+    body = pat
+    prefix = body.startswith("^")
+    if prefix:
+        body = body[1:]
+    suffix = body.endswith("$")
+    if suffix:
+        body = body[:-1]
+    if any(c in _REGEX_SPECIALS for c in body):
+        raise JSCompileError(
+            "only anchored-literal regex patterns compile; the "
+            "interpreter tier runs the rest"
+        )
+    mode = {(True, True): "exact", (True, False): "prefix",
+            (False, True): "suffix",
+            (False, False): "contains"}[(prefix, suffix)]
+    return mode, body
+
+
+def _regex_pred_sql(mode: str, lit: str, recv: str) -> str:
+    p = _sql_str(lit)
+    if mode == "exact":
+        return f"({recv} = {p})"
+    if mode == "prefix":
+        return f"startswith({recv}, {p})"
+    if mode == "suffix":
+        return f"endswith({recv}, {p})"
+    return f"contains({recv}, {p})"
 
 
 def _sql_num(v: float) -> str:
@@ -790,6 +851,45 @@ class _Compiler:
             base, name, args = ast[1], ast[2], ast[3]
             if base[0] == "newdate":
                 return self._date_getter(base[1], name, args)
+            if base[0] == "regexlit":
+                # /pat/.test(s): anchored-literal patterns only →
+                # pushable startswith/endswith/contains/equality; JS
+                # coerces a null argument via ToString ('null')
+                if name != "test" or len(args) != 1:
+                    raise JSCompileError(
+                        f"RegExp.prototype.{name} is outside the "
+                        "compiled subset (the interpreter runs it)"
+                    )
+                mode, lit = _literal_regex(base[1], base[2])
+                ak, asql = self.computed(args[0])
+                if ak != "str":
+                    raise JSCompileError(
+                        f".test() over a {ak} argument is outside "
+                        "the compiled subset"
+                    )
+                if args[0][0] == "doc":
+                    asql = f"coalesce({asql}, 'null')"
+                return "bool", _regex_pred_sql(mode, lit, asql)
+            if (
+                name == "match"
+                and len(args) == 1
+                and args[0][0] == "regexlit"
+            ):
+                # s.match(/pat/): array-or-null in JS — compiled ONLY
+                # for truthiness/null-comparison consumption (kind
+                # 'matchbool'); key/value positions reject the kind
+                # and fall back to the interpreter
+                mode, lit = _literal_regex(args[0][1], args[0][2])
+                bk, bs = self.computed(base)
+                if bk != "str":
+                    raise JSCompileError(
+                        f".match() on a {bk} receiver is outside the "
+                        "compiled subset"
+                    )
+                if base[0] == "doc":
+                    # JS: null.match() throws → tryMap skips the doc
+                    self._push_guard(f"({bs} IS NOT NULL)")
+                return "matchbool", _regex_pred_sql(mode, lit, bs)
             bk, bs = self.computed(base)
             if bk != "str" or name not in self._STR_METHODS:
                 raise JSCompileError(
@@ -911,7 +1011,13 @@ class _Compiler:
         if tag == "doc":
             return self.field(ast[1])
         if tag in ("bin", "method", "strlen", "math", "ternary"):
-            return self.computed(ast)
+            kind, sql = self.computed(ast)
+            if kind not in ("num", "str", "bool", "iso"):
+                raise JSCompileError(
+                    f"a {kind} expression is not a compilable key "
+                    "component (e.g. .match() returns an array)"
+                )
+            return kind, sql
         raise JSCompileError(
             f"unsupported key component {tag!r} (scalars, doc fields "
             "and computed expressions only; arrays cannot nest)"
@@ -940,7 +1046,13 @@ class _Compiler:
                 return ("str", _ISO_SQL.format(col=sql))
             return (kind, sql)
         if tag in ("bin", "method", "strlen", "math", "ternary"):
-            return self.computed(ast)
+            kind, sql = self.computed(ast)
+            if kind not in ("num", "str", "bool"):
+                raise JSCompileError(
+                    f"a {kind} expression is not a compilable emitted "
+                    "value (e.g. .match() returns an array)"
+                )
+            return kind, sql
         if tag == "arr":
             exprs = []
             for a in ast[1]:
@@ -1029,7 +1141,7 @@ class _Compiler:
             return f"NOT COALESCE(({self.cond(ast[1])}), false)"
         if tag == "truthy":
             kind, sql = self._operand(ast[1])
-            if kind == "bool":
+            if kind in ("bool", "matchbool"):
                 return f"({sql})"
             if kind == "num":
                 # JS Boolean(NaN) is FALSE, but Spark NaN <> 0 is
@@ -1056,6 +1168,13 @@ class _Compiler:
                             "null is only comparable with equality"
                         )
                     k, sql = self._operand(a)
+                    if k == "matchbool":
+                        # s.match(/re/) === null ⟺ no match (the
+                        # predicate is boolean, never SQL NULL — the
+                        # null-receiver case is throw-guarded away)
+                        if op in ("!==", "!="):
+                            return f"COALESCE(({sql}), false)"
+                        return f"(NOT COALESCE(({sql}), false))"
                     neg = "NOT " if op in ("!==", "!=") else ""
                     return f"({sql} IS {neg}NULL)"
             (lk, ls), (rk, rs) = self._operand(l), self._operand(r)
@@ -1705,6 +1824,10 @@ def _de_undef(v: Any) -> Any:
         # (pouchdb-collate normalizeKey: Date → date.toJSON()), emit
         # values and reduce returns (JSON.stringify calls toJSON)
         return v.to_json_value()
+    if hasattr(v, "last_index"):
+        # JSRegExp: JSON.stringify(/re/) is '{}' — no own enumerable
+        # properties — and normalizeKey treats it the same way
+        return {}
     return v
 
 

@@ -115,9 +115,68 @@ _TOKEN_RE = re.compile(
 )
 
 
+# tokens after which a '/' starts a REGEX LITERAL, not division: the
+# classic JS lexer heuristic — a regex can only appear where an
+# operand is expected (start of input, after an operator/open paren/
+# comma/…, or after these keywords), never after a value
+_REGEX_PREV_KEYWORDS = frozenset(
+    "return typeof instanceof in of new delete void case do else "
+    "throw".split()
+)
+
+
+def _regex_allowed(prev: tuple[str, str, int] | None) -> bool:
+    if prev is None:
+        return True
+    kind, tok, _ = prev
+    if kind == "punct":
+        return tok not in (")", "]")
+    if kind == "ident":
+        return tok in _REGEX_PREV_KEYWORDS
+    return False  # after num/str: division
+
+
+def _lex_regex(src: str, pos: int) -> tuple[str, int]:
+    """Lex ``/pattern/flags`` starting at the '/' — returns (token
+    text, end offset).  Mirrors the JS lexer: '/' inside a character
+    class does not terminate; a newline does (unterminated)."""
+    i = pos + 1
+    in_class = False
+    n = len(src)
+    while i < n:
+        c = src[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "\n":
+            break
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c == "/" and not in_class:
+            j = i + 1
+            while j < n and (src[j].isalpha()):
+                j += 1
+            return src[pos:j], j
+        i += 1
+    raise JSReduceError(
+        f"unterminated regular expression literal at offset {pos}"
+    )
+
+
 def _tokenize(src: str) -> list[tuple[str, str, int]]:
     out, pos = [], 0
     while pos < len(src):
+        if (
+            src[pos] == "/"
+            and src[pos + 1:pos + 2] not in ("/", "*")
+            and _regex_allowed(out[-1] if out else None)
+        ):
+            tok, end = _lex_regex(src, pos)
+            out.append(("regex", tok, pos))
+            pos = end
+            continue
         m = _TOKEN_RE.match(src, pos)
         if m is None:
             raise JSReduceError(
@@ -293,6 +352,32 @@ class _Parser:
             if handler is None and final is None:
                 raise JSReduceError("try without catch or finally")
             return ("try", block, handler, final)
+        if tok == "switch":
+            # switch (disc) { case e: stmts… default: stmts… } with
+            # strict-equality matching and fall-through until break
+            self._next()
+            self._expect("(")
+            disc = self._expr()
+            self._expect(")")
+            self._expect("{")
+            clauses: list = []
+            while not self._eat("}"):
+                if self._eat("case"):
+                    ce = self._expr()
+                    self._expect(":")
+                    clauses.append([ce, []])
+                elif self._eat("default"):
+                    self._expect(":")
+                    clauses.append([None, []])
+                else:
+                    if not clauses:
+                        raise JSReduceError(
+                            "statement before the first case label "
+                            "in switch"
+                        )
+                    clauses[-1][1].append(self._stmt())
+            return ("switch", disc,
+                    [(c, list(b)) for c, b in clauses])
         if tok == "while":
             self._next()
             self._expect("(")
@@ -507,6 +592,15 @@ class _Parser:
             return ("lit", float(tok))
         if kind == "str":
             return ("lit", _unquote(tok))
+        if kind == "regex":
+            body, _, flags = tok[1:].rpartition("/")
+            from mapreduce_spark.functions.jsregex import validate
+
+            # a malformed regex LITERAL is a JS early SyntaxError (the
+            # whole fn fails to parse) and an out-of-subset construct
+            # must be loud — both fail HERE, at view registration
+            validate(body, flags)
+            return ("regexlit", body, flags)
         if kind == "ident":
             if tok == "null":
                 return ("lit", None)
@@ -537,6 +631,24 @@ class _Parser:
                 return self._function_literal()
             return ("name", tok)
         if tok == "(":
+            # parenthesized ASSIGNMENT EXPRESSION — the JS
+            # `while ((m = re.exec(s)) !== null)` idiom; backtrack to
+            # a plain expression when the '(' doesn't wrap one
+            save = self.i
+            try:
+                tgt = self._postfix()
+                if (
+                    tgt[0] in ("name", "member", "index")
+                    and self.i < len(self.toks)
+                    and self.toks[self.i][1] in _ASSIGN_OPS
+                ):
+                    op = self._next()[1]
+                    val = self._expr()
+                    self._expect(")")
+                    return ("assignx", op, tgt, val)
+            except JSReduceError:
+                pass
+            self.i = save
             e = self._expr()
             self._expect(")")
             return e
@@ -739,23 +851,22 @@ _MATH_FNS = {
 _LIST_METHODS = frozenset(
     "push concat indexOf join slice reduce map filter forEach "
     "sort reverse every some find findIndex includes lastIndexOf "
-    "pop shift unshift toString".split()
+    "pop shift unshift toString splice flat reduceRight".split()
 )
 # real JS Array methods OUTSIDE the subset: accessing one fails LOUD
 # (letting it run would silently skip every doc, since real JS would
 # have executed it); names JS Arrays don't have at all fall through to
 # undefined → a faithful runtime TypeError on call
 _LIST_METHODS_JS = frozenset(
-    "splice flat flatMap keys values entries fill "
-    "copyWithin reduceRight".split()
+    "flatMap keys values entries fill copyWithin".split()
 )
 _STR_METHODS = frozenset(
     "toLowerCase toUpperCase substring substr slice split indexOf "
     "lastIndexOf charAt charCodeAt trim replace concat startsWith "
-    "endsWith includes toString".split()
+    "endsWith includes toString match search".split()
 )
 _STR_METHODS_JS = frozenset(
-    "match search matchAll padStart padEnd repeat normalize "
+    "matchAll padStart padEnd repeat normalize "
     "codePointAt localeCompare at trimStart trimEnd replaceAll "
     "valueOf".split()
 )
@@ -855,6 +966,29 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
                 raise JSReduceError(
                     "while-loop exceeded 10M iterations (runaway?)"
                 )
+    elif tag == "switch":
+        # JS: evaluate case expressions in order until one === the
+        # discriminant; execute from there with FALL-THROUGH until
+        # break; no match → the default clause (executed in its
+        # source position, falling through to later cases)
+        disc = _eval(s[1], env)
+        clauses = s[2]
+        start = None
+        for i, (ce, _b) in enumerate(clauses):
+            if ce is not None and _js_eq(disc, _eval(ce, env)):
+                start = i
+                break
+        if start is None:
+            for i, (ce, _b) in enumerate(clauses):
+                if ce is None:
+                    start = i
+                    break
+        if start is not None:
+            try:
+                for _ce, body in clauses[start:]:
+                    _exec_block(body, env)
+            except _Break:
+                pass
     elif tag == "break":
         raise _Break()
     elif tag == "continue":
@@ -943,6 +1077,11 @@ def _store(target: Any, val: Any, env: dict) -> None:
         return
     if tag == "member":
         obj = _eval(target[1], env)
+        from mapreduce_spark.functions.jsregex import JSRegExp
+
+        if isinstance(obj, JSRegExp) and target[2] == "lastIndex":
+            obj.last_index = _js_num(val)
+            return
         if isinstance(obj, list):
             if target[2] == "length":
                 n = _js_num(val)
@@ -1048,8 +1187,45 @@ def _eval(e: Any, env: dict) -> Any:
         # plain unknown name: JS ReferenceError -- a genuine runtime
         # throw (tryMap skips the doc; reduce errors propagate)
         raise JSRuntimeThrow(f"undefined identifier {n!r} in JS fn")
+    if tag == "assignx":
+        op, target, rhs = e[1], e[2], e[3]
+        val = _eval(rhs, env)
+        if op != "=":
+            cur = _eval(target, env)
+            if op == "+=":
+                val = _js_add(cur, val)
+            elif op == "-=":
+                val = _js_num(cur) - _js_num(val)
+            elif op == "*=":
+                val = _js_num(cur) * _js_num(val)
+            elif op == "/=":
+                val = _js_div(cur, val)
+            elif op == "%=":
+                val = _js_mod(cur, val)
+        _store(target, val, env)
+        return val
+    if tag == "regexlit":
+        from mapreduce_spark.functions.jsregex import JSRegExp
+
+        # a fresh object per evaluation, like a JS regex literal —
+        # lastIndex state is per-occurrence (the compiled re.Pattern
+        # behind it is lru-cached)
+        return JSRegExp(e[1], e[2])
     if tag == "new":
         cname, cargs = e[1], e[2]
+        if cname == "RegExp":
+            from mapreduce_spark.functions.jsregex import JSRegExp
+
+            vals = [_eval(a, env) for a in cargs]
+            pat = vals[0] if vals else _UNDEF
+            if isinstance(pat, JSRegExp):
+                fl = (_js_str(vals[1]) if len(vals) > 1
+                      and vals[1] is not _UNDEF else pat.flags)
+                return JSRegExp(pat.source, fl)
+            src_s = "(?:)" if pat is _UNDEF else _js_str(pat)
+            fl = _js_str(vals[1]) if len(vals) > 1 \
+                and vals[1] is not _UNDEF else ""
+            return JSRegExp(src_s, fl)
         if cname != "Date":
             raise JSReduceError(
                 f"new {cname}() is outside the subset"
@@ -1093,6 +1269,31 @@ def _eval(e: Any, env: dict) -> Any:
         if name == "length":
             if isinstance(obj, (list, str)):
                 return float(len(obj))
+            return _UNDEF
+        from mapreduce_spark.functions.jsregex import (
+            JSMatchArray,
+            JSRegExp,
+        )
+
+        if isinstance(obj, JSMatchArray) and name in ("index", "input"):
+            return obj.index if name == "index" else obj.input
+        if isinstance(obj, JSRegExp):
+            if name in ("test", "exec", "toString"):
+                return ("__method__", obj, name)
+            if name == "source":
+                return obj.source
+            if name == "flags":
+                return obj.flags
+            if name == "global":
+                return obj.global_
+            if name == "ignoreCase":
+                return "i" in obj.flags
+            if name == "multiline":
+                return "m" in obj.flags
+            if name == "lastIndex":
+                return obj.last_index
+            if name in ("sticky", "unicode", "dotAll", "hasIndices"):
+                return "s" in obj.flags if name == "dotAll" else False
             return _UNDEF
         if isinstance(obj, list):
             if name in _LIST_METHODS:
@@ -1405,6 +1606,65 @@ def _call(fn: Any, args: list) -> Any:
         if name == "reverse" and isinstance(obj, list):
             obj.reverse()
             return obj
+        if name == "splice" and isinstance(obj, list):
+            # Array.prototype.splice(start, deleteCount, …items) —
+            # mutates in place, returns the removed elements;
+            # negative start counts from the end, both clamp
+            n = len(obj)
+            if not args:
+                return []
+            st = _js_to_int(args[0])
+            st = max(n + st, 0) if st < 0 else min(st, n)
+            if len(args) > 1:
+                dc = _js_to_int(args[1])
+                dc = max(0, min(dc, n - st))
+            else:
+                dc = n - st
+            removed = obj[st:st + dc]
+            obj[st:st + dc] = list(args[2:])
+            return removed
+        if name == "flat" and isinstance(obj, list):
+            # Array.prototype.flat(depth = 1)
+            d = 1
+            if args and args[0] is not _UNDEF:
+                dn = _js_num(args[0])
+                d = 0 if dn != dn else (1 << 30) if math.isinf(dn) \
+                    else int(dn)
+
+            def _flat(a: list, depth: int) -> list:
+                out: list = []
+                for x in a:
+                    if isinstance(x, list) and depth > 0:
+                        out.extend(_flat(x, depth - 1))
+                    else:
+                        # flat() drops HOLES only; the subset's arrays
+                        # have none, so every element (incl. explicit
+                        # undefined) is kept
+                        out.append(x)
+                return out
+
+            return _flat(obj, d)
+        if name == "reduceRight" and isinstance(obj, list):
+            if not args or not _is_js_callable(args[0]):
+                raise JSRuntimeThrow(
+                    ".reduceRight() requires a function callback"
+                )
+            cb = args[0]
+            items = list(obj)
+            if len(args) > 1:
+                acc = args[1]
+                idx = len(items) - 1
+            elif items:
+                acc = items[-1]
+                idx = len(items) - 2
+            else:
+                raise JSRuntimeThrow(
+                    "reduceRight of empty array with no initial value"
+                )
+            while idx >= 0:
+                acc = _call(cb, [acc, items[idx], float(idx), obj])
+                idx -= 1
+            return acc
         if name == "pop" and isinstance(obj, list):
             return obj.pop() if obj else _UNDEF
         if name == "shift" and isinstance(obj, list):
@@ -1419,6 +1679,18 @@ def _call(fn: Any, args: list) -> Any:
             )
         if name == "hasOwnProperty" and isinstance(obj, dict):
             return _js_str(args[0] if args else _UNDEF) in obj
+        from mapreduce_spark.functions.jsregex import JSRegExp
+
+        if isinstance(obj, JSRegExp):
+            if name == "test":
+                return obj.test(_js_str(args[0]) if args else
+                                "undefined", _UNDEF)
+            if name == "exec":
+                r = obj.exec(_js_str(args[0]) if args else
+                             "undefined", _UNDEF)
+                return r if r is not None else None
+            if name == "toString":
+                return repr(obj)
         if isinstance(obj, JSDate):
             return _call_date_method(obj, name)
         if isinstance(obj, str):
@@ -1480,6 +1752,13 @@ def _call_date_method(d: JSDate, name: str) -> Any:
     )
 
 
+def _is_js_callable(v: Any) -> bool:
+    """True for values the interpreter can _call (host fns, closures)."""
+    if isinstance(v, tuple):
+        return v[:1] == ("__closure__",)
+    return callable(v)
+
+
 def _call_str_method(s: str, name: str, args: list) -> Any:
     """JS String.prototype methods over the interpreted subset."""
     from mapreduce_spark.functions.jscompile import (
@@ -1516,6 +1795,10 @@ def _call_str_method(s: str, name: str, args: list) -> Any:
         ln = _js_to_int(a1)
         return s[start:start + max(0, ln)]
     if name == "split":
+        from mapreduce_spark.functions.jsregex import JSRegExp
+
+        if isinstance(a0, JSRegExp):
+            return a0.split(s, a1, _UNDEF)
         if a0 is _UNDEF:
             return [s]
         sep = _js_str(a0)
@@ -1541,10 +1824,39 @@ def _call_str_method(s: str, name: str, args: list) -> Any:
         i = _js_to_int(a0) if args else 0
         return float(ord(s[i])) if 0 <= i < len(s) else math.nan
     if name == "replace":
-        # string pattern → replace FIRST occurrence (JS semantics;
-        # regex patterns are out of the subset)
-        return s.replace(_js_str(a0), _js_str(a1) if len(args) > 1
+        from mapreduce_spark.functions.jsregex import JSRegExp
+
+        if isinstance(a0, JSRegExp):
+            cb = _call if _is_js_callable(a1) else None
+            return a0.replace(s, a1 if cb else _js_str(a1) if
+                              len(args) > 1 else "undefined",
+                              _js_str, cb, _UNDEF)
+        # string pattern → replace FIRST occurrence (JS semantics); a
+        # function replacement gets (match, offset, string)
+        pat = _js_str(a0)
+        if _is_js_callable(a1):
+            i = s.find(pat)
+            if i < 0:
+                return s
+            rep = _js_str(_call(a1, [pat, float(i), s]))
+            return s[:i] + rep + s[i + len(pat):]
+        return s.replace(pat, _js_str(a1) if len(args) > 1
                          else "undefined", 1)
+    if name == "match":
+        from mapreduce_spark.functions.jsregex import JSRegExp
+
+        rx = a0 if isinstance(a0, JSRegExp) else JSRegExp(
+            "(?:)" if a0 is _UNDEF else _js_str(a0), ""
+        )
+        r = rx.match(s, _UNDEF)
+        return r if r is not None else None
+    if name == "search":
+        from mapreduce_spark.functions.jsregex import JSRegExp
+
+        rx = a0 if isinstance(a0, JSRegExp) else JSRegExp(
+            "(?:)" if a0 is _UNDEF else _js_str(a0), ""
+        )
+        return rx.search(s)
     if name == "concat":
         return s + "".join(_js_str(a) for a in args)
     if name == "startsWith":

@@ -1,0 +1,386 @@
+"""JS regular expressions for the interpreter tiers (F1).
+
+Upstream map/reduce functions are arbitrary JavaScript
+(`[U pouchdb-abstract-mapreduce#evalFunc]`), and literal-regex string
+methods (``doc.text.match(/re/)``, ``replace``, ``split``, ``test``)
+are a common real-design-doc idiom — the widest remaining slice of
+"an upstream ddoc that won't run" after round 6 (VERDICT r6 #3).
+
+This module implements a faithful JS-regex subset on top of Python
+``re``:
+
+- **Pattern translation** (:func:`translate`): JS character classes
+  differ from Python's unicode defaults, so ``\\d \\w \\s`` (and
+  negations) expand to their exact ECMAScript non-``u``-mode sets,
+  ``(?<name>…)`` / ``\\k<name>`` rewrite to Python named-group
+  syntax, ``[]`` (matches nothing) → ``(?!)``, ``[^]`` (matches
+  anything) → ``[\\s\\S]``.  The compiled pattern carries
+  ``re.ASCII`` so ``\\b``/``\\B`` use the [A-Za-z0-9_] word set —
+  ECMAScript's definition.  Constructs whose semantics the engine
+  cannot reproduce raise loud :class:`JSReduceError`
+  (``u``/``v``/``y`` flags, ``\\p{…}``, ``\\cX``) — a compile miss
+  must never silently mis-match.
+- **Stateful objects** (:class:`JSRegExp`): ``lastIndex`` advances on
+  ``exec``/``test`` for ``g`` regexes — the ``while ((m =
+  re.exec(s)))`` idiom works, including the JS empty-match behavior.
+- **String-method semantics**: ``match`` (global and not),
+  ``search``, ``replace`` with ``$&``/``$1``/``$`​``/``$'``/
+  ``$<name>``/``$$`` expansion or a callback, and the exact
+  ECMAScript ``split`` algorithm (captures included, empty-match
+  handling Python's ``re.split`` does differently).
+
+Everything is pure Python over already-Arrow-batched doc strings —
+this runs on the interpreter tier only; jscompile separately rewrites
+anchored-literal patterns (``/^abc/`` …) to pushable
+startswith/contains/endswith compiled forms.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Any, Callable
+
+from mapreduce_spark.functions.jsreduce import (
+    JSReduceError,
+    JSRuntimeThrow,
+)
+
+# ECMAScript WhiteSpace ∪ LineTerminator — the \s set in non-u mode
+_JS_WS = (
+    "\\t\\n\\x0b\\f\\r \\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
+)
+_CLASS_EXPANSION = {
+    "d": "0-9",
+    "D": None,  # negations need their own bracket form outside classes
+    "w": "A-Za-z0-9_",
+    "s": _JS_WS,
+}
+_OUTSIDE_EXPANSION = {
+    "d": "[0-9]",
+    "D": "[^0-9]",
+    "w": "[A-Za-z0-9_]",
+    "W": "[^A-Za-z0-9_]",
+    "s": f"[{_JS_WS}]",
+    "S": f"[^{_JS_WS}]",
+}
+
+_FLAG_MAP = {"i": re.IGNORECASE, "m": re.MULTILINE, "s": re.DOTALL}
+
+
+def translate(pattern: str, flags: str) -> tuple[str, int]:
+    """JS regex source → (python pattern, re flags).
+
+    Raises JSReduceError for flags/constructs outside the subset."""
+    refl = re.ASCII  # \b/\B use the ECMAScript [A-Za-z0-9_] word set
+    for f in flags:
+        if f == "g":
+            continue  # behavioral, handled by JSRegExp
+        if f in _FLAG_MAP:
+            refl |= _FLAG_MAP[f]
+        else:
+            raise JSReduceError(
+                f"regex flag {f!r} is outside the subset"
+            )
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= n:
+                raise JSRuntimeThrow("regex ends with a lone backslash")
+            e = pattern[i + 1]
+            if e in "pP":
+                raise JSReduceError(
+                    "\\p{…} unicode property escapes are outside the "
+                    "subset"
+                )
+            if e == "c":
+                raise JSReduceError(
+                    "\\cX control escapes are outside the subset"
+                )
+            if in_class:
+                exp = _CLASS_EXPANSION.get(e)
+                if exp is not None:
+                    out.append(exp)
+                elif e in "DWS":
+                    # a negated set INSIDE a class can't expand to a
+                    # range list; Python's \D\W\S differ in unicode —
+                    # keep correctness loud
+                    raise JSReduceError(
+                        f"\\{e} inside a character class is outside "
+                        "the subset"
+                    )
+                else:
+                    out.append(pattern[i:i + 2])
+            else:
+                exp2 = _OUTSIDE_EXPANSION.get(e)
+                if exp2 is not None:
+                    out.append(exp2)
+                elif e == "k" and pattern[i + 2:i + 3] == "<":
+                    j = pattern.find(">", i + 3)
+                    if j < 0:
+                        raise JSRuntimeThrow("unterminated \\k<name>")
+                    out.append(f"(?P={pattern[i + 3:j]})")
+                    i = j + 1
+                    continue
+                else:
+                    out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            if pattern[i + 1:i + 2] == "]":  # JS []: matches nothing
+                out.append("(?!)")
+                i += 2
+                continue
+            if pattern[i + 1:i + 3] == "^]":  # JS [^]: matches anything
+                out.append("[\\s\\S]")
+                i += 3
+                continue
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "(" and pattern[i + 1:i + 2] == "?":
+            nxt = pattern[i + 2:i + 3]
+            if nxt == "<" and pattern[i + 3:i + 4] not in ("=", "!"):
+                out.append("(?P<")  # named group
+                i += 3
+                continue
+            out.append(c)
+            i += 1
+            continue
+        if c == "$" and "m" not in flags:
+            # JS non-multiline '$' anchors at the TRUE end; Python '$'
+            # also matches before a trailing newline — \Z is the
+            # faithful form
+            out.append("\\Z")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out), refl
+
+
+@lru_cache(maxsize=512)
+def _compiled(pattern: str, flags: str) -> re.Pattern:
+    py, refl = translate(pattern, flags)
+    try:
+        return re.compile(py, refl)
+    except re.error as ex:
+        # a malformed pattern is a JS SyntaxError at regex-literal
+        # evaluation — a runtime throw upstream tryMap would see
+        raise JSRuntimeThrow(f"invalid regular expression: {ex}") \
+            from None
+
+
+def validate(pattern: str, flags: str) -> None:
+    """Translate + compile now so out-of-subset constructs fail at
+    view registration, not mid-build."""
+    _compiled(pattern, flags)
+
+
+class JSMatchArray(list):
+    """A JS regex match result: an Array of [full, ...groups] that
+    also carries ``index`` and ``input`` properties."""
+
+    __slots__ = ("index", "input")
+
+    def __init__(self, items: list, index: float, input_: str) -> None:
+        super().__init__(items)
+        self.index = index
+        self.input = input_
+
+
+def _groups_list(m: re.Match, undef: Any) -> list:
+    row: list[Any] = [m.group(0)]
+    for g in m.groups():
+        row.append(undef if g is None else g)
+    return row
+
+
+class JSRegExp:
+    """A JS RegExp object (literal or ``new RegExp``)."""
+
+    def __init__(self, source: str, flags: str = "") -> None:
+        if len(set(flags)) != len(flags):
+            raise JSRuntimeThrow(
+                f"duplicate regex flags {flags!r}"
+            )
+        self.source = source
+        self.flags = flags
+        self.global_ = "g" in flags
+        self.last_index = 0.0
+        self.pattern = _compiled(source, flags)
+
+    def __repr__(self) -> str:  # JS RegExp.prototype.toString
+        return f"/{self.source}/{self.flags}"
+
+    # -- core (spec RegExpBuiltinExec, sans sticky) ---------------------
+    def exec(self, s: str, undef: Any) -> Any:
+        start = 0
+        if self.global_:
+            li = self.last_index
+            if li != li or li < 0:
+                li = 0.0
+            start = int(min(li, len(s) + 1))
+            if start > len(s):
+                self.last_index = 0.0
+                return None
+        m = self.pattern.search(s, start)
+        if m is None:
+            if self.global_:
+                self.last_index = 0.0
+            return None
+        if self.global_:
+            self.last_index = float(m.end())
+        return JSMatchArray(
+            _groups_list(m, undef), float(m.start()), s
+        )
+
+    def test(self, s: str, undef: Any) -> bool:
+        return self.exec(s, undef) is not None
+
+    # -- String.prototype.match -----------------------------------------
+    def match(self, s: str, undef: Any) -> Any:
+        if not self.global_:
+            m = self.pattern.search(s)
+            if m is None:
+                return None
+            return JSMatchArray(
+                _groups_list(m, undef), float(m.start()), s
+            )
+        self.last_index = 0.0
+        out: list[str] = []
+        pos = 0
+        while pos <= len(s):
+            m = self.pattern.search(s, pos)
+            if m is None:
+                break
+            out.append(m.group(0))
+            pos = m.end() + 1 if m.end() == m.start() else m.end()
+        return out if out else None
+
+    def search(self, s: str) -> float:
+        m = self.pattern.search(s)
+        return float(m.start()) if m else -1.0
+
+    # -- String.prototype.replace ---------------------------------------
+    def replace(self, s: str, repl: Any, js_str: Callable,
+                call: Callable | None, undef: Any) -> str:
+        out: list[str] = []
+        pos = 0
+        last = 0
+        while pos <= len(s):
+            m = self.pattern.search(s, pos)
+            if m is None:
+                break
+            out.append(s[last:m.start()])
+            if call is not None:
+                # callback: fn(match, p1…, offset, string); JS passes
+                # undefined for unmatched groups
+                args: list[Any] = [m.group(0)]
+                for g in m.groups():
+                    args.append(undef if g is None else g)
+                args += [float(m.start()), s]
+                out.append(js_str(call(repl, args)))
+            else:
+                out.append(self._expand(m, js_str(repl), s))
+            last = m.end()
+            if not self.global_:
+                break
+            pos = m.end() + 1 if m.end() == m.start() else m.end()
+        out.append(s[last:])
+        return "".join(out)
+
+    @staticmethod
+    def _expand(m: re.Match, tmpl: str, s: str) -> str:
+        out: list[str] = []
+        i, n = 0, len(tmpl)
+        while i < n:
+            c = tmpl[i]
+            if c != "$" or i + 1 >= n:
+                out.append(c)
+                i += 1
+                continue
+            d = tmpl[i + 1]
+            if d == "$":
+                out.append("$")
+                i += 2
+            elif d == "&":
+                out.append(m.group(0))
+                i += 2
+            elif d == "`":
+                out.append(s[:m.start()])
+                i += 2
+            elif d == "'":
+                out.append(s[m.end():])
+                i += 2
+            elif d == "<":
+                j = tmpl.find(">", i + 2)
+                if j < 0:
+                    out.append(c)
+                    i += 1
+                    continue
+                name = tmpl[i + 2:j]
+                try:
+                    g = m.group(name)
+                except (IndexError, re.error):
+                    g = None
+                out.append(g or "")
+                i = j + 1
+            elif d.isdigit():
+                # longest valid group number, up to two digits (JS)
+                ngroups = m.re.groups
+                two = tmpl[i + 1:i + 3]
+                if len(two) == 2 and two.isdigit() and \
+                        1 <= int(two) <= ngroups:
+                    g = m.group(int(two))
+                    out.append(g or "")
+                    i += 3
+                elif 1 <= int(d) <= ngroups:
+                    g = m.group(int(d))
+                    out.append(g or "")
+                    i += 2
+                else:
+                    out.append(c)  # $0 / out-of-range: literal
+                    i += 1
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    # -- String.prototype.split (spec algorithm) ------------------------
+    def split(self, s: str, limit: Any, undef: Any) -> list:
+        lim = 4294967295 if limit is undef or limit is None else \
+            max(0, int(limit))
+        if lim == 0:
+            return []
+        if s == "":
+            return [] if self.pattern.search("") else [s]
+        out: list[Any] = []
+        p = 0  # start of the current un-split chunk
+        q = 0  # scan position
+        while q < len(s):
+            m = self.pattern.match(s, q)  # anchored at q, like the spec
+            if m is None or m.end() == p:
+                q += 1
+                continue
+            out.append(s[p:q])
+            if len(out) == lim:
+                return out
+            for g in m.groups():
+                out.append(undef if g is None else g)
+                if len(out) == lim:
+                    return out
+            p = q = m.end()
+        out.append(s[p:])
+        return out

@@ -226,7 +226,7 @@ VIEW_DEFS: dict[str, dict] = {
             "events",
             """
             function (doc) {
-              var w = doc.event_type.split('r');
+              var w = doc.event_type.split(/r/);
               var d = new Date(doc.ts);
               emit([w[0], d.getUTCDate(), d.getUTCDay()],
                    doc.value / 100);
@@ -297,8 +297,10 @@ def _raw_source_env(spark: SparkSession, sf_dir: str) -> "Engine":
     # subset grammar — the arbitrary-JS witness), by_lang_c the
     # VARIANT-COMPILED tier (functions/jsvariant.py: pure-JVM build,
     # the 100 TB raw-source path)
-    js_interp = ("function(doc){ var l = doc.lang; if (l !== 'en') "
-                 "{ emit(l, doc.n_chars); } }")
+    # regex idiom (round-7: functions/jsregex.py) + `var` keep this
+    # source on the statement interpreter; semantics ≡ `l !== 'en'`
+    js_interp = ("function(doc){ var l = doc.lang; "
+                 "if (!/^en$/.test(l)) { emit(l, doc.n_chars); } }")
     js_compiled = ("function(doc){ if (doc.lang !== 'en') "
                    "{ emit(doc.lang, doc.n_chars); } }")
     eng.put_design("rawddoc", {
@@ -316,7 +318,7 @@ def _raw_source_env(spark: SparkSession, sf_dir: str) -> "Engine":
     assert tiers["by_lang"] is tuple, "q31 interpreter witness lost"
     assert tiers["by_lang_c"] is VariantJSView, \
         "q31 compiled witness lost"
-    eng.build_views(["rawddoc/by_lang", "rawddoc/by_lang_c"])
+    eng.build_ddoc("rawddoc")
     _RAW_ENV_CACHE[key] = eng
     return eng
 
@@ -381,12 +383,11 @@ class Inventory:
             self.engine.put_design("bench", VIEW_DEFS)
 
     def materialize(self) -> None:
-        """Build every fixture view's persisted index (the cold half),
-        concurrently — wall time ≈ the slowest view."""
+        """Build every fixture view's persisted index (the cold half):
+        structured views over a shared table fuse into one scan
+        (engine.build_ddoc), the rest build concurrently."""
         assert self.warm
-        self.engine.build_views(
-            [f"bench/{n}" for n in VIEW_DEFS], max_parallel=4
-        )
+        self.engine.build_ddoc("bench", max_parallel=4)
 
     def _q(self, view: str, **opts) -> QueryResult:
         if self.warm:
@@ -885,11 +886,11 @@ class Inventory:
 
     def q35(self):
         """F1 fallback tier: an out-of-compiled-subset JS ddoc (var,
-        .split(), ``new Date`` bucketing with UTC getters, ``/``) on
-        a TYPED table, interpreted by functions/jsmap.py and reduced
-        by the JVM ``_sum`` — grouped word × day-of-month ×
-        day-of-week value totals (round-6 late: Date coverage under
-        the DuckDB gate)."""
+        ``.split(/r/)`` — a REGEX separator, round-7 jsregex —
+        ``new Date`` bucketing with UTC getters, ``/``) on a TYPED
+        table, interpreted by functions/jsmap.py and reduced by the
+        JVM ``_sum`` — grouped word × day-of-month × day-of-week
+        value totals under the DuckDB gate."""
         res = self._q("js_interp", group=True)
         return res.df.select(
             _j("$[0]").alias("word"),

@@ -153,7 +153,17 @@ def build_view_structured_on(df: DataFrame, spec: MapSpec) -> DataFrame:
     changes batch — the incremental path, SURVEY §2 M1)."""
     if spec.where:
         df = df.filter(spec.where)
+    cols = spec_output_columns(spec)
+    return df.select(
+        *[c.alias(n) for n, c in cols.items()]
+    )
 
+
+def spec_output_columns(spec: MapSpec) -> dict[str, Column]:
+    """VIEW_SCHEMA output columns of one MapSpec as expressions over
+    the RAW table — shared by the single-view build (filter + select,
+    WHERE pushed into the scan) and the fused multi-view ddoc build
+    (engine._fused_frame: per-view CASE guards over ONE scan)."""
     comps, is_array = spec.key_components()
     encs, jsons = zip(*[_comp_cols(c) for c in comps])
     key_enc = enc_key_cols(list(encs), as_array=is_array)
@@ -221,18 +231,18 @@ def build_view_structured_on(df: DataFrame, spec: MapSpec) -> DataFrame:
         else:
             raise ValueError(f"unknown value kind {vkind!r}")
 
-    return df.select(
-        doc_id_col(spec.table).alias("id"),
-        F.lit(0).alias("emit_ord"),
-        key_enc.alias("key_enc"),
-        key_json.alias("key_json"),
-        parts_enc.alias("key_parts_enc"),
-        parts_json.alias("key_parts_json"),
-        value_json.alias("value_json"),
-        value_num.alias("value_num"),
-        value_num_arr.alias("value_num_arr"),
-        value_link_id.alias("value_link_id"),
-    )
+    return {
+        "id": doc_id_col(spec.table),
+        "emit_ord": F.lit(0),
+        "key_enc": key_enc,
+        "key_json": key_json,
+        "key_parts_enc": parts_enc,
+        "key_parts_json": parts_json,
+        "value_json": value_json,
+        "value_num": value_num,
+        "value_num_arr": value_num_arr.cast("array<double>"),
+        "value_link_id": value_link_id,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -172,6 +172,13 @@ class Registry:
             return None
         return d["views"][view]["sig"]
 
+    def design_views(self, ddoc: str) -> dict[str, str]:
+        """All views of a design doc: {view name: signature}."""
+        d = self._read()["designs"].get(ddoc)
+        return {} if not d else {
+            name: v["sig"] for name, v in d["views"].items()
+        }
+
     # -- view storage entries -------------------------------------------
 
     def view_dir(self, sig: str) -> str:

@@ -1084,3 +1084,86 @@ def test_sum_over_structured_nonnumeric_errors(engine):
              "reduce": "_sum"},
             group=True,
         )
+
+
+def test_build_ddoc_fused_single_scan(spark, sf_dir, tmp_path):
+    """Round-7 M1: all structured views of a ddoc build from ONE
+    source scan (CouchDB builds a ddoc's views together; at 100 TB
+    the scan dominates).  The fused frame's plan must contain exactly
+    one parquet scan of the source, and both views must answer
+    identically to separately-built copies."""
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    views = {
+        "by_flag": {
+            "map": MapSpec(
+                "lineitem",
+                ("str", "l_returnflag"),
+                ("num", "l_quantity"),
+            ),
+            "reduce": "_sum",
+        },
+        "big_qty": {
+            "map": MapSpec(
+                "lineitem",
+                ("num", "l_quantity"),
+                None,
+                where="l_quantity > 45",
+            ),
+        },
+    }
+    eng = Engine(spark, sf_dir, str(tmp_path / "fused"))
+    eng.put_design("dd", views)
+
+    # plan assert: one FileScan over lineitem in the fused frame
+    vdefs = [eng._defs[eng.registry.resolve("dd", n)]
+             for n in ("by_flag", "big_qty")]
+    fused = eng._fused_frame(vdefs, eng._source_df(vdefs[0]))
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+    eng.build_ddoc("dd")
+    # both views materialized in one pass; compare against separate
+    # per-view builds of the same definitions
+    ref = Engine(spark, sf_dir, str(tmp_path / "sep"))
+    ref.put_design("dd", views)
+    ref.build_views(["dd/by_flag", "dd/big_qty"])
+    for name, opts in (
+        ("dd/by_flag", {"group": True}),
+        ("dd/big_qty", {"reduce": False, "limit": 50}),
+    ):
+        got = eng.query(name, stale="ok", **opts).rows()
+        want = ref.query(name, stale="ok", **opts).rows()
+        assert got == want and got, name
+    # registry stats (zero-job total_rows) must match the real counts
+    for name in ("dd/by_flag", "dd/big_qty"):
+        ge = eng.registry.get_view(eng.registry.resolve(*name.split("/")))
+        re_ = ref.registry.get_view(ref.registry.resolve(*name.split("/")))
+        assert ge["stats"]["rows"] == re_["stats"]["rows"]
+        assert ge["last_seq"] == re_["last_seq"]
+    # incremental refresh AFTER a fused build keeps working
+    eng.update_view("dd/by_flag")
+
+
+def test_build_ddoc_mixed_falls_back(spark, sf_dir, tmp_path):
+    """A ddoc mixing a structured view with an interpreted-JS view
+    builds correctly: the structured pair fuses, the interpreted view
+    takes the per-view path."""
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    eng = Engine(spark, sf_dir, str(tmp_path / "mx"))
+    eng.put_design("dd", {
+        "a": {"map": MapSpec("orders", ("str", "o_orderstatus"),
+                             None), "reduce": "_count"},
+        "b": {"map": MapSpec("orders", ("str", "o_orderpriority"),
+                             None), "reduce": "_count"},
+        "c": {"map": ("orders",
+                      "function(doc) { var s = doc.o_orderstatus; "
+                      "emit(s + '!', 1); }"), "reduce": "_count"},
+    })
+    eng.build_ddoc("dd")
+    a = eng.query("dd/a", stale="ok", group=True).rows()
+    c = eng.query("dd/c", stale="ok", group=True).rows()
+    assert {r["key"] for r in a} == {"F", "O", "P"}
+    assert {r["key"] for r in c} == {"F!", "O!", "P!"}
+    assert sum(r["value"] for r in a) == sum(r["value"] for r in c)

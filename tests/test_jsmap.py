@@ -97,14 +97,20 @@ def test_interpreter_object_helpers_and_foreach():
 
 def test_interpreter_out_of_subset_still_loud():
     with pytest.raises(JSReduceError):
-        run_map("function(doc) { emit(doc.s.match('x'), 1); }",
+        run_map("function(doc) { emit(doc.s.matchAll('x'), 1); }",
                 {"s": "x"})
     with pytest.raises(JSReduceError):
-        run_map("function(doc) { emit(doc.v.splice(0, 1), 1); }",
+        run_map("function(doc) { emit(doc.v.flatMap(null), 1); }",
                 {"v": [2, 1]})
     # .sort() is IN the subset now (round 6 late)
     assert run_map("function(doc) { emit(doc.v.sort(), 1); }",
                    {"v": [2.0, 1.0]}) == [([1.0, 2.0], 1.0)]
+    # .match()/.splice() joined the subset in round 7 (jsregex /
+    # the array long tail)
+    assert run_map("function(doc) { emit(doc.s.match('x')[0], 1); }",
+                   {"s": "x"}) == [("x", 1.0)]
+    assert run_map("function(doc) { emit(doc.v.splice(0, 1), 1); }",
+                   {"v": [2.0, 1.0]}) == [([2.0], 1.0)]
 
 
 def test_typed_table_fallback_end_to_end(spark, sf_dir, tmp_path):
@@ -159,7 +165,7 @@ def test_fallback_is_picklable_and_signature_stable():
 
 def test_out_of_subset_runtime_fails_loud():
     """Round 6 (review): a ddoc using a construct the interpreter
-    cannot run (.splice()) must FAIL the build, not tryMap-skip every
+    cannot run (.flatMap()) must FAIL the build, not tryMap-skip every
     doc into a silently-empty view; a genuine JS runtime throw still
     skips just the doc."""
     import pytest
@@ -170,9 +176,9 @@ def test_out_of_subset_runtime_fails_loud():
 
     docs = [{"_id": "d1", "tags": ["b", "a"]}]
     fn = compile_js_map_full(
-        "function(doc){ emit(doc.tags.splice(0, 1)[0], 1); }"
+        "function(doc){ emit(doc.tags.flatMap(null)[0], 1); }"
     )
-    with pytest.raises(QueryParseError, match="splice"):
+    with pytest.raises(QueryParseError, match="flatMap"):
         map_docs_to_rows(docs, fn)
 
     # runtime throw (member on null): doc skipped, build survives
@@ -427,3 +433,82 @@ def test_for_in_enumeration():
         {"arr": [10.0, 20.0]},
     )
     assert got == [("0:10,1:20", None)]
+
+
+def test_switch_statement_fallthrough_and_default():
+    src = """function(doc) {
+        var out = '';
+        switch (doc.k) {
+          case 'a':
+            out += 'A';
+          case 'b':
+            out += 'B';
+            break;
+          case 'c':
+            out += 'C';
+            break;
+          default:
+            out += 'D';
+          case 'e':
+            out += 'E';
+        }
+        emit(out, null);
+    }"""
+    assert run_map(src, {"k": "a"}) == [("AB", None)]   # fall-through
+    assert run_map(src, {"k": "b"}) == [("B", None)]
+    assert run_map(src, {"k": "c"}) == [("C", None)]
+    assert run_map(src, {"k": "zz"}) == [("DE", None)]  # default falls
+    assert run_map(src, {"k": "e"}) == [("E", None)]    # case AFTER default
+
+
+def test_switch_strict_equality():
+    # JS switch uses ===: number 1 does not match string '1'
+    src = """function(doc) {
+        switch (doc.k) {
+          case '1': emit('str', null); break;
+          case 1: emit('num', null); break;
+          default: emit('none', null);
+        }
+    }"""
+    assert run_map(src, {"k": 1.0}) == [("num", None)]
+    assert run_map(src, {"k": "1"}) == [("str", None)]
+
+
+def test_array_splice():
+    src = """function(doc) {
+        var a = [1, 2, 3, 4, 5];
+        var removed = a.splice(1, 2, 'x');
+        emit(a, removed);
+    }"""
+    assert run_map(src, {}) == [([1.0, "x", 4.0, 5.0], [2.0, 3.0])]
+    # negative start, no deleteCount -> to end
+    src2 = """function(doc) {
+        var a = [1, 2, 3, 4];
+        var r = a.splice(-2);
+        emit(a, r);
+    }"""
+    assert run_map(src2, {}) == [([1.0, 2.0], [3.0, 4.0])]
+
+
+def test_array_flat():
+    src = """function(doc) {
+        emit([[1, [2, [3]]], null].length === 2
+             ? [1, [2, [3]], 4].flat()
+             : null,
+             [1, [2, [3, [4]]]].flat(Infinity));
+    }"""
+    assert run_map(src, {}) == [
+        ([1.0, 2.0, [3.0], 4.0], [1.0, 2.0, 3.0, 4.0])
+    ]
+
+
+def test_array_reduce_right():
+    src = """function(doc) {
+        var s = ['a', 'b', 'c'].reduceRight(
+            function(acc, x) { return acc + x; });
+        var n = [1, 2, 3].reduceRight(
+            function(acc, x, i) { return acc + x * i; }, 0);
+        emit(s, n);
+    }"""
+    # s: 'c'+'b'+'a'; n: 3*2 + 2*1 + 1*0 = 8
+    assert run_map(src, {}) == [("cba", 8.0)]

@@ -190,8 +190,8 @@ def test_math_nan_semantics():
 
 def test_out_of_subset_raises():
     for src in (
-        "function(k, v) { switch (v.length) { default: return 1; } }",
-        "function(k, v) { return v.splice(0, 1); }",
+        "function(k, v) { return v.flatMap(function(x){ return x; }); }",
+        "function(k, v) { return v.keys(); }",
         "function(k, v) { throw 'no'; }",
     ):
         with pytest.raises(JSReduceError):
@@ -806,15 +806,22 @@ def test_array_methods_js_semantics():
         False, 6.0, 1.0, None, True, -1.0, 2.0, 3.0, 1.0, 3.0,
         "9,8,2",
     ]
-    # splice stays a LOUD out-of-subset error, not a silent skip
+    # round 7: splice/flat/reduceRight joined the subset; flatMap
+    # stays a LOUD out-of-subset error, not a silent skip
+    ok = JSReduceFunction(
+        "function(k, v, r) { var a = [1, [2, [3]], 4]; "
+        "a.splice(0, 1); return [a.flat(), "
+        "[1, 2, 3].reduceRight(function(x, y){ return x + y; }, 0)]; }"
+    )
+    assert ok(None, [], False) == [[2.0, [3.0], 4.0], 6.0]
     import pytest
 
     from mapreduce_spark.functions.jsreduce import JSReduceError
 
     bad = JSReduceFunction(
-        "function(k, v, r) { var a = [1]; return a.splice(0, 1); }"
+        "function(k, v, r) { var a = [1]; return a.flatMap(null); }"
     )
-    with pytest.raises(JSReduceError, match="splice"):
+    with pytest.raises(JSReduceError, match="flatMap"):
         bad(None, [], False)
 
 

@@ -1,0 +1,323 @@
+"""JS regex support in the interpreter tiers (functions/jsregex.py).
+
+Expected values below are the real ECMAScript results (checked
+against the spec semantics the module implements: non-``u``-mode
+character classes, g-flag lastIndex statefulness, the split
+algorithm with captures, $-expansion in replace).
+"""
+
+import pytest
+
+from mapreduce_spark.functions.jsmap import JSMapFunctionFull
+from mapreduce_spark.functions.jsregex import translate
+from mapreduce_spark.functions.jsreduce import JSReduceError
+
+
+def run_map(src, doc):
+    out = []
+    JSMapFunctionFull(src)(doc, lambda k, v: out.append((k, v)))
+    return out
+
+
+def ev(expr, doc=None):
+    """Evaluate a JS expression via a one-emit map fn."""
+    rows = run_map(f"function(doc) {{ emit({expr}, null); }}",
+                   doc or {})
+    return rows[0][0]
+
+
+# -- translation -----------------------------------------------------------
+
+def test_char_classes_are_ecmascript_not_unicode():
+    assert ev(r"/\d+/.test('42')") is True
+    assert ev(r"/^\d+$/.test('٣')") is False  # arabic digit
+    assert ev(r"/\s/.test(' ')") is True      # nbsp IS JS \s
+    assert ev(r"/\w+/.test('a_1')") is True
+    assert ev(r"/^\w$/.test('é')") is False   # é not JS \w
+    assert ev(r"/h\b/.test('héllo')") is True  # ascii boundary
+
+
+def test_class_edge_forms():
+    assert ev(r"/x[]y/.test('xy')") is False   # [] matches nothing
+    assert ev(r"/x[^]y/.test('x\ny')") is True  # [^] matches anything
+    assert ev(r"/[\d-]+/.test('1-2')") is True
+
+
+def test_flags():
+    assert ev("/ab/i.test('AB')") is True
+    assert ev("/^b/m.test('a\\nb')") is True
+    assert ev("/a.b/s.test('a\\nb')") is True
+    with pytest.raises(JSReduceError):
+        translate("a", "u")
+    with pytest.raises(JSReduceError):
+        translate(r"\p{L}", "")
+    with pytest.raises(JSReduceError):
+        JSMapFunctionFull(
+            "function(doc) { emit(/a/u.test('a'), null); }"
+        )  # loud at registration, not per doc
+
+
+def test_named_groups():
+    assert ev(r"'ab'.replace(/(?<x>a)/, '[$<x>]')") == "[a]b"
+    assert ev(r"/(?<x>a)\k<x>/.test('aa')") is True
+
+
+# -- methods ---------------------------------------------------------------
+
+def test_match_non_global():
+    m = ev(r"'a1b22c'.match(/(\d+)b(\d+)/)")
+    assert list(m) == ["1b22", "1", "22"]
+    assert ev(r"'a1b22c'.match(/(\d+)b(\d+)/).index") == 1.0
+    assert ev(r"'abc'.match(/z/)") is None
+
+
+def test_match_global():
+    assert ev(r"'a1b22c'.match(/\d+/g)") == ["1", "22"]
+    assert ev(r"'abc'.match(/z/g)") is None
+    # zero-width global match must terminate and cover each position
+    assert ev(r"'ab'.match(/(?:)/g)") == ["", "", ""]
+
+
+def test_search_and_test():
+    assert ev(r"'xxabc'.search(/abc/)") == 2.0
+    assert ev(r"'xxabc'.search(/z/)") == -1.0
+    assert ev(r"/^ab/.test('abc')") is True
+    assert ev(r"/^ab/.test('cab')") is False
+
+
+def test_replace():
+    assert ev(r"'abcabc'.replace(/b/, 'X')") == "aXcabc"
+    assert ev(r"'abcabc'.replace(/b/g, 'X')") == "aXcaXc"
+    assert ev(
+        r"'John Smith'.replace(/(\w+) (\w+)/, '$2 $1')"
+    ) == "Smith John"
+    assert ev(r"'abc'.replace(/b/, '[$&][$`][$\x27]')") == "a[b][a][c]c"
+    assert ev(r"'abc'.replace(/b/, '$$')") == "a$c"
+    # callback replacement: (match, groups…, offset, string)
+    assert ev(
+        "'a1b2'.replace(/([0-9])/g, "
+        "function(m, g, off) { return '<' + g + '@' + off + '>'; })"
+    ) == "a<1@1>b<2@3>"
+
+
+def test_split_regex():
+    assert ev(r"'x-y_z'.split(/[-_]/)") == ["x", "y", "z"]
+    assert ev(r"'a1b'.split(/(\d)/)") == ["a", "1", "b"]
+    assert ev(r"'ab'.split(/(?:)/)") == ["a", "b"]
+    assert ev(r"'a,b,'.split(/,/)") == ["a", "b", ""]
+    assert ev(r"',a'.split(/,/)") == ["", "a"]
+    assert ev(r"'a1b2c'.split(/\d/, 2)") == ["a", "b"]
+
+
+def test_exec_lastindex_loop():
+    src = """
+    function(doc) {
+      var re = /[a-z]+/g, m;
+      while ((m = re.exec(doc.s)) !== null) {
+        emit(m[0], re.lastIndex);
+      }
+    }
+    """
+    rows = run_map(src, {"s": "ab 12 cd"})
+    assert rows == [("ab", 2.0), ("cd", 8.0)]
+
+
+def test_regexp_constructor_and_props():
+    assert ev(r"new RegExp('a+', 'i').test('AAA')") is True
+    assert ev(r"new RegExp('\\d+').source") == "\\d+"
+    assert ev(r"/ab/gi.flags") == "gi"
+    assert ev(r"/ab/g.global") is True
+    assert ev(r"/ab/.global") is False
+    # runtime-malformed constructor pattern: a JS SyntaxError — a
+    # runtime throw, so tryMap skips the doc (no emits), not the build
+    assert run_map(
+        "function(doc) { emit(new RegExp('(', '').test('x'), null); }",
+        {},
+    ) == []
+
+
+def test_division_still_division():
+    assert ev("10 / 2 / 5") == 1.0
+    assert ev("(4) / 2") == 2.0
+    rows = run_map(
+        "function(doc) { var x = doc.a / doc.b; emit(x, null); }",
+        {"a": 6.0, "b": 3.0},
+    )
+    assert rows[0][0] == 2.0
+
+
+def test_regex_after_operators_and_keywords():
+    assert ev("true && /a/.test('a')") is True
+    assert ev("1 ? /a/.test('b') : true") is False
+    rows = run_map(
+        "function(doc) { if (!/^en$/.test(doc.lang)) "
+        "{ emit(doc.lang, 1); } }",
+        {"lang": "fr"},
+    )
+    assert rows == [("fr", 1.0)]
+
+
+def test_string_coerced_patterns():
+    assert ev(r"'a.b'.match('a.b')[0]") == "a.b"  # '.' stays a wildcard
+    assert ev(r"'axb'.search('a.b')") == 0.0
+
+
+def test_regex_emitted_as_value_is_empty_object():
+    # JSON.stringify(/re/) === '{}'
+    rows = run_map("function(doc) { emit('k', /re/g); }", {})
+    assert rows[0][1] == {}
+
+
+def test_compiled_anchored_literal_rewrites(spark, sf_dir):
+    """Anchored-literal regex idioms on TYPED tables compile to
+    pushable startswith/endswith/contains/equality MapSpecs (no
+    interpreter), and each compiled predicate equals the interpreted
+    result."""
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.functions.jscompile import compile_js_map
+    from mapreduce_spark.operators.mapphase import MapSpec
+    from mapreduce_spark.sources.docs import load_table
+
+    schema = load_table(spark, sf_dir, "orders").schema
+    cases = {
+        "if (doc.o_orderpriority.match(/^1/)) { emit(doc._id, 1); }":
+            "startswith",
+        "if (doc.o_orderpriority.match(/URGENT$/)) { emit(doc._id, 1); }":
+            "endswith",
+        "if (/^2-HIGH$/.test(doc.o_orderpriority)) { emit(doc._id, 1); }":
+            "=",
+        "if (doc.o_orderpriority.match(/HI/) !== null) "
+        "{ emit(doc._id, 1); }": "contains",
+    }
+    eng = Engine(spark, sf_dir, None)
+    for body, frag in cases.items():
+        src = "function(doc) { %s }" % body
+        spec = compile_js_map(src, "orders", schema)
+        assert isinstance(spec, MapSpec), src
+        assert frag in spec.where, (src, spec.where)
+        compiled = {r["key"] for r in eng.query(
+            {"map": spec, "reduce": None}, reduce=False).rows()}
+        from mapreduce_spark.functions.jscompile import (
+            compile_js_map_fn,
+        )
+        interp = {r["key"] for r in eng.query(
+            {"map": ("orders", compile_js_map_fn(src)),
+             "reduce": None}, reduce=False).rows()}
+        assert compiled == interp and compiled, src
+
+
+def test_non_literal_regex_falls_back(spark, sf_dir):
+    from mapreduce_spark.functions.jscompile import (
+        JSCompileError,
+        compile_js_map,
+    )
+    from mapreduce_spark.sources.docs import load_table
+
+    schema = load_table(spark, sf_dir, "orders").schema
+    for body in (
+        "if (doc.o_orderpriority.match(/^\\d/)) { emit(doc._id, 1); }",
+        "if (doc.o_orderpriority.match(/^a/i)) { emit(doc._id, 1); }",
+        "emit(doc.o_orderpriority.match(/^1/), 1);",  # array position
+    ):
+        with pytest.raises(JSCompileError):
+            compile_js_map("function(doc) { %s }" % body,
+                           "orders", schema)
+
+
+def test_regex_fuzz_compiled_vs_interpreter(spark, tmp_path):
+    """Grammar fuzz over the regex-in-cond subset: random anchored
+    patterns (literal and not), match/test idioms, negation,
+    null-comparison — every source the COMPILER accepts must emit
+    identically to the statement interpreter over a corner-rich
+    corpus (nulls, empties, pattern-shaped values like 'null')."""
+    import random
+
+    from mapreduce_spark.functions.jscompile import (
+        JSCompileError,
+        compile_js_map,
+    )
+    from mapreduce_spark.functions.jsmap import compile_js_map_full
+    from mapreduce_spark.operators.mapphase import map_docs_to_rows
+    from mapreduce_spark.sources.docs import DocTable, register_table
+
+    rows = [
+        ("d0", "user:1", "Alpha"),
+        ("d1", None, "beta$x"),
+        ("d2", "", "null"),          # the ToString(null) trap value
+        ("d3", "user:22", None),
+        ("d4", "x^y", "ul"),
+        ("d5", "nullable", "user:"),
+    ]
+    df = spark.createDataFrame(rows, "tk string, s string, t string")
+    sf2 = str(tmp_path / "re")
+    df.write.parquet(f"{sf2}/retab.parquet")
+    register_table(DocTable("retab", "retab:%s", ("tk",),
+                            "abs(hash(tk))"))
+
+    rng = random.Random(20260814)
+    lits = ["user:", "ul", "null", "x", "a$b", "1", ""]
+
+    def pat():
+        body = rng.choice(lits)
+        if rng.random() < 0.25:
+            body = "\\d" + body  # out of the literal subset
+        pre = "^" if rng.random() < 0.5 else ""
+        suf = "$" if rng.random() < 0.5 else ""
+        fl = "i" if rng.random() < 0.15 else ""
+        return f"/{pre}{body}{suf}/{fl}"
+
+    def cond():
+        f = rng.choice(["s", "t"])
+        form = rng.randint(0, 4)
+        if form == 0:
+            return f"doc.{f}.match({pat()})"
+        if form == 1:
+            return f"/{rng.choice(lits)}/.test(doc.{f})"
+        if form == 2:
+            return f"doc.{f}.match({pat()}) {rng.choice(['===', '!=='])} null"
+        if form == 3:
+            return f"!doc.{f}.match({pat()})"
+        return (f"(doc.{f}.match({pat()}) && "
+                f"doc.{rng.choice(['s', 't'])}.match({pat()}))")
+
+    import pyspark.sql.functions as F
+
+    compiled_n = 0
+    for i in range(120):
+        src = ("function(doc) { if (%s) { emit(doc.tk, 1); } }"
+               % cond())
+        try:
+            spec = compile_js_map(src, "retab", df.schema)
+        except JSCompileError:
+            continue
+        compiled_n += 1
+        sel = df.filter(F.expr(spec.where)) if spec.where else df
+        got = {r["tk"] for r in sel.select("tk").collect()}
+        fn = compile_js_map_full(src)
+        docs = [
+            {"_id": tk, "tk": tk, "s": s, "t": t}
+            for tk, s, t in rows
+        ]
+        want = {r["id"] for r in map_docs_to_rows(docs, fn)}
+        assert got == want, (src, got, want)
+    assert compiled_n >= 25  # the subset must actually exercise
+
+
+def test_typed_table_regex_ddoc_end_to_end(spark, sf_dir, tmp_path):
+    """A regex-filtering ddoc over a TYPED table runs on the
+    interpreter tier and equals the plain-string-method formulation."""
+    from mapreduce_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir, str(tmp_path / "v"))
+    js = ("function(doc) { var m = doc.o_orderpriority"
+          ".match(/^(\\d+)-/); if (m) "
+          "{ emit(parseInt(m[1]), 1); } }")
+    res = eng.query({"map": ("orders", js), "reduce": "_count"},
+                    group=True)
+    got = {r["key"]: r["value"] for r in res.rows()}
+    js2 = ("function(doc) { var p = doc.o_orderpriority.split('-')[0];"
+           " emit(parseInt(p), 1); }")
+    res2 = eng.query({"map": ("orders", js2), "reduce": "_count"},
+                     group=True)
+    assert got == {r["key"]: r["value"] for r in res2.rows()}
+    assert got and set(got) <= {1.0, 2.0, 3.0, 4.0, 5.0}
