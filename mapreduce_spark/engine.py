@@ -1122,13 +1122,26 @@ class Engine:
         allc = pieces[0]
         for p in pieces[1:]:
             allc = allc.unionByName(p)
-        if n_hint <= 20_000:
-            ids = [r["id"] for r in tomb.collect()]
-            if not ids:
-                return 0
-            allc = allc.filter(F.col("id").isin(ids))
-        else:
+        # Measured (PLANS.md round-7 "isin vs broadcast-semi"): an
+        # isin with k literal ids costs O(k) in plan compile/codegen —
+        # 0.7 s at 1k ids, 9.6 s at 20k, 50 s at 100k — while a
+        # broadcast left-semi is flat ~0.6 s at every k.  The only
+        # thing isin bought was parquet row-group pruning on the
+        # id-sorted counts file; a [min,max] BETWEEN derived from the
+        # change batch (one tiny agg over the one-file lcounts) keeps
+        # exactly that pruning with an O(1)-size plan and beat isin at
+        # EVERY measured size, clustered or random ids.  Huge batches
+        # (≳10M changed docs) skip the broadcast (build-side memory)
+        # for a shuffle semi-join.
+        b = tomb.agg(F.min("id").alias("lo"),
+                     F.max("id").alias("hi")).collect()[0]
+        if b["lo"] is None:
+            return 0
+        allc = allc.filter(F.col("id").between(b["lo"], b["hi"]))
+        if n_hint <= 10_000_000:
             allc = allc.join(F.broadcast(tomb), "id", "left_semi")
+        else:
+            allc = allc.join(tomb, "id", "left_semi")
         from pyspark.sql import Window
 
         w = Window.partitionBy("id").orderBy(F.col("_rk").desc())

@@ -1,5 +1,6 @@
-"""Scale rehearsal: synthesize sf1 (10× sf0.1) and measure how the
-headline operators scale (BASELINE.md "sf1 rehearsal" table).
+"""Scale rehearsal: synthesize sf1 (10× sf0.1) — and, in sf10 mode,
+sf10 (100×) — and measure how the headline operators scale
+(BASELINE.md "sf1 rehearsal" / "sf10 rehearsal" tables).
 
 sf1 is derived from the driver's sf0.1 fixtures (never regenerated
 upstream data — TESTDATA.md forbids touching /root/testdata):
@@ -32,7 +33,17 @@ Measured once per scale (cold plans, same session):
 Prints one JSON line with per-operator (sf0.1 sec, sf1 sec, exponent
 = log10(t1/t01); 1.0 = linear in the 10× row count).
 
-Usage: python tools/scale_rehearsal.py [out_dir=/tmp/sf1]
+sf10 mode (round 7, VERDICT r6 #5) adds a decade: build, refresh
+(first/steady), minhash, clusters, jaccard at 100× sf0.1 — the
+quadratic-by-contract GEMM and the fixed-query-set IVF are sf1-only —
+plus a deliberately SKEW-KEYED grouped reduce (one hot key on 50% of
+rows) vs a uniform key layout at the same scale, demonstrating that
+partial (map-side) aggregation absorbs the hot key: each scan task
+pre-folds its hot-key rows to ONE row, so the shuffle carries
+~partitions rows per key regardless of skew and the hot build must
+land within ~2× of the uniform one.
+
+Usage: python tools/scale_rehearsal.py [sf1|sf10] [out_dir]
 """
 
 from __future__ import annotations
@@ -52,11 +63,11 @@ SF01 = "/root/testdata/sf0.1"
 REPS = 10
 
 
-def synthesize(spark, out_dir: str) -> None:
+def synthesize(spark, out_dir: str, reps_n: int = REPS) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
-    reps = spark.range(REPS).withColumnRenamed("id", "_rep")
+    reps = spark.range(reps_n).withColumnRenamed("id", "_rep")
 
     li = spark.read.parquet(f"{SF01}/lineitem.parquet")
     shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
@@ -111,7 +122,11 @@ def synthesize(spark, out_dir: str) -> None:
     )
 
 
-def measure(spark, sf_dir: str) -> dict:
+def measure(spark, sf_dir: str, heavy: bool = True) -> dict:
+    """heavy=False drops the quadratic-by-contract GEMM and the
+    fixed-query IVF leg — the sf10 decade measures the linear-path
+    operators only (the GEMM's scale story is the LSH router,
+    dedup.embedding_near_dup_pairs, not a 100× tile product)."""
     from mapreduce_spark.engine import Engine
     from mapreduce_spark.extensions import dedup
     from mapreduce_spark.operators.mapphase import MapSpec
@@ -156,20 +171,56 @@ def measure(spark, sf_dir: str) -> dict:
     out["jaccard"] = round(time.time() - t, 2)
     out["jaccard_pairs"] = n
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    t = time.time()
-    n = dedup.embedding_near_dup_blocked(emb, 0.4).count()
-    out["gemm"] = round(time.time() - t, 2)
-    out["gemm_pairs"] = n
+    if heavy:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t = time.time()
+        n = dedup.embedding_near_dup_blocked(emb, 0.4).count()
+        out["gemm"] = round(time.time() - t, 2)
+        out["gemm_pairs"] = n
 
-    from mapreduce_spark.extensions import similarity
+        from mapreduce_spark.extensions import similarity
 
-    t = time.time()
-    n = similarity.ivf_topk(emb, [0, 1, 2, 3, 4], 10).count()
-    out["ivf"] = round(time.time() - t, 2)
-    out["ivf_rows"] = n
+        t = time.time()
+        n = similarity.ivf_topk(emb, [0, 1, 2, 3, 4], 10).count()
+        out["ivf"] = round(time.time() - t, 2)
+        out["ivf_rows"] = n
 
     out.update(measure_refresh(spark, sf_dir))
+    return out
+
+
+def measure_skew(spark, sf_dir: str) -> dict:
+    """Skew-keyed vs uniform grouped reduce at the same scale.
+
+    hot: one key covers 50% of all rows (the other half spreads over
+    1000 keys); uniform: 1001 evenly-hit keys.  Both build a persisted
+    _sum view and read it grouped.  Partial aggregation pre-folds each
+    scan task's hot rows to one row before the exchange, so the hot
+    build must land within ~2× of uniform — there is no reducer that
+    receives 50% of the data."""
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    hot_key = ("str",
+               "CASE WHEN l_orderkey % 2 = 0 THEN 'HOT' "
+               "ELSE concat('k', cast(l_orderkey % 1000 as string)) "
+               "END")
+    uni_key = ("str",
+               "concat('k', cast(l_orderkey % 1001 as string))")
+    out = {}
+    for tag, key in (("uniform", uni_key), ("hot", hot_key)):
+        eng = Engine(spark, sf_dir, tempfile.mkdtemp(prefix="sfk-"))
+        eng.put_design("s", {"v": {
+            "map": MapSpec("lineitem", key, ("num", "l_quantity")),
+            "reduce": "_sum",
+        }})
+        t = time.time()
+        rows = eng.query("s/v", group=True).df.collect()
+        out[f"skew_{tag}"] = round(time.time() - t, 2)
+        out[f"skew_{tag}_groups"] = len(rows)
+    out["skew_ratio"] = round(
+        out["skew_hot"] / max(out["skew_uniform"], 1e-3), 2
+    )
     return out
 
 
@@ -234,7 +285,8 @@ def measure_refresh(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "sf1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/{mode}"
     from pyspark.sql import SparkSession
 
     spark = (
@@ -251,10 +303,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    reps_n = 100 if mode == "sf10" else 10
     if not os.path.exists(f"{out_dir}/embeddings.parquet"):
         t = time.time()
-        synthesize(spark, out_dir)
-        print(f"# synthesized sf1 in {time.time() - t:.1f}s",
+        synthesize(spark, out_dir, reps_n)
+        print(f"# synthesized {mode} in {time.time() - t:.1f}s",
               file=sys.stderr)
 
     # warmup leg at sf0.001: the first measurement of each operator
@@ -265,14 +318,25 @@ def main() -> None:
     measure(spark, "/root/testdata/sf0.001")
     print(f"# warmup leg in {time.time() - t:.1f}s", file=sys.stderr)
 
-    r01 = measure(spark, SF01)
-    r1 = measure(spark, out_dir)
+    heavy = mode != "sf10"
+    r01 = measure(spark, SF01, heavy=heavy)
+    rN = measure(spark, out_dir, heavy=heavy)
+    ops = ["build_q02", "minhash", "clusters", "jaccard",
+           "refresh_first", "refresh_steady"]
+    if heavy:
+        ops += ["gemm", "ivf"]
+    decades = 2.0 if mode == "sf10" else 1.0
     expo = {
-        k: round(math.log10(max(r1[k], 1e-3) / max(r01[k], 1e-3)), 2)
-        for k in ("build_q02", "minhash", "clusters", "jaccard",
-                  "gemm", "ivf", "refresh_first", "refresh_steady")
+        k: round(
+            math.log10(max(rN[k], 1e-3) / max(r01[k], 1e-3)) / decades,
+            2,
+        )
+        for k in ops
     }
-    print(json.dumps({"sf0.1": r01, "sf1": r1, "exponent": expo}))
+    res = {"sf0.1": r01, mode: rN, "exponent_per_decade": expo}
+    if mode == "sf10":
+        res["skew"] = measure_skew(spark, out_dir)
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":
