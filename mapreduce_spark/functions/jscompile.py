@@ -374,16 +374,14 @@ class _Parser:
                 return ("lit", False)
             if tok == "doc":
                 parts = self._field_path(off)
-                if len(parts) == 2 and parts[1] == "length":
+                if len(parts) >= 2 and parts[-1] == "length":
                     # string length property (JS .length)
-                    return ("strlen", parts[0])
-                if len(parts) > 1:
-                    raise JSCompileError(
-                        f"nested field path doc.{'.'.join(parts)} is "
-                        "outside the compilable subset (flat fields "
-                        "only); use a Python map function"
-                    )
-                return ("doc", parts[0])
+                    return ("strlen", ".".join(parts[:-1]))
+                # nested paths carry as a dotted name: the typed
+                # compiler rejects them (flat parquet columns), the
+                # variant compiler (raw JSON docs) maps them to a
+                # '$.a.b' extraction path
+                return ("doc", ".".join(parts))
             if tok == "new":
                 # compiled subset: new Date(doc.<tsfield>) followed by
                 # a getter call (handled in computed()).  Any other

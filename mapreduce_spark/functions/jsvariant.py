@@ -192,7 +192,11 @@ def infer_variant_types(df, fields: list[str]) -> dict[str, str] | None:
     for f in fields:
         if f == "_id":
             continue
-        if not _IDENT.match(f) or f in ("_rev", "_deleted"):
+        if f in ("_rev", "_deleted"):
+            return None
+        # nested paths arrive dotted (doc.a.b → 'a.b'); every segment
+        # must be identifier-safe for the '$.a.b' extraction path
+        if not all(_IDENT.match(seg) for seg in f.split(".")):
             return None
     probe = [f for f in fields if f != "_id"]
     if not probe:

@@ -57,9 +57,37 @@ def _group_rows(eng, name):
 def test_referenced_fields():
     assert referenced_doc_fields(JS) == ["lang", "n"]
     assert referenced_doc_fields("function(doc){}") is None
+    # nested paths carry dotted (round-7: the variant tier compiles
+    # them to '$.a.b' extraction paths)
     assert referenced_doc_fields(
         "function(doc){ emit(doc.a.b, 1); }"
-    ) is None  # nested path is outside the subset grammar
+    ) == ["a.b"]
+
+
+def test_nested_paths_compile_and_match_interpreter(spark, tmp_path):
+    """doc.meta.lang / doc.meta.stats.n on raw nested JSON compile to
+    '$.meta.lang' variant extractions and equal the interpreter."""
+    docs = []
+    for i in range(60):
+        d = {"_id": f"n:{i:03d}",
+             "meta": {"lang": ["en", "fr"][i % 2],
+                      "stats": {"n": float(i)}}}
+        docs.append((d["_id"], i, json.dumps(d)))
+    sf = str(tmp_path / "nested")
+    spark.createDataFrame(docs, ["_id", "seq", "doc_json"]).write.mode(
+        "overwrite").parquet(f"{sf}/ndocs.parquet")
+    register_table(raw_doc_table("ndocs"))
+    js = ("function(doc) { if (doc.meta.lang === 'fr') "
+          "{ emit(doc.meta.lang, doc.meta.stats.n); } }")
+    eng = Engine(spark, sf, str(tmp_path / "nv"))
+    eng.put_design("dd", {"v": {"map": ("ndocs", js),
+                                "reduce": "_sum"}})
+    vd = next(iter(eng._defs.values()))
+    assert isinstance(vd.map_def, VariantJSView)
+    eng.update_view("dd/v")
+    rows = eng.query("dd/v", group=True, stale="ok").rows()
+    assert rows == [{"key": "fr", "value": sum(
+        float(i) for i in range(60) if i % 2 == 1)}]
 
 
 def test_inference(spark, raw_sf):
