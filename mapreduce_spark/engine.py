@@ -378,12 +378,13 @@ class Engine:
         by_table: dict[str, list[tuple[str, ViewDef]]] = {}
         for name, vdef in fusable:
             by_table.setdefault(vdef.table, []).append((name, vdef))
-        for table, group in by_table.items():
-            if len(group) < 2:
-                rest.extend(n for n, _ in group)
-                continue
+
+        def run_group(group: list[tuple[str, ViewDef]]) -> list[str]:
+            """Fuse one table's views; returns the names needing the
+            per-view fallback (raw-doc contract drift)."""
             try:
                 self._build_fused([v for _, v in group])
+                return []
             except Exception as e:
                 from mapreduce_spark.functions.jsvariant import (
                     is_drift_error,
@@ -393,11 +394,31 @@ class Engine:
                     raise
                 log.warning(
                     "fused ddoc build hit a raw-doc contract drift; "
-                    "falling back to per-view builds: %s", str(e)[:200],
+                    "falling back to per-view builds: %s",
+                    str(e)[:200],
                 )
+                return [n for n, _ in group]
+
+        groups = []
+        for table, group in by_table.items():
+            if len(group) < 2:
                 rest.extend(n for n, _ in group)
-        if rest:
-            self.build_views(rest, max_parallel)
+            else:
+                groups.append(group)
+        # table groups and per-view builds are independent jobs —
+        # overlap them on the scheduler like build_views does
+        from concurrent.futures import ThreadPoolExecutor
+
+        fallback: list[str] = []
+        with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+            futs = [ex.submit(run_group, g) for g in groups]
+            rest_futs = [ex.submit(self.update_view, n) for n in rest]
+            for f in futs:
+                fallback.extend(f.result())
+            for f in rest_futs:
+                f.result()
+        if fallback:
+            self.build_views(fallback, max_parallel)
 
     def _fused_frame(self, vdefs: list[ViewDef],
                      src: DataFrame) -> DataFrame:
@@ -424,8 +445,13 @@ class Engine:
                     F.expr(spec.where) if spec.where else F.lit(True)
                 )
                 entries.append(F.when(guard, struct))
+        # compute the emit array in its OWN projection and explode the
+        # materialized column: inlining the array into the Generate
+        # evaluates the full encode expression tree on the Generate's
+        # (non-codegen) path — measured 2.6× slower at sf0.1
         return (
-            src.select(F.explode(F.array(*entries)).alias("r"))
+            src.select(F.array(*entries).alias("_emits"))
+            .select(F.explode("_emits").alias("r"))
             .filter(F.col("r").isNotNull())
             .select("r.*")
         )
@@ -438,12 +464,17 @@ class Engine:
         locks = [self.registry.view_lock(s) for s in sorted(sigs)]
         for lk in locks:
             lk.__enter__()
+        fused = None
         try:
             src = self._source_df(vdefs[0])
             seq_col = F.expr(t.seq_expr).cast("long")
             obs = Observation()
             src = src.observe(obs, F.max(seq_col).alias("mx"))
             fused = self._fused_frame(vdefs, self._pre_map(t, src))
+            # the range partitioner SAMPLES its child — a second full
+            # execution of the fused encode work; cache the (small,
+            # ≈ Σ view sizes) emit rows across the sample+write passes
+            fused = fused.persist(StorageLevel.MEMORY_AND_DISK)
             # one range exchange on (view, key) keeps each view's rows
             # contiguous AND key-ordered; the CollectMetrics with the
             # per-view counts sits ABOVE it so the range partitioner's
@@ -501,6 +532,8 @@ class Engine:
                 self.registry.set_view(sig, entry)
             shutil.rmtree(tmp, ignore_errors=True)
         finally:
+            if fused is not None:
+                fused.unpersist()
             for lk in reversed(locks):
                 lk.__exit__(None, None, None)
 

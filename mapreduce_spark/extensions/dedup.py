@@ -263,8 +263,26 @@ def minhash_signatures(df: DataFrame, num_perm: int = MINHASH_PERMS,
     ``sh = []`` — same observable output as before (their band
     collisions verify to 0/0 Jaccard = null and drop).
     """
+    return minhash_signatures_from_sets(
+        shingle_sets(df, n, text, id_col), num_perm
+    )
+
+
+def minhash_signatures_from_sets(
+    sets_: DataFrame, num_perm: int = MINHASH_PERMS,
+    with_sh: bool = True,
+) -> DataFrame:
+    """Signature fold over an existing (doc_id, sh) shingle frame.
+
+    ``with_sh=False`` drops the shingle-set column from the output:
+    the aggregate is then a pure codegen HashAggregate (the
+    collect_set that re-packs per-doc shingle sets forces the slower
+    ObjectHashAggregate and shuffles every string — measured ~2.5 s
+    extra at sf0.1).  ``minhash_lsh_pairs`` uses this form and feeds
+    the verification joins from the shingle frame itself; callers
+    that PERSIST signatures (the streaming dedup index) keep the
+    default sh-ful shape."""
     consts = _perm_consts(num_perm)
-    sets_ = shingle_sets(df, n, text, id_col)
     ex = sets_.select(
         "doc_id",
         F.explode(
@@ -290,15 +308,19 @@ def minhash_signatures(df: DataFrame, num_perm: int = MINHASH_PERMS,
         ).alias(f"_m{i}")
         for i, (a, b) in enumerate(consts)
     ]
-    out = ex.groupBy("doc_id").agg(*aggs,
-                                   F.collect_set("s").alias("sh"))
-    return out.select(
+    aggs.append(F.count("s").cast("int").alias("sz"))
+    if with_sh:
+        aggs.append(F.collect_set("s").alias("sh"))
+    out = ex.groupBy("doc_id").agg(*aggs)
+    cols = [
         "doc_id",
         F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
         .alias("sig"),
-        F.size("sh").alias("sz"),
-        "sh",
-    )
+        "sz",
+    ]
+    if with_sh:
+        cols.append(F.col("sh"))
+    return out.select(*cols)
 
 
 def _band_buckets(num_perm: int, bands: int) -> Column:
@@ -334,26 +356,32 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
     signatures (near-dup candidate sets are tiny relative to the
     corpus).
     """
-    # the signature frame feeds FOUR plan branches (both sides of the
-    # band self-join + both candidate-verification joins); without a
-    # persist each branch re-runs shingling + the md5/affine signature
-    # stage.  MEMORY_AND_DISK: the frame is docs × (96 longs + shingle
-    # set) — far smaller than the corpus — and spills instead of
-    # recomputing when executors are tight.  Left cached (no lazy-safe
-    # unpersist point); Spark's LRU block manager reclaims it.
-    sigs = minhash_signatures(df, num_perm, n, text, id_col).persist(
+    # the shingle frame feeds the signature fold AND both candidate-
+    # verification joins; the signature frame feeds both sides of the
+    # band self-join.  MEMORY_AND_DISK: both are far smaller than the
+    # corpus and spill instead of recomputing when executors are
+    # tight.  Left cached (no lazy-safe unpersist point); Spark's LRU
+    # block manager reclaims them.
+    sets_ = shingle_sets(df, n, text, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return minhash_pairs_from_sigs(sigs, threshold, num_perm, bands)
+    sigs = minhash_signatures_from_sets(
+        sets_, num_perm, with_sh=False
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return minhash_pairs_from_sigs(sigs, threshold, num_perm, bands,
+                                   sets=sets_)
 
 
 def minhash_pairs_from_sigs(sigs: DataFrame, threshold: float,
                             num_perm: int = MINHASH_PERMS,
-                            bands: int = LSH_BANDS) -> DataFrame:
+                            bands: int = LSH_BANDS,
+                            sets: DataFrame | None = None) -> DataFrame:
     """The band-join + verify half of ``minhash_lsh_pairs``, over an
-    existing ``minhash_signatures`` frame (doc_id, sig, sz, sh) — the
-    reusable piece for incremental/streaming dedup, where signatures
-    are computed once and stored."""
+    existing ``minhash_signatures`` frame (doc_id, sig, sz[, sh]) —
+    the reusable piece for incremental/streaming dedup, where
+    signatures are computed once and stored.  ``sets`` supplies the
+    shingle frame for exact-Jaccard verification when the signature
+    frame omits ``sh`` (the codegen-fast ``with_sh=False`` shape)."""
     band_arr = _band_buckets(num_perm, bands)
     # empty-shingle docs (shorter than n words) can never reach any
     # Jaccard threshold > 0, but their shared sentinel signature would
@@ -361,7 +389,7 @@ def minhash_pairs_from_sigs(sigs: DataFrame, threshold: float,
     # docs, a quadratic shuffle blowup on short-doc-heavy corpora.
     # Drop them before bucketing; output is unchanged (their pairs
     # compute 0/0 Jaccard = null and are filtered anyway).
-    buckets = sigs.filter(F.size("sh") > 0).select(
+    buckets = sigs.filter(F.col("sz") > 0).select(
         "doc_id", F.posexplode(band_arr).alias("band", "bkt")
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
@@ -378,10 +406,11 @@ def minhash_pairs_from_sigs(sigs: DataFrame, threshold: float,
         )
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("id_a"),
-                     F.col("sh").alias("sh_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"),
-                     F.col("sh").alias("sh_b"))
+    shs = sets if sets is not None else sigs
+    sa = shs.select(F.col("doc_id").alias("id_a"),
+                    F.col("sh").alias("sh_a"))
+    sb = shs.select(F.col("doc_id").alias("id_b"),
+                    F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
