@@ -213,3 +213,45 @@ def test_json_null_behaves_as_typed_null(spark, raw_sf, tmp_path):
     want = {r["key"]: r["value"]
             for r in eng2.query("dd/v", stale="ok", reduce=False).rows()}
     assert got == want
+
+
+def test_build_ddoc_fused_drift_falls_back(spark, tmp_path):
+    """A fused ddoc build over a raw table whose corpus violates the
+    sampled contract beyond the sample (mixed-typed field in the
+    tail) must fall back to per-view builds and still answer
+    correctly through the interpreter tier."""
+    docs = []
+    for i in range(300):
+        d = {"_id": f"t:{i:04d}", "lang": "fr" if i % 2 else "en",
+             "n": float(i)}
+        docs.append((d["_id"], i, json.dumps(d)))
+    # tail doc drifts: lang becomes a number (beyond the 10k sample
+    # cap is impossible at this size, so force drift by writing the
+    # drifting doc AFTER registration/build starts is racy — instead
+    # register with a clean table, then append before build)
+    sf = str(tmp_path / "fd")
+    spark.createDataFrame(docs, ["_id", "seq", "doc_json"]).write.mode(
+        "overwrite").parquet(f"{sf}/fdocs.parquet")
+    register_table(raw_doc_table("fdocs"))
+    eng = Engine(spark, sf, str(tmp_path / "fdv"))
+    eng.put_design("dd", {
+        "a": {"map": ("fdocs", "function(doc){ emit(doc.lang, 1); }"),
+              "reduce": "_count"},
+        "b": {"map": ("fdocs",
+                      "function(doc){ emit(doc.lang, doc.n); }"),
+              "reduce": "_sum"},
+    })
+    for name in ("a", "b"):
+        vd = eng._defs[eng.registry.resolve("dd", name)]
+        assert isinstance(vd.map_def, VariantJSView), name
+    drift = [("t:9999", 10_000, json.dumps(
+        {"_id": "t:9999", "lang": 42, "n": 1.0}))]
+    spark.createDataFrame(drift, ["_id", "seq", "doc_json"]).write.mode(
+        "append").parquet(f"{sf}/fdocs.parquet")
+    eng.build_ddoc("dd")
+    a = {r["key"]: r["value"]
+         for r in eng.query("dd/a", stale="ok", group=True).rows()}
+    assert a[42] == 1.0 and a["en"] == 150.0 and a["fr"] == 150.0
+    b = {r["key"]: r["value"]
+         for r in eng.query("dd/b", stale="ok", group=True).rows()}
+    assert b[42] == 1.0

@@ -1,0 +1,160 @@
+"""Grammar fuzz for the raw-doc Variant tier (functions/jsvariant.py).
+
+Random kind-correct JS map sources over a corner-rich RAW JSON corpus
+(nulls, missing fields, nested objects, numeric extremes, empty
+strings, regex-trap values): every source the variant compiler ACCEPTS
+must emit identically to the statement interpreter — they are fully
+independent implementations (JVM variant_get SQL vs a Python JS
+interpreter), so any divergence is a real bug in one of them.
+
+Sources the compiler rejects (JSCompileError) are fine — the engine
+falls back — but are counted: the subset must actually exercise.
+"""
+
+import json
+import math
+import random
+
+import pytest
+
+from mapreduce_spark.functions.jscompile import JSCompileError
+from mapreduce_spark.functions.jsmap import compile_js_map_full
+from mapreduce_spark.functions.jsvariant import compile_js_map_variant
+from mapreduce_spark.operators.mapphase import (
+    build_view_structured_on,
+    map_docs_to_rows,
+)
+from mapreduce_spark.sources.docs import raw_doc_table, register_table
+
+N_DOCS = 40
+N_SRC = 120
+
+
+def _mkcorpus(rng):
+    docs = []
+    for i in range(N_DOCS):
+        d = {
+            "_id": f"f:{i:03d}",
+            "s": rng.choice(["alpha", "", "user:1", "null", "x-9",
+                             "Beta Gamma"]),
+            "t": rng.choice(["en", "fr", "de"]),
+            "n": rng.choice([0.0, -1.5, 2.0, 1e18, 0.1, 7.0]),
+            "m": rng.choice([0.0, 3.0, -2.0, 10.0]),
+            "b": rng.random() < 0.5,
+            "meta": {"k": rng.choice(["p", "q"]),
+                     "v": float(rng.randint(0, 9))},
+        }
+        if rng.random() < 0.3:
+            d["z"] = None  # JSON null (present), never missing
+        docs.append(d)
+    return docs
+
+
+def _gen_source(rng):
+    def num(depth):
+        c = rng.randint(0, 4 if depth > 0 else 1)
+        if c == 0:
+            return rng.choice(["doc.n", "doc.m", "doc.meta.v"])
+        if c == 1:
+            return rng.choice(["2", "0.5", "10"])
+        if c == 2:
+            op = rng.choice(["+", "-", "*", "/", "%"])
+            return f"({num(depth - 1)} {op} {num(depth - 1)})"
+        if c == 3:
+            f = rng.choice(["floor", "abs", "round"])
+            return f"Math.{f}({num(depth - 1)})"
+        return rng.choice(["doc.s.length", "doc.t.length"])
+
+    def strx(depth):
+        c = rng.randint(0, 3 if depth > 0 else 1)
+        if c == 0:
+            return rng.choice(["doc.s", "doc.t", "doc.meta.k"])
+        if c == 1:
+            return rng.choice(["'lit'", "'en'"])
+        if c == 2:
+            m = rng.choice(["toLowerCase()", "toUpperCase()",
+                            "substring(0, 2)"])
+            return f"doc.{rng.choice(['s', 't'])}.{m}"
+        return f"({strx(depth - 1)} + 'x')"
+
+    def cond(depth):
+        c = rng.randint(0, 5 if depth > 0 else 1)
+        if c == 0:
+            op = rng.choice(["===", "!==", "<", ">", "<=", ">="])
+            return f"{num(depth - 1)} {op} {num(depth - 1)}"
+        if c == 1:
+            op = rng.choice(["===", "!=="])
+            return f"{strx(depth - 1)} {op} 'en'"
+        if c == 2:
+            return f"({cond(depth - 1)} && {cond(depth - 1)})"
+        if c == 3:
+            return f"({cond(depth - 1)} || {cond(depth - 1)})"
+        if c == 4:
+            m = rng.choice(["startsWith('u')", "includes('a')",
+                            "endsWith('a')", "match(/^a/)",
+                            "match(/null/)"])
+            return f"doc.{rng.choice(['s', 't'])}.{m}"
+        return f"!({cond(depth - 1)})"
+
+    guards = "".join(
+        f"if ({cond(1)}) {{ " for _ in range(rng.randint(0, 2))
+    )
+    key = rng.choice([num(2), strx(2),
+                      f"[{strx(1)}, {num(1)}]"])
+    val = rng.choice([num(2), "null", "1", strx(1)])
+    emits = f"emit({key}, {val});"
+    if rng.random() < 0.3:
+        emits += f" emit({strx(1)}, {num(1)});"
+    return ("function(doc) { " + guards + emits +
+            " }" * guards.count("{") + " }")
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+@pytest.mark.parametrize("seed", [20260814])
+def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    docs = _mkcorpus(rng)
+    rows = [(d["_id"], i, json.dumps(d)) for i, d in enumerate(docs)]
+    sf = str(tmp_path / "vf")
+    df = spark.createDataFrame(rows, ["_id", "seq", "doc_json"])
+    df.write.mode("overwrite").parquet(f"{sf}/vfz.parquet")
+    register_table(raw_doc_table("vfz"))
+
+    compiled_n = 0
+    for i in range(N_SRC):
+        src = _gen_source(rng)
+        try:
+            view = compile_js_map_variant(spark, sf, "vfz", src)
+        except JSCompileError:
+            continue
+        compiled_n += 1
+        specs = view.specs if isinstance(view.specs, list) \
+            else [view.specs]
+        got = set()
+        for spec in specs:
+            for r in build_view_structured_on(df, spec).collect():
+                got.add((r["id"], r["key_enc"],
+                         _norm_json(r["value_json"])))
+        fn = compile_js_map_full(src)
+        want = set()
+        for r in map_docs_to_rows(docs, fn):
+            want.add((r["id"], r["key_enc"],
+                      _norm_json(r["value_json"])))
+        assert got == want, (src, sorted(got - want)[:3],
+                             sorted(want - got)[:3])
+    assert compiled_n >= 30, compiled_n
+
+
+def _norm_json(vj):
+    if vj is None:
+        return None
+    return _norm(json.loads(vj))
