@@ -545,15 +545,19 @@ def _sql_num(v: float) -> str:
 
 class _Compiler:
     def __init__(self, table: str, schema,
-                 variant_types: dict[str, str] | None = None) -> None:
+                 variant_types: dict[str, str] | None = None,
+                 variant_iso: set[str] | None = None) -> None:
         from mapreduce_spark.sources.docs import TABLES
 
         self.table = table
         self.t = TABLES[table]
         # variant mode (functions/jsvariant.py): raw doc sources have
         # one dynamic doc_json column; field kinds come from sampled
-        # inference and extraction is drift-guarded variant_get SQL
+        # inference and extraction is drift-guarded variant_get SQL.
+        # variant_iso: string fields whose sampled values are all
+        # strict-ISO — eligible for compiled new Date() bucketing
         self.variant_types = variant_types
+        self.variant_iso = variant_iso or set()
         self.types = (
             {}
             if schema is None
@@ -614,6 +618,34 @@ class _Compiler:
         if args:
             raise JSCompileError(f"Date {name}() takes no arguments")
         kind, sql = self.field(field)
+        if kind == "str" and self.variant_types is not None \
+                and field in self.variant_iso:
+            # raw-doc ISO string (sampled all-ISO): parse JVM-side
+            # with a drift guard — a non-ISO tail value raises and the
+            # engine falls back to the interpreter (JS would produce
+            # an Invalid Date → NaN getters; the interpreter
+            # reproduces that exactly)
+            from mapreduce_spark.functions.jsvariant import (
+                DRIFT_MARK,
+                ISO_RE,
+            )
+
+            err = (
+                f"raise_error('[{DRIFT_MARK}] doc.{field} is not a "
+                "valid strict-ISO date string — interpreter tier "
+                "required')"
+            )
+            # shape guard (regex) + validity guard (try_cast: a
+            # shape-valid '2024-13-45' is a JS Invalid Date → NaN
+            # getters, which only the interpreter reproduces)
+            sql = (
+                f"(CASE WHEN {sql} IS NULL THEN "
+                "cast(NULL as timestamp) "
+                f"WHEN NOT {sql} RLIKE '{ISO_RE}' THEN {err} "
+                f"WHEN try_cast({sql} as timestamp) IS NULL THEN {err} "
+                f"ELSE cast({sql} as timestamp) END)"
+            )
+            kind = "iso"
         if kind != "iso":
             raise JSCompileError(
                 f"new Date(doc.{field}) over a {kind} field is "
@@ -1386,7 +1418,8 @@ class _Compiler:
 
 
 def compile_js_map(source: str, table: str, schema,
-                   variant_types: dict[str, str] | None = None) -> Any:
+                   variant_types: dict[str, str] | None = None,
+                   variant_iso: set[str] | None = None) -> Any:
     """JS map-function source → MapSpec (or list of MapSpecs).
 
     ``schema``: the RAW table schema (``load_table(...).schema``) —
@@ -1407,7 +1440,8 @@ def compile_js_map(source: str, table: str, schema,
             "map function contains no emit() call — a view with no "
             "emits indexes nothing"
         )
-    c = _Compiler(table, schema, variant_types=variant_types)
+    c = _Compiler(table, schema, variant_types=variant_types,
+                  variant_iso=variant_iso)
     specs = []
     # A JS throw (method call on a null field) aborts ALL remaining
     # emits of the doc — upstream tryMap semantics — so each emit's

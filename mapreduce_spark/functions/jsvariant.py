@@ -141,6 +141,77 @@ class VariantJSView:
         return self.fallback_repr
 
 
+# strict ISO-8601 subset the compiled tier accepts for new Date()
+# over a raw STRING field: date-only (JS: UTC midnight) or full
+# seconds-or-millis timestamps, optional 'Z' (the pinned-UTC session
+# makes zoneless == Z).  Deliberately backslash-free — it is embedded
+# in SQL string literals
+ISO_RE = ("^[0-9]{4}-[0-9]{2}-[0-9]{2}"
+          "(T[0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]{1,6})?Z?)?$")
+
+
+def date_consumed_fields(source: str) -> list[str]:
+    """Doc fields consumed by ``new Date(doc.f)`` in a subset-parsable
+    source (empty when none / unparsable)."""
+    try:
+        emits = _Parser(source).parse()
+    except JSCompileError:
+        return []
+    out: list[str] = []
+
+    def walk(ast: Any) -> None:
+        if not isinstance(ast, tuple):
+            return
+        if ast[0] == "newdate" and isinstance(ast[1], str):
+            if ast[1] not in out:
+                out.append(ast[1])
+            return
+        for a in ast[1:]:
+            if isinstance(a, tuple):
+                walk(a)
+            elif isinstance(a, list):
+                for x in a:
+                    walk(x)
+            elif isinstance(a, dict):
+                for x in a.values():
+                    walk(x)
+
+    for guards, key_ast, value_ast in emits:
+        for g in guards:
+            walk(g)
+        walk(key_ast)
+        walk(value_ast)
+    return out
+
+
+def iso_string_fields(df, fields: list[str]) -> set[str]:
+    """Subset of ``fields`` whose every non-null sampled value matches
+    the strict ISO form — eligible for compiled date bucketing.  One
+    tiny agg over ≤SAMPLE_DOCS live docs."""
+    from pyspark.sql import functions as F
+
+    if not fields:
+        return set()
+    d = df
+    if "_deleted" in d.columns:
+        d = d.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    d = d.filter(F.col("doc_json").isNotNull()).limit(SAMPLE_DOCS)
+    aggs = []
+    for i, f in enumerate(fields):
+        vg = (f"try_variant_get(parse_json(doc_json), '$.{f}', "
+              "'string')")
+        aggs.append(F.expr(
+            f"count(CASE WHEN {vg} IS NOT NULL AND "
+            f"NOT {vg} RLIKE '{ISO_RE}' THEN 1 END)"
+        ).alias(f"bad{i}"))
+        aggs.append(F.expr(f"count({vg})").alias(f"ok{i}"))
+    row = d.agg(*aggs).collect()[0]
+    return {
+        f for i, f in enumerate(fields)
+        if row[f"bad{i}"] == 0 and row[f"ok{i}"] > 0
+    }
+
+
 def referenced_doc_fields(source: str) -> list[str] | None:
     """Top-level doc fields a subset-parsable JS map source references,
     or None when the source is outside the subset grammar."""
@@ -261,7 +332,13 @@ def compile_js_map_variant(spark, sf_dir: str, table: str,
             "referenced doc fields are not unambiguous scalars in the "
             "sampled corpus (mixed / structured / absent)"
         )
-    specs = compile_js_map(source, table, None, variant_types=kinds)
+    date_fields = [
+        f for f in date_consumed_fields(source)
+        if kinds.get(f) == "str"
+    ]
+    iso_ok = iso_string_fields(df, date_fields)
+    specs = compile_js_map(source, table, None, variant_types=kinds,
+                           variant_iso=iso_ok)
     # validation build over the same bounded sample: evaluates every
     # compiled expression (noop sink reads all columns), so a sparse
     # or mixed-typed field the inference agg tolerated raises HERE,

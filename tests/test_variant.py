@@ -255,3 +255,66 @@ def test_build_ddoc_fused_drift_falls_back(spark, tmp_path):
     b = {r["key"]: r["value"]
          for r in eng.query("dd/b", stale="ok", group=True).rows()}
     assert b[42] == 1.0
+
+
+def test_iso_date_bucketing_compiles(spark, tmp_path):
+    """new Date(doc.ts).getUTC*() over a raw ISO-STRING field compiles
+    (sampled all-ISO) and equals the interpreter; a shape-valid but
+    impossible date in the tail drifts to the interpreter, which
+    reproduces the JS Invalid-Date → NaN-key semantics."""
+    docs = []
+    for i in range(120):
+        d = {"_id": f"ts:{i:03d}",
+             "ts": f"2024-0{1 + i % 9}-{1 + i % 27:02d}"
+                   f"T{i % 24:02d}:30:00Z",
+             "v": float(i)}
+        docs.append((d["_id"], i, json.dumps(d)))
+    sf = str(tmp_path / "iso")
+    spark.createDataFrame(docs, ["_id", "seq", "doc_json"]).write.mode(
+        "overwrite").parquet(f"{sf}/idocs.parquet")
+    register_table(raw_doc_table("idocs"))
+    js = ("function(doc) { var d = new Date(doc.ts); "
+          "emit([d.getUTCMonth(), d.getUTCDay()], doc.v); }")
+    # `var` is out of subset — use the expression form for compile
+    js = ("function(doc) { "
+          "emit([new Date(doc.ts).getUTCMonth(), "
+          "new Date(doc.ts).getUTCDay()], doc.v); }")
+    eng = Engine(spark, sf, str(tmp_path / "iv"))
+    eng.put_design("dd", {"v": {"map": ("idocs", js),
+                                "reduce": "_sum"}})
+    vd = next(iter(eng._defs.values()))
+    assert isinstance(vd.map_def, VariantJSView)
+    eng.update_view("dd/v")
+    compiled = _group_rows(eng, "dd/v")
+
+    eng2 = Engine(spark, sf, str(tmp_path / "iv2"))
+    eng2.put_design("dd", {"v": {"map": (
+        "idocs", compile_js_map_fn(js)), "reduce": "_sum"}})
+    eng2.update_view("dd/v")
+    assert compiled == _group_rows(eng2, "dd/v") and compiled
+
+    # drift: impossible date (matches the shape regex, invalid value)
+    bad = [("ts:9999", 10_000, json.dumps(
+        {"_id": "ts:9999", "ts": "2024-13-45T00:00:00Z", "v": 1.0}))]
+    spark.createDataFrame(bad, ["_id", "seq", "doc_json"]).write.mode(
+        "append").parquet(f"{sf}/idocs.parquet")
+    eng.update_view("dd/v")
+    assert not isinstance(vd.map_def, VariantJSView)
+    rows = eng.query("dd/v", group=True, stale="ok").rows()
+    # JS: Invalid Date → NaN getters → key [null, null]
+    assert any(r["key"] == [None, None] for r in rows)
+
+
+def test_non_iso_strings_stay_interpreted(spark, tmp_path):
+    docs = [(f"x:{i}", i, json.dumps(
+        {"_id": f"x:{i}", "ts": "01/02/2024", "v": 1.0}))
+        for i in range(30)]
+    sf = str(tmp_path / "noniso")
+    spark.createDataFrame(docs, ["_id", "seq", "doc_json"]).write.mode(
+        "overwrite").parquet(f"{sf}/xdocs.parquet")
+    register_table(raw_doc_table("xdocs"))
+    with pytest.raises(JSCompileError):
+        compile_js_map_variant(
+            spark, sf, "xdocs",
+            "function(doc) { emit(new Date(doc.ts).getUTCDate(), 1); }",
+        )

@@ -46,6 +46,9 @@ def _mkcorpus(rng):
         }
         if rng.random() < 0.3:
             d["z"] = None  # JSON null (present), never missing
+        d["dts"] = (f"2024-0{rng.randint(1, 9)}-"
+                    f"{rng.randint(1, 27):02d}T"
+                    f"{rng.randint(0, 23):02d}:15:00Z")
         docs.append(d)
     return docs
 
@@ -63,6 +66,10 @@ def _gen_source(rng):
         if c == 3:
             f = rng.choice(["floor", "abs", "round"])
             return f"Math.{f}({num(depth - 1)})"
+        if c == 4 and rng.random() < 0.5:
+            g = rng.choice(["getUTCMonth", "getUTCDay", "getUTCDate",
+                            "getUTCHours", "getUTCFullYear"])
+            return f"new Date(doc.dts).{g}()"
         return rng.choice(["doc.s.length", "doc.t.length"])
 
     def strx(depth):
