@@ -915,3 +915,16 @@ def test_review_findings_round6_late():
         "new Date('2020-02-29').getUTCDate()], 1); }"
     )({}, lambda k, v: emits.append(k))
     assert emits == [[None, 29.0]]
+
+
+def test_reduce_with_regex_literal():
+    """Round 7: regex literals work in reduce sources too (shared
+    statement interpreter + jsregex)."""
+    fn = JSReduceFunction("""function(keys, values, rereduce) {
+      var n = 0;
+      for (var i = 0; i < values.length; i++) {
+        if (String(values[i]).match(/^err:[0-9]+$/)) { n += 1; }
+      }
+      return n;
+    }""")
+    assert fn(None, ["err:12", "ok", "err:x", "err:7"], False) == 2.0
