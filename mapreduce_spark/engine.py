@@ -358,10 +358,15 @@ class Engine:
         group on a raw-doc contract drift.
         """
         views = self.registry.design_views(ddoc)
-        names = [f"{ddoc}/{n}" for n in views]
         fusable: list[tuple[str, ViewDef]] = []
         rest: list[str] = []
+        seen_sigs: set[str] = set()
         for name, sig in views.items():
+            if sig in seen_sigs:
+                # identical definitions share one index (registry
+                # contract): build the shared view once
+                continue
+            seen_sigs.add(sig)
             vdef = self._defs.get(sig)
             entry = self.registry.get_view(sig)
             built = entry is not None and (
@@ -461,7 +466,9 @@ class Engine:
 
         t = TABLES[vdefs[0].table]
         sigs = [v.sig for v in vdefs]
-        locks = [self.registry.view_lock(s) for s in sorted(sigs)]
+        # sorted + deduped: the per-sig lock is non-reentrant, and a
+        # ddoc may name the same definition twice (shared index)
+        locks = [self.registry.view_lock(s) for s in sorted(set(sigs))]
         for lk in locks:
             lk.__enter__()
         fused = None

@@ -37,6 +37,7 @@ startswith/contains/endswith compiled forms.
 
 from __future__ import annotations
 
+import math
 import re
 from functools import lru_cache
 from typing import Any, Callable
@@ -158,11 +159,31 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
             out.append(c)
             i += 1
             continue
-        if c == "$" and "m" not in flags:
-            # JS non-multiline '$' anchors at the TRUE end; Python '$'
-            # also matches before a trailing newline — \Z is the
-            # faithful form
-            out.append("\\Z")
+        if c == ".":
+            if "s" not in flags:
+                # JS '.' excludes ALL LineTerminators (\n \r
+                #  ); Python's excludes only \n
+                out.append("[^\\n\\r\\u2028\\u2029]")
+                i += 1
+                continue
+            out.append(c)
+            i += 1
+            continue
+        if c == "$":
+            if "m" not in flags:
+                # JS non-multiline '$' anchors at the TRUE end;
+                # Python '$' also matches before a trailing newline —
+                # \Z is the faithful form
+                out.append("\\Z")
+            else:
+                # JS multiline '$' anchors before ANY LineTerminator;
+                # Python's MULTILINE '$' only before \n
+                out.append("(?:$|(?=[\\r\\u2028\\u2029]))")
+            i += 1
+            continue
+        if c == "^" and "m" in flags:
+            # JS multiline '^' matches after ANY LineTerminator
+            out.append("(?:^|(?<=[\\r\\u2028\\u2029]))")
             i += 1
             continue
         out.append(c)
@@ -331,11 +352,15 @@ class JSRegExp:
                     i += 1
                     continue
                 name = tmpl[i + 2:j]
-                try:
-                    g = m.group(name)
-                except (IndexError, re.error):
-                    g = None
-                out.append(g or "")
+                if not m.re.groupindex:
+                    # JS GetSubstitution: a regex with NO named
+                    # captures leaves '$<name>' LITERAL
+                    out.append(tmpl[i:j + 1])
+                elif name not in m.re.groupindex:
+                    # named captures exist but not this one: empty
+                    out.append("")
+                else:
+                    out.append(m.group(name) or "")
                 i = j + 1
             elif d.isdigit():
                 # longest valid group number, up to two digits (JS)
@@ -360,8 +385,16 @@ class JSRegExp:
 
     # -- String.prototype.split (spec algorithm) ------------------------
     def split(self, s: str, limit: Any, undef: Any) -> list:
-        lim = 4294967295 if limit is undef or limit is None else \
-            max(0, int(limit))
+        if limit is undef:
+            lim = 4294967295
+        else:
+            # JS ToUint32: NaN/±Infinity → 0, negatives wrap
+            # (split(re, -1) means "no limit" in practice)
+            from mapreduce_spark.functions.jscompile import _js_num
+
+            n = _js_num(limit)
+            lim = 0 if n != n or math.isinf(n) else \
+                int(n) % 4294967296
         if lim == 0:
             return []
         if s == "":

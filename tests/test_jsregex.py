@@ -321,3 +321,44 @@ def test_typed_table_regex_ddoc_end_to_end(spark, sf_dir, tmp_path):
                      group=True)
     assert got == {r["key"]: r["value"] for r in res2.rows()}
     assert got and set(got) <= {1.0, 2.0, 3.0, 4.0, 5.0}
+
+
+def test_line_terminator_semantics():
+    """Round-7 review fixes: JS '.'/multiline anchors treat \\r and
+    U+2028/U+2029 as line terminators; Python only \\n."""
+    assert ev(r"/a.b/.test('a\rb')") is False       # JS: . excludes \r
+    assert ev(r"/a.b/s.test('a\rb')") is True
+    assert ev(r"/^b/m.test('a\rb')") is True        # anchor after \r
+    assert ev(r"/a$/m.test('a\rb')") is True        # anchor before \r
+    assert ev(r"/a.b/.test('a b')") is False
+    assert ev(r"/^b/m.test('a b')") is True
+
+
+def test_split_limit_coercion():
+    # JS ToUint32: -1 wraps to 2^32-1 (no limit); NaN -> 0 -> []
+    assert ev(r"'a,b,c'.split(/,/, -1)") == ["a", "b", "c"]
+    assert ev(r"'a,b,c'.split(/,/, 0/0)") == []
+    assert ev(r"'a,b,c'.split(/,/, '2')") == ["a", "b"]
+
+
+def test_named_replacement_edge_cases():
+    # no named captures at all: '$<x>' stays literal
+    assert ev(r"'ab'.replace(/b/, '$<x>')") == "a$<x>"
+    # named captures exist, name unknown: empty string
+    assert ev(r"'ab'.replace(/(?<g>b)/, '[$<nope>]')") == "a[]"
+
+
+def test_duplicate_sig_ddoc_builds(spark, sf_dir, tmp_path):
+    """Two views naming the IDENTICAL definition share one signature;
+    build_ddoc must not self-deadlock on the shared view lock."""
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    eng = Engine(spark, sf_dir, str(tmp_path / "dup"))
+    v = {"map": MapSpec("nation", ("str", "n_name"), None),
+         "reduce": "_count"}
+    eng.put_design("dd", {"a": dict(v), "b": dict(v)})
+    eng.build_ddoc("dd")
+    a = eng.query("dd/a", stale="ok", group=True).rows()
+    b = eng.query("dd/b", stale="ok", group=True).rows()
+    assert a == b and len(a) == 25
