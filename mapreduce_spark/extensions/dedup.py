@@ -11,9 +11,9 @@ Scale design (the 100 TB contract for each operator):
   a stopword-shingle cap (``max_df``) keeps skewed shingles from
   exploding the join at corpus scale.
 - **minhash_lsh_pairs** — the scale path: signatures are 96 md5-based
-  permutations (md5 JVM-side; the affine-min fold is one Arrow-batched
-  numpy kernel — no explode, no per-row Python), banded b=32 × r=3 so
-  a pair at Jaccard 0.9 is missed
+  permutations, 100% JVM (round 7: md5 + affine-min fold as codegen'd
+  ``min`` aggregates over exploded shingles — zero Python workers
+  anywhere), banded b=32 × r=3 so a pair at Jaccard 0.9 is missed
   with probability (1-0.9³)³² ≈ 1e-18; candidates are verified with
   exact Jaccard so output equals the exact operator on any corpus
   where the LSH recall holds (property-checked in tests).
