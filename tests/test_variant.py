@@ -318,3 +318,20 @@ def test_non_iso_strings_stay_interpreted(spark, tmp_path):
             spark, sf, "xdocs",
             "function(doc) { emit(new Date(doc.ts).getUTCDate(), 1); }",
         )
+
+
+def test_num_array_values_compile(spark, raw_sf, tmp_path):
+    """emit(k, [doc.a, doc.b]) — the CouchDB _sum array shape —
+    compiles on the variant tier with correct value_num_arr."""
+    js = "function(doc) { emit(doc.lang, [doc.n, doc.n + 1]); }"
+    eng = Engine(spark, raw_sf, str(tmp_path / "arr"))
+    eng.put_design("dd", {"v": {"map": ("vdocs", js),
+                                "reduce": "_sum"}})
+    vd = next(iter(eng._defs.values()))
+    assert isinstance(vd.map_def, VariantJSView)
+    eng.update_view("dd/v")
+    got = {r["key"]: r["value"]
+           for r in eng.query("dd/v", group=True, stale="ok").rows()}
+    want_en = [sum(float(i) for i in range(0, 200, 3)),
+               sum(float(i) + 1 for i in range(0, 200, 3))]
+    assert got["en"] == want_en
