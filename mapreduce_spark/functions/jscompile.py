@@ -1097,10 +1097,19 @@ class _Compiler:
                             f"shape); doc.{a[1]} is {kind}"
                         )
                     exprs.append(sql)
+                elif a[0] in ("bin", "method", "strlen", "math",
+                              "ternary"):
+                    kind, sql = self.computed(a)
+                    if kind != "num":
+                        raise JSCompileError(
+                            "value arrays must be numeric (CouchDB "
+                            f"_sum shape); element is {kind}"
+                        )
+                    exprs.append(sql)
                 else:
                     raise JSCompileError(
-                        "value arrays may contain numbers and numeric "
-                        "doc fields only"
+                        "value arrays may contain numbers, numeric doc "
+                        "fields and numeric computed expressions only"
                     )
             return ("num_arr", exprs)
         if tag == "obj":

@@ -108,7 +108,8 @@ def _gen_source(rng):
     )
     key = rng.choice([num(2), strx(2),
                       f"[{strx(1)}, {num(1)}]"])
-    val = rng.choice([num(2), "null", "1", strx(1)])
+    val = rng.choice([num(2), "null", "1", strx(1),
+                      f"[{num(1)}, {num(1)}]"])
     emits = f"emit({key}, {val});"
     if rng.random() < 0.3:
         emits += f" emit({strx(1)}, {num(1)});"
