@@ -71,6 +71,26 @@ from mapreduce_spark.sources.docs import (
 
 log = logging.getLogger("mapreduce_spark.engine")
 
+
+def observed(obs: Observation) -> dict | None:
+    """``Observation.get``, tolerating a metrics row that never
+    materialized.
+
+    When the observed batch is EMPTY and the plan holds a shuffle above
+    the CollectMetrics node (the interpreted map path's repartition, a
+    raw table's latest-per-id window), AQE's empty-relation propagation
+    can eliminate the whole subtree — CollectMetrics included — so the
+    listener never receives a row and ``Observation.get`` trips a JVM
+    ``GenericRowWithSchema`` assertion.  That state is observable ONLY
+    for an empty input (a non-empty scan always executes the metrics
+    node), so callers treat ``None`` as "zero rows seen"."""
+    try:
+        return obs.get
+    except Exception as e:  # Py4JJavaError wrapping the Scala assert
+        if "java.lang.AssertionError" in str(e):
+            return None
+        raise
+
 MAP_RESULT_COLS = [
     "id", "key_json", "value_json", "value_num", "value_num_arr",
 ]
@@ -426,12 +446,21 @@ class Engine:
             self.build_views(fallback, max_parallel)
 
     def _fused_frame(self, vdefs: list[ViewDef],
-                     src: DataFrame) -> DataFrame:
+                     src: DataFrame, *,
+                     view_guards: list | None = None,
+                     extra_entries: list | None = None) -> DataFrame:
         """One-scan frame of every view's emits, tagged ``_vw`` (the
         vdef ordinal).  Each (view, emit-site) contributes a CASE-
         guarded struct per source row; nulls (guard false) drop after
         ONE explode — all JVM, no union (a union would re-instance the
-        scan per branch: Spark does not CSE across union children)."""
+        scan per branch: Spark does not CSE across union children).
+
+        ``view_guards[i]`` (optional) ANDs an extra Column into every
+        emit of view i — the fused REFRESH uses it for the per-view
+        ``seq > last_seq_i`` bound and the not-deleted filter.
+        ``extra_entries`` appends pre-built (possibly guarded) struct
+        Columns to the emit array — the refresh's ``_vw = -1``
+        changed-doc sentinel rides the same scan this way."""
         from mapreduce_spark.operators.mapphase import (
             spec_output_columns,
         )
@@ -449,7 +478,10 @@ class Engine:
                 guard = (
                     F.expr(spec.where) if spec.where else F.lit(True)
                 )
+                if view_guards is not None:
+                    guard = guard & view_guards[i]
                 entries.append(F.when(guard, struct))
+        entries.extend(extra_entries or [])
         # compute the emit array in its OWN projection and explode the
         # materialized column: inlining the array into the Generate
         # evaluates the full encode expression tree on the Generate's
@@ -541,6 +573,290 @@ class Engine:
         finally:
             if fused is not None:
                 fused.unpersist()
+            for lk in reversed(locks):
+                lk.__exit__(None, None, None)
+
+    # ------------------------------------------------------------------
+    # fused incremental refresh (M1 at 100 TB: one changes scan per
+    # ddoc, not per view)
+    # ------------------------------------------------------------------
+
+    def refresh_ddoc(self, ddoc: str, max_parallel: int = 4,
+                     to_seq: int | None = None) -> None:
+        """Refresh ALL views of a design doc from ONE changes scan
+        (SURVEY §2 M1; upstream updates a ddoc's views as one group,
+        [U pouchdb-abstract-mapreduce#updateView] batching, CouchDB
+        couch_mrview updater).  ``build_ddoc`` fuses the FIRST build;
+        without this, a K-view ddoc pays K scans of every changes
+        batch — at 100 TB the scan dominates, so that is K−1 wasted
+        passes per refresh.
+
+        Built structured views over the same table fuse: one scan from
+        ``min(last_seq)`` feeds per-view CASE-guarded emits (guard =
+        spec WHERE ∧ ``seq > last_seq_i``), plus a ``_vw = -1``
+        sentinel row per changed doc carrying (id, seq) — so the
+        tombstone sets, per-view probes and checkpoint bumps all come
+        from the same pass, zero source re-scans.  Views with unequal
+        ``last_seq`` still share the scan (the per-view seq guard
+        re-aligns them).  Everything else — unbuilt views, interpreted
+        views, other tables — takes the per-view ``update_view`` path,
+        as does the whole group on a raw-doc contract drift."""
+        views = self.registry.design_views(ddoc)
+        fusable: list[tuple[str, ViewDef]] = []
+        rest: list[str] = []
+        seen_sigs: set[str] = set()
+        for name, sig in views.items():
+            if sig in seen_sigs:
+                continue
+            seen_sigs.add(sig)
+            vdef = self._defs.get(sig)
+            entry = self.registry.get_view(sig)
+            built = entry is not None and (
+                entry.get("base") is not None or entry.get("layers")
+            )
+            if vdef is not None and built and vdef._spec_list is not None:
+                fusable.append((f"{ddoc}/{name}", vdef))
+            else:
+                rest.append(f"{ddoc}/{name}")
+        by_table: dict[str, list[tuple[str, ViewDef]]] = {}
+        for name, vdef in fusable:
+            by_table.setdefault(vdef.table, []).append((name, vdef))
+
+        def run_group(group: list[tuple[str, ViewDef]]) -> list[str]:
+            try:
+                self._refresh_fused([v for _, v in group], to_seq=to_seq)
+                return []
+            except Exception as e:
+                from mapreduce_spark.functions.jsvariant import (
+                    is_drift_error,
+                )
+
+                if not (
+                    is_drift_error(e)
+                    or "requires built views" in str(e)
+                ):
+                    raise
+                log.warning(
+                    "fused ddoc refresh fell back to per-view "
+                    "refreshes: %s", str(e)[:200],
+                )
+                return [n for n, _ in group]
+
+        groups = []
+        for table, group in by_table.items():
+            if len(group) < 2:
+                rest.extend(n for n, _ in group)
+            else:
+                groups.append(group)
+        from concurrent.futures import ThreadPoolExecutor
+
+        fallback: list[str] = []
+        with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+            futs = [ex.submit(run_group, g) for g in groups]
+            rest_futs = [
+                ex.submit(self.update_view, n, None, to_seq)
+                for n in rest
+            ]
+            for f in futs:
+                fallback.extend(f.result())
+            for f in rest_futs:
+                f.result()
+        for n in fallback:
+            self.update_view(n, None, to_seq)
+
+    def _fused_refresh_frame(
+        self, vdefs: list[ViewDef], last_seqs: list[int],
+        to_seq: int | None = None, changes: DataFrame | None = None,
+    ) -> tuple[DataFrame, list]:
+        """The one-scan refresh frame + its observation metrics.
+
+        Emit rows are tagged ``_vw`` ∈ [0, K); every changed doc also
+        yields exactly one ``_vw = -1`` sentinel whose ``value_num``
+        holds its seq (deleted docs included — they tombstone without
+        emitting).  Metrics (rows_i, w_i, n_i, mx) ride the same pass
+        so no piece of the refresh re-reads the source."""
+        t = TABLES[vdefs[0].table]
+        if changes is not None:
+            src = changes
+        else:
+            src = self._source_df(
+                vdefs[0], since=min(last_seqs), to_seq=to_seq
+            )
+        src = src.withColumn(
+            "_fseq", F.expr(t.seq_expr).cast("long")
+        )
+        collapsed = self._collapse_latest(t, src)
+        live = F.lit(True)
+        if "_deleted" in collapsed.columns:
+            live = ~F.coalesce(F.col("_deleted"), F.lit(False))
+        guards = []
+        for ls in last_seqs:
+            g = live
+            if changes is None:
+                # explicit changes frames are the caller's batch as-is
+                # (update_view parity: tombstone regardless of seq);
+                # the changes-feed path re-aligns unequal checkpoints
+                g = g & (F.col("_fseq") > int(ls))
+            guards.append(g)
+        sent_cols = {
+            "id": doc_id_col(t.name),
+            "emit_ord": F.lit(0),
+            "key_enc": F.lit(""),
+            "key_json": F.lit("null"),
+            "value_num": F.col("_fseq").cast("double"),
+        }
+        sentinel = F.struct(
+            F.lit(-1).alias("_vw"),
+            *[
+                sent_cols.get(f.name, F.lit(None))
+                .cast(f.dataType).alias(f.name)
+                for f in VIEW_SCHEMA.fields
+            ],
+        )
+        frame = self._fused_frame(
+            vdefs, collapsed, view_guards=guards,
+            extra_entries=[sentinel],
+        )
+        is_sent = F.col("_vw") == -1
+        metrics = [
+            F.max(F.when(is_sent, F.col("value_num"))).alias("mx")
+        ]
+        for i, ls in enumerate(last_seqs):
+            vw = F.col("_vw") == i
+            metrics.append(F.count(F.when(vw, 1)).alias(f"rows{i}"))
+            metrics.append(
+                F.max(F.when(vw, F.size("value_num_arr")))
+                .alias(f"w{i}")
+            )
+            n_pred = is_sent if changes is not None else (
+                is_sent & (F.col("value_num") > int(ls))
+            )
+            metrics.append(F.count(F.when(n_pred, 1)).alias(f"n{i}"))
+        return frame, metrics
+
+    def _refresh_fused(self, vdefs: list[ViewDef],
+                       to_seq: int | None = None,
+                       changes: DataFrame | None = None) -> None:
+        """Fused-refresh body: one delta scan → per-view layer appends.
+
+        Per view the outcome is identical to ``_update_view_impl``'s
+        incremental branch (delta layer, lcounts/tombstone file,
+        O(changes) removed-count accounting, stats and ``last_seq``
+        bump, compaction trigger) — the metamorphic test pins
+        fused ≡ per-view ≡ rebuild."""
+        import tempfile as _tf
+
+        sigs = [v.sig for v in vdefs]
+        locks = [self.registry.view_lock(s) for s in sorted(set(sigs))]
+        for lk in locks:
+            lk.__enter__()
+        tmp = None
+        try:
+            entries = [self.registry.ensure_view(v.sig) for v in vdefs]
+            if any(
+                e["base"] is None and not e["layers"] for e in entries
+            ):
+                # raced an un-built view past the pre-lock check: the
+                # fused shape assumes existing checkpoints — build the
+                # stragglers per-view, then re-enter
+                raise RuntimeError(
+                    "_refresh_fused requires built views"
+                )
+            last_seqs = [int(e["last_seq"]) for e in entries]
+            frame, metrics = self._fused_refresh_frame(
+                vdefs, last_seqs, to_seq, changes
+            )
+            vobs = Observation()
+            tmp = _tf.mkdtemp(prefix="fusedref-",
+                              dir=self.registry.storage_dir)
+            (
+                frame.observe(vobs, *metrics)
+                .write.partitionBy("_vw")
+                .mode("overwrite").parquet(tmp)
+            )
+            m = observed(vobs)
+            if m is None:  # empty batch folded away (see observed())
+                return
+            mx = int(m["mx"] or 0)
+            ids_part = os.path.join(tmp, "_vw=-1")
+            for i, (vdef, entry) in enumerate(zip(vdefs, entries)):
+                n_i = int(m[f"n{i}"] or 0)
+                if n_i == 0:
+                    continue
+                sig = vdef.sig
+                vdir = self.registry.view_dir(sig)
+                batch = entry["next_batch"]
+                delta_rel = f"delta-{batch}"
+                delta_path = os.path.join(vdir, delta_rel)
+                part = os.path.join(tmp, f"_vw={i}")
+                shutil.rmtree(delta_path, ignore_errors=True)
+                if os.path.isdir(part):
+                    os.rename(part, delta_path)
+                else:  # changed docs exist but none passed the guards
+                    self.spark.createDataFrame(
+                        [], VIEW_SCHEMA
+                    ).write.mode("overwrite").parquet(delta_path)
+                ids = self.spark.read.schema(
+                    "id string, value_num double"
+                ).parquet(ids_part)
+                if changes is None:
+                    ids = ids.filter(
+                        F.col("value_num") > int(last_seqs[i])
+                    )
+                tomb_ids = ids.select("id").distinct()
+                lcounts_rel = f"lcounts-{batch}"
+                tomb_path = os.path.join(vdir, lcounts_rel)
+                delta_counts = (
+                    self.spark.read.schema(VIEW_SCHEMA)
+                    .parquet(delta_path)
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                lc = tomb_ids.join(delta_counts, "id", "left").select(
+                    "id",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                )
+                if n_i <= 1_000_000:
+                    lc = lc.coalesce(1)
+                lc.write.mode("overwrite").parquet(tomb_path)
+                removed = 0
+                if entry.get("stats") is not None:
+                    self._ensure_counts(entry, vdir)
+                    removed = self._removed_count(
+                        entry, vdir, tomb_path, n_i
+                    )
+                    if removed is None:
+                        removed = (
+                            self._assemble_view(sig)
+                            .select("id")
+                            .join(F.broadcast(tomb_ids), "id",
+                                  "left_semi")
+                            .count()
+                        )
+                entry["layers"].append(
+                    {"batch": batch, "delta": delta_rel,
+                     "tomb": lcounts_rel, "lcounts": lcounts_rel}
+                )
+                entry["next_batch"] = batch + 1
+                entry["last_seq"] = max(entry["last_seq"], mx)
+                prev = entry.get("stats")
+                if prev is not None:
+                    w_i = m[f"w{i}"]
+                    dw = int(w_i) if w_i is not None else -1
+                    entry["stats"] = {
+                        "rows": prev["rows"]
+                        + int(m[f"rows{i}"] or 0) - removed,
+                        "sum_w": max(prev["sum_w"], dw),
+                    }
+                self.registry.set_view(sig, entry)
+                if len(entry["layers"]) >= self.compact_after:
+                    if entry.get("manifest") is not None:
+                        self._compact_scoped_locked(sig, entry)
+                    else:
+                        self._compact(sig, entry)
+        finally:
+            if tmp is not None:
+                shutil.rmtree(tmp, ignore_errors=True)
             for lk in reversed(locks):
                 lk.__exit__(None, None, None)
 
@@ -810,6 +1126,17 @@ class Engine:
         snapshots: exactly one row per pk, no collapse needed).
         Applies per refresh batch too: two edits of one doc in a batch
         emit only the newer.  Deleted docs never reach a map fn."""
+        raw_df = self._collapse_latest(t, raw_df)
+        if "_deleted" in raw_df.columns:
+            raw_df = raw_df.filter(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+            )
+        return raw_df
+
+    def _collapse_latest(self, t: Any, raw_df: DataFrame) -> DataFrame:
+        """Latest row per ``_id`` for changes-log tables (KEEPING
+        deleted-doc tombstone rows — the fused refresh needs their ids
+        for tombstoning even though they never reach a map fn)."""
         if t.raw_json:
             from pyspark.sql import Window
 
@@ -820,10 +1147,6 @@ class Engine:
                 raw_df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
-            )
-        if "_deleted" in raw_df.columns:
-            raw_df = raw_df.filter(
-                ~F.coalesce(F.col("_deleted"), F.lit(False))
             )
         return raw_df
 
@@ -940,9 +1263,10 @@ class Engine:
                 # per-doc emit counts are written LAZILY at the first
                 # refresh (_ensure_counts) — read-only views never pay
                 # the extra id-column pass
+                m0 = observed(obs)
                 entry.update(
                     base=base_rel, base_version=1,
-                    last_seq=int(obs.get["mx"] or 0),
+                    last_seq=int((m0 or {}).get("mx") or 0),
                     stats=stats, counts=None,
                 )
                 self.registry.set_view(sig, entry)
@@ -971,8 +1295,8 @@ class Engine:
                 F.count(F.lit(1)).alias("rows"),
                 F.max(F.size("value_num_arr")).alias("w"),
             ).write.mode("overwrite").parquet(delta_path)
-            probe = obs.get
-            if not probe["n"]:
+            probe = observed(obs)
+            if probe is None or not probe["n"]:
                 shutil.rmtree(delta_path, ignore_errors=True)
                 return
             # ONE (id, n) file per batch serves both roles: the n ≥ 0

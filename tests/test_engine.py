@@ -1167,3 +1167,146 @@ def test_build_ddoc_mixed_falls_back(spark, sf_dir, tmp_path):
     assert {r["key"] for r in a} == {"F", "O", "P"}
     assert {r["key"] for r in c} == {"F!", "O!", "P!"}
     assert sum(r["value"] for r in a) == sum(r["value"] for r in c)
+
+
+# ----------------------------------------------------------------------
+# fused incremental refresh (round 8 M1: one changes scan per ddoc)
+# ----------------------------------------------------------------------
+
+REFRESH_VIEWS = {
+    "by_flag": {
+        "map": MapSpec(
+            "lineitem",
+            [("str", "l_returnflag"), ("str", "l_linestatus")],
+            ("num", "l_quantity"),
+        ),
+        "reduce": "_sum",
+    },
+    "big_qty": {
+        "map": MapSpec(
+            "lineitem",
+            ("num", "l_quantity"),
+            ("num", "l_extendedprice"),
+            where="l_quantity > 45",
+        ),
+    },
+}
+
+
+def _mid_seq(spark, sf_dir):
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seq = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    return raw.agg(F.max(seq)).collect()[0][0] // 2
+
+
+def test_refresh_ddoc_fused_metamorphic(spark, sf_dir, tmp_path):
+    """Fused refresh ≡ per-view refresh ≡ rebuild (hash-equal rows,
+    equal registry stats and last_seq), and the fused refresh frame
+    contains exactly ONE parquet scan of the source — the K−1 saved
+    passes that motivate it at 100 TB."""
+    mid = _mid_seq(spark, sf_dir)
+    engines = {}
+    for mode in ("fused", "pview", "rebuild"):
+        eng = Engine(spark, sf_dir, str(tmp_path / mode))
+        eng.put_design("dd", REFRESH_VIEWS)
+        engines[mode] = eng
+    names = ["dd/by_flag", "dd/big_qty"]
+    for mode in ("fused", "pview"):
+        for n in names:
+            engines[mode].update_view(n, None, mid)
+
+    # plan assert: ONE source scan in the fused refresh frame
+    eng = engines["fused"]
+    vdefs = [eng._defs[eng.registry.resolve("dd", n)]
+             for n in ("by_flag", "big_qty")]
+    frame, _ = eng._fused_refresh_frame(vdefs, [mid, mid])
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+    engines["fused"].refresh_ddoc("dd")
+    for n in names:
+        engines["pview"].update_view(n)
+        engines["rebuild"].update_view(n)
+
+    for n, opts in (
+        ("dd/by_flag", {"group_level": 2}),
+        ("dd/big_qty", {"reduce": False, "limit": 200}),
+    ):
+        want = None
+        for mode, e in engines.items():
+            got = e.query(n, stale="ok", **opts).rows()
+            assert got, (mode, n)
+            if want is None:
+                want = got
+            else:
+                assert got == want, (mode, n)
+    for n in names:
+        entries = [
+            e.registry.get_view(e.registry.resolve(*n.split("/")))
+            for e in engines.values()
+        ]
+        assert len({en["last_seq"] for en in entries}) == 1, n
+        assert len({en["stats"]["rows"] for en in entries}) == 1, n
+    # fused engine really took the layered path (not a rebuild)
+    fe = engines["fused"].registry.get_view(
+        engines["fused"].registry.resolve("dd", "by_flag"))
+    assert fe["layers"], "fused refresh must append a delta layer"
+
+
+def test_refresh_ddoc_unequal_checkpoints(spark, sf_dir, tmp_path):
+    """Views of one ddoc at different last_seq still share the scan:
+    the per-view seq guard re-aligns them, and both converge to the
+    same state as a fresh rebuild."""
+    mid = _mid_seq(spark, sf_dir)
+    eng = Engine(spark, sf_dir, str(tmp_path / "uneq"))
+    eng.put_design("dd", REFRESH_VIEWS)
+    eng.update_view("dd/by_flag", None, mid)
+    eng.update_view("dd/big_qty", None, mid + mid // 2)
+    eng.refresh_ddoc("dd")
+
+    ref = Engine(spark, sf_dir, str(tmp_path / "uneq-ref"))
+    ref.put_design("dd", REFRESH_VIEWS)
+    for n in ("dd/by_flag", "dd/big_qty"):
+        ref.update_view(n)
+    for n, opts in (
+        ("dd/by_flag", {"group_level": 2}),
+        ("dd/big_qty", {"reduce": False, "limit": 200}),
+    ):
+        got = eng.query(n, stale="ok", **opts).rows()
+        want = ref.query(n, stale="ok", **opts).rows()
+        assert got == want and got, n
+        sig_g = eng.registry.resolve(*n.split("/"))
+        sig_w = ref.registry.resolve(*n.split("/"))
+        assert (eng.registry.get_view(sig_g)["last_seq"]
+                == ref.registry.get_view(sig_w)["last_seq"]), n
+        assert (eng.registry.get_view(sig_g)["stats"]["rows"]
+                == ref.registry.get_view(sig_w)["stats"]["rows"]), n
+
+
+def test_refresh_ddoc_noop_and_fallback(spark, sf_dir, tmp_path):
+    """No changes → no new layers, checkpoints untouched; unbuilt and
+    interpreted views route through the per-view path."""
+    eng = Engine(spark, sf_dir, str(tmp_path / "noop"))
+    views = dict(REFRESH_VIEWS)
+    views["js"] = {"map": (
+        "orders",
+        "function(doc) { var s = doc.o_orderstatus; emit(s + '!', 1); }",
+    ), "reduce": "_count"}
+    eng.put_design("dd", views)
+    for n in ("dd/by_flag", "dd/big_qty"):
+        eng.update_view(n)
+    # dd/js never built → refresh_ddoc must build it per-view
+    eng.refresh_ddoc("dd")
+    assert eng.query("dd/js", stale="ok", group=True).rows()
+    before = {
+        n: eng.registry.get_view(eng.registry.resolve("dd", n))
+        for n in ("by_flag", "big_qty")
+    }
+    assert all(not e["layers"] for e in before.values()), \
+        "no-change refresh must not append layers"
+    eng.refresh_ddoc("dd")
+    after = {
+        n: eng.registry.get_view(eng.registry.resolve("dd", n))
+        for n in ("by_flag", "big_qty")
+    }
+    assert before == after
