@@ -462,9 +462,15 @@ class Engine:
         Columns to the emit array — the refresh's ``_vw = -1``
         changed-doc sentinel rides the same scan this way."""
         from mapreduce_spark.operators.mapphase import (
+            spec_needs_vdoc,
             spec_output_columns,
+            with_vdoc,
         )
 
+        if any(
+            spec_needs_vdoc(s) for v in vdefs for s in v._spec_list
+        ):
+            src = with_vdoc(src)
         entries = []
         for i, vdef in enumerate(vdefs):
             for j, spec in enumerate(vdef._spec_list):

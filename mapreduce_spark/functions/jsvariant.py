@@ -102,10 +102,24 @@ def _ddl_kind(ddl: str | None) -> str | None:
     return _KIND_OF_DDL.get(ddl)
 
 
+VDOC_COL = "_vdoc"
+
+
 def variant_field_sql(name: str, kind: str,
-                      doc_col: str = "doc_json") -> str:
-    """Guarded typed extraction of one doc field (module docstring §2)."""
-    vg = f"variant_get(parse_json({doc_col}), '$.{name}')"
+                      var_col: str = VDOC_COL) -> str:
+    """Guarded typed extraction of one doc field (module docstring §2).
+
+    References the PRE-PARSED variant column ``_vdoc`` (materialized
+    once per row by ``with_vdoc`` in the consumers), not a textual
+    ``parse_json(doc_json)``: the guard shape evaluates the doc up to
+    3× per field, and relying on codegen subexpression elimination to
+    share the parse is fragile — the moment an expression falls off
+    the codegen path (as the fused build's Generate did, PLANS.md
+    round-7 lesson #1) every textual copy re-parses.  A dedicated
+    Project survives CollapseProject because the parse is non-cheap
+    and multiply-referenced, so the plan carries exactly ONE
+    parse_json per row (plan-asserted in tests/test_variant.py)."""
+    vg = f"variant_get({var_col}, '$.{name}')"
     sov = f"schema_of_variant({vg})"
     guard = _GUARD_SQL[kind].format(sov=sov)
     return (
@@ -115,7 +129,7 @@ def variant_field_sql(name: str, kind: str,
         f"WHEN NOT {guard} THEN "
         f"raise_error('[{DRIFT_MARK}] doc.{name} drifted from "
         f"inferred kind {kind} — interpreter tier required') "
-        f"ELSE variant_get(parse_json({doc_col}), '$.{name}', "
+        f"ELSE variant_get({var_col}, '$.{name}', "
         f"'{_SQL_TYPE[kind]}') END)"
     )
 

@@ -148,9 +148,58 @@ def build_view_structured(
     )
 
 
+def _spec_sql_texts(spec: MapSpec) -> list[str]:
+    """Every raw-SQL string a MapSpec evaluates (keys, value, where)."""
+    texts: list[str] = []
+
+    def walk(v: Any) -> None:
+        if isinstance(v, str):
+            texts.append(v)
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                walk(x)
+        elif isinstance(v, dict):
+            for x in v.values():
+                walk(x)
+
+    comps, _ = spec.key_components()
+    for c in comps:
+        walk(c[1:])
+    if spec.value is not None:
+        walk(spec.value[1:])
+    if spec.where:
+        texts.append(spec.where)
+    return texts
+
+
+def spec_needs_vdoc(spec: MapSpec) -> bool:
+    """True when any of the spec's expressions reads the pre-parsed
+    variant column (variant-tier compiled raw-JS views)."""
+    from mapreduce_spark.functions.jsvariant import VDOC_COL
+
+    return any(VDOC_COL in t for t in _spec_sql_texts(spec))
+
+
+def with_vdoc(df: DataFrame) -> DataFrame:
+    """Materialize the parsed doc Variant ONCE per row.
+
+    Variant-tier expressions reference ``_vdoc`` several times (null
+    guard, kind guard, typed extraction — ×N fields); parsing in a
+    dedicated Project below them keeps exactly one parse_json per row
+    in the plan regardless of codegen path (CollapseProject will not
+    inline a non-cheap multiply-referenced alias)."""
+    from mapreduce_spark.functions.jsvariant import VDOC_COL
+
+    if VDOC_COL in df.columns:
+        return df
+    return df.withColumn(VDOC_COL, F.expr("parse_json(doc_json)"))
+
+
 def build_view_structured_on(df: DataFrame, spec: MapSpec) -> DataFrame:
     """MapSpec over an arbitrary raw-schema DataFrame (base table or a
     changes batch — the incremental path, SURVEY §2 M1)."""
+    if spec_needs_vdoc(spec):
+        df = with_vdoc(df)
     if spec.where:
         df = df.filter(spec.where)
     cols = spec_output_columns(spec)

@@ -140,6 +140,52 @@ def test_build_plan_has_no_python(spark, raw_sf):
             assert bad not in plan, f"{bad} in compiled build plan"
 
 
+def test_build_plan_parses_doc_once(spark, raw_sf):
+    """Round-8: the parsed Variant is materialized ONCE in a dedicated
+    Project below the emit projection — the guard shape references it
+    up to 3× per field and the emit projection multiplies that across
+    key+value+json rendering, previously saved only by codegen CSE
+    (fragile off the codegen path, PLANS.md round-7 lesson #1).
+
+    The WHERE filter is the one place textual copies remain: Catalyst
+    pushes deterministic predicates through the _vdoc Project with
+    aliases inlined (pushdown has no cost model), and an early filter
+    below the wide emit projection is the right trade — so the pin is
+    (a) the emit Project itself carries ZERO parses, (b) exactly one
+    _vdoc materialization exists, (c) the fused ddoc frame (where the
+    WHERE is a CASE guard, the 100 TB build path) is single-parse
+    end-to-end."""
+    from mapreduce_spark.engine import Engine, ViewDef
+    from mapreduce_spark.operators.mapphase import (
+        build_view_structured_on,
+    )
+    from mapreduce_spark.sources.docs import load_table
+
+    v = compile_js_map_variant(spark, raw_sf, "vdocs", JS)
+    specs = v.specs if isinstance(v.specs, list) else [v.specs]
+    for spec in specs:
+        plan = build_view_structured_on(
+            load_table(spark, raw_sf, "vdocs"), spec
+        )._jdf.queryExecution().optimizedPlan().toString()
+        # parse_json prints as VariantExpressionEvalUtils.parseJson;
+        # one line per node in the optimized plan string
+        emit_project = next(
+            ln for ln in plan.splitlines() if "AS key_enc" in ln
+        )
+        assert "parseJson" not in emit_project, emit_project[:1500]
+        assert plan.count("AS _vdoc") == 1, plan[:1500]
+
+    # fused ddoc frame: WHERE folds into the CASE guard → the WHOLE
+    # plan carries exactly one parse
+    import tempfile
+
+    eng = Engine(spark, raw_sf, tempfile.mkdtemp())
+    vd = ViewDef(v)
+    fused = eng._fused_frame([vd, vd], eng._source_df(vd))
+    fplan = fused._jdf.queryExecution().optimizedPlan().toString()
+    assert fplan.count("parseJson") == 1, fplan[:1500]
+
+
 def test_drift_falls_back_same_sig(spark, raw_sf, tmp_path):
     eng = Engine(spark, raw_sf, str(tmp_path / "v3"))
     eng.put_design("dd", {"v": {"map": ("vdocs", JS), "reduce": "_sum"}})
