@@ -10,7 +10,15 @@ Runs the SURVEY §2.1 inventory at $SPARK_GRAFT_SF_DIR (default
 Prints ONE JSON line:
   {"metric": "warm_total_sec_read_path", "value": <sum of medians>,
    "unit": "sec", "queries_counted": N, "queries": {"q01": sec, ...},
-   "sf": <sf>, "cold_build_sec": <total build>, "cpus": N}
+   "query_metrics": {"q01": {"wall": s, "cpu": s, "shuffle": bytes}},
+   "sf": <sf>, "cold_build_sec": <total build>,
+   "cold_build_cpu_sec": s, "cpus": N}
+
+Every sample runs under its own Spark job group; executor CPU time and
+shuffle-write bytes are summed from the AppStatusStore over exactly
+that group's stages.  Wall medians stay the headline for driver
+compatibility; CPU medians are the round-over-round regression signal
+(this box has a ±40% whole-run steal band — BASELINE.md round 7).
 
 ``value`` totals every inventory read-path query (q18 excluded — it is
 the M1 maintenance metamorphic check, reported separately under
@@ -27,6 +35,90 @@ import statistics
 import sys
 import tempfile
 import time
+
+
+def _group_metrics(spark, group: str) -> tuple[int, int]:
+    """(executor CPU ns, shuffle-write bytes) summed over every stage
+    of the jobs tagged with ``group`` — read from the JVM
+    AppStatusStore, so it costs a few py4j calls per stage of THAT
+    query only.
+
+    This is the attribution signal the ±40% whole-run steal band
+    cannot wash out (BASELINE.md): wall clock on this box swings with
+    co-tenant load, executor CPU time and shuffle bytes do not."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    gw = sc._gateway
+    ss = sc._jsc.sc().statusStore()
+    cpu = sw = 0
+    for jid in tracker.getJobIdsForGroup(group):
+        ji = tracker.getJobInfo(jid)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            try:
+                seq = ss.stageData(
+                    sid, False, gw.jvm.java.util.ArrayList(), False,
+                    gw.new_array(gw.jvm.double, 0),
+                )
+            except Exception:
+                continue  # skipped stage (reused exchange): no attempt
+            it = seq.iterator()
+            while it.hasNext():
+                st = it.next()
+                cpu += st.executorCpuTime()
+                sw += st.shuffleWriteBytes()
+    return cpu, sw
+
+
+def _store_totals(spark) -> tuple[int, int]:
+    """(executor CPU ns, shuffle-write bytes) over EVERY stage in the
+    status store.  Used only around the cold build: job-group
+    attribution misses work submitted from engine thread pools (a
+    plain Python thread's JVM twin does not inherit the group under
+    pinned-thread mode), and at session start the store is near-empty
+    so the full walk is cheap."""
+    sc = spark.sparkContext
+    gw = sc._gateway
+    ss = sc._jsc.sc().statusStore()
+    stages = ss.stageList(
+        gw.jvm.java.util.ArrayList(), False, False,
+        gw.new_array(gw.jvm.double, 0), gw.jvm.java.util.ArrayList(),
+    )
+    cpu = sw = 0
+    it = stages.iterator()
+    while it.hasNext():
+        st = it.next()
+        cpu += st.executorCpuTime()
+        sw += st.shuffleWriteBytes()
+    return cpu, sw
+
+
+def _timed_samples(spark, fn, runs: int, label: str,
+                   before=None) -> dict:
+    """Median {wall, cpu, shuffle} over ``runs`` invocations of ``fn``
+    (each tagged with its own job group for metric attribution)."""
+    sc = spark.sparkContext
+    walls, cpus, shuffles = [], [], []
+    for i in range(runs):
+        if before is not None:
+            before()
+        g = f"{label}-{i}"
+        sc.setJobGroup(g, g)
+        try:
+            t = time.time()
+            fn()
+            walls.append(time.time() - t)
+        finally:
+            sc._jsc.clearJobGroup()
+        cpu, sw = _group_metrics(spark, g)
+        cpus.append(cpu)
+        shuffles.append(sw)
+    return {
+        "wall": round(statistics.median(walls), 4),
+        "cpu": round(statistics.median(cpus) / 1e9, 4),
+        "shuffle": int(statistics.median(shuffles)),
+    }
 
 
 def _layered_read_overhead(spark, sf_dir: str, runs: int) -> dict:
@@ -109,6 +201,9 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # metric attribution reads the status store; don't let stage
+        # eviction drop cold-build stages before the post-build walk
+        .config("spark.ui.retainedStages", "20000")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
@@ -123,19 +218,22 @@ def main() -> None:
         eng = Engine(spark, sf_dir, store)
         inv = Inventory(spark, sf_dir, engine=eng, warm=True)
 
+        c0, s0 = _store_totals(spark)
         t0 = time.time()
         inv.materialize()
         cold_sec = time.time() - t0
+        c1, s1 = _store_totals(spark)
+        cold_cpu, cold_shuffle = c1 - c0, s1 - s0
 
         per_query: dict[str, float] = {}
+        query_metrics: dict[str, dict] = {}
         for name, fn in inv.all_queries().items():
             fn().collect()  # warmup (plan/codegen caches)
-            samples = []
-            for _ in range(runs):
-                t = time.time()
-                fn().collect()
-                samples.append(time.time() - t)
-            per_query[name] = round(statistics.median(samples), 4)
+            m = _timed_samples(
+                spark, lambda: fn().collect(), runs, name
+            )
+            per_query[name] = m["wall"]
+            query_metrics[name] = m
 
         # q18 is a REBUILD-equivalence metamorphic check (two full
         # builds + a delta merge by construction) — it measures M1
@@ -162,13 +260,14 @@ def main() -> None:
         for name in sorted(EXT_BENCH_QUERIES):
             spark.catalog.clearCache()
             EXT_BENCH_QUERIES[name](spark, sf_dir).collect()  # warmup
-            samples = []
-            for _ in range(runs):
-                spark.catalog.clearCache()
-                t = time.time()
-                EXT_BENCH_QUERIES[name](spark, sf_dir).collect()
-                samples.append(time.time() - t)
-            per_query[name] = round(statistics.median(samples), 4)
+            m = _timed_samples(
+                spark,
+                lambda: EXT_BENCH_QUERIES[name](spark, sf_dir)
+                .collect(),
+                runs, name, before=spark.catalog.clearCache,
+            )
+            per_query[name] = m["wall"]
+            query_metrics[name] = m
 
         layered = _layered_read_overhead(spark, sf_dir, runs)
         print(
@@ -179,9 +278,17 @@ def main() -> None:
                     "queries_counted": read_path_count,
                     "unit": "sec",
                     "queries": per_query,
+                    # per-query medians of {wall s, executor-CPU s,
+                    # shuffle-write bytes}: CPU/shuffle are the
+                    # attribution signal the box's ±40% steal band
+                    # can't wash out (round-over-round deltas should
+                    # be read in CPU terms, BASELINE.md round 8)
+                    "query_metrics": query_metrics,
                     "sf": float(sf) if sf.replace(".", "").isdigit()
                     else sf,
                     "cold_build_sec": round(cold_sec, 4),
+                    "cold_build_cpu_sec": round(cold_cpu / 1e9, 4),
+                    "cold_build_shuffle_bytes": int(cold_shuffle),
                     "maintenance_q18_sec": maintenance_q18,
                     **layered,
                     "cpus": int(cpus),

@@ -213,6 +213,72 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     )
 
 
+# auto-routing bounds for jaccard_dedup_pairs (the
+# embedding_near_dup_pairs pattern): the exact prefix-filtered
+# AllPairs join is linear-but-heavy — measured sf10 (500k docs) ≈
+# 200 s on local[32], scaling exponent 0.96 (BASELINE.md round 7) —
+# so past ~1M docs it stops being a defensible default; MinHash-LSH
+# (b=32 × r=3) misses a pair at exactly Jaccard t with probability
+# (1−t³)³² — ≤ 1.4% at t = 0.5, ≤ 0.04% at t = 0.6, →0 above — so
+# below t ≈ 0.5 banding cannot reach recall ≈ 1 and exactness
+# genuinely requires the prefix join
+JACCARD_EXACT_MAX_DOCS = 1_000_000
+JACCARD_LSH_MIN_THRESHOLD = 0.5
+
+
+def jaccard_dedup_pairs(
+    df: DataFrame, threshold: float, n: int = 3, text: str = "text",
+    id_col: str = "doc_id", exact: bool | None = None,
+    corpus_count: int | None = None,
+    max_df: int | None = JACCARD_MAX_DF,
+) -> DataFrame:
+    """Jaccard near-dup pairs with scale-aware routing — THE entry
+    point pipelines should call (mirrors ``embedding_near_dup_pairs``).
+
+    ``exact=True`` pins the prefix-filtered AllPairs join
+    (``jaccard_pairs`` — exact by contract, linear but heavy);
+    ``exact=False`` pins MinHash-LSH banding + exact-Jaccard
+    verification (``minhash_lsh_pairs`` — near-linear; output equals
+    the exact operator wherever banding recall holds, which the
+    threshold floor guards).  The default (None) routes: corpora ≤
+    JACCARD_EXACT_MAX_DOCS run exact, larger corpora run LSH when
+    ``threshold ≥ JACCARD_LSH_MIN_THRESHOLD`` — and keep the exact
+    join with a loud log when it does not (a silent recall hole is
+    worse than a slow exact answer; opt into LSH explicitly to
+    override).  Both paths report the TRUE Jaccard per pair (each
+    verifies with array_intersect over full shingle sets), so the
+    router never changes the meaning of a returned row — only which
+    pairs can be missed, per the documented recall bound.
+
+    ``corpus_count`` skips the sizing count when the caller knows N.
+    """
+    if exact is True:
+        return jaccard_pairs(df, threshold, n, text, id_col, max_df)
+    if exact is False:
+        return minhash_lsh_pairs(
+            df, threshold, n=n, text=text, id_col=id_col
+        )
+    n_docs = (
+        int(corpus_count)
+        if corpus_count is not None
+        else df.select(id_col).count()
+    )
+    if n_docs <= JACCARD_EXACT_MAX_DOCS:
+        return jaccard_pairs(df, threshold, n, text, id_col, max_df)
+    if threshold >= JACCARD_LSH_MIN_THRESHOLD:
+        return minhash_lsh_pairs(
+            df, threshold, n=n, text=text, id_col=id_col
+        )
+    log.warning(
+        "jaccard_dedup_pairs: corpus of %d docs with threshold %.2f — "
+        "below the LSH banding recall floor (%.2f), so the EXACT "
+        "prefix-filtered AllPairs join runs; pass exact=False to "
+        "accept approximate recall instead",
+        n_docs, threshold, JACCARD_LSH_MIN_THRESHOLD,
+    )
+    return jaccard_pairs(df, threshold, n, text, id_col, max_df)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -823,6 +889,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     stable; each round is localCheckpoint()ed so the iterative plan
     doesn't grow without bound (on a real cluster this is a reliable
     checkpoint to the cluster FS — same call shape).
+
+    The per-round checkpoint is LAZY: the convergence-fingerprint agg
+    is the round's first action, so it materializes the checkpoint and
+    reads the fingerprint in ONE job instead of two (measured round 8:
+    at sf0.1 the whole loop is scheduling-latency-bound — ~1.3 s for
+    256 edges over ~2 rounds of AQE-staged shuffles, with AQE OFF
+    *worse* at ~2.0 s because 32 full-width task waves replace the
+    coalesced ones — so fewer jobs is the only lever that matters at
+    small scale, and at 100 TB the checkpoint write dominates either
+    way).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -837,7 +913,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     )
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         n, h = e.agg(
             F.count("*"), F.bit_xor(F.xxhash64("src", "dst"))
         ).first()

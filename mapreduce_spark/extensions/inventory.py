@@ -84,7 +84,11 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = dedup.jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+    # the routing entry point (round 8): at fixture scale it resolves
+    # to the exact prefix-filtered AllPairs join the oracle replicates;
+    # past JACCARD_EXACT_MAX_DOCS the same call routes to verified
+    # MinHash-LSH (see dedup.jaccard_dedup_pairs)
+    out = dedup.jaccard_dedup_pairs(_docs(spark, sf_dir), JACCARD_T)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

@@ -567,3 +567,45 @@ def test_repetition_features(spark):
     assert got[3] == (round(1 - 1 / 3, 4), 1.0)
     assert got[4] == (0.0, 1.0)
     assert got[5][0] == 0.0
+
+
+def test_jaccard_dedup_routing(docs):
+    """The jaccard scale router (round 8, the embedding_near_dup_pairs
+    pattern): small corpora and sub-recall-floor thresholds stay on
+    the exact prefix-filtered AllPairs join; a corpus beyond
+    JACCARD_EXACT_MAX_DOCS with threshold ≥ the banding floor routes
+    to MinHash-LSH (its plan carries the band posexplode; the exact
+    join's carries the prefix row_number window instead)."""
+    def plan(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    band = "posexplode"   # LSH band-bucket stage
+    prefix = "row_number" # AllPairs prefix-rank window
+    # small corpus → exact
+    p = plan(dedup.jaccard_dedup_pairs(docs, 0.5))
+    assert prefix in p and band not in p
+    # huge corpus + threshold above the floor → LSH
+    p = plan(dedup.jaccard_dedup_pairs(docs, 0.5, corpus_count=10**9))
+    assert band in p and prefix not in p
+    # huge corpus + threshold below the floor → stays exact (loud)
+    p = plan(dedup.jaccard_dedup_pairs(docs, 0.3, corpus_count=10**9))
+    assert prefix in p and band not in p
+    # explicit opt-ins pin the tier
+    assert band in plan(
+        dedup.jaccard_dedup_pairs(docs, 0.3, exact=False)
+    )
+    assert prefix in plan(
+        dedup.jaccard_dedup_pairs(docs, 0.9, exact=True)
+    )
+    # and on the fixture both tiers agree with the exact operator
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.jaccard_pairs(docs, 0.5).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.jaccard_dedup_pairs(
+            docs, 0.5, corpus_count=10**9
+        ).collect()
+    }
+    assert want and got == want
