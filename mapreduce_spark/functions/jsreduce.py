@@ -414,13 +414,16 @@ class _Parser:
             if (
                 self.i + 1 < len(self.toks)
                 and self.toks[self.i][0] == "ident"
-                and self.toks[self.i + 1][1] == "in"
+                and self.toks[self.i + 1][1] in ("in", "of")
             ):
                 k = self._next()[1]
-                self._next()  # 'in'
+                kind = self._next()[1]  # 'in' | 'of'
                 obj = self._expr()
                 self._expect(")")
-                return ("forin", k, obj, self._stmt_or_block())
+                return (
+                    "forin" if kind == "in" else "forof",
+                    k, obj, self._stmt_or_block(),
+                )
             self.i = save
             init: Any = None
             if not self._at(";"):
@@ -851,25 +854,27 @@ _MATH_FNS = {
 _LIST_METHODS = frozenset(
     "push concat indexOf join slice reduce map filter forEach "
     "sort reverse every some find findIndex includes lastIndexOf "
-    "pop shift unshift toString splice flat reduceRight".split()
+    "pop shift unshift toString splice flat reduceRight flatMap "
+    "keys values entries fill copyWithin at".split()
 )
 # real JS Array methods OUTSIDE the subset: accessing one fails LOUD
 # (letting it run would silently skip every doc, since real JS would
 # have executed it); names JS Arrays don't have at all fall through to
 # undefined → a faithful runtime TypeError on call
 _LIST_METHODS_JS = frozenset(
-    "flatMap keys values entries fill copyWithin".split()
+    "findLast findLastIndex toSorted toReversed toSpliced with".split()
 )
 _STR_METHODS = frozenset(
     "toLowerCase toUpperCase substring substr slice split indexOf "
     "lastIndexOf charAt charCodeAt trim replace concat startsWith "
-    "endsWith includes toString match search".split()
+    "endsWith includes toString match search matchAll padStart "
+    "padEnd repeat normalize codePointAt at trimStart trimEnd "
+    "replaceAll valueOf".split()
 )
-_STR_METHODS_JS = frozenset(
-    "matchAll padStart padEnd repeat normalize "
-    "codePointAt localeCompare at trimStart trimEnd replaceAll "
-    "valueOf".split()
-)
+# localeCompare is deliberately OUT: its order is locale/ICU-dependent
+# (the same non-goal as ICU view collation, SURVEY §1.3-3) — a pinned
+# approximation would silently diverge between engines
+_STR_METHODS_JS = frozenset(("localeCompare",))
 _NUM_METHODS = frozenset(("toFixed", "toString"))
 
 
@@ -1042,6 +1047,26 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
         env.declare(k, _UNDEF)
         for key in keys:
             env[k] = key
+            try:
+                _exec_block(body, env)
+            except _Break:
+                break
+            except _Continue:
+                continue
+    elif tag == "forof":
+        # for (x of arr) — the subset's iterables are arrays and
+        # strings (its keys()/values()/entries() return materialized
+        # arrays, so those iterate here too); anything else is the
+        # faithful JS TypeError ("x is not iterable"), a runtime throw
+        _, k, oexpr, body = s
+        obj = _eval(oexpr, env)
+        if isinstance(obj, (list, str)):
+            items = list(obj)
+        else:
+            raise JSRuntimeThrow("for…of target is not iterable")
+        env.declare(k, _UNDEF)
+        for item in items:
+            env[k] = item
             try:
                 _exec_block(body, env)
             except _Break:
@@ -1644,6 +1669,64 @@ def _call(fn: Any, args: list) -> Any:
                 return out
 
             return _flat(obj, d)
+        if name == "flatMap" and isinstance(obj, list):
+            # Array.prototype.flatMap: map then flatten ONE level
+            if not args or not _is_js_callable(args[0]):
+                raise JSRuntimeThrow(
+                    ".flatMap() requires a function callback"
+                )
+            out: list = []
+            for i, x in enumerate(obj):
+                r = _call(args[0], [x, float(i), obj])
+                if isinstance(r, list):
+                    out.extend(r)
+                else:
+                    out.append(r)
+            return out
+        if name in ("keys", "values", "entries") and isinstance(
+            obj, list
+        ):
+            # the subset models these iterators as materialized
+            # arrays: its only iteration protocol is for…of (which
+            # walks arrays), so the distinction is unobservable except
+            # via .next() — which stays a faithful runtime TypeError
+            if name == "keys":
+                return [float(i) for i in range(len(obj))]
+            if name == "values":
+                return list(obj)
+            return [[float(i), x] for i, x in enumerate(obj)]
+        if name == "fill" and isinstance(obj, list):
+            # Array.prototype.fill(value, start, end) — in place
+            n = len(obj)
+            v = args[0] if args else _UNDEF
+            st = _js_to_int(args[1]) if len(args) > 1 else 0
+            en = (_js_to_int(args[2])
+                  if len(args) > 2 and args[2] is not _UNDEF else n)
+            st = max(n + st, 0) if st < 0 else min(st, n)
+            en = max(n + en, 0) if en < 0 else min(en, n)
+            for i in range(st, en):
+                obj[i] = v
+            return obj
+        if name == "copyWithin" and isinstance(obj, list):
+            # Array.prototype.copyWithin(target, start, end) — copies
+            # inside the array, length never changes
+            n = len(obj)
+            tg = _js_to_int(args[0]) if args else 0
+            st = (_js_to_int(args[1])
+                  if len(args) > 1 and args[1] is not _UNDEF else 0)
+            en = (_js_to_int(args[2])
+                  if len(args) > 2 and args[2] is not _UNDEF else n)
+            tg = max(n + tg, 0) if tg < 0 else min(tg, n)
+            st = max(n + st, 0) if st < 0 else min(st, n)
+            en = max(n + en, 0) if en < 0 else min(en, n)
+            piece = obj[st:en][: n - tg]
+            obj[tg:tg + len(piece)] = piece
+            return obj
+        if name == "at" and isinstance(obj, list):
+            i = _js_to_int(args[0]) if args else 0
+            if i < 0:
+                i += len(obj)
+            return obj[i] if 0 <= i < len(obj) else _UNDEF
         if name == "reduceRight" and isinstance(obj, list):
             if not args or not _is_js_callable(args[0]):
                 raise JSRuntimeThrow(
@@ -1872,6 +1955,88 @@ def _call_str_method(s: str, name: str, args: list) -> Any:
         pos = min(max(_js_to_int(a1), 0), len(s)) \
             if a1 is not _UNDEF else 0
         return _js_str(a0) in s[pos:]
+    if name in ("padStart", "padEnd"):
+        # spec: ToLength(maxLength); filler repeated then truncated;
+        # empty filler → no padding
+        tgt = _js_to_int(a0) if args else 0
+        fill = " " if a1 is _UNDEF else _js_str(a1)
+        if tgt <= len(s) or fill == "":
+            return s
+        pad = (fill * (-(-(tgt - len(s)) // len(fill))))[: tgt - len(s)]
+        return pad + s if name == "padStart" else s + pad
+    if name == "repeat":
+        cnt = _js_num(a0) if args else 0.0
+        if cnt != cnt:
+            cnt = 0.0
+        if cnt < 0 or math.isinf(cnt):
+            raise JSRuntimeThrow("repeat count must be non-negative "
+                                 "and finite")  # JS RangeError
+        return s * int(cnt)
+    if name == "normalize":
+        import unicodedata
+
+        form = "NFC" if a0 is _UNDEF else _js_str(a0)
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise JSRuntimeThrow(  # JS RangeError
+                f"invalid normalization form {form!r}"
+            )
+        return unicodedata.normalize(form, s)
+    if name == "at":
+        i = _js_to_int(a0) if args else 0
+        if i < 0:
+            i += len(s)
+        return s[i] if 0 <= i < len(s) else _UNDEF
+    if name == "trimStart":
+        return s.lstrip()
+    if name == "trimEnd":
+        return s.rstrip()
+    if name == "codePointAt":
+        i = _js_to_int(a0) if args else 0
+        return float(ord(s[i])) if 0 <= i < len(s) else _UNDEF
+    if name == "valueOf":
+        return s
+    if name == "replaceAll":
+        from mapreduce_spark.functions.jsregex import JSRegExp
+
+        if isinstance(a0, JSRegExp):
+            if not a0.global_:
+                raise JSRuntimeThrow(  # JS TypeError
+                    "replaceAll must be called with a global RegExp"
+                )
+            cb = _call if _is_js_callable(a1) else None
+            return a0.replace(s, a1 if cb else _js_str(a1)
+                              if len(args) > 1 else "undefined",
+                              _js_str, cb, _UNDEF)
+        pat = _js_str(a0)
+        if _is_js_callable(a1):
+            out, pos = [], 0
+            while True:
+                i = s.find(pat, pos)
+                if i < 0 or (pat == "" and pos > len(s)):
+                    out.append(s[pos:])
+                    break
+                out.append(s[pos:i])
+                out.append(_js_str(_call(a1, [pat, float(i), s])))
+                pos = i + len(pat) if pat else i + 1
+                if pat == "":
+                    out.append(s[i:i + 1])
+            return "".join(out)
+        return s.replace(pat, _js_str(a1) if len(args) > 1
+                         else "undefined")
+    if name == "matchAll":
+        from mapreduce_spark.functions.jsregex import JSRegExp
+
+        if isinstance(a0, JSRegExp):
+            if not a0.global_:
+                raise JSRuntimeThrow(  # JS TypeError
+                    "matchAll must be called with a global RegExp"
+                )
+            rx = a0
+        else:  # spec: non-RegExp arg → new RegExp(arg, 'g')
+            rx = JSRegExp(
+                "(?:)" if a0 is _UNDEF else _js_str(a0), "g"
+            )
+        return rx.match_all(s, _UNDEF)
     raise JSReduceError(f".{name}() is outside the subset")
 
 

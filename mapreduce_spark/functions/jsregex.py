@@ -270,6 +270,28 @@ class JSRegExp:
     def test(self, s: str, undef: Any) -> bool:
         return self.exec(s, undef) is not None
 
+    # -- String.prototype.matchAll --------------------------------------
+    def match_all(self, s: str, undef: Any) -> list:
+        """Every match as a full exec-style result (spec
+        String.prototype.matchAll — the iterator internally clones the
+        regex, so ``last_index`` of the original is untouched, but the
+        clone INHERITS it, so iteration starts there; empty matches
+        advance by one like the spec's AdvanceStringIndex)."""
+        out: list = []
+        li = self.last_index
+        if li != li or li < 0:
+            li = 0.0
+        pos = int(min(li, len(s) + 1))
+        while pos <= len(s):
+            m = self.pattern.search(s, pos)
+            if m is None:
+                break
+            out.append(
+                JSMatchArray(_groups_list(m, undef), float(m.start()), s)
+            )
+            pos = m.end() + 1 if m.end() == m.start() else m.end()
+        return out
+
     # -- String.prototype.match -----------------------------------------
     def match(self, s: str, undef: Any) -> Any:
         if not self.global_:

@@ -96,12 +96,21 @@ def test_interpreter_object_helpers_and_foreach():
 
 
 def test_interpreter_out_of_subset_still_loud():
+    # round 8 moved matchAll/flatMap INTO the subset; toSorted /
+    # localeCompare remain the loud out-of-subset witnesses
     with pytest.raises(JSReduceError):
-        run_map("function(doc) { emit(doc.s.matchAll('x'), 1); }",
+        run_map("function(doc) { emit(doc.s.localeCompare('x'), 1); }",
                 {"s": "x"})
     with pytest.raises(JSReduceError):
-        run_map("function(doc) { emit(doc.v.flatMap(null), 1); }",
+        run_map("function(doc) { emit(doc.v.toSorted(), 1); }",
                 {"v": [2, 1]})
+    # matchAll with a string pattern works (implicit new RegExp(p,'g'))
+    assert run_map(
+        "function(doc) { emit(doc.s.matchAll('x').length, 1); }",
+        {"s": "xax"}) == [(2.0, 1.0)]
+    # flatMap(null) is now the FAITHFUL runtime TypeError (doc skip)
+    assert run_map("function(doc) { emit(doc.v.flatMap(null), 1); }",
+                   {"v": [2, 1]}) == []
     # .sort() is IN the subset now (round 6 late)
     assert run_map("function(doc) { emit(doc.v.sort(), 1); }",
                    {"v": [2.0, 1.0]}) == [([1.0, 2.0], 1.0)]
@@ -165,9 +174,9 @@ def test_fallback_is_picklable_and_signature_stable():
 
 def test_out_of_subset_runtime_fails_loud():
     """Round 6 (review): a ddoc using a construct the interpreter
-    cannot run (.flatMap()) must FAIL the build, not tryMap-skip every
-    doc into a silently-empty view; a genuine JS runtime throw still
-    skips just the doc."""
+    cannot run (.toSorted() since round 8 widened the subset) must
+    FAIL the build, not tryMap-skip every doc into a silently-empty
+    view; a genuine JS runtime throw still skips just the doc."""
     import pytest
 
     from mapreduce_spark.errors import QueryParseError
@@ -176,9 +185,9 @@ def test_out_of_subset_runtime_fails_loud():
 
     docs = [{"_id": "d1", "tags": ["b", "a"]}]
     fn = compile_js_map_full(
-        "function(doc){ emit(doc.tags.flatMap(null)[0], 1); }"
+        "function(doc){ emit(doc.tags.toSorted()[0], 1); }"
     )
-    with pytest.raises(QueryParseError, match="flatMap"):
+    with pytest.raises(QueryParseError, match="toSorted"):
         map_docs_to_rows(docs, fn)
 
     # runtime throw (member on null): doc skipped, build survives

@@ -190,8 +190,11 @@ def test_math_nan_semantics():
 
 def test_out_of_subset_raises():
     for src in (
-        "function(k, v) { return v.flatMap(function(x){ return x; }); }",
-        "function(k, v) { return v.keys(); }",
+        # round 8 moved flatMap/keys/… INTO the subset; these remain
+        # the loud out-of-subset witnesses
+        "function(k, v) { return v.toSorted(); }",
+        "function(k, v) { return v.findLast(function(x){return x;}); }",
+        "function(k, v) { return 'a'.localeCompare('b'); }",
         "function(k, v) { throw 'no'; }",
     ):
         with pytest.raises(JSReduceError):
@@ -928,3 +931,151 @@ def test_reduce_with_regex_literal():
       return n;
     }""")
     assert fn(None, ["err:12", "ok", "err:x", "err:7"], False) == 2.0
+
+
+def test_stdlib_long_tail_round8():
+    """Round-8 JS stdlib long tail — every expected value below is the
+    literal answer a real JS engine gives (checked against Node
+    semantics by hand): Array.flatMap/keys/values/entries/fill/
+    copyWithin/at, String.padStart/padEnd/repeat/normalize/at/
+    trimStart/trimEnd/codePointAt/replaceAll/matchAll, and the for…of
+    loop that consumes the iterator-shaped ones."""
+    out = JSReduceFunction("""function(k, v, r) {
+      var fm = [1,2,3].flatMap(function(x){ return [x, x*2]; });
+      var fm2 = [1,[2]].flatMap(function(x){ return x; });
+      var ksum = 0;
+      for (var i of ['a','b','c'].keys()) { ksum += i; }
+      var ent = '';
+      for (var e of ['a','b'].entries()) { ent += e[0] + e[1]; }
+      var vals = '';
+      for (var x of ['p','q'].values()) { vals += x; }
+      var chars = '';
+      for (var c of 'xyz') { chars += c + '.'; }
+      return [
+        fm.join(','), fm2.join(','), ksum, ent, vals, chars,
+        [1,2,3,4].fill(0,1,3).join(','),
+        [1,2,3,4].fill(7,-2).join(','),
+        [1,2,3,4,5].copyWithin(0,3).join(','),
+        [1,2,3,4,5].copyWithin(1,3,4).join(','),
+        [1,2,3,4,5].copyWithin(-2).join(','),
+        [1,2,3].at(-1), 'abc'.at(-2), [1,2].at(5) === undefined,
+        '5'.padStart(3,'0'), 'a'.padEnd(4,'xy'), 'a'.padStart(3),
+        'abc'.padStart(2),
+        'ab'.repeat(3), 'ab'.repeat(0),
+        'e\\u0301'.normalize('NFC') === '\\u00e9',
+        '  x  '.trimStart(), '  x  '.trimEnd(),
+        'a'.codePointAt(0), 'a'.codePointAt(9) === undefined,
+        'a.b.c'.replaceAll('.', '-'),
+        'a1b2'.replaceAll(/[0-9]/g, '#'),
+        'abc'.valueOf()
+      ];
+    }""")(None, [], False)
+    assert out == [
+        "1,2,2,4,3,6", "1,2", 3.0, "0a1b", "pq", "x.y.z.",
+        "1,0,0,4", "1,2,7,7", "4,5,3,4,5", "1,4,3,4,5", "1,2,3,1,2",
+        3.0, "b", True,
+        "005", "axyx", "  a", "abc",
+        "ababab", "",
+        True, "x  ", "  x", 97.0, True,
+        "a-b-c", "a#b#", "abc",
+    ], out
+
+
+def test_stdlib_long_tail_throws_round8():
+    """The spec'd error paths are CATCHABLE JS exceptions (RangeError /
+    TypeError), not engine errors: repeat(-1), normalize('bogus'),
+    replaceAll / matchAll with a non-global regex, for…of over a
+    non-iterable."""
+    out = JSReduceFunction("""function(k, v, r) {
+      var a = [];
+      try { 'x'.repeat(-1); a.push('no'); }
+      catch (e) { a.push('repeat'); }
+      try { 'x'.normalize('bogus'); a.push('no'); }
+      catch (e) { a.push('norm'); }
+      try { 'x'.replaceAll(/x/, 'y'); a.push('no'); }
+      catch (e) { a.push('replaceAll'); }
+      try { 'x'.matchAll(/x/); a.push('no'); }
+      catch (e) { a.push('matchAll'); }
+      try { for (var z of 42) {} a.push('no'); }
+      catch (e) { a.push('forof'); }
+      return a.join(',');
+    }""")(None, [], False)
+    assert out == "repeat,norm,replaceAll,matchAll,forof", out
+
+
+def test_matchall_round8():
+    """matchAll yields full exec-shaped results (groups + .index); the
+    iterator's internal clone INHERITS lastIndex (iteration starts
+    there, spec 22.2.6.14) while the original regex's lastIndex stays
+    untouched; a string argument is implicitly new RegExp(arg, 'g')."""
+    out = JSReduceFunction("""function(k, v, r) {
+      var re = /([a-z])([0-9]+)/g;
+      var o = [];
+      for (var m of 'a1b22'.matchAll(re)) {
+        o.push(m[0] + '/' + m[1] + '/' + m[2] + '@' + m.index);
+      }
+      re.lastIndex = 2;
+      var o2 = [];
+      for (var m2 of 'a1b22'.matchAll(re)) { o2.push(m2[0]); }
+      var n = 0;
+      for (var m3 of 'a-b-a'.matchAll('a')) { n += 1; }
+      return [o.join(' '), o2.join(' '), re.lastIndex, n];
+    }""")(None, [], False)
+    assert out == ["a1/a/1@0 b22/b/22@2", "b22", 2.0, 2.0], out
+
+
+def test_stdlib_long_tail_fuzz_round8():
+    """Metamorphic fuzz over the round-8 stdlib additions: every
+    identity below holds in real JS between INDEPENDENT subset
+    implementations, so a bug in either side breaks the pair —
+    a.flatMap(f) ≡ a.map(f).flat(), entries ≡ zip(keys, values),
+    for…of ≡ the C-style index loop, fill/copyWithin length
+    invariance, padStart/padEnd/repeat length algebra, matchAll[i][0]
+    ≡ match(g) — across seeded random arrays and strings."""
+    import random
+
+    rng = random.Random(20260814)
+    alpha = "ab1 -x.Z"
+    for trial in range(60):
+        arr = [round(rng.uniform(-5, 5), 2) for _ in
+               range(rng.randint(0, 6))]
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        n = rng.randint(0, 4)
+        st = rng.randint(-4, 4)
+        en = rng.randint(-4, 4)
+        arr_js = "[" + ",".join(repr(x) for x in arr) + "]"
+        s_js = "'" + s + "'"
+        out = JSReduceFunction(f"""function(k, v, r) {{
+          var a = {arr_js};
+          var flatmap_eq =
+            a.flatMap(function(x){{ return [x, -x]; }}).join('|') ===
+            a.map(function(x){{ return [x, -x]; }}).flat().join('|');
+          var ent_eq = true;
+          var ks = a.keys(); var vs = a.values();
+          var i = 0;
+          for (var e of a.entries()) {{
+            if (e[0] !== ks[i] || e[1] !== vs[i]) {{ ent_eq = false; }}
+            i += 1;
+          }}
+          var fo = ''; var fc = '';
+          for (var x of a) {{ fo += x + ';'; }}
+          for (var j = 0; j < a.length; j++) {{ fc += a[j] + ';'; }}
+          var b = a.slice(); var c = a.slice();
+          b.fill(9, {st}, {en}); c.copyWithin({st}, {en});
+          var pads = {s_js}.padStart({n} + {s_js}.length, '_');
+          var pade = {s_js}.padEnd({n} + {s_js}.length, 'xy');
+          return [flatmap_eq, ent_eq && i === a.length, fo === fc,
+                  b.length === a.length, c.length === a.length,
+                  pads.length, pade.length,
+                  {s_js}.repeat({n}).length,
+                  {s_js}.trimStart().length <= {s_js}.length,
+                  {s_js}.matchAll(/[a-z]+/g).map(
+                    function(m){{ return m[0]; }}).join(',')];
+        }}""")(None, [], False)
+        want_len = float(n + len(s))
+        mm = [m for m in __import__("re").findall(r"[a-z]+", s)]
+        assert out[:5] == [True, True, True, True, True], (trial, out)
+        assert out[5] == want_len and out[6] == want_len, (trial, out)
+        assert out[7] == float(n * len(s)), (trial, out)
+        assert out[8] is True, (trial, out)
+        assert out[9] == ",".join(mm), (trial, s, out)
