@@ -499,8 +499,14 @@ def _literal_regex(pat: str, flags: str) -> tuple[str, str]:
     """Classify an anchored-literal JS regex: ('exact'|'prefix'|
     'suffix'|'contains', literal).  Anything else (flags, any special
     char in the body) raises JSCompileError → the interpreter tier
-    (functions/jsregex.py) runs the full regex."""
-    if flags:
+    (functions/jsregex.py) runs the full regex.
+
+    The bare ``u`` flag is admitted (round 8): on a special-free
+    literal body u-mode changes nothing — Spark's UTF8String
+    startswith/contains compare code points exactly like u-mode —
+    while ``g`` stays excluded even here (test() on a g-regex is
+    STATEFUL: alternating results via lastIndex)."""
+    if flags and flags != "u":
         raise JSCompileError(
             "regex flags are outside the compiled subset"
         )

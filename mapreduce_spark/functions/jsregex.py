@@ -18,8 +18,13 @@ This module implements a faithful JS-regex subset on top of Python
   ``re.ASCII`` so ``\\b``/``\\B`` use the [A-Za-z0-9_] word set —
   ECMAScript's definition.  Constructs whose semantics the engine
   cannot reproduce raise loud :class:`JSReduceError`
-  (``u``/``v``/``y`` flags, ``\\p{…}``, ``\\cX``) — a compile miss
-  must never silently mis-match.
+  (``v``/``y`` flags, ``\\p{…}``, ``\\cX``) — a compile miss
+  must never silently mis-match.  The ``u`` flag is supported since
+  round 8 for ``\\p``-free patterns (see ``translate``): Python is
+  code-point native, so u-mode's unit-vs-code-point semantics are
+  what this module already implements; the translation adds
+  ``\\u{…}``, surrogate-pair combining, and u-mode escape
+  strictness.
 - **Stateful objects** (:class:`JSRegExp`): ``lastIndex`` advances on
   ``exec``/``test`` for ``g`` regexes — the ``while ((m =
   re.exec(s)))`` idiom works, including the JS empty-match behavior.
@@ -69,15 +74,73 @@ _OUTSIDE_EXPANSION = {
 
 _FLAG_MAP = {"i": re.IGNORECASE, "m": re.MULTILINE, "s": re.DOTALL}
 
+_HEX = set("0123456789abcdefABCDEF")
+# identity/character escapes a u-mode pattern may legally contain
+# (spec AtomEscape/ClassEscape with [U] — everything else is a
+# SyntaxError in real JS, and u-mode exists to be strict about it).
+# \p/\P and \c are rejected earlier with their own messages.
+_U_OK_OUTSIDE = set("^$\\.*+?()[]{}|/dDsSwWbBfnrtv0123456789xuk")
+_U_OK_IN_CLASS = set("^$\\.*+?()[]{}|/dswbfnrtv0xu-")
+
+
+def _py_cp(cp: int) -> str:
+    return f"\\u{cp:04x}" if cp <= 0xFFFF else f"\\U{cp:08x}"
+
+
+def _u_escape(pattern: str, i: int) -> tuple[str, int]:
+    """u-mode ``\\u`` escape at ``pattern[i]`` ('\\'): code-point
+    escapes ``\\u{XXXXXX}`` and surrogate-PAIR combination
+    ``\\uD8xx\\uDCxx`` → one astral code point (Python strings are
+    code-point native, so passing the raw pair through would silently
+    never match — the one u-mode construct the non-u translation gets
+    WRONG rather than merely loud)."""
+    j = i + 2
+    if pattern[j:j + 1] == "{":
+        k = pattern.find("}", j)
+        hexs = pattern[j + 1:k] if k > 0 else ""
+        if not hexs or not set(hexs) <= _HEX:
+            raise JSRuntimeThrow("invalid \\u{…} escape")
+        cp = int(hexs, 16)
+        if cp > 0x10FFFF:
+            raise JSRuntimeThrow("\\u{…} code point out of range")
+        return _py_cp(cp), k + 1
+    hexs = pattern[j:j + 4]
+    if len(hexs) < 4 or not set(hexs) <= _HEX:
+        raise JSRuntimeThrow("invalid \\uXXXX escape (u-mode)")
+    cp = int(hexs, 16)
+    j += 4
+    if 0xD800 <= cp <= 0xDBFF and pattern[j:j + 2] == "\\u":
+        lo = pattern[j + 2:j + 6]
+        if len(lo) == 4 and set(lo) <= _HEX:
+            lo_cp = int(lo, 16)
+            if 0xDC00 <= lo_cp <= 0xDFFF:
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo_cp - 0xDC00)
+                j += 6
+    return _py_cp(cp), j
+
 
 def translate(pattern: str, flags: str) -> tuple[str, int]:
     """JS regex source → (python pattern, re flags).
 
-    Raises JSReduceError for flags/constructs outside the subset."""
+    Raises JSReduceError for flags/constructs outside the subset.
+
+    The ``u`` flag is supported for patterns without ``\\p{…}``/``\\c``
+    (which stay loud): Python strings and ``re`` are code-point native,
+    so u-mode's core semantic — atoms, classes and quantifiers operate
+    on code points, not UTF-16 units — is exactly what this module
+    already does; the translation additionally enables ``\\u{…}``
+    escapes, combines explicit surrogate-pair escapes into one code
+    point, and enforces u-mode's strict identity-escape grammar.
+    Known deviation (shared with the non-u ``i`` flag): case folding
+    under ``re.ASCII`` is ASCII-only, so exotic i+u foldings (k ↔ K
+    KELVIN, ſ ↔ s) do not match — the \\b/\\B word set must stay
+    ECMAScript-ASCII, which Python couples to folding.  ``v``/``y``
+    remain outside the subset."""
     refl = re.ASCII  # \b/\B use the ECMAScript [A-Za-z0-9_] word set
+    uflag = "u" in flags
     for f in flags:
-        if f == "g":
-            continue  # behavioral, handled by JSRegExp
+        if f in ("g", "u"):
+            continue  # g: behavioral (JSRegExp); u: handled here
         if f in _FLAG_MAP:
             refl |= _FLAG_MAP[f]
         else:
@@ -102,7 +165,15 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
                 raise JSReduceError(
                     "\\cX control escapes are outside the subset"
                 )
+            if e == "u" and uflag:
+                rep, i = _u_escape(pattern, i)
+                out.append(rep)
+                continue
             if in_class:
+                if uflag and e not in _U_OK_IN_CLASS:
+                    raise JSRuntimeThrow(  # u-mode strict SyntaxError
+                        f"invalid class escape \\{e} in a u-mode regex"
+                    )
                 exp = _CLASS_EXPANSION.get(e)
                 if exp is not None:
                     out.append(exp)
@@ -117,6 +188,10 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
                 else:
                     out.append(pattern[i:i + 2])
             else:
+                if uflag and e not in _U_OK_OUTSIDE:
+                    raise JSRuntimeThrow(  # u-mode strict SyntaxError
+                        f"invalid escape \\{e} in a u-mode regex"
+                    )
                 exp2 = _OUTSIDE_EXPANSION.get(e)
                 if exp2 is not None:
                     out.append(exp2)

@@ -48,13 +48,61 @@ def test_flags():
     assert ev("/^b/m.test('a\\nb')") is True
     assert ev("/a.b/s.test('a\\nb')") is True
     with pytest.raises(JSReduceError):
-        translate("a", "u")
+        translate("a", "v")  # v-mode class set operations: loud
+    with pytest.raises(JSReduceError):
+        translate("a", "y")  # sticky: loud
     with pytest.raises(JSReduceError):
         translate(r"\p{L}", "")
     with pytest.raises(JSReduceError):
+        translate(r"\p{L}", "u")  # u does not unlock \p — still loud
+    with pytest.raises(JSReduceError):
         JSMapFunctionFull(
-            "function(doc) { emit(/a/u.test('a'), null); }"
+            "function(doc) { emit(/a/y.test('a'), null); }"
         )  # loud at registration, not per doc
+
+
+def test_u_mode_round8():
+    """u-flag subset (round 8) — every expected value is the real
+    ECMAScript answer.  Python is code-point native, so u-mode's
+    units-vs-code-points core comes for free; what the translation
+    adds is \\u{…}, surrogate-pair combining, and strictness."""
+    # the flag alone: classes/dot/quantifiers over code points
+    assert ev(r"/^.$/u.test('é')") is True
+    assert ev(r"/^\d+$/u.test('42')") is True
+    assert ev(r"/^\d$/u.test('٣')") is False  # \d stays ASCII in u
+    # \u{…} code-point escapes (only legal WITH u)
+    assert ev(r"/\u{48}/u.test('H')") is True
+    assert ev(r"/^\u{1F600}$/u.test('😀')") is True
+    # astral literals: in u-mode a quantifier binds the full code
+    # point (non-u JS would bind the trailing low surrogate)
+    assert ev(r"/^😀$/u.test('😀')") is True
+    assert ev(r"/^😀{2}$/u.test('😀😀')") is True
+    # explicit surrogate-pair ESCAPES combine to one code point too
+    assert ev(r"/^\uD83D\uDE00$/u.test('😀')") is True
+    assert ev(r"/^\uD83D\uDE00{2}$/u.test('😀😀')") is True
+    # class ranges over astral code points (impossible without u)
+    assert ev(r"/^[\u{1F600}-\u{1F64F}]$/u.test('😀')") is True
+    assert ev(r"/^[\u{1F600}-\u{1F64F}]$/u.test('x')") is False
+    # g+u composes (lastIndex statefulness unchanged)
+    assert ev(
+        "(function(){ var re = /\\u{61}/gu; var n = 0;"
+        " while (re.exec('aaa') !== null) { n += 1; } return n; })()"
+    ) == 3.0
+    # u-mode strictness: escapes JS rejects are errors, not matchers
+    from mapreduce_spark.functions.jsreduce import JSRuntimeThrow
+
+    with pytest.raises(JSRuntimeThrow):
+        translate(r"\q", "u")       # identity escape: SyntaxError
+    with pytest.raises(JSRuntimeThrow):
+        translate(r"\u12", "u")     # short \uXXXX: SyntaxError
+    with pytest.raises(JSRuntimeThrow):
+        translate(r"\u{110000}", "u")  # beyond Unicode
+    with pytest.raises(JSRuntimeThrow):
+        translate(r"[\q]", "u")     # class identity escape
+    with pytest.raises(JSRuntimeThrow):
+        translate(r"\-", "u")       # \- outside a class: u-mode only
+    # …but annex-B-lenient WITHOUT u, as before
+    assert ev(r"/\-/.test('-')") is True
 
 
 def test_named_groups():
@@ -263,7 +311,10 @@ def test_regex_fuzz_compiled_vs_interpreter(spark, tmp_path):
             body = "\\d" + body  # out of the literal subset
         pre = "^" if rng.random() < 0.5 else ""
         suf = "$" if rng.random() < 0.5 else ""
-        fl = "i" if rng.random() < 0.15 else ""
+        r = rng.random()
+        # u joined the subset in round 8 (bare-u anchored literals
+        # COMPILE; everything else u runs interpreted) — fuzz both
+        fl = "i" if r < 0.15 else "u" if r < 0.3 else ""
         return f"/{pre}{body}{suf}/{fl}"
 
     def cond():
