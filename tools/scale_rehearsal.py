@@ -30,6 +30,11 @@ Measured once per scale (cold plans, same session):
   ``refresh_steady`` across the 10× view-size jump (exponent ≈ 0);
   the pre-round-5 O(view) accounting would grow it ~10×.
 
+- ``ddoc_*`` (round 8): a 3-view design doc built/refreshed FUSED
+  (one source/changes scan via build_ddoc / refresh_ddoc) vs
+  per-view — the scan-sharing term that dominates at 100 TB; the
+  fused/per-view ratio per scale is the measured claim.
+
 Prints one JSON line with per-operator (sf0.1 sec, sf1 sec, exponent
 = log10(t1/t01); 1.0 = linear in the 10× row count).
 
@@ -186,6 +191,102 @@ def measure(spark, sf_dir: str, heavy: bool = True) -> dict:
         out["ivf_rows"] = n
 
     out.update(measure_refresh(spark, sf_dir))
+    out.update(measure_ddoc(spark, sf_dir))
+    return out
+
+
+def _ddoc_views():
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    return {
+        "a": {
+            "map": MapSpec(
+                "lineitem",
+                [("str", "l_returnflag"), ("str", "l_linestatus")],
+                ("num", "l_quantity"),
+            ),
+            "reduce": "_sum",
+        },
+        "b": {
+            "map": MapSpec(
+                "lineitem", ("num", "l_quantity"),
+                ("num", "l_extendedprice"), where="l_quantity > 45",
+            ),
+        },
+        "c": {
+            "map": MapSpec(
+                "lineitem", ("num", "l_discount"),
+                ("num", "l_extendedprice"),
+            ),
+            "reduce": "_sum",
+        },
+    }
+
+
+def measure_ddoc(spark, sf_dir: str) -> dict:
+    """Fused vs per-view ddoc maintenance (rounds 7-8): a 3-view
+    lineitem design doc built with ONE source scan (``build_ddoc``)
+    vs three per-view builds, then a fixed-size change batch applied
+    with ONE changes scan (``refresh_ddoc``) vs three per-view
+    refreshes.  The scan count is the term that dominates at 100 TB
+    (K views → K−1 wasted passes without fusion); at local sf0.1 the
+    11 MB scan predicts parity, so the claim to check is the
+    RATIO's trend across decades, not the absolute wall."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.sources.docs import load_table
+
+    raw = load_table(spark, sf_dir, "lineitem")
+    seq = (
+        F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    ).cast("long")
+    n = raw.count()
+    s0 = int(
+        raw.select(seq.alias("s")).approxQuantile(
+            "s", [max(0.0, 1 - BATCH_ROWS / n)], 0.001
+        )[0]
+    )
+    names = ["dd/a", "dd/b", "dd/c"]
+    out = {}
+
+    fused = Engine(spark, sf_dir, tempfile.mkdtemp(prefix="sfr-dd-f"))
+    fused.put_design("dd", _ddoc_views())
+    t = time.time()
+    fused.build_ddoc("dd")
+    out["ddoc_build_fused"] = round(time.time() - t, 2)
+    pv = Engine(spark, sf_dir, tempfile.mkdtemp(prefix="sfr-dd-p"))
+    pv.put_design("dd", _ddoc_views())
+    t = time.time()
+    pv.build_views(names)
+    out["ddoc_build_perview"] = round(time.time() - t, 2)
+    out["ddoc_build_ratio"] = round(
+        out["ddoc_build_fused"] / max(out["ddoc_build_perview"], 1e-3),
+        2,
+    )
+
+    # refresh: fresh engines built to the pre-batch checkpoint, then
+    # the same ~BATCH_ROWS batch applied fused vs per-view (first
+    # refresh: both sides pay the lazy counts materialization once)
+    fused2 = Engine(spark, sf_dir, tempfile.mkdtemp(prefix="sfr-ddrf"))
+    fused2.put_design("dd", _ddoc_views())
+    pv2 = Engine(spark, sf_dir, tempfile.mkdtemp(prefix="sfr-ddrp"))
+    pv2.put_design("dd", _ddoc_views())
+    for eng in (fused2, pv2):
+        for nm in names:
+            eng.update_view(nm, None, s0)
+    t = time.time()
+    fused2.refresh_ddoc("dd")
+    out["ddoc_refresh_fused"] = round(time.time() - t, 2)
+    t = time.time()
+    for nm in names:
+        pv2.update_view(nm)
+    out["ddoc_refresh_perview"] = round(time.time() - t, 2)
+    out["ddoc_refresh_ratio"] = round(
+        out["ddoc_refresh_fused"]
+        / max(out["ddoc_refresh_perview"], 1e-3),
+        2,
+    )
     return out
 
 
@@ -322,7 +423,9 @@ def main() -> None:
     r01 = measure(spark, SF01, heavy=heavy)
     rN = measure(spark, out_dir, heavy=heavy)
     ops = ["build_q02", "minhash", "clusters", "jaccard",
-           "refresh_first", "refresh_steady"]
+           "refresh_first", "refresh_steady",
+           "ddoc_build_fused", "ddoc_build_perview",
+           "ddoc_refresh_fused", "ddoc_refresh_perview"]
     if heavy:
         ops += ["gemm", "ivf"]
     decades = 2.0 if mode == "sf10" else 1.0
