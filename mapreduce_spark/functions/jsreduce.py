@@ -1317,8 +1317,14 @@ def _eval(e: Any, env: dict) -> Any:
                 return "m" in obj.flags
             if name == "lastIndex":
                 return obj.last_index
-            if name in ("sticky", "unicode", "dotAll", "hasIndices"):
-                return "s" in obj.flags if name == "dotAll" else False
+            if name == "sticky":
+                return "y" in obj.flags
+            if name == "unicode":
+                return "u" in obj.flags
+            if name == "dotAll":
+                return "s" in obj.flags
+            if name == "hasIndices":
+                return False  # d flag is outside the subset
             return _UNDEF
         if isinstance(obj, list):
             if name in _LIST_METHODS:

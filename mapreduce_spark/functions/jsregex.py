@@ -18,13 +18,19 @@ This module implements a faithful JS-regex subset on top of Python
   ``re.ASCII`` so ``\\b``/``\\B`` use the [A-Za-z0-9_] word set —
   ECMAScript's definition.  Constructs whose semantics the engine
   cannot reproduce raise loud :class:`JSReduceError`
-  (``v``/``y`` flags, ``\\p{…}``, ``\\cX``) — a compile miss
-  must never silently mis-match.  The ``u`` flag is supported since
-  round 8 for ``\\p``-free patterns (see ``translate``): Python is
-  code-point native, so u-mode's unit-vs-code-point semantics are
-  what this module already implements; the translation adds
-  ``\\u{…}``, surrogate-pair combining, and u-mode escape
-  strictness.
+  (the ``v`` flag, Script ``\\p`` properties, ``\\cX``) — a compile
+  miss must never silently mis-match.  The ``u`` flag is supported
+  since round 8 (see ``translate``): Python is code-point native, so
+  u-mode's unit-vs-code-point semantics are what this module already
+  implements; the translation adds ``\\u{…}``, surrogate-pair
+  combining, u-mode escape strictness, and ``\\p{…}``/``\\P{…}``
+  General_Category property classes expanded from the stdlib
+  Unicode table (:func:`_prop_class`).
+- **Sticky ``y`` flag** (round 8): spec RegExpBuiltinExec anchors the
+  match AT ``lastIndex`` (Python ``match`` vs ``search``) and
+  advances/zeroes it whether or not ``g`` is set; match/matchAll/
+  replace/search follow their spec uses of RegExpExec (search and
+  split anchor at 0 / ignore it).
 - **Stateful objects** (:class:`JSRegExp`): ``lastIndex`` advances on
   ``exec``/``test`` for ``g`` regexes — the ``while ((m =
   re.exec(s)))`` idiom works, including the JS empty-match behavior.
@@ -73,6 +79,158 @@ _OUTSIDE_EXPANSION = {
 }
 
 _FLAG_MAP = {"i": re.IGNORECASE, "m": re.MULTILINE, "s": re.DOTALL}
+
+# Unicode White_Space (PropList.txt) — NOT the same set as the JS \s
+# class above: U+FEFF (BOM) is \s in JS but not White_Space; U+0085
+# (NEL) is White_Space but not \s.
+_UNICODE_WS = (
+    "\\x09-\\x0d\\x20\\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000"
+)
+
+# General_Category long forms / PropertyValueAliases → short form
+# (property NAMES in JS \p{…} are case-sensitive — exact keys only).
+_GC_ALIAS = {
+    "Letter": "L", "Cased_Letter": "LC",
+    "Uppercase_Letter": "Lu", "Lowercase_Letter": "Ll",
+    "Titlecase_Letter": "Lt", "Modifier_Letter": "Lm",
+    "Other_Letter": "Lo",
+    "Mark": "M", "Combining_Mark": "M",
+    "Nonspacing_Mark": "Mn", "Spacing_Mark": "Mc",
+    "Enclosing_Mark": "Me",
+    "Number": "N", "Decimal_Number": "Nd", "digit": "Nd",
+    "Letter_Number": "Nl", "Other_Number": "No",
+    "Punctuation": "P", "punct": "P",
+    "Connector_Punctuation": "Pc", "Dash_Punctuation": "Pd",
+    "Open_Punctuation": "Ps", "Close_Punctuation": "Pe",
+    "Initial_Punctuation": "Pi", "Final_Punctuation": "Pf",
+    "Other_Punctuation": "Po",
+    "Symbol": "S", "Math_Symbol": "Sm", "Currency_Symbol": "Sc",
+    "Modifier_Symbol": "Sk", "Other_Symbol": "So",
+    "Separator": "Z", "Space_Separator": "Zs",
+    "Line_Separator": "Zl", "Paragraph_Separator": "Zp",
+    "Other": "C", "Control": "Cc", "cntrl": "Cc", "Format": "Cf",
+    "Surrogate": "Cs", "Private_Use": "Co", "Unassigned": "Cn",
+}
+# one-letter groupings of the two-letter unicodedata categories
+_GC_GROUPS = {
+    "L": ("Lu", "Ll", "Lt", "Lm", "Lo"),
+    "LC": ("Lu", "Ll", "Lt"),
+    "M": ("Mn", "Mc", "Me"),
+    "N": ("Nd", "Nl", "No"),
+    "P": ("Pc", "Pd", "Ps", "Pe", "Pi", "Pf", "Po"),
+    "S": ("Sm", "Sc", "Sk", "So"),
+    "Z": ("Zs", "Zl", "Zp"),
+    "C": ("Cc", "Cf", "Cs", "Co", "Cn"),
+}
+
+
+@lru_cache(maxsize=1)
+def _gc_ranges() -> dict:
+    """code-point ranges per two-letter General_Category, from one
+    pass over all 0x110000 code points of the stdlib's Unicode table
+    (~0.5 s, once per process, only when a \\p pattern compiles)."""
+    import unicodedata
+
+    cats: dict = {}
+    prev = None
+    start = 0
+    for cp in range(0x110000):
+        cat = unicodedata.category(chr(cp))
+        if cat != prev:
+            if prev is not None:
+                cats.setdefault(prev, []).append((start, cp - 1))
+            prev = cat
+            start = cp
+    cats.setdefault(prev, []).append((start, 0x10FFFF))
+    return cats
+
+
+def _ranges_body(ranges) -> str:
+    return "".join(
+        _py_cp(a) if a == b else f"{_py_cp(a)}-{_py_cp(b)}"
+        for a, b in ranges
+    )
+
+
+@lru_cache(maxsize=128)
+def _prop_class(name: str) -> str:
+    """``\\p{name}`` → the inside of a Python character class.
+
+    Supported: General_Category values (short + long + ``gc=`` /
+    ``General_Category=`` forms) via the stdlib Unicode table, and
+    the table-free binary properties ASCII / Any / Assigned /
+    White_Space / ASCII_Hex_Digit / Hex_Digit.  Script properties and
+    the remaining binary properties (Alphabetic, ID_Start, …) need
+    UCD tables the stdlib does not carry — loud, never approximated."""
+    prop = name
+    if prop.startswith("General_Category="):
+        prop = prop[len("General_Category="):]
+    elif prop.startswith("gc="):
+        prop = prop[3:]
+    elif "=" in prop:
+        raise JSReduceError(
+            f"\\p{{{name}}}: only General_Category key=value forms "
+            "are inside the subset (Script/Script_Extensions need "
+            "UCD tables this engine does not carry)"
+        )
+    if prop == "ASCII":
+        return "\\x00-\\x7f"
+    if prop == "Any":
+        return "\\x00-\\U0010ffff"
+    if prop == "ASCII_Hex_Digit":
+        return "0-9A-Fa-f"
+    if prop == "Hex_Digit":
+        return "0-9A-Fa-f\\uff10-\\uff19\\uff21-\\uff26\\uff41-\\uff46"
+    if prop == "White_Space":
+        return _UNICODE_WS
+    if prop == "Assigned":
+        cn = _gc_ranges()["Cn"]
+        out = []
+        nxt = 0
+        for a, b in cn:
+            if a > nxt:
+                out.append((nxt, a - 1))
+            nxt = b + 1
+        if nxt <= 0x10FFFF:
+            out.append((nxt, 0x10FFFF))
+        return _ranges_body(out)
+    gc = _GC_ALIAS.get(prop, prop)
+    cats = _GC_GROUPS.get(gc, (gc,))
+    table = _gc_ranges()
+    if not all(c in table for c in cats):
+        raise JSReduceError(
+            f"\\p{{{name}}} is outside the subset (supported: "
+            "General_Category values, ASCII, Any, Assigned, "
+            "White_Space, Hex_Digit)"
+        )
+    body: list[str] = []
+    for c in cats:
+        body.append(_ranges_body(table[c]))
+    return "".join(body)
+
+
+def _p_escape(pattern: str, i: int, in_class: bool,
+              negated: bool) -> tuple[str, int]:
+    """u-mode ``\\p{…}`` / ``\\P{…}`` at ``pattern[i]`` ('\\')."""
+    if pattern[i + 2:i + 3] != "{":
+        raise JSRuntimeThrow(
+            "\\p must be followed by {Property} in a u-mode regex"
+        )
+    k = pattern.find("}", i + 3)
+    if k < 0:
+        raise JSRuntimeThrow("unterminated \\p{…} escape")
+    body = _prop_class(pattern[i + 3:k])
+    if in_class:
+        if negated:
+            # a negated set inside a class can't expand to ranges
+            # (same structural limit as \D \W \S in classes)
+            raise JSReduceError(
+                "\\P{…} inside a character class is outside the "
+                "subset"
+            )
+        return body, k + 1
+    return (f"[^{body}]" if negated else f"[{body}]"), k + 1
 
 _HEX = set("0123456789abcdefABCDEF")
 # identity/character escapes a u-mode pattern may legally contain
@@ -134,13 +292,14 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
     Known deviation (shared with the non-u ``i`` flag): case folding
     under ``re.ASCII`` is ASCII-only, so exotic i+u foldings (k ↔ K
     KELVIN, ſ ↔ s) do not match — the \\b/\\B word set must stay
-    ECMAScript-ASCII, which Python couples to folding.  ``v``/``y``
-    remain outside the subset."""
+    ECMAScript-ASCII, which Python couples to folding.  ``v``
+    remains outside the subset; ``y`` is behavioral
+    (:class:`JSRegExp`)."""
     refl = re.ASCII  # \b/\B use the ECMAScript [A-Za-z0-9_] word set
     uflag = "u" in flags
     for f in flags:
-        if f in ("g", "u"):
-            continue  # g: behavioral (JSRegExp); u: handled here
+        if f in ("g", "u", "y"):
+            continue  # g/y: behavioral (JSRegExp); u: handled here
         if f in _FLAG_MAP:
             refl |= _FLAG_MAP[f]
         else:
@@ -157,10 +316,19 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
                 raise JSRuntimeThrow("regex ends with a lone backslash")
             e = pattern[i + 1]
             if e in "pP":
-                raise JSReduceError(
-                    "\\p{…} unicode property escapes are outside the "
-                    "subset"
-                )
+                if not uflag:
+                    # non-u-mode \p is an Annex-B identity escape in
+                    # real JS, but a ddoc writing \p{…} almost surely
+                    # meant the property — loud beats silently
+                    # matching the letter 'p'
+                    raise JSReduceError(
+                        "\\p{…} property escapes require the u flag "
+                        "(and are an identity escape without it — "
+                        "add the flag or escape the backslash)"
+                    )
+                rep, i = _p_escape(pattern, i, in_class, e == "P")
+                out.append(rep)
+                continue
             if e == "c":
                 raise JSReduceError(
                     "\\cX control escapes are outside the subset"
@@ -314,16 +482,24 @@ class JSRegExp:
         self.source = source
         self.flags = flags
         self.global_ = "g" in flags
+        self.sticky = "y" in flags
         self.last_index = 0.0
         self.pattern = _compiled(source, flags)
+
+    def _find(self, s: str, pos: int):
+        """One spec match step: sticky anchors AT ``pos`` (Python's
+        ``match``), otherwise search forward from it."""
+        return (self.pattern.match(s, pos) if self.sticky
+                else self.pattern.search(s, pos))
 
     def __repr__(self) -> str:  # JS RegExp.prototype.toString
         return f"/{self.source}/{self.flags}"
 
-    # -- core (spec RegExpBuiltinExec, sans sticky) ---------------------
+    # -- core (spec RegExpBuiltinExec) ----------------------------------
     def exec(self, s: str, undef: Any) -> Any:
         start = 0
-        if self.global_:
+        stateful = self.global_ or self.sticky
+        if stateful:
             li = self.last_index
             if li != li or li < 0:
                 li = 0.0
@@ -331,12 +507,12 @@ class JSRegExp:
             if start > len(s):
                 self.last_index = 0.0
                 return None
-        m = self.pattern.search(s, start)
+        m = self._find(s, start)
         if m is None:
-            if self.global_:
+            if stateful:
                 self.last_index = 0.0
             return None
-        if self.global_:
+        if stateful:
             self.last_index = float(m.end())
         return JSMatchArray(
             _groups_list(m, undef), float(m.start()), s
@@ -358,7 +534,7 @@ class JSRegExp:
             li = 0.0
         pos = int(min(li, len(s) + 1))
         while pos <= len(s):
-            m = self.pattern.search(s, pos)
+            m = self._find(s, pos)
             if m is None:
                 break
             out.append(
@@ -370,6 +546,10 @@ class JSRegExp:
     # -- String.prototype.match -----------------------------------------
     def match(self, s: str, undef: Any) -> Any:
         if not self.global_:
+            # spec: one RegExpExec — a non-global STICKY regex
+            # anchors at (and advances) lastIndex
+            if self.sticky:
+                return self.exec(s, undef)
             m = self.pattern.search(s)
             if m is None:
                 return None
@@ -380,7 +560,7 @@ class JSRegExp:
         out: list[str] = []
         pos = 0
         while pos <= len(s):
-            m = self.pattern.search(s, pos)
+            m = self._find(s, pos)
             if m is None:
                 break
             out.append(m.group(0))
@@ -388,7 +568,9 @@ class JSRegExp:
         return out if out else None
 
     def search(self, s: str) -> float:
-        m = self.pattern.search(s)
+        # spec: lastIndex is saved, zeroed, restored — a sticky regex
+        # therefore anchors at 0
+        m = self._find(s, 0)
         return float(m.start()) if m else -1.0
 
     # -- String.prototype.replace ---------------------------------------
@@ -397,10 +579,29 @@ class JSRegExp:
         out: list[str] = []
         pos = 0
         last = 0
+        if self.global_:
+            # spec zeroes lastIndex up front, and the loop's final
+            # failing exec leaves it zero
+            self.last_index = 0.0
+        if self.sticky and not self.global_:
+            # spec: one RegExpExec, which for sticky anchors at
+            # lastIndex and advances (or zeroes) it
+            li = self.last_index
+            if li != li or li < 0:
+                li = 0.0
+            pos = last = int(min(li, len(s) + 1))
+            if pos > len(s):
+                self.last_index = 0.0
+                return s
+            out.append(s[:pos])
         while pos <= len(s):
-            m = self.pattern.search(s, pos)
+            m = self._find(s, pos)
             if m is None:
+                if self.sticky and not self.global_:
+                    self.last_index = 0.0
                 break
+            if self.sticky and not self.global_:
+                self.last_index = float(m.end())
             out.append(s[last:m.start()])
             if call is not None:
                 # callback: fn(match, p1…, offset, string); JS passes

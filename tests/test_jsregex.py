@@ -50,15 +50,159 @@ def test_flags():
     with pytest.raises(JSReduceError):
         translate("a", "v")  # v-mode class set operations: loud
     with pytest.raises(JSReduceError):
-        translate("a", "y")  # sticky: loud
-    with pytest.raises(JSReduceError):
-        translate(r"\p{L}", "")
-    with pytest.raises(JSReduceError):
-        translate(r"\p{L}", "u")  # u does not unlock \p — still loud
+        translate(r"\p{L}", "")  # \p without u: loud (identity
+        # escape in real JS, but the author meant the property)
     with pytest.raises(JSReduceError):
         JSMapFunctionFull(
-            "function(doc) { emit(/a/y.test('a'), null); }"
-        )  # loud at registration, not per doc
+            "function(doc) { emit(/a/d.test('a'), null); }"
+        )  # d (hasIndices) stays loud at registration, not per doc
+
+
+def test_sticky_round8():
+    """y flag — every expected value is the real ECMAScript answer
+    (spec RegExpBuiltinExec with sticky: the match must start AT
+    lastIndex, which advances on success and zeroes on failure)."""
+    # anchored-at-lastIndex exec loop over contiguous matches
+    assert ev(
+        "(function(){ var re = /\\d/y; var s = '12a34'; var n = 0;"
+        " while (re.exec(s) !== null) { n += 1; } return n; })()"
+    ) == 2.0  # stops at 'a' — a g regex would find all four
+    # failure zeroes lastIndex
+    assert ev(
+        "(function(){ var re = /b/y; re.lastIndex = 1;"
+        " re.exec('aab'); return re.lastIndex; })()"
+    ) == 0.0
+    # success from a manually-set lastIndex
+    assert ev(
+        "(function(){ var re = /b/y; re.lastIndex = 2;"
+        " return re.test('aab'); })()"
+    ) is True
+    # String.prototype.match with g+y: contiguous prefix only
+    assert ev("'12a34'.match(/\\d/gy)") == ["1", "2"]
+    assert ev("'a12'.match(/\\d/gy)") is None
+    # non-global sticky match = one anchored exec, advances lastIndex
+    assert ev(
+        "(function(){ var re = /a/y; 'aa'.match(re);"
+        " return re.lastIndex; })()"
+    ) == 1.0
+    # search ignores (saves/zeroes/restores) lastIndex: anchors at 0
+    assert ev("'ab'.search(/b/y)") == -1.0
+    assert ev("'ba'.search(/b/y)") == 0.0
+    # replace: non-global sticky anchors at lastIndex
+    assert ev(
+        "(function(){ var re = /a/y; re.lastIndex = 1;"
+        " return 'aaa'.replace(re, 'X'); })()"
+    ) == "aXa"
+    # replace with g+y: contiguous run only
+    assert ev("'aab'.replace(/a/gy, 'X')") == "XXb"
+    assert ev("'baa'.replace(/a/gy, 'X')") == "baa"
+    # split ignores the original's y (the spec splitter re-clones)
+    assert ev("'a1b2c'.split(/\\d/y)") == ["a", "b", "c"]
+    # property + flags round-trip
+    assert ev("/a/y.sticky") is True
+    assert ev("/a/g.sticky") is False
+    assert ev("/a/u.unicode") is True
+    assert ev("/a/uy.flags") == "uy"
+    # ^ in sticky mode still asserts position 0, not lastIndex
+    assert ev(
+        "(function(){ var re = /^a/y; re.lastIndex = 1;"
+        " return re.test('aa'); })()"
+    ) is False
+
+
+def test_prop_escapes_round8():
+    """u-mode \\p{…}/\\P{…} General_Category classes — expected
+    values are the real ECMAScript answers."""
+    assert ev(r"/^\p{L}+$/u.test('Grüße中λ')") is True
+    assert ev(r"/^\p{L}+$/u.test('ab1')") is False
+    assert ev(r"/^\p{Lu}$/u.test('Ä')") is True
+    assert ev(r"/^\p{Lu}$/u.test('ä')") is False
+    # long form, gc= and General_Category= key forms
+    assert ev(r"/^\p{Letter}$/u.test('x')") is True
+    assert ev(r"/^\p{gc=Nd}$/u.test('٣')") is True
+    assert ev(r"/^\p{General_Category=Letter}$/u.test('q')") is True
+    # \p composes inside classes
+    assert ev(r"'héllo_9 wörld!'.match(/[\p{L}\p{Nd}_]+/gu)") \
+        == ["héllo_9", "wörld"]
+    # negated \P outside a class
+    assert ev(r"'a.b!'.match(/\P{L}/gu)") == [".", "!"]
+    # astral code points are single atoms under \p in u-mode
+    assert ev(r"/^\p{So}$/u.test('😀')") is True
+    # binary properties with exact stdlib semantics
+    assert ev(r"/^\p{ASCII}+$/u.test('abc')") is True
+    assert ev(r"/^\p{ASCII}+$/u.test('abé')") is False
+    assert ev(r"/^\p{White_Space}$/u.test(' ')") is True
+    assert ev(r"/^\p{White_Space}$/u.test('﻿')") is False  # BOM
+    assert ev(r"/^\s$/.test('﻿')") is True   # …but JS \s has it
+    assert ev(r"/^\p{Hex_Digit}$/u.test('f')") is True
+    assert ev(r"/^\p{Any}$/u.test('\u0000')") is True
+    # case-sensitive property names, scripts and non-gc binaries loud
+    with pytest.raises(JSReduceError):
+        translate(r"\p{letter}", "u")  # lowercase long form: loud
+    with pytest.raises(JSReduceError):
+        translate(r"\p{Script=Greek}", "u")
+    with pytest.raises(JSReduceError):
+        translate(r"\p{Alphabetic}", "u")  # needs UCD tables
+    with pytest.raises(JSReduceError):
+        translate(r"[\P{L}]", "u")  # negated set inside a class
+    from mapreduce_spark.functions.jsreduce import JSRuntimeThrow
+
+    with pytest.raises(JSRuntimeThrow):
+        translate(r"\p", "u")       # missing {…}: SyntaxError
+    with pytest.raises(JSRuntimeThrow):
+        translate(r"\p{L", "u")     # unterminated: SyntaxError
+
+
+def test_prop_and_sticky_fuzz_round8():
+    """Differential fuzz for the round-8 additions.
+
+    \\p classes: the translated range classes must agree with a
+    per-character ``unicodedata.category`` check (independent code
+    path — ranges are built by run-length scanning, the oracle asks
+    the table point-wise) across random code points incl. astral.
+
+    Sticky: a g+y match must equal the longest CONTIGUOUS chain of
+    non-sticky matches starting at 0 — derived here from matchAll
+    positions, not from the sticky engine."""
+    import random
+    import unicodedata
+
+    from mapreduce_spark.functions.jsregex import JSRegExp
+
+    U = object()
+    rng = random.Random(0x8888)
+    cps = []
+    while len(cps) < 600:
+        c = rng.randrange(0x110000)
+        if not (0xD800 <= c <= 0xDFFF):
+            cps.append(c)
+    s = "".join(map(chr, cps))
+    for prop in ("L", "Lu", "Ll", "Lo", "M", "N", "Nd", "P", "Po",
+                 "S", "So", "Z", "C", "Cf"):
+        got = set(JSRegExp(f"\\p{{{prop}}}", "gu").match(s, U) or [])
+        want = {ch for ch in s
+                if unicodedata.category(ch).startswith(prop)}
+        assert got == want, (prop, got ^ want)
+        gotn = set(JSRegExp(f"\\P{{{prop}}}", "gu").match(s, U) or [])
+        assert gotn == set(s) - want, prop
+
+    pats = ["a", "ab", "a+", "b?a", "(a|b)c?", "\\d", "a*b"]
+    alpha = "aabbc1 "
+    for _ in range(200):
+        p = rng.choice(pats)
+        txt = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+        sticky = JSRegExp(p, "gy").match(txt, U) or []
+        spans = [(int(m.index), m[0])
+                 for m in JSRegExp(p, "g").match_all(txt, U)]
+        chain, pos = [], 0
+        for start, full in spans:
+            if start != pos:
+                if start > pos:
+                    break
+                continue  # an empty match we already stepped past
+            chain.append(full)
+            pos = start + len(full) + (0 if full else 1)
+        assert list(sticky) == chain, (p, txt, sticky, chain)
 
 
 def test_u_mode_round8():
