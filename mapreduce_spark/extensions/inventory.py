@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_spark.extensions import (
+    decontam,
     dedup,
     multimodal,
     sampling,
@@ -28,6 +29,9 @@ from mapreduce_spark.extensions import (
 )
 
 JACCARD_T = 0.5
+# deterministic pseudo-benchmark for the decontamination check: every
+# 41st document plays the eval set (arbitrary prime, oracle-replicable)
+BENCH_MOD = 41
 COSINE_T = 0.4
 TOPK_QUERIES = [0, 1, 2, 3, 4]
 TOPK_K = 10
@@ -65,18 +69,50 @@ def x_text_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(_docs(spark, sf_dir))
 
 
+def x_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the deterministic pseudo-eval
+    subset (doc_id % BENCH_MOD == 0); n=3 matches the fixture's short
+    docs and the shared _SHINGLES oracle macro (production default is
+    the GPT-3-style n=8)."""
+    d = _docs(spark, sf_dir)
+    out = decontam.contamination(
+        d, d.filter(F.col("doc_id") % BENCH_MOD == 0), n=3
+    )
+    return out.select(
+        "doc_id", "ngrams", "contam_hits",
+        F.round("contamination", 4).alias("contamination"),
+    )
+
+
+def x_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-repeated n-gram (boilerplate) fractions, df >= 2."""
+    out = decontam.repeated_ngrams(
+        _docs(spark, sf_dir), n=3, min_df=2
+    )
+    return out.select(
+        "doc_id", "ngrams", "rep_hits",
+        F.round("rep_fraction", 4).alias("rep_fraction"),
+    )
+
+
 def x_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality stats + language-ID + fingerprints + repetition
-    signals joined on doc_id — the text-analysis operators
-    value-checked in one driver row (round-6 repack of the 50-row
-    CORRECTNESS budget).  Each operator is still a narrow
-    single-scan JVM map; the joins are same-source equi-joins that
-    AQE turns broadcast at oracle scale."""
+    """Quality stats + language-ID + fingerprints + repetition +
+    decontamination + corpus-boilerplate signals joined on doc_id —
+    the text-analysis operators value-checked in one driver row
+    (round-6 repack of the 50-row CORRECTNESS budget).  Each operator
+    is still a narrow single-scan JVM map (the round-8 decontam pair
+    adds the two documented shuffles); the joins are same-source
+    equi-joins that AQE turns broadcast at oracle scale."""
     s = x_text_stats(spark, sf_dir)
     l = x_text_langid(spark, sf_dir)
     fp = x_text_fp(spark, sf_dir)
     rep = text.repetition_features(_docs(spark, sf_dir))
-    return s.join(l, "doc_id").join(fp, "doc_id").join(rep, "doc_id")
+    con = x_decontam(spark, sf_dir) \
+        .withColumnRenamed("ngrams", "ngrams3")
+    rep3 = x_rep_ngrams(spark, sf_dir) \
+        .select("doc_id", "rep_hits", "rep_fraction")
+    return s.join(l, "doc_id").join(fp, "doc_id").join(rep, "doc_id") \
+        .join(con, "doc_id").join(rep3, "doc_id")
 
 
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,6 +418,8 @@ EXT_BENCH_QUERIES = {
             _docs(spark, sf_dir)
         )
     ),
+    "x_decontam": x_decontam,
+    "x_rep_ngrams": x_rep_ngrams,
     "x_mm_features": x_mm_features,
     "x_mm_ppm": x_mm_ppm,
     "x_mm_wav": x_mm_wav,
@@ -589,11 +627,36 @@ SELECT doc_id,
        / greatest(len(w), 1), 0.0), 4) AS top_token_ratio
 FROM (SELECT doc_id, w,
         [w[i]||' '||w[i+1] for i in range(1, len(w))] AS bi
-      FROM t))
+      FROM t)),
+sh3 AS (SELECT doc_id, {_SHINGLES} s FROM t),
+ex3 AS (SELECT doc_id, unnest(s) g FROM sh3),
+bg AS (SELECT DISTINCT unnest(s) g FROM sh3
+       WHERE doc_id % {BENCH_MOD} = 0),
+con AS (
+SELECT sh3.doc_id, len(s)::BIGINT AS ngrams3,
+ coalesce(h.hits, 0)::BIGINT AS contam_hits,
+ ROUND(CASE WHEN len(s) > 0
+       THEN coalesce(h.hits, 0)::DOUBLE / len(s) ELSE 0.0 END, 4)
+   AS contamination
+FROM sh3 LEFT JOIN (
+  SELECT e.doc_id, count(*) hits FROM ex3 e JOIN bg USING (g)
+  GROUP BY 1) h USING (doc_id)),
+dfq AS (SELECT g, count(*) c FROM ex3 GROUP BY 1),
+repn AS (
+SELECT sh3.doc_id, coalesce(r.hits, 0)::BIGINT AS rep_hits,
+ ROUND(CASE WHEN len(s) > 0
+       THEN coalesce(r.hits, 0)::DOUBLE / len(s) ELSE 0.0 END, 4)
+   AS rep_fraction
+FROM sh3 LEFT JOIN (
+  SELECT e.doc_id, count(*) hits FROM ex3 e JOIN dfq USING (g)
+  WHERE dfq.c >= 2 GROUP BY 1) r USING (doc_id))
 SELECT stats.*, lang.pred_lang, lang.score, fp.text_md5,
-       fp.rolling_fp, rep.dup_bigram_ratio, rep.top_token_ratio
+       fp.rolling_fp, rep.dup_bigram_ratio, rep.top_token_ratio,
+       con.ngrams3, con.contam_hits, con.contamination,
+       repn.rep_hits, repn.rep_fraction
 FROM stats JOIN lang USING (doc_id) JOIN fp USING (doc_id)
-     JOIN rep USING (doc_id)
+     JOIN rep USING (doc_id) JOIN con USING (doc_id)
+     JOIN repn USING (doc_id)
 """,
     "x_dedup_exact": """
 SELECT doc_id, md5(text) AS fp,
