@@ -855,15 +855,15 @@ _LIST_METHODS = frozenset(
     "push concat indexOf join slice reduce map filter forEach "
     "sort reverse every some find findIndex includes lastIndexOf "
     "pop shift unshift toString splice flat reduceRight flatMap "
-    "keys values entries fill copyWithin at".split()
+    "keys values entries fill copyWithin at "
+    "findLast findLastIndex toSorted toReversed toSpliced with".split()
 )
 # real JS Array methods OUTSIDE the subset: accessing one fails LOUD
 # (letting it run would silently skip every doc, since real JS would
 # have executed it); names JS Arrays don't have at all fall through to
-# undefined → a faithful runtime TypeError on call
-_LIST_METHODS_JS = frozenset(
-    "findLast findLastIndex toSorted toReversed toSpliced with".split()
-)
+# undefined → a faithful runtime TypeError on call.  Empty since the
+# round-8 ES2023 additions — kept for the dispatch structure.
+_LIST_METHODS_JS = frozenset(())
 _STR_METHODS = frozenset(
     "toLowerCase toUpperCase substring substr slice split indexOf "
     "lastIndexOf charAt charCodeAt trim replace concat startsWith "
@@ -1613,10 +1613,11 @@ def _call(fn: Any, args: list) -> Any:
                 if _js_eq(obj[i], a0):
                     return float(i)
             return -1.0
-        if name == "sort" and isinstance(obj, list):
+        if name in ("sort", "toSorted") and isinstance(obj, list):
             # ES2019: stable; undefined elements go LAST without
             # consulting the comparator; default order is ToString
-            # (UTF-16); a comparator's NaN result counts as 0
+            # (UTF-16); a comparator's NaN result counts as 0.
+            # toSorted (ES2023) is the non-mutating twin.
             import functools as _ft
 
             cb = args[0] if args else None
@@ -1632,11 +1633,38 @@ def _call(fn: Any, args: list) -> Any:
                     return -1 if r < 0 else (1 if r > 0 else 0)
 
                 defined.sort(key=_ft.cmp_to_key(cmp))
+            if name == "toSorted":
+                return defined + [_UNDEF] * n_undef
             obj[:] = defined + [_UNDEF] * n_undef
             return obj
         if name == "reverse" and isinstance(obj, list):
             obj.reverse()
             return obj
+        if name == "toReversed" and isinstance(obj, list):
+            return list(reversed(obj))  # ES2023: non-mutating
+        if name in ("findLast", "findLastIndex") and isinstance(
+            obj, list
+        ):
+            if not args:
+                raise JSReduceError(f".{name}() requires a callback")
+            for i in range(len(obj) - 1, -1, -1):
+                if _truthy(_call(args[0], [obj[i], float(i), obj])):
+                    return obj[i] if name == "findLast" else float(i)
+            return _UNDEF if name == "findLast" else -1.0
+        if name == "with" and isinstance(obj, list):
+            # ES2023 Array.prototype.with(index, value): copy with one
+            # replacement; negative counts from the end; out of range
+            # is a RangeError (unlike assignment, which extends)
+            idx = _js_to_int(args[0]) if args else 0
+            if idx < 0:
+                idx += len(obj)
+            if not 0 <= idx < len(obj):
+                raise JSRuntimeThrow(
+                    f"invalid index {idx} for Array.prototype.with"
+                )
+            out = list(obj)
+            out[idx] = args[1] if len(args) > 1 else _UNDEF
+            return out
         if name == "splice" and isinstance(obj, list):
             # Array.prototype.splice(start, deleteCount, …items) —
             # mutates in place, returns the removed elements;
@@ -1654,6 +1682,20 @@ def _call(fn: Any, args: list) -> Any:
             removed = obj[st:st + dc]
             obj[st:st + dc] = list(args[2:])
             return removed
+        if name == "toSpliced" and isinstance(obj, list):
+            # ES2023: the non-mutating splice — same index clamping,
+            # returns the RESULT array (not the removed slice)
+            n = len(obj)
+            if not args:
+                return list(obj)
+            st = _js_to_int(args[0])
+            st = max(n + st, 0) if st < 0 else min(st, n)
+            if len(args) > 1:
+                dc = _js_to_int(args[1])
+                dc = max(0, min(dc, n - st))
+            else:
+                dc = n - st
+            return obj[:st] + list(args[2:]) + obj[st + dc:]
         if name == "flat" and isinstance(obj, list):
             # Array.prototype.flat(depth = 1)
             d = 1

@@ -190,10 +190,9 @@ def test_math_nan_semantics():
 
 def test_out_of_subset_raises():
     for src in (
-        # round 8 moved flatMap/keys/… INTO the subset; these remain
-        # the loud out-of-subset witnesses
-        "function(k, v) { return v.toSorted(); }",
-        "function(k, v) { return v.findLast(function(x){return x;}); }",
+        # round 8 closed the Array long tail (incl. the ES2023
+        # toSorted/findLast family); localeCompare stays the loud
+        # witness — its ICU order is the documented non-goal
         "function(k, v) { return 'a'.localeCompare('b'); }",
         "function(k, v) { throw 'no'; }",
     ):
@@ -201,6 +200,33 @@ def test_out_of_subset_raises():
             fn = compile_js_reduce(src)
             if callable(fn):  # parse may defer to call time
                 fn(None, [1], False)
+
+
+def test_es2023_array_methods():
+    """ES2022/23 additions (round 8) — expected values are the real
+    JS answers; the to* forms must not mutate their receiver."""
+    fn = compile_js_reduce(
+        "function(k, v) { var a = v.toSorted(function(x, y)"
+        " { return y - x; }); return a[0] * 100 + v[0]; }"
+    )
+    assert fn(None, [1.0, 3.0, 2.0], False) == 301.0  # max 3, v intact
+    fn2 = compile_js_reduce(
+        "function(k, v) { return v.findLast(function(x)"
+        " { return x < 3; }) * 10 + v.findLastIndex(function(x)"
+        " { return x < 3; }); }"
+    )
+    # [1,2,5]: findLast <3 → 2 (index 1)
+    assert fn2(None, [1.0, 2.0, 5.0], False) == 21.0
+    fn3 = compile_js_reduce(
+        "function(k, v) { var b = v.toSpliced(1, 1, 9);"
+        " return b.join('-') + '|' + v.join('-'); }"
+    )
+    assert fn3(None, [1.0, 2.0, 3.0], False) == "1-9-3|1-2-3"
+    fn4 = compile_js_reduce(
+        "function(k, v) { return v.with(-1, 7).join(',') + '|'"
+        " + v.toReversed().join(',') + '|' + v.join(','); }"
+    )
+    assert fn4(None, [1.0, 2.0], False) == "1,7|2,1|1,2"
 
 
 def test_looks_like_js_reduce_discriminates():
