@@ -495,18 +495,28 @@ def _sql_str(s: str) -> str:
 _REGEX_SPECIALS = set("\\.^$*+?()[]{}|")
 
 
-def _literal_regex(pat: str, flags: str) -> tuple[str, str]:
+def _literal_regex(pat: str, flags: str) -> tuple[str, str, bool]:
     """Classify an anchored-literal JS regex: ('exact'|'prefix'|
-    'suffix'|'contains', literal).  Anything else (flags, any special
-    char in the body) raises JSCompileError → the interpreter tier
-    (functions/jsregex.py) runs the full regex.
+    'suffix'|'contains', literal, case_insensitive).  Anything else
+    (other flags, any special char in the body) raises JSCompileError
+    → the interpreter tier (functions/jsregex.py) runs the full regex.
 
     The bare ``u`` flag is admitted (round 8): on a special-free
     literal body u-mode changes nothing — Spark's UTF8String
     startswith/contains compare code points exactly like u-mode —
     while ``g`` stays excluded even here (test() on a g-regex is
-    STATEFUL: alternating results via lastIndex)."""
-    if flags and flags != "u":
+    STATEFUL: alternating results via lastIndex).
+
+    ``i`` is admitted too (round 8) and compiles to a JVM
+    ``rlike '(?i)…'`` predicate instead of sinking the whole view to
+    the interpreter tier: Java's default CASE_INSENSITIVE folds
+    US-ASCII ONLY — bit-exactly the ECMAScript non-u-mode
+    Canonicalize for ASCII patterns, and the same deviation contract
+    the interpreter pins with ``re.IGNORECASE | re.ASCII``
+    (jsregex.py module docstring).  ``lower()``/``upper()`` rewrites
+    would NOT be exact: full-Unicode folding matches 'İ'/'K' where
+    JS does not."""
+    if any(f not in "ui" for f in flags):
         raise JSCompileError(
             "regex flags are outside the compiled subset"
         )
@@ -525,10 +535,25 @@ def _literal_regex(pat: str, flags: str) -> tuple[str, str]:
     mode = {(True, True): "exact", (True, False): "prefix",
             (False, True): "suffix",
             (False, False): "contains"}[(prefix, suffix)]
-    return mode, body
+    return mode, body, "i" in flags
 
 
-def _regex_pred_sql(mode: str, lit: str, recv: str) -> str:
+def _regex_pred_sql(mode: str, lit: str, recv: str,
+                    ci: bool = False) -> str:
+    if ci:
+        # Java regex via rlike: (?i) is ASCII-only by default (the
+        # exact JS non-u folding); \A/\z are the absolute anchors
+        # (Java's $ would also match before a trailing \n); \Q…\E
+        # quotes the literal (special-free by construction, but
+        # quoting is free).  Backslashes double for the SQL-literal
+        # parser.
+        rx = "(?i)"
+        if mode in ("exact", "prefix"):
+            rx += r"\A"
+        rx += "\\Q" + lit + "\\E"
+        if mode in ("exact", "suffix"):
+            rx += r"\z"
+        return f"({recv} RLIKE {_sql_str(rx.replace(chr(92), chr(92) * 2))})"
     p = _sql_str(lit)
     if mode == "exact":
         return f"({recv} = {p})"
@@ -896,7 +921,7 @@ class _Compiler:
                         f"RegExp.prototype.{name} is outside the "
                         "compiled subset (the interpreter runs it)"
                     )
-                mode, lit = _literal_regex(base[1], base[2])
+                mode, lit, ci = _literal_regex(base[1], base[2])
                 ak, asql = self.computed(args[0])
                 if ak != "str":
                     raise JSCompileError(
@@ -905,7 +930,7 @@ class _Compiler:
                     )
                 if args[0][0] == "doc":
                     asql = f"coalesce({asql}, 'null')"
-                return "bool", _regex_pred_sql(mode, lit, asql)
+                return "bool", _regex_pred_sql(mode, lit, asql, ci)
             if (
                 name == "match"
                 and len(args) == 1
@@ -915,7 +940,7 @@ class _Compiler:
                 # for truthiness/null-comparison consumption (kind
                 # 'matchbool'); key/value positions reject the kind
                 # and fall back to the interpreter
-                mode, lit = _literal_regex(args[0][1], args[0][2])
+                mode, lit, ci = _literal_regex(args[0][1], args[0][2])
                 bk, bs = self.computed(base)
                 if bk != "str":
                     raise JSCompileError(
@@ -925,7 +950,7 @@ class _Compiler:
                 if base[0] == "doc":
                     # JS: null.match() throws → tryMap skips the doc
                     self._push_guard(f"({bs} IS NOT NULL)")
-                return "matchbool", _regex_pred_sql(mode, lit, bs)
+                return "matchbool", _regex_pred_sql(mode, lit, bs, ci)
             bk, bs = self.computed(base)
             if bk != "str" or name not in self._STR_METHODS:
                 raise JSCompileError(

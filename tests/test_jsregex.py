@@ -380,6 +380,14 @@ def test_compiled_anchored_literal_rewrites(spark, sf_dir):
             "=",
         "if (doc.o_orderpriority.match(/HI/) !== null) "
         "{ emit(doc._id, 1); }": "contains",
+        # i-flag (round 8): compiles to an ASCII-folding rlike
+        # instead of sinking the view to the interpreter tier
+        "if (doc.o_orderpriority.match(/^1-urgent$/i)) "
+        "{ emit(doc._id, 1); }": "RLIKE",
+        "if (/high$/i.test(doc.o_orderpriority)) "
+        "{ emit(doc._id, 1); }": "RLIKE",
+        "if (doc.o_orderpriority.match(/urg/i) !== null) "
+        "{ emit(doc._id, 1); }": "RLIKE",
     }
     eng = Engine(spark, sf_dir, None)
     for body, frag in cases.items():
@@ -408,7 +416,9 @@ def test_non_literal_regex_falls_back(spark, sf_dir):
     schema = load_table(spark, sf_dir, "orders").schema
     for body in (
         "if (doc.o_orderpriority.match(/^\\d/)) { emit(doc._id, 1); }",
-        "if (doc.o_orderpriority.match(/^a/i)) { emit(doc._id, 1); }",
+        # g stays excluded even with a literal body: test() on a
+        # g-regex is stateful (i compiles since round 8)
+        "if (doc.o_orderpriority.match(/^a/g)) { emit(doc._id, 1); }",
         "emit(doc.o_orderpriority.match(/^1/), 1);",  # array position
     ):
         with pytest.raises(JSCompileError):
@@ -439,6 +449,9 @@ def test_regex_fuzz_compiled_vs_interpreter(spark, tmp_path):
         ("d3", "user:22", None),
         ("d4", "x^y", "ul"),
         ("d5", "nullable", "user:"),
+        # unicode fold traps: KELVIN K (U+212A), dotless ı, İ, ſ —
+        # i-flag folding must stay ASCII-only on BOTH tiers
+        ("d6", "KKuser:İ", "ılſUL"),
     ]
     df = spark.createDataFrame(rows, "tk string, s string, t string")
     sf2 = str(tmp_path / "re")
