@@ -516,7 +516,10 @@ def _literal_regex(pat: str, flags: str) -> tuple[str, str, bool]:
     (jsregex.py module docstring).  ``lower()``/``upper()`` rewrites
     would NOT be exact: full-Unicode folding matches 'İ'/'K' where
     JS does not."""
-    if any(f not in "ui" for f in flags):
+    if any(f not in "ui" for f in flags) or \
+            len(set(flags)) != len(flags):
+        # duplicates (/a/ii) are a JS SyntaxError — fall back to the
+        # interpreter tier, whose lexer validates and stays loud
         raise JSCompileError(
             "regex flags are outside the compiled subset"
         )

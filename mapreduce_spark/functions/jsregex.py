@@ -296,6 +296,10 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
     remains outside the subset; ``y`` is behavioral
     (:class:`JSRegExp`)."""
     refl = re.ASCII  # \b/\B use the ECMAScript [A-Za-z0-9_] word set
+    if len(set(flags)) != len(flags):
+        # a JS SyntaxError at literal parse → loud at registration
+        # (the lexer validates), like any malformed pattern
+        raise JSRuntimeThrow(f"duplicate regex flags {flags!r}")
     uflag = "u" in flags
     for f in flags:
         if f in ("g", "u", "y"):

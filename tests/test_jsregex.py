@@ -58,6 +58,29 @@ def test_flags():
         )  # d (hasIndices) stays loud at registration, not per doc
 
 
+def test_duplicate_flags_are_syntax_errors():
+    """/a/ii is a JS SyntaxError at literal parse — both the
+    interpreter translate() and the compiled tier must stay loud
+    instead of silently deduping the flags."""
+    from mapreduce_spark.functions.jsreduce import JSRuntimeThrow
+
+    with pytest.raises(JSRuntimeThrow):
+        translate("a", "ii")
+    with pytest.raises(JSRuntimeThrow):
+        translate("a", "gg")
+    with pytest.raises(JSRuntimeThrow):
+        translate("a", "igi")
+    from mapreduce_spark.functions.jscompile import (
+        JSCompileError,
+        _literal_regex,
+    )
+
+    with pytest.raises(JSCompileError):
+        _literal_regex("a", "ii")
+    with pytest.raises(JSCompileError):
+        _literal_regex("a", "uu")
+
+
 def test_sticky_round8():
     """y flag — every expected value is the real ECMAScript answer
     (spec RegExpBuiltinExec with sticky: the match must start AT
