@@ -129,6 +129,17 @@ class ViewDef:
         return None
 
     @property
+    def _fusable_specs(self) -> list | None:
+        """Specs eligible for the fused one-scan ddoc frame: exploded
+        (array-emit forEach) specs change row multiplicity per view,
+        which the shared emit-array explode cannot express — they
+        build/refresh per-view (still fully JVM)."""
+        specs = self._spec_list
+        if specs is None or any(s.explode is not None for s in specs):
+            return None
+        return specs
+
+    @property
     def sig(self) -> str:
         return signature(self.map_def, self.reduce_def)
 
@@ -395,7 +406,7 @@ class Engine:
             if (
                 vdef is not None
                 and not built
-                and vdef._spec_list is not None
+                and vdef._fusable_specs is not None
             ):
                 fusable.append((f"{ddoc}/{name}", vdef))
             else:
@@ -620,7 +631,8 @@ class Engine:
             built = entry is not None and (
                 entry.get("base") is not None or entry.get("layers")
             )
-            if vdef is not None and built and vdef._spec_list is not None:
+            if vdef is not None and built \
+                    and vdef._fusable_specs is not None:
                 fusable.append((f"{ddoc}/{name}", vdef))
             else:
                 rest.append(f"{ddoc}/{name}")
@@ -1175,9 +1187,9 @@ class Engine:
         if isinstance(m, list):
             out = None
             for i, spec in enumerate(m):
-                d = build_view_structured_on(raw_df, spec).withColumn(
-                    "emit_ord", F.lit(i)
-                )
+                d = build_view_structured_on(raw_df, spec)
+                if spec.explode is None:
+                    d = d.withColumn("emit_ord", F.lit(i))
                 out = d if out is None else out.unionByName(d)
             return out
         table, fn = m

@@ -165,6 +165,9 @@ class _Parser:
     def __init__(self, src: str) -> None:
         self.toks = _tokenize(src)
         self.i = 0
+        # inside a forEach callback: (param_name, array_field, serial)
+        self._elem: tuple[str, str, int] | None = None
+        self._foreach_serial = 0
 
     # -- token helpers --------------------------------------------------
     def _peek(self) -> tuple[str, str, int]:
@@ -254,6 +257,58 @@ class _Parser:
                     depth += 1
                 elif t == ")":
                     depth -= 1
+            self._eat(";")
+            return
+        if tok == "doc":
+            # doc.f.forEach(function (x) { … }) — the canonical
+            # array-emit ddoc (tag index).  Emits parsed inside the
+            # callback carry a ('foreach', field, serial) marker in
+            # their guard list at the position the loop opened;
+            # element references parse as ('elem', field) nodes.
+            self._next()
+            parts = self._field_path(off)
+            field = ".".join(parts)
+            self._expect(".")
+            _k2, m, moff = self._next()
+            if m != "forEach":
+                raise JSCompileError(
+                    f"statement-level doc.{field}.{m} at offset "
+                    f"{moff} is outside the compiled subset (only "
+                    ".forEach(function (x) {…}) compiles)"
+                )
+            if self._elem is not None:
+                raise JSCompileError(
+                    "nested forEach is outside the compiled subset"
+                )
+            self._expect("(")
+            self._expect("function")
+            if self._peek()[0] == "ident" and not self._at("("):
+                self._next()  # optional callback name
+            self._expect("(")
+            params = []
+            while not self._eat(")"):
+                k3, p, _o3 = self._next()
+                if k3 == "ident":
+                    params.append(p)
+                self._eat(",")
+            if len(params) != 1:
+                raise JSCompileError(
+                    "forEach callbacks with index/array parameters "
+                    "are outside the compiled subset"
+                )
+            self._expect("{")
+            serial = self._foreach_serial
+            self._foreach_serial += 1
+            self._elem = (params[0], field, serial)
+            try:
+                self._stmts(
+                    emits,
+                    guards + [("foreach", field, serial)],
+                    end="}",
+                )
+            finally:
+                self._elem = None
+            self._expect(")")
             self._eat(";")
             return
         raise JSCompileError(
@@ -372,6 +427,9 @@ class _Parser:
                 return ("lit", True)
             if tok == "false":
                 return ("lit", False)
+            if self._elem is not None and tok == self._elem[0]:
+                # forEach callback parameter: the current array element
+                return ("elem", self._elem[1])
             if tok == "doc":
                 parts = self._field_path(off)
                 if len(parts) >= 2 and parts[-1] == "length":
@@ -709,7 +767,7 @@ class _Compiler:
             return self._tonum[id(ast)]
         return (
             f"coalesce({sql}, 0.0)"
-            if ast[0] in ("doc", "lit")
+            if ast[0] in ("doc", "lit", "elem")
             else sql
         )
 
@@ -731,6 +789,8 @@ class _Compiler:
             if kind == "iso":  # doc space renders ISO strings
                 return "str", _ISO_SQL.format(col=sql)
             return kind, sql
+        if tag == "elem":
+            return self.elem_ref(ast)
         if tag == "bin":
             op, l, r = ast[1], ast[2], ast[3]
             (lk, ls) = self.computed(l)
@@ -913,6 +973,18 @@ class _Compiler:
             )
         if tag == "method":
             base, name, args = ast[1], ast[2], ast[3]
+            if base[0] == "elem":
+                # a null ELEMENT's method throw skips the doc's
+                # REMAINING emits in JS (earlier elements stand) —
+                # a per-row filter cannot reproduce that partial-doc
+                # semantic, so direct element receivers interpret.
+                # Computed receivers built FROM the element (concat
+                # etc.) are non-null by construction and compile.
+                raise JSCompileError(
+                    f".{name}() directly on a forEach element is "
+                    "outside the compiled subset (null-element throw "
+                    "semantics); the interpreter tier runs it"
+                )
             if base[0] == "newdate":
                 return self._date_getter(base[1], name, args)
             if base[0] == "regexlit":
@@ -931,7 +1003,7 @@ class _Compiler:
                         f".test() over a {ak} argument is outside "
                         "the compiled subset"
                     )
-                if args[0][0] == "doc":
+                if args[0][0] in ("doc", "elem"):
                     asql = f"coalesce({asql}, 'null')"
                 return "bool", _regex_pred_sql(mode, lit, asql, ci)
             if (
@@ -1019,6 +1091,27 @@ class _Compiler:
             f"unsupported computed expression {tag!r}"
         )
 
+    def elem_ref(self, ast: Any) -> tuple[str, str]:
+        """forEach element → (elem kind, guarded extraction SQL) over
+        the posexplode output column (jsvariant.elem_value_sql)."""
+        if self.variant_types is None:
+            raise JSCompileError(
+                "forEach over a typed table is outside the compiled "
+                "subset (raw doc sources only); the Python map path "
+                "runs it"
+            )
+        f = ast[1]
+        kind = self.variant_types.get(f)
+        if kind is None or not kind.startswith("arr:"):
+            raise JSCompileError(
+                f"doc.{f} has no inferred array kind in the sampled "
+                "corpus"
+            )
+        from mapreduce_spark.functions.jsvariant import elem_value_sql
+
+        ekind = kind.split(":", 1)[1]
+        return ekind, elem_value_sql(f, ekind)
+
     def field(self, name: str) -> tuple[str, str]:
         """doc field → (kind, raw-SQL expr) in the doc space."""
         if name == "_id":
@@ -1074,6 +1167,8 @@ class _Compiler:
             return ("str", _sql_str(v))
         if tag == "doc":
             return self.field(ast[1])
+        if tag == "elem":
+            return self.elem_ref(ast)
         if tag in ("bin", "method", "strlen", "math", "ternary"):
             kind, sql = self.computed(ast)
             if kind not in ("num", "str", "bool", "iso"):
@@ -1109,6 +1204,8 @@ class _Compiler:
             if kind == "iso":
                 return ("str", _ISO_SQL.format(col=sql))
             return (kind, sql)
+        if tag == "elem":
+            return self.elem_ref(ast)
         if tag in ("bin", "method", "strlen", "math", "ternary"):
             kind, sql = self.computed(ast)
             if kind not in ("num", "str", "bool"):
@@ -1129,6 +1226,14 @@ class _Compiler:
                         raise JSCompileError(
                             "value arrays must be numeric (CouchDB _sum "
                             f"shape); doc.{a[1]} is {kind}"
+                        )
+                    exprs.append(sql)
+                elif a[0] == "elem":
+                    kind, sql = self.elem_ref(a)
+                    if kind != "num":
+                        raise JSCompileError(
+                            "value arrays must be numeric (CouchDB "
+                            f"_sum shape); the element is {kind}"
                         )
                     exprs.append(sql)
                 elif a[0] in ("bin", "method", "strlen", "math",
@@ -1220,7 +1325,7 @@ class _Compiler:
                 # JS Boolean(NaN) is FALSE, but Spark NaN <> 0 is
                 # true — null a computed NaN out first (doc fields
                 # are JSON numbers, never NaN)
-                if ast[1][0] not in ("doc", "lit"):
+                if ast[1][0] not in ("doc", "lit", "elem"):
                     sql = f"nanvl({sql}, cast(null as double))"
                 return f"({sql} IS NOT NULL AND {sql} <> 0)"
             if kind == "str":
@@ -1268,12 +1373,13 @@ class _Compiler:
                 # non-finites now — null a NaN out at RELATIONAL
                 # sites (NULL compares falsy; real JS nulls never
                 # reach a relational un-coalesced).
-                if lk == rk == "num" and a[0] not in ("doc", "lit"):
+                if lk == rk == "num" and a[0] not in ("doc", "lit", "elem"):
                     return f"nanvl({sql}, cast(null as double))"
                 return sql
 
             computed_num = lk == rk == "num" and (
-                l[0] not in ("doc", "lit") or r[0] not in ("doc", "lit")
+                l[0] not in ("doc", "lit", "elem")
+                or r[0] not in ("doc", "lit", "elem")
             )
             # JS null comparison semantics vs SQL three-valued logic:
             # - `null !== lit` is TRUE in JS, but SQL `<>` yields NULL
@@ -1323,11 +1429,11 @@ class _Compiler:
                     )
 
                 rl, rr = _litval(l), _litval(r)
-                if l[0] == "doc" and rr is not None:
+                if l[0] in ("doc", "elem") and rr is not None:
                     base = f"({ls} {sql_op} {rs})"
                     return (f"({base} OR {ls} IS NULL)"
                             if py(0.0, rr) else base)
-                if r[0] == "doc" and rl is not None:
+                if r[0] in ("doc", "elem") and rl is not None:
                     base = f"({ls} {sql_op} {rs})"
                     return (f"({base} OR {rs} IS NULL)"
                             if py(rl, 0.0) else base)
@@ -1445,6 +1551,8 @@ class _Compiler:
     def _operand(self, ast: Any) -> tuple[str, str]:
         if ast[0] == "doc":
             return self.field(ast[1])
+        if ast[0] == "elem":
+            return self.elem_ref(ast)
         if ast[0] in ("bin", "method", "strlen", "math", "ternary"):
             return self.computed(ast)
         if ast[0] == "lit":
@@ -1483,6 +1591,36 @@ def compile_js_map(source: str, table: str, schema,
             "map function contains no emit() call — a view with no "
             "emits indexes nothing"
         )
+    # array-emit (forEach) views: every emit site must live inside
+    # ONE forEach statement — mixed inside/outside (or two loops)
+    # makes per-doc emit ordinals depend on the array LENGTH of
+    # earlier loops, which a static MapSpec cannot express.  The
+    # single-loop case compiles to posexplode with
+    # emit_ord = element_pos * n_sites + site (order-equivalent to
+    # the interpreter's dense per-doc ordinal for the (key, id,
+    # emit_ord) collation — only relative order matters).
+    marks = [
+        next((g for g in guards
+              if isinstance(g, tuple) and g[0] == "foreach"), None)
+        for guards, _k, _v in emits
+    ]
+    foreach_field: str | None = None
+    if any(m is not None for m in marks):
+        if not all(m is not None for m in marks) \
+                or len({m[2] for m in marks}) != 1:
+            raise JSCompileError(
+                "emits both inside and outside a forEach (or across "
+                "two forEach loops) are outside the compiled subset "
+                "(data-dependent emit ordinals); the interpreter "
+                "tier runs it"
+            )
+        if variant_types is None:
+            raise JSCompileError(
+                "forEach over a typed table is outside the compiled "
+                "subset (raw doc sources only); the Python map path "
+                "runs it"
+            )
+        foreach_field = marks[0][1]
     c = _Compiler(table, schema, variant_types=variant_types,
                   variant_iso=variant_iso)
     specs = []
@@ -1514,33 +1652,95 @@ def compile_js_map(source: str, table: str, schema,
             f"(NOT COALESCE(({' AND '.join(reach)}), false) OR {g})"
         )
 
-    for guards, key_ast, value_ast in emits:
-        conds: list[str] = []     # this emit's WHERE conjuncts
+    def _elem_dependent(ctx: str | None, gsql: str) -> bool:
+        from mapreduce_spark.functions.jsvariant import ELEM_COL
+
+        return ELEM_COL in gsql or (ctx is not None and ELEM_COL in ctx)
+
+    n_sites = len(emits)
+    for site, (guards, key_ast, value_ast) in enumerate(emits):
+        conds: list[str] = []     # doc-level WHERE conjuncts
+        econds: list[str] = []    # element-level (post-explode)
         survive: list[str] = []   # throw-free conjuncts for later emits
         prior: list[str] = []     # if-conds evaluated before a site
+        in_elem = False           # past the forEach marker
+        body_throws = False       # throw guards arising inside the loop
         for g in guards:
+            if isinstance(g, tuple) and g[0] == "foreach":
+                in_elem = True
+                continue
             c.pending_guards = []
             cg = f"({c.cond(g)})"
             mg = list(dict.fromkeys(c.pending_guards))
             for ctx, gsql in mg:
-                conds.append(_where_conjunct(ctx, gsql))
+                if _elem_dependent(ctx, gsql):
+                    # a throw for element i kills elements > i too —
+                    # a per-row filter cannot reproduce that partial-
+                    # array semantic
+                    raise JSCompileError(
+                        "an element-dependent throw site inside "
+                        "forEach is outside the compiled subset; the "
+                        "interpreter tier runs it"
+                    )
+                body_throws = body_throws or in_elem
+                (econds if in_elem else conds).append(
+                    _where_conjunct(ctx, gsql)
+                )
                 # a throw at this site kills later emits — but only
                 # when the site is actually reached
                 survive.append(_survive_conjunct(prior, ctx, gsql))
             prior.append(cg)
-            conds.append(cg)
+            (econds if in_elem else conds).append(cg)
         c.pending_guards = []
         key = c.key(key_ast)
         value = c.value(value_ast)
         mg = list(dict.fromkeys(c.pending_guards))
         for ctx, gsql in mg:
-            conds.append(_where_conjunct(ctx, gsql))
+            if foreach_field is not None:
+                if _elem_dependent(ctx, gsql):
+                    raise JSCompileError(
+                        "an element-dependent throw site inside "
+                        "forEach is outside the compiled subset; the "
+                        "interpreter tier runs it"
+                    )
+                body_throws = True
+                econds.append(_where_conjunct(ctx, gsql))
+            else:
+                conds.append(_where_conjunct(ctx, gsql))
             survive.append(_survive_conjunct(prior, ctx, gsql))
+        if body_throws and n_sites > 1:
+            # a doc-constant throw at one site still truncates the
+            # OTHER sites' element loops mid-array in JS; only the
+            # single-site shape filters identically
+            raise JSCompileError(
+                "a throw site inside a multi-emit forEach body is "
+                "outside the compiled subset; the interpreter tier "
+                "runs it"
+            )
         all_conds = list(dict.fromkeys(carried + conds))
-        specs.append(
-            MapSpec(table, key, value,
-                    where=" AND ".join(all_conds) if all_conds else None)
-        )
+        if foreach_field is None:
+            specs.append(
+                MapSpec(table, key, value,
+                        where=" AND ".join(all_conds)
+                        if all_conds else None)
+            )
+        else:
+            from mapreduce_spark.functions.jsvariant import (
+                variant_array_sql,
+            )
+
+            econds = list(dict.fromkeys(econds))
+            specs.append(
+                MapSpec(
+                    table, key, value,
+                    where=" AND ".join(all_conds)
+                    if all_conds else None,
+                    explode=(variant_array_sql(foreach_field),
+                             n_sites, site),
+                    explode_where=" AND ".join(econds)
+                    if econds else None,
+                )
+            )
         carried = list(dict.fromkeys(carried + survive))
     # size backstop: the IEEE CASE templates repeat each operand up
     # to 3×, so a pathologically deep arithmetic chain grows the
@@ -1554,6 +1754,8 @@ def compile_js_map(source: str, table: str, schema,
         )
         total = sum(map(len, kparts)) + len(spec.where or "") + (
             len(str(spec.value[1])) if spec.value else 0
+        ) + len(spec.explode_where or "") + (
+            len(spec.explode[0]) if spec.explode else 0
         )
         if total > 200_000:
             raise JSCompileError(
@@ -1635,12 +1837,18 @@ def _js_slice(s: str, i: float, j: float | None) -> str:
 _CSM = None  # cached jsreduce._call_str_method (circular import)
 
 
+_ELEM_KEY = "\x00elem"  # forEach element binding inside the doc dict
+
+
 def _ev(ast: Any, doc: dict) -> Any:
     tag = ast[0]
     if tag == "lit":
         return ast[1]
     if tag == "doc":
         return doc.get(ast[1], _UNDEF) if isinstance(doc, dict) else _UNDEF
+    if tag == "elem":
+        return doc.get(_ELEM_KEY, _UNDEF) if isinstance(doc, dict) \
+            else _UNDEF
     if tag == "arr":
         return [_ev(a, doc) for a in ast[1]]
     if tag == "obj":
@@ -1934,11 +2142,47 @@ class JSMapFunction:
     def __call__(self, doc: dict, emit) -> None:
         try:
             for guards, key_ast, value_ast in self._emits:
-                if all(_cond_eval(g, doc) for g in guards):
-                    emit(
-                        _de_undef(_ev(key_ast, doc)),
-                        _de_undef(_ev(value_ast, doc)),
+                mark = next(
+                    (g for g in guards
+                     if isinstance(g, tuple) and g[0] == "foreach"),
+                    None,
+                )
+                if mark is None:
+                    if all(_cond_eval(g, doc) for g in guards):
+                        emit(
+                            _de_undef(_ev(key_ast, doc)),
+                            _de_undef(_ev(value_ast, doc)),
+                        )
+                    continue
+                # forEach emit: pre-marker guards gate the loop, the
+                # rest evaluate per element under the binding
+                pre: list = []
+                post: list = []
+                past = False
+                for g in guards:
+                    if isinstance(g, tuple) and g[0] == "foreach":
+                        past = True
+                        continue
+                    (post if past else pre).append(g)
+                if not all(_cond_eval(g, doc) for g in pre):
+                    continue
+                arr = (
+                    doc.get(mark[1], _UNDEF)
+                    if isinstance(doc, dict) else _UNDEF
+                )
+                if not isinstance(arr, list):
+                    # null/undefined/scalar .forEach throws in JS
+                    raise _MapThrow(
+                        f"doc.{mark[1]}.forEach is not a function"
                     )
+                for el in arr:
+                    docv = dict(doc)
+                    docv[_ELEM_KEY] = el
+                    if all(_cond_eval(g, docv) for g in post):
+                        emit(
+                            _de_undef(_ev(key_ast, docv)),
+                            _de_undef(_ev(value_ast, docv)),
+                        )
         except _MapThrow:
             # upstream tryMap: a throwing map fn skips the doc's
             # remaining emits (earlier emits stand), not the build

@@ -102,7 +102,33 @@ def _ddl_kind(ddl: str | None) -> str | None:
     return _KIND_OF_DDL.get(ddl)
 
 
+def _arr_kind(ddl: str | None) -> str | None:
+    """ARRAY<scalar> DDL → 'arr:<kind>' for forEach-consumed fields.
+
+    A top-level VOID (field sampled always-null) is accepted as
+    'arr:num': ``null.forEach`` throws in JS (tryMap skips the doc)
+    and the compiled NULL-array cast explodes to zero rows — the same
+    outcome.  ARRAY<VARIANT> (mixed element kinds), nested arrays and
+    object elements reject the compile (interpreter tier)."""
+    if ddl is None:
+        return None
+    if ddl == "VOID":
+        return "arr:num"
+    if not (ddl.startswith("ARRAY<") and ddl.endswith(">")):
+        return None
+    inner = _ddl_kind(ddl[6:-1])
+    if inner is None:
+        return None
+    return f"arr:{inner}"
+
+
 VDOC_COL = "_vdoc"
+
+# the posexplode output columns every exploded MapSpec references
+# (operators/mapphase.py build path); '_mr_' prefixed to stay clear
+# of raw table columns
+EPOS_COL = "_mr_epos"
+ELEM_COL = "_mr_elem"
 
 
 def variant_field_sql(name: str, kind: str,
@@ -131,6 +157,37 @@ def variant_field_sql(name: str, kind: str,
         f"inferred kind {kind} — interpreter tier required') "
         f"ELSE variant_get({var_col}, '$.{name}', "
         f"'{_SQL_TYPE[kind]}') END)"
+    )
+
+
+def variant_array_sql(name: str, var_col: str = VDOC_COL) -> str:
+    """Array extraction of a forEach-consumed doc field.
+
+    No guards needed here — the typed cast is self-policing:
+    a null/absent field casts to SQL NULL (posexplode → zero rows,
+    exactly JS ``null.forEach`` throw → tryMap skip), and a non-array
+    scalar raises INVALID_VARIANT_CAST, which ``is_drift_error``
+    classifies and the engine retries on the interpreter tier."""
+    return f"variant_get({var_col}, '$.{name}', 'array<variant>')"
+
+
+def elem_value_sql(name: str, kind: str,
+                   elem_col: str = ELEM_COL) -> str:
+    """Guarded typed extraction of one array ELEMENT (the forEach
+    callback parameter).  Same drift contract as scalar fields
+    (``variant_field_sql``) minus the absence arm — an element always
+    exists; a JSON-null element is VOID and casts to SQL NULL, which
+    the emit boundary renders as the JS ``null`` key/value.  The kind
+    guard exists because the typed cast silently COERCES across kinds
+    (variant 1 → '1') where JS would emit the number itself."""
+    sov = f"schema_of_variant({elem_col})"
+    guard = _GUARD_SQL[kind].format(sov=sov)
+    return (
+        f"(CASE WHEN NOT {guard} THEN "
+        f"raise_error('[{DRIFT_MARK}] an element of doc.{name} "
+        f"drifted from inferred kind {kind} — interpreter tier "
+        f"required') "
+        f"ELSE cast({elem_col} as {_SQL_TYPE[kind]}) END)"
     )
 
 
@@ -263,19 +320,49 @@ def referenced_doc_fields(source: str) -> list[str] | None:
     return fields
 
 
-def infer_variant_types(df, fields: list[str]) -> dict[str, str] | None:
+def foreach_fields(source: str) -> list[str]:
+    """Doc fields consumed as forEach receivers (array-emit views) in
+    a subset-parsable source — marked ('foreach', field, serial) in
+    the emit guard lists.  Empty when none / unparsable."""
+    try:
+        emits = _Parser(source).parse()
+    except JSCompileError:
+        return []
+    out: list[str] = []
+    for guards, _k, _v in emits:
+        for g in guards:
+            if isinstance(g, tuple) and g[0] == "foreach" \
+                    and g[1] not in out:
+                out.append(g[1])
+    return out
+
+
+def infer_variant_types(
+    df, fields: list[str], arr_fields: list[str] | None = None,
+) -> dict[str, str] | None:
     """Sampled per-field kind inference (module docstring §1).
 
     One aggregate job over ≤SAMPLE_DOCS live docs of ``df`` (raw
     schema, ``doc_json`` column).  Returns {field: kind} or None when
     any referenced field is unmappable (mixed/structured/absent) or
-    the sample is empty."""
+    the sample is empty.
+
+    ``arr_fields``: fields consumed as forEach receivers (array-emit
+    views) — these infer as 'arr:<elem kind>' via ``_arr_kind`` and
+    reject on mixed-element / nested shapes.  A field used BOTH as a
+    scalar and a forEach receiver rejects the compile outright (the
+    data cannot satisfy both contracts)."""
     from pyspark.sql import functions as F
 
-    if not fields:
+    arr_fields = list(arr_fields or [])
+    if set(arr_fields) & set(fields):
+        return None
+    if not fields and not arr_fields:
         return {}
-    for f in fields:
+    for f in fields + arr_fields:
         if f == "_id":
+            if f in arr_fields:  # _id is never an array
+                return None
             continue
         if f in ("_rev", "_deleted"):
             return None
@@ -283,7 +370,8 @@ def infer_variant_types(df, fields: list[str]) -> dict[str, str] | None:
         # must be identifier-safe for the '$.a.b' extraction path
         if not all(_IDENT.match(seg) for seg in f.split(".")):
             return None
-    probe = [f for f in fields if f != "_id"]
+    probe = [f for f in fields if f != "_id"] + arr_fields
+    arr_set = set(arr_fields)
     if not probe:
         return {}
     d = df
@@ -313,7 +401,8 @@ def infer_variant_types(df, fields: list[str]) -> dict[str, str] | None:
         return None
     out: dict[str, str] = {}
     for i, f in enumerate(probe):
-        kind = _ddl_kind(row[f"t{i}"])
+        ddl = row[f"t{i}"]
+        kind = _arr_kind(ddl) if f in arr_set else _ddl_kind(ddl)
         if kind is None or row[f"p{i}"] == 0:
             return None
         out[f] = kind
@@ -337,14 +426,16 @@ def compile_js_map_variant(spark, sf_dir: str, table: str,
     fields = referenced_doc_fields(source)
     if fields is None:
         raise JSCompileError("source is outside the subset grammar")
+    arr_fields = foreach_fields(source)
     df = load_table(spark, sf_dir, table)
     if "doc_json" not in df.columns:
         raise JSCompileError(f"table {table!r} has no doc_json column")
-    kinds = infer_variant_types(df, fields)
+    kinds = infer_variant_types(df, fields, arr_fields)
     if kinds is None:
         raise JSCompileError(
-            "referenced doc fields are not unambiguous scalars in the "
-            "sampled corpus (mixed / structured / absent)"
+            "referenced doc fields are not unambiguous scalars (or "
+            "scalar-element arrays) in the sampled corpus (mixed / "
+            "structured / absent)"
         )
     date_fields = [
         f for f in date_consumed_fields(source)

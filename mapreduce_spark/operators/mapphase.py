@@ -100,12 +100,39 @@ class MapSpec:
            | ('bool', expr) | ('link', expr) where 'link' yields the
            linked doc id string (emitted value {'_id': <expr>}).
     where: optional SQL predicate over RAW table columns (pushed down).
+
+    explode: array-emit views (JS ``doc.f.forEach(... emit ...)``,
+    functions/jscompile.py): ``(array_sql, n_sites, site)`` — the
+    build posexplodes ``array_sql`` into ``(_mr_epos, _mr_elem)``
+    columns that key/value/explode_where expressions may reference,
+    with ``emit_ord = _mr_epos * n_sites + site`` (order-equivalent
+    to the interpreter's dense per-doc ordinal — collation only needs
+    relative order).  ``explode_where``: element-level conjuncts,
+    applied post-explode (Catalyst re-pushes doc-only conjuncts below
+    the Generate on its own).
     """
 
     table: str
     key: Any
     value: Any = None
     where: str | None = None
+    explode: tuple | None = None
+    explode_where: str | None = None
+
+    def __repr__(self) -> str:
+        # registry signatures are md5(repr(spec)) — keep the exact
+        # pre-explode textual form for non-exploded specs so adding
+        # these fields does not invalidate every persisted view
+        base = (
+            f"MapSpec(table={self.table!r}, key={self.key!r}, "
+            f"value={self.value!r}, where={self.where!r}"
+        )
+        if self.explode is None and self.explode_where is None:
+            return base + ")"
+        return (
+            base + f", explode={self.explode!r}, "
+            f"explode_where={self.explode_where!r})"
+        )
 
     def key_components(self) -> tuple[list[Component], bool]:
         if isinstance(self.key, list):
@@ -169,6 +196,10 @@ def _spec_sql_texts(spec: MapSpec) -> list[str]:
         walk(spec.value[1:])
     if spec.where:
         texts.append(spec.where)
+    if spec.explode is not None:
+        texts.append(spec.explode[0])
+    if spec.explode_where:
+        texts.append(spec.explode_where)
     return texts
 
 
@@ -202,6 +233,23 @@ def build_view_structured_on(df: DataFrame, spec: MapSpec) -> DataFrame:
         df = with_vdoc(df)
     if spec.where:
         df = df.filter(spec.where)
+    if spec.explode is not None:
+        from mapreduce_spark.functions.jsvariant import (
+            ELEM_COL,
+            EPOS_COL,
+        )
+
+        # one Generate per doc row: a NULL array (absent/null field)
+        # yields zero rows — exactly JS null.forEach's throw → tryMap
+        # doc skip; an empty array emits nothing, like forEach
+        df = df.select(
+            "*",
+            F.posexplode(F.expr(spec.explode[0])).alias(
+                EPOS_COL, ELEM_COL
+            ),
+        )
+        if spec.explode_where:
+            df = df.filter(spec.explode_where)
     cols = spec_output_columns(spec)
     return df.select(
         *[c.alias(n) for n, c in cols.items()]
@@ -280,9 +328,18 @@ def spec_output_columns(spec: MapSpec) -> dict[str, Column]:
         else:
             raise ValueError(f"unknown value kind {vkind!r}")
 
+    if spec.explode is not None:
+        from mapreduce_spark.functions.jsvariant import EPOS_COL
+
+        _arr, n_sites, site = spec.explode
+        emit_ord = (
+            F.col(EPOS_COL) * F.lit(int(n_sites)) + F.lit(int(site))
+        ).cast("int")
+    else:
+        emit_ord = F.lit(0)
     return {
         "id": doc_id_col(spec.table),
-        "emit_ord": F.lit(0),
+        "emit_ord": emit_ord,
         "key_enc": key_enc,
         "key_json": key_json,
         "key_parts_enc": parts_enc,
@@ -462,8 +519,13 @@ def build_view(spark: SparkSession, sf_dir: str, view_def) -> DataFrame:
     if isinstance(view_def, list):  # multi-emit as unioned MapSpecs
         dfs = [build_view_structured(spark, sf_dir, s) for s in view_def]
         out = dfs[0]
-        for i, d in enumerate(dfs[1:], start=1):
-            out = out.unionAll(d.withColumn("emit_ord", F.lit(i)))
+        for i, (s, d) in enumerate(
+            zip(view_def[1:], dfs[1:]), start=1
+        ):
+            # exploded specs computed their own per-element ordinal
+            if s.explode is None:
+                d = d.withColumn("emit_ord", F.lit(i))
+            out = out.unionAll(d)
         return out
     if isinstance(view_def, tuple) and callable(view_def[1]):
         return build_view_python(spark, sf_dir, view_def[0], view_def[1])
