@@ -96,14 +96,16 @@ def test_interpreter_object_helpers_and_foreach():
 
 
 def test_interpreter_out_of_subset_still_loud():
-    # round 8 moved matchAll/flatMap INTO the subset; toSorted /
-    # localeCompare remain the loud out-of-subset witnesses
+    # round 8 emptied the loud-Array-method list (ES2022/23 family
+    # included); localeCompare is the lone deliberate string
+    # exclusion left (ICU non-goal) and stays the loud witness
     with pytest.raises(JSReduceError):
         run_map("function(doc) { emit(doc.s.localeCompare('x'), 1); }",
                 {"s": "x"})
-    with pytest.raises(JSReduceError):
-        run_map("function(doc) { emit(doc.v.toSorted(), 1); }",
-                {"v": [2, 1]})
+    # toSorted is non-mutating sort (ES2023) — in the subset now
+    assert run_map(
+        "function(doc) { emit(doc.v.toSorted(), doc.v[0]); }",
+        {"v": [2.0, 1.0]}) == [([1.0, 2.0], 2.0)]
     # matchAll with a string pattern works (implicit new RegExp(p,'g'))
     assert run_map(
         "function(doc) { emit(doc.s.matchAll('x').length, 1); }",
@@ -174,9 +176,10 @@ def test_fallback_is_picklable_and_signature_stable():
 
 def test_out_of_subset_runtime_fails_loud():
     """Round 6 (review): a ddoc using a construct the interpreter
-    cannot run (.toSorted() since round 8 widened the subset) must
-    FAIL the build, not tryMap-skip every doc into a silently-empty
-    view; a genuine JS runtime throw still skips just the doc."""
+    cannot run (.localeCompare() — the ICU non-goal — is the lone
+    loud witness left after round 8 widened the subset) must FAIL
+    the build, not tryMap-skip every doc into a silently-empty view;
+    a genuine JS runtime throw still skips just the doc."""
     import pytest
 
     from mapreduce_spark.errors import QueryParseError
@@ -185,9 +188,9 @@ def test_out_of_subset_runtime_fails_loud():
 
     docs = [{"_id": "d1", "tags": ["b", "a"]}]
     fn = compile_js_map_full(
-        "function(doc){ emit(doc.tags.toSorted()[0], 1); }"
+        "function(doc){ emit(doc.tags[0].localeCompare('a'), 1); }"
     )
-    with pytest.raises(QueryParseError, match="toSorted"):
+    with pytest.raises(QueryParseError, match="localeCompare"):
         map_docs_to_rows(docs, fn)
 
     # runtime throw (member on null): doc skipped, build survives

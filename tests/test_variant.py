@@ -381,3 +381,172 @@ def test_num_array_values_compile(spark, raw_sf, tmp_path):
     want_en = [sum(float(i) for i in range(0, 200, 3)),
                sum(float(i) + 1 for i in range(0, 200, 3))]
     assert got["en"] == want_en
+
+
+# ---------------------------------------------------------------- forEach
+
+
+def _mk_tag_docs(n=120):
+    """Docs with array fields: tags (str[]), nums (num[]).  Every 7th
+    doc has NO tags field and every 11th has tags: null — both make
+    ``doc.tags.forEach`` throw in JS (tryMap skips the doc)."""
+    docs = []
+    for i in range(n):
+        d = {"_id": f"t:{i:04d}", "lang": ["en", "fr", "de"][i % 3],
+             "n": float(i),
+             "nums": [float(i), float(i) * 2, 0.5],
+             "tags": [["red", "green", "blue", "red"][j]
+                      for j in range((i % 4) + 1)]}
+        if i % 7 == 0:
+            del d["tags"]
+        elif i % 11 == 0:
+            d["tags"] = None
+        docs.append((d["_id"], i, json.dumps(d)))
+    return docs
+
+
+@pytest.fixture()
+def tag_sf(spark, tmp_path):
+    df = spark.createDataFrame(_mk_tag_docs(), ["_id", "seq", "doc_json"])
+    sf = str(tmp_path / "rawtags")
+    df.write.mode("overwrite").parquet(f"{sf}/tdocs.parquet")
+    register_table(raw_doc_table("tdocs"))
+    return sf
+
+
+TAG_JS = ("function(doc) { doc.tags.forEach(function (t) "
+          "{ emit(t, 1); }); }")
+
+
+def _both_tiers(spark, sf, tmp_path, js, **view):
+    """(compiled rows, interpreter rows) for the same source — full
+    sorted map rows, so ordinal order is compared too."""
+    eng = Engine(spark, sf, str(tmp_path / "fe_c"))
+    eng.put_design("dd", {"v": dict(view, map=("tdocs", js))})
+    vd = next(iter(eng._defs.values()))
+    eng.update_view("dd/v")
+    eng2 = Engine(spark, sf, str(tmp_path / "fe_i"))
+    eng2.put_design(
+        "dd", {"v": dict(view, map=("tdocs", compile_js_map_fn(js)))})
+    eng2.update_view("dd/v")
+    return vd, eng, eng2
+
+
+def test_foreach_compiles_and_matches_interpreter(spark, tag_sf,
+                                                  tmp_path):
+    """The canonical tag-index ddoc compiles to a posexplode plan
+    (VariantJSView with an exploded MapSpec) and its map rows —
+    including per-element emit order under (key, id, emit_ord) — are
+    identical to the interpreter tier's."""
+    vd, eng, eng2 = _both_tiers(spark, tag_sf, tmp_path, TAG_JS)
+    assert isinstance(vd.map_def, VariantJSView)
+    specs = (vd.map_def.specs if isinstance(vd.map_def.specs, list)
+             else [vd.map_def.specs])
+    assert all(s.explode is not None for s in specs)
+    rows = [(r["key"], r["id"], r["value"])
+            for r in eng.query("dd/v", stale="ok").rows()]
+    assert rows == [(r["key"], r["id"], r["value"])
+                    for r in eng2.query("dd/v", stale="ok").rows()]
+    # docs lacking tags (or tags: null) throw in JS — skipped
+    assert not any(
+        int(i[2:]) % 7 == 0 or int(i[2:]) % 11 == 0
+        for _, i, _ in rows)
+    assert len(rows) > 0
+
+
+def test_foreach_element_and_doc_guards(spark, tag_sf, tmp_path):
+    """Doc-level guard outside the loop + element-level guard inside
+    both compile; results equal the interpreter."""
+    js = ("function(doc) { if (doc.lang === 'en') { "
+          "doc.tags.forEach(function (t) { "
+          "if (t !== 'red') { emit([doc.lang, t], doc.n); } }); } }")
+    vd, eng, eng2 = _both_tiers(spark, tag_sf, tmp_path, js,
+                                reduce="_sum")
+    assert isinstance(vd.map_def, VariantJSView)
+    a = {tuple(r["key"]): r["value"]
+         for r in eng.query("dd/v", group=True, stale="ok").rows()}
+    b = {tuple(r["key"]): r["value"]
+         for r in eng2.query("dd/v", group=True, stale="ok").rows()}
+    assert a == b and a and all(k[1] != "red" for k in a)
+
+
+def test_foreach_numeric_elements(spark, tag_sf, tmp_path):
+    """Numeric-array forEach: element arithmetic in key and value."""
+    js = ("function(doc) { doc.nums.forEach(function (x) "
+          "{ emit(doc.lang, x * 2); }); }")
+    vd, eng, eng2 = _both_tiers(spark, tag_sf, tmp_path, js,
+                                reduce="_sum")
+    assert isinstance(vd.map_def, VariantJSView)
+    a = {r["key"]: r["value"]
+         for r in eng.query("dd/v", group=True, stale="ok").rows()}
+    assert a == {r["key"]: r["value"]
+                 for r in eng2.query("dd/v", group=True,
+                                     stale="ok").rows()}
+    assert a["en"] == sum((i + i * 2 + 0.5) * 2
+                          for i in range(0, 120, 3))
+
+
+def test_foreach_mixed_emits_fall_back(spark, tag_sf, tmp_path):
+    """Emits both inside and outside the loop have data-dependent
+    ordinals — the compile rejects loudly and the engine lands the
+    same source on the interpreter tier with identical rows."""
+    js = ("function(doc) { emit(doc.lang, 0); "
+          "doc.tags.forEach(function (t) { emit(t, 1); }); }")
+    vd, eng, eng2 = _both_tiers(spark, tag_sf, tmp_path, js)
+    assert not isinstance(vd.map_def, VariantJSView)  # interpreter
+    rows = [(r["key"], r["id"], r["value"])
+            for r in eng.query("dd/v", stale="ok").rows()]
+    assert rows == [(r["key"], r["id"], r["value"])
+                    for r in eng2.query("dd/v", stale="ok").rows()]
+
+
+def test_foreach_plan_no_python_and_one_parse(spark, tag_sf):
+    """The exploded build plan stays JVM-only and parses doc_json
+    exactly once per row (the round-8 parse-once contract holds
+    through the Generate)."""
+    from mapreduce_spark.operators.mapphase import (
+        build_view_structured_on,
+    )
+    from mapreduce_spark.sources.docs import load_table
+
+    v = compile_js_map_variant(spark, tag_sf, "tdocs", TAG_JS)
+    specs = v.specs if isinstance(v.specs, list) else [v.specs]
+    assert specs and all(s.explode is not None for s in specs)
+    for spec in specs:
+        qe = build_view_structured_on(
+            load_table(spark, tag_sf, "tdocs"), spec
+        )._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython",
+                    "MapInPandas", "PythonUDF"):
+            assert bad not in plan, f"{bad} in exploded build plan"
+        analyzed = qe.optimizedPlan().toString()
+        assert analyzed.count("parse_json") <= 1
+
+
+def test_foreach_in_fused_ddoc_build(spark, tag_sf, tmp_path):
+    """A ddoc mixing a forEach view (per-view build — explode changes
+    row multiplicity) and a scalar view (fusable) builds end-to-end
+    via build_ddoc with both views correct."""
+    eng = Engine(spark, tag_sf, str(tmp_path / "fused_fe"))
+    eng.put_design("dd", {
+        "tags": {"map": ("tdocs", TAG_JS), "reduce": "_count"},
+        "bylang": {"map": ("tdocs",
+                           "function(doc) { emit(doc.lang, doc.n); }"),
+                   "reduce": "_sum"},
+    })
+    eng.build_ddoc("dd")
+    tags = {r["key"]: r["value"]
+            for r in eng.query("dd/tags", group=True,
+                               stale="ok").rows()}
+    want = {}
+    for _id, _seq, dj in _mk_tag_docs():
+        d = json.loads(dj)
+        if isinstance(d.get("tags"), list):
+            for t in d["tags"]:
+                want[t] = want.get(t, 0) + 1
+    assert tags == want
+    bylang = {r["key"]: r["value"]
+              for r in eng.query("dd/bylang", group=True,
+                                 stale="ok").rows()}
+    assert bylang["fr"] == sum(float(i) for i in range(1, 120, 3))
