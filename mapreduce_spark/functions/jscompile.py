@@ -167,6 +167,8 @@ class _Parser:
         self.i = 0
         # inside a forEach callback: (param_name, array_field, serial)
         self._elem: tuple[str, str, int] | None = None
+        # inside a compiled C-style for body: (index_var, field, serial)
+        self._idx: tuple[str, str, int] | None = None
         self._foreach_serial = 0
 
     # -- token helpers --------------------------------------------------
@@ -259,6 +261,10 @@ class _Parser:
                     depth -= 1
             self._eat(";")
             return
+        if tok == "for":
+            self._next()
+            self._parse_for(emits, guards)
+            return
         if tok == "doc":
             # doc.f.forEach(function (x) { … }) — the canonical
             # array-emit ddoc (tag index).  Emits parsed inside the
@@ -316,6 +322,98 @@ class _Parser:
             "compilable subset is emit(...), if/else guards and log(); "
             "use a Python map function for anything else"
         )
+
+    def _parse_for(self, emits: list, guards: list) -> None:
+        """``for (var i = 0; i < doc.f.length; i++) { … }`` — the
+        pre-ES5 array-emit idiom, compiled to the same posexplode
+        shape as ``.forEach()``.  The compiled pattern is strict
+        (init 0; bound ``i < doc.f.length`` or ``doc.f.length > i``;
+        step ``i++``/``++i``/``i += 1``/``i = i + 1``; braced body;
+        no index mutation inside) — anything looser raises and runs
+        on the statement interpreter (functions/jsmap.py), which
+        executes arbitrary C-style loops.  Inside the body, bare
+        ``i`` parses as ('epos',) (the posexplode position) and
+        ``doc.f[i]`` as ('elem', f); indexing any OTHER array with
+        ``i`` rejects the compile."""
+        if self._elem is not None or self._idx is not None:
+            raise JSCompileError(
+                "nested loops are outside the compiled subset"
+            )
+        self._expect("(")
+        if self._peek()[1] in ("var", "let"):
+            self._next()
+        k, ivar, o = self._next()
+        if k != "ident" or ivar in ("doc", "emit", "log"):
+            raise JSCompileError(
+                f"unsupported for-loop index variable at offset {o}"
+            )
+        self._expect("=")
+        k, z, o = self._next()
+        if k != "num" or float(z) != 0:
+            raise JSCompileError(
+                "for-loops must start at index 0 to compile; the "
+                "interpreter tier runs other bounds"
+            )
+        self._expect(";")
+        k, t, o = self._peek()
+        if t == ivar:  # i < doc.f.length
+            self._next()
+            self._expect("<")
+            k2, d, o2 = self._next()
+            if d != "doc":
+                raise JSCompileError(
+                    f"for-loop bound at offset {o2} is not a doc "
+                    "array length; the interpreter tier runs it"
+                )
+            parts = self._field_path(o2)
+        elif t == "doc":  # doc.f.length > i
+            self._next()
+            parts = self._field_path(o)
+            self._expect(">")
+            k2, v2, o2 = self._next()
+            if v2 != ivar:
+                raise JSCompileError(
+                    f"for-loop bound at offset {o2} does not test "
+                    "the loop index; the interpreter tier runs it"
+                )
+        else:
+            raise JSCompileError(
+                f"for-loop bound at offset {o} is outside the "
+                "compiled subset (i < doc.f.length only)"
+            )
+        if len(parts) < 2 or parts[-1] != "length":
+            raise JSCompileError(
+                "for-loop bounds must be doc.<field>.length to "
+                "compile; the interpreter tier runs other bounds"
+            )
+        field = ".".join(parts[:-1])
+        self._expect(";")
+        nxt = [self.toks[self.i + j][1]
+               if self.i + j < len(self.toks) else None
+               for j in range(5)]
+        if nxt[:3] == [ivar, "+", "+"] or nxt[:3] == ["+", "+", ivar]:
+            self.i += 3
+        elif nxt[:4] == [ivar, "+", "=", "1"]:
+            self.i += 4
+        elif nxt[:5] == [ivar, "=", ivar, "+", "1"]:
+            self.i += 5
+        else:
+            raise JSCompileError(
+                "only i++ / ++i / i += 1 / i = i + 1 for-loop steps "
+                "compile; the interpreter tier runs other steps"
+            )
+        self._expect(")")
+        self._expect("{")
+        serial = self._foreach_serial
+        self._foreach_serial += 1
+        self._idx = (ivar, field, serial)
+        try:
+            self._stmts(
+                emits, guards + [("forloop", field, serial)], end="}"
+            )
+        finally:
+            self._idx = None
+        self._eat(";")
 
     def _cond(self) -> Any:
         left = self._and()
@@ -430,8 +528,32 @@ class _Parser:
             if self._elem is not None and tok == self._elem[0]:
                 # forEach callback parameter: the current array element
                 return ("elem", self._elem[1])
+            if self._idx is not None and tok == self._idx[0]:
+                # for-loop index variable: the posexplode position
+                return ("epos",)
             if tok == "doc":
                 parts = self._field_path(off)
+                if (
+                    self._idx is not None
+                    and self._at("[")
+                    and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1][1] == self._idx[0]
+                    and self.i + 2 < len(self.toks)
+                    and self.toks[self.i + 2][1] == "]"
+                ):
+                    # doc.f[i] under the compiled for-loop: the
+                    # current element — only of the array the loop
+                    # is bounded by
+                    if ".".join(parts) != self._idx[1]:
+                        raise JSCompileError(
+                            f"doc.{'.'.join(parts)}[{self._idx[0]}] "
+                            "indexes a different array than the "
+                            f"loop bound doc.{self._idx[1]} — "
+                            "outside the compiled subset; the "
+                            "interpreter tier runs it"
+                        )
+                    self.i += 3
+                    return ("elem", self._idx[1])
                 if len(parts) >= 2 and parts[-1] == "length":
                     # string length property (JS .length)
                     return ("strlen", ".".join(parts[:-1]))
@@ -767,7 +889,7 @@ class _Compiler:
             return self._tonum[id(ast)]
         return (
             f"coalesce({sql}, 0.0)"
-            if ast[0] in ("doc", "lit", "elem")
+            if ast[0] in ("doc", "lit", "elem", "epos")
             else sql
         )
 
@@ -791,6 +913,8 @@ class _Compiler:
             return kind, sql
         if tag == "elem":
             return self.elem_ref(ast)
+        if tag == "epos":
+            return self.epos_ref()
         if tag == "bin":
             op, l, r = ast[1], ast[2], ast[3]
             (lk, ls) = self.computed(l)
@@ -1112,6 +1236,19 @@ class _Compiler:
         ekind = kind.split(":", 1)[1]
         return ekind, elem_value_sql(f, ekind)
 
+    def epos_ref(self) -> tuple[str, str]:
+        """for-loop index variable → the posexplode position column
+        (always a non-null, non-NaN JS number)."""
+        if self.variant_types is None:
+            raise JSCompileError(
+                "a compiled for-loop over a typed table is outside "
+                "the compiled subset (raw doc sources only); the "
+                "Python map path runs it"
+            )
+        from mapreduce_spark.functions.jsvariant import EPOS_COL
+
+        return "num", f"cast({EPOS_COL} as double)"
+
     def field(self, name: str) -> tuple[str, str]:
         """doc field → (kind, raw-SQL expr) in the doc space."""
         if name == "_id":
@@ -1169,6 +1306,8 @@ class _Compiler:
             return self.field(ast[1])
         if tag == "elem":
             return self.elem_ref(ast)
+        if tag == "epos":
+            return self.epos_ref()
         if tag in ("bin", "method", "strlen", "math", "ternary"):
             kind, sql = self.computed(ast)
             if kind not in ("num", "str", "bool", "iso"):
@@ -1206,6 +1345,8 @@ class _Compiler:
             return (kind, sql)
         if tag == "elem":
             return self.elem_ref(ast)
+        if tag == "epos":
+            return self.epos_ref()
         if tag in ("bin", "method", "strlen", "math", "ternary"):
             kind, sql = self.computed(ast)
             if kind not in ("num", "str", "bool"):
@@ -1236,6 +1377,8 @@ class _Compiler:
                             f"_sum shape); the element is {kind}"
                         )
                     exprs.append(sql)
+                elif a[0] == "epos":
+                    exprs.append(self.epos_ref()[1])
                 elif a[0] in ("bin", "method", "strlen", "math",
                               "ternary"):
                     kind, sql = self.computed(a)
@@ -1325,7 +1468,7 @@ class _Compiler:
                 # JS Boolean(NaN) is FALSE, but Spark NaN <> 0 is
                 # true — null a computed NaN out first (doc fields
                 # are JSON numbers, never NaN)
-                if ast[1][0] not in ("doc", "lit", "elem"):
+                if ast[1][0] not in ("doc", "lit", "elem", "epos"):
                     sql = f"nanvl({sql}, cast(null as double))"
                 return f"({sql} IS NOT NULL AND {sql} <> 0)"
             if kind == "str":
@@ -1373,13 +1516,14 @@ class _Compiler:
                 # non-finites now — null a NaN out at RELATIONAL
                 # sites (NULL compares falsy; real JS nulls never
                 # reach a relational un-coalesced).
-                if lk == rk == "num" and a[0] not in ("doc", "lit", "elem"):
+                if lk == rk == "num" and a[0] not in ("doc", "lit",
+                                                      "elem", "epos"):
                     return f"nanvl({sql}, cast(null as double))"
                 return sql
 
             computed_num = lk == rk == "num" and (
-                l[0] not in ("doc", "lit", "elem")
-                or r[0] not in ("doc", "lit", "elem")
+                l[0] not in ("doc", "lit", "elem", "epos")
+                or r[0] not in ("doc", "lit", "elem", "epos")
             )
             # JS null comparison semantics vs SQL three-valued logic:
             # - `null !== lit` is TRUE in JS, but SQL `<>` yields NULL
@@ -1553,6 +1697,8 @@ class _Compiler:
             return self.field(ast[1])
         if ast[0] == "elem":
             return self.elem_ref(ast)
+        if ast[0] == "epos":
+            return self.epos_ref()
         if ast[0] in ("bin", "method", "strlen", "math", "ternary"):
             return self.computed(ast)
         if ast[0] == "lit":
@@ -1601,7 +1747,8 @@ def compile_js_map(source: str, table: str, schema,
     # emit_ord) collation — only relative order matters).
     marks = [
         next((g for g in guards
-              if isinstance(g, tuple) and g[0] == "foreach"), None)
+              if isinstance(g, tuple)
+              and g[0] in ("foreach", "forloop")), None)
         for guards, _k, _v in emits
     ]
     foreach_field: str | None = None
@@ -1653,9 +1800,13 @@ def compile_js_map(source: str, table: str, schema,
         )
 
     def _elem_dependent(ctx: str | None, gsql: str) -> bool:
-        from mapreduce_spark.functions.jsvariant import ELEM_COL
+        from mapreduce_spark.functions.jsvariant import (
+            ELEM_COL,
+            EPOS_COL,
+        )
 
-        return ELEM_COL in gsql or (ctx is not None and ELEM_COL in ctx)
+        both = gsql + (ctx or "")
+        return ELEM_COL in both or EPOS_COL in both
 
     n_sites = len(emits)
     for site, (guards, key_ast, value_ast) in enumerate(emits):
@@ -1666,7 +1817,7 @@ def compile_js_map(source: str, table: str, schema,
         in_elem = False           # past the forEach marker
         body_throws = False       # throw guards arising inside the loop
         for g in guards:
-            if isinstance(g, tuple) and g[0] == "foreach":
+            if isinstance(g, tuple) and g[0] in ("foreach", "forloop"):
                 in_elem = True
                 continue
             c.pending_guards = []
@@ -1838,6 +1989,7 @@ _CSM = None  # cached jsreduce._call_str_method (circular import)
 
 
 _ELEM_KEY = "\x00elem"  # forEach element binding inside the doc dict
+_EPOS_KEY = "\x00epos"  # for-loop index binding inside the doc dict
 
 
 def _ev(ast: Any, doc: dict) -> Any:
@@ -1848,6 +2000,9 @@ def _ev(ast: Any, doc: dict) -> Any:
         return doc.get(ast[1], _UNDEF) if isinstance(doc, dict) else _UNDEF
     if tag == "elem":
         return doc.get(_ELEM_KEY, _UNDEF) if isinstance(doc, dict) \
+            else _UNDEF
+    if tag == "epos":
+        return doc.get(_EPOS_KEY, _UNDEF) if isinstance(doc, dict) \
             else _UNDEF
     if tag == "arr":
         return [_ev(a, doc) for a in ast[1]]
@@ -2144,7 +2299,8 @@ class JSMapFunction:
             for guards, key_ast, value_ast in self._emits:
                 mark = next(
                     (g for g in guards
-                     if isinstance(g, tuple) and g[0] == "foreach"),
+                     if isinstance(g, tuple)
+                     and g[0] in ("foreach", "forloop")),
                     None,
                 )
                 if mark is None:
@@ -2160,7 +2316,8 @@ class JSMapFunction:
                 post: list = []
                 past = False
                 for g in guards:
-                    if isinstance(g, tuple) and g[0] == "foreach":
+                    if isinstance(g, tuple) \
+                            and g[0] in ("foreach", "forloop"):
                         past = True
                         continue
                     (post if past else pre).append(g)
@@ -2170,14 +2327,26 @@ class JSMapFunction:
                     doc.get(mark[1], _UNDEF)
                     if isinstance(doc, dict) else _UNDEF
                 )
-                if not isinstance(arr, list):
-                    # null/undefined/scalar .forEach throws in JS
-                    raise _MapThrow(
-                        f"doc.{mark[1]}.forEach is not a function"
-                    )
-                for el in arr:
+                if mark[0] == "foreach":
+                    if not isinstance(arr, list):
+                        # null/undefined/scalar .forEach throws in JS
+                        raise _MapThrow(
+                            f"doc.{mark[1]}.forEach is not a function"
+                        )
+                elif not isinstance(arr, list):
+                    # C-style loop: `i < doc.f.length` only THROWS
+                    # when doc.f is null/undefined; a string bound
+                    # indexes characters; any other scalar has
+                    # length === undefined → zero iterations
+                    if arr is None or arr is _UNDEF:
+                        raise _MapThrow(
+                            f"cannot read .length of doc.{mark[1]}"
+                        )
+                    arr = list(arr) if isinstance(arr, str) else []
+                for pos, el in enumerate(arr):
                     docv = dict(doc)
                     docv[_ELEM_KEY] = el
+                    docv[_EPOS_KEY] = float(pos)
                     if all(_cond_eval(g, docv) for g in post):
                         emit(
                             _de_undef(_ev(key_ast, docv)),

@@ -331,7 +331,8 @@ def foreach_fields(source: str) -> list[str]:
     out: list[str] = []
     for guards, _k, _v in emits:
         for g in guards:
-            if isinstance(g, tuple) and g[0] == "foreach" \
+            if isinstance(g, tuple) \
+                    and g[0] in ("foreach", "forloop") \
                     and g[1] not in out:
                 out.append(g[1])
     return out

@@ -550,3 +550,86 @@ def test_foreach_in_fused_ddoc_build(spark, tag_sf, tmp_path):
               for r in eng.query("dd/bylang", group=True,
                                  stale="ok").rows()}
     assert bylang["fr"] == sum(float(i) for i in range(1, 120, 3))
+
+
+# ------------------------------------------------------------- C-style for
+
+
+FOR_JS = ("function(doc) { for (var i = 0; i < doc.tags.length; i++) "
+          "{ emit(doc.tags[i], 1); } }")
+
+
+def test_forloop_compiles_and_matches_interpreter(spark, tag_sf,
+                                                  tmp_path):
+    """The pre-ES5 for-loop array-emit idiom compiles to the same
+    posexplode shape as forEach and matches the interpreter tier
+    row-for-row (docs with null/missing arrays throw at `.length` →
+    skipped, same as the NULL-array explode)."""
+    vd, eng, eng2 = _both_tiers(spark, tag_sf, tmp_path, FOR_JS)
+    assert isinstance(vd.map_def, VariantJSView)
+    specs = (vd.map_def.specs if isinstance(vd.map_def.specs, list)
+             else [vd.map_def.specs])
+    assert all(s.explode is not None for s in specs)
+    rows = [(r["key"], r["id"], r["value"])
+            for r in eng.query("dd/v", stale="ok").rows()]
+    assert rows == [(r["key"], r["id"], r["value"])
+                    for r in eng2.query("dd/v", stale="ok").rows()]
+    assert rows
+
+
+def test_forloop_index_in_key_and_value(spark, tag_sf, tmp_path):
+    """Bare `i` compiles to the posexplode position column: usable in
+    keys, values and element guards."""
+    js = ("function(doc) { for (var i = 0; i < doc.nums.length; ++i) "
+          "{ if (i % 2 === 0) { emit([doc.lang, i], doc.nums[i]); } } }")
+    vd, eng, eng2 = _both_tiers(spark, tag_sf, tmp_path, js,
+                                reduce="_sum")
+    assert isinstance(vd.map_def, VariantJSView)
+    a = {tuple(r["key"]): r["value"]
+         for r in eng.query("dd/v", group=True, stale="ok").rows()}
+    b = {tuple(r["key"]): r["value"]
+         for r in eng2.query("dd/v", group=True, stale="ok").rows()}
+    assert a == b and a
+    # positions are JS numbers: key component renders 0, 2
+    assert set(k[1] for k in a) == {0, 2}
+    assert a[("en", 0)] == sum(float(i) for i in range(0, 120, 3))
+
+
+def test_forloop_rejects_fall_back_loud_then_interpreted(
+        spark, tag_sf, tmp_path):
+    """Non-canonical loops (step 2) stay out of the compiled subset;
+    the engine runs them on the statement interpreter with correct
+    results."""
+    js = ("function(doc) { for (var i = 0; i < doc.tags.length; "
+          "i += 2) { emit(doc.tags[i], 1); } }")
+    vd, eng, eng2 = _both_tiers(spark, tag_sf, tmp_path, js)
+    assert not isinstance(vd.map_def, VariantJSView)
+    rows = [(r["key"], r["id"], r["value"])
+            for r in eng.query("dd/v", stale="ok").rows()]
+    assert rows == [(r["key"], r["id"], r["value"])
+                    for r in eng2.query("dd/v", stale="ok").rows()]
+    # step-2 loop keeps only even positions
+    want = 0
+    for _id, _seq, dj in _mk_tag_docs():
+        d = json.loads(dj)
+        if isinstance(d.get("tags"), list):
+            want += len(d["tags"][::2])
+    assert len(rows) == want
+
+
+def test_forloop_plan_no_python(spark, tag_sf):
+    from mapreduce_spark.operators.mapphase import (
+        build_view_structured_on,
+    )
+    from mapreduce_spark.sources.docs import load_table
+
+    v = compile_js_map_variant(spark, tag_sf, "tdocs", FOR_JS)
+    specs = v.specs if isinstance(v.specs, list) else [v.specs]
+    assert specs and all(s.explode is not None for s in specs)
+    for spec in specs:
+        plan = build_view_structured_on(
+            load_table(spark, tag_sf, "tdocs"), spec
+        )._jdf.queryExecution().executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython",
+                    "MapInPandas", "PythonUDF"):
+            assert bad not in plan, f"{bad} in compiled for-loop plan"
