@@ -272,15 +272,75 @@ def x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_N = 25
 PACK_BUDGET = 2048
+SPLIT_WEIGHTS = {"train": 0.96, "val": 0.02, "test": 0.02}
+MIX_PCT = {"src0": 30, "src1": 30}
+MIX_BUDGET = 200_000
+MIX_MAX_REPEAT = 10
+
+
+def _doc_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+
+
+def x_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-range train/val/test split, counted per
+    (split, source) — zero-shuffle assignment, one count exchange."""
+    sp = sampling.hash_split(
+        _docs(spark, sf_dir), SPLIT_WEIGHTS, salt="split"
+    )
+    return sp.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def x_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-mixture epoch plan + materialized per-source row
+    counts (plan agg → broadcast join → bounded explode)."""
+    d = _doc_toks(spark, sf_dir)
+    plan = sampling.mixture_plan(
+        d, MIX_PCT, MIX_BUDGET,
+        token_col="n_tok", max_repeat=MIX_MAX_REPEAT,
+    )
+    mixed = sampling.apply_mixture(d, plan).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return plan.join(mixed, "source").select(
+        "source", "repeats", "n"
+    )
 
 
 def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-language downsampling (md5-ranked top-N)."""
-    out = sampling.stratified_sample(
+    """Deterministic corpus-curation trio under ONE oracle row (the
+    round-6 row-window repack pattern): per-language md5-ranked
+    downsampling ('strat' tag, row-level), md5-range train/val/test
+    hash split ('split' tag, per-(split, source) counts), and the
+    weighted-mixture epoch plan + materialization ('mix' tag,
+    per-source repeat factor and emitted row count)."""
+    strat = sampling.stratified_sample(
         _docs(spark, sf_dir), SAMPLE_N,
         stratum_col="lang", id_col="doc_id",
+    ).select(
+        F.lit("strat").alias("tag"),
+        F.col("lang").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("n"),
     )
-    return out.select("doc_id", "lang")
+    split = x_hash_split(spark, sf_dir).select(
+        F.lit("split").alias("tag"),
+        F.col("split").alias("k1"),
+        F.col("source").alias("k2"),
+        "n",
+    )
+    mix = x_mixture(spark, sf_dir).select(
+        F.lit("mix").alias("tag"),
+        F.col("source").alias("k1"),
+        F.col("repeats").cast("string").alias("k2"),
+        "n",
+    )
+    return strat.unionByName(split).unionByName(mix)
 
 
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,6 +480,8 @@ EXT_BENCH_QUERIES = {
     ),
     "x_decontam": x_decontam,
     "x_rep_ngrams": x_rep_ngrams,
+    "x_hash_split": x_hash_split,
+    "x_mixture": x_mixture,
     "x_mm_features": x_mm_features,
     "x_mm_ppm": x_mm_ppm,
     "x_mm_wav": x_mm_wav,
@@ -566,8 +628,33 @@ FROM r
 WITH r AS (SELECT doc_id, lang,
   row_number() OVER (PARTITION BY lang
     ORDER BY md5(doc_id::VARCHAR || ':'), doc_id) rk
-  FROM documents)
-SELECT doc_id, lang FROM r WHERE rk <= {SAMPLE_N}
+  FROM documents),
+strat AS (SELECT 'strat' AS tag, lang AS k1, doc_id::VARCHAR AS k2,
+  NULL::BIGINT AS n FROM r WHERE rk <= {SAMPLE_N}),
+sp AS (SELECT CASE
+    WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 16)
+         < '{sampling.split_bound_hex(SPLIT_WEIGHTS, "train")}'
+      THEN 'train'
+    WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 16)
+         < '{sampling.split_bound_hex(SPLIT_WEIGHTS, "val")}'
+      THEN 'val'
+    ELSE 'test' END AS split, source FROM documents),
+spc AS (SELECT 'split' AS tag, split AS k1, source AS k2,
+  count(*)::BIGINT AS n FROM sp GROUP BY 1, 2, 3),
+tok AS (SELECT source,
+  sum(len(string_split(text, ' ')))::BIGINT AS src_tokens,
+  count(*)::BIGINT AS ndocs FROM documents GROUP BY 1),
+pl AS (SELECT source, ndocs,
+  greatest(1, least({MIX_MAX_REPEAT},
+    ({MIX_BUDGET} * CASE source
+        WHEN 'src0' THEN {MIX_PCT["src0"]}
+        WHEN 'src1' THEN {MIX_PCT["src1"]} ELSE 0 END)
+      // (100 * src_tokens))) AS repeats
+  FROM tok),
+mix AS (SELECT 'mix' AS tag, source AS k1, repeats::VARCHAR AS k2,
+  (ndocs * repeats)::BIGINT AS n FROM pl)
+SELECT * FROM strat UNION ALL SELECT * FROM spc
+UNION ALL SELECT * FROM mix
 """,
     "x_pack_sequences": f"""
 WITH t AS (SELECT doc_id, lang,

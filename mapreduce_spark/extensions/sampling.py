@@ -99,3 +99,135 @@ def pack_sequences(
     return df.withColumn("bin", (start / budget).cast("long")).withColumn(
         "off", start % budget
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash.
+
+    Each row lands in exactly one named split with probability equal
+    to its weight: the first 64 bits of ``md5(id:salt)`` are a uniform
+    point in [0, 2^64) and the splits partition that range by
+    cumulative weight.  The comparison happens on the 16-hex-char
+    PREFIX STRING of the digest (lowercase hex order == numeric
+    order), so any engine with md5() reproduces the assignment
+    byte-for-byte — the property a held-out eval split must keep
+    across reprocessing runs.
+
+    100 TB notes: a narrow projection — ZERO shuffles, no state; the
+    split column arrives pushdown-friendly at the scan output and
+    partitioned writes (``partitionBy(split_col)``) need no extra
+    exchange beyond the writer's own.  Never split by random() — it
+    is neither reproducible nor stable under retries (a recomputed
+    task would reassign rows mid-write).
+    """
+    total = float(sum(weights.values()))
+    if total <= 0 or any(v < 0 for v in weights.values()):
+        raise ValueError("split weights must be non-negative, sum > 0")
+    names = list(weights)
+    hex16 = F.substring(_rank_key(id_col, salt), 1, 16)
+    cum = 0.0
+    expr = None
+    bounds: list[tuple[str, str]] = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = format(min(int(cum * 2**64), 2**64 - 1), "016x")
+        bounds.append((name, bound))
+    for name, bound in reversed(bounds):
+        nxt = F.lit(names[-1]) if expr is None else expr
+        expr = F.when(hex16 < F.lit(bound), F.lit(name)).otherwise(nxt)
+    return df.withColumn(
+        split_col, F.lit(names[0]) if expr is None else expr
+    )
+
+
+def split_bound_hex(weights: dict[str, float], name_upto: str) -> str:
+    """The 16-hex-char upper bound of the cumulative range ending at
+    ``name_upto`` — exposed so SQL oracles can embed the exact same
+    literal the Spark plan compares against."""
+    total = float(sum(weights.values()))
+    cum = 0.0
+    for name in weights:
+        cum += weights[name] / total
+        if name == name_upto:
+            return format(min(int(cum * 2**64), 2**64 - 1), "016x")
+    raise KeyError(name_upto)
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights_pct: dict[str, int],
+    budget_tokens: int,
+    *,
+    token_col: str,
+    source_col: str = "source",
+    max_repeat: int = 10,
+) -> DataFrame:
+    """Per-source epoch counts for a weighted pretraining mixture.
+
+    Given target mixture percentages and a total token budget, each
+    source's documents are repeated ``repeats`` times so its share of
+    the emitted stream approaches its target weight (the LLaMA-style
+    "epochs over high-quality sources" recipe):
+
+        repeats = clamp( (budget_tokens * pct) // (100 * src_tokens),
+                         1, max_repeat )
+
+    INTEGER arithmetic end-to-end (no float division), so any SQL
+    engine reproduces the plan exactly.  Sources absent from
+    ``weights_pct`` get pct 0 → repeats 1 (one epoch, never dropped
+    here — drop upstream if unwanted).
+
+    100 TB notes: ONE map-side-combined aggregation over the corpus
+    (per-source token sums — a handful of rows out), then pure driver
+    arithmetic; the result is broadcast-sized by construction.
+    """
+    pct = F.create_map(
+        *[F.lit(x) for kv in weights_pct.items() for x in kv]
+    )
+    toks = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("src_tokens")
+    )
+    raw = (
+        F.lit(int(budget_tokens))
+        * F.coalesce(pct[F.col(source_col)], F.lit(0)).cast("long")
+    ) / (F.lit(100) * F.col("src_tokens"))
+    return toks.withColumn(
+        "repeats",
+        F.greatest(
+            F.lit(1),
+            F.least(F.lit(int(max_repeat)), raw.cast("long")),
+        ),
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    *,
+    source_col: str = "source",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize the mixture: each doc appears once per epoch
+    1..repeats with its epoch index (downstream shuffling treats
+    (doc, epoch) as distinct training rows).
+
+    100 TB notes: the plan is tiny → broadcast hash join (no corpus
+    shuffle); the explode is a Generate over an in-row sequence —
+    row-multiplying but never wider than ``max_repeat``×.
+    """
+    p = plan.select(source_col, "repeats")
+    return (
+        df.join(F.broadcast(p), source_col)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(1), F.col("repeats"))),
+        )
+        .drop("repeats")
+    )

@@ -609,3 +609,82 @@ def test_jaccard_dedup_routing(docs):
         ).collect()
     }
     assert want and got == want
+
+
+def test_hash_split_deterministic_partition_invariant(spark, sf_dir):
+    """Every row lands in exactly one split; the assignment is a pure
+    function of (id, salt) — identical across repartitionings — and
+    split sizes track the weights."""
+    from mapreduce_spark.extensions import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"]
+         for r in sampling.hash_split(docs, w, salt="s").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in sampling.hash_split(
+             docs.repartition(7), w, salt="s").collect()}
+    assert a == b and len(a) == docs.count()
+    n = len(a)
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    # md5 is uniform: each split within ±5 σ of its expectation
+    for name, frac in w.items():
+        exp = n * frac
+        sd = (n * frac * (1 - frac)) ** 0.5
+        assert abs(sizes.get(name, 0) - exp) <= 5 * sd + 1, (
+            name, sizes)
+    # a different salt reassigns; weights still partition the corpus
+    c = {r["doc_id"]: r["split"]
+         for r in sampling.hash_split(docs, w, salt="t").collect()}
+    assert c != a
+    # the plan is a single narrow projection: no exchange at all
+    plan = sampling.hash_split(docs, w)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_split_degenerate_and_invalid(spark, sf_dir):
+    from mapreduce_spark.extensions import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    only = sampling.hash_split(docs, {"all": 1.0})
+    assert only.filter(F.col("split") != "all").count() == 0
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, {"a": -0.5, "b": 1.5})
+
+
+def test_mixture_plan_and_apply(spark, sf_dir):
+    """Integer-exact repeat factors; apply emits ndocs × repeats rows
+    with epochs 1..repeats; the plan side of the join is broadcast."""
+    from mapreduce_spark.extensions import sampling
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    budget, pct = 100_000, {"src0": 40, "src1": 20}
+    plan = sampling.mixture_plan(d, pct, budget, token_col="n_tok",
+                                 max_repeat=6)
+    rows = {r["source"]: (r["src_tokens"], r["repeats"])
+            for r in plan.collect()}
+    toks = {r["source"]: r["t"] for r in d.groupBy("source").agg(
+        F.sum("n_tok").alias("t")).collect()}
+    for src, (t, rep) in rows.items():
+        assert t == toks[src]
+        want = max(1, min(6, (budget * pct.get(src, 0)) // (100 * t)))
+        assert rep == want, (src, rep, want)
+    assert any(r > 1 for _, r in rows.values())  # weights actually bite
+    mixed = sampling.apply_mixture(d, plan)
+    got = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    ndocs = {r["source"]: r["n"] for r in d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {s: ndocs[s] * rows[s][1] for s in ndocs}
+    ep = mixed.filter(F.col("source") == "src0") \
+        .groupBy("epoch").count().collect()
+    assert sorted(r["epoch"] for r in ep) == list(
+        range(1, rows["src0"][1] + 1))
+    plan_str = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_str
