@@ -289,6 +289,15 @@ def main() -> None:
             "cold_build_sec": round(cold_sec, 2),
             "maintenance_q18_sec": maintenance_q18,
             "cpus": int(cpus),
+            # the two CPU scalars the driver record needs to
+            # adjudicate a wall swing without BENCH_DETAIL.json
+            # (round-9 lesson: wall-only lines can't separate host
+            # steal from plan regressions)
+            "warm_cpu_sec": round(sum(
+                m.get("cpu", 0.0) or 0.0
+                for k, m in query_metrics.items() if k != "q18"
+            ), 2),
+            "cold_build_cpu_sec": round(cold_cpu / 1e9, 2),
         }
         # per-query medians of {wall s, executor-CPU s, shuffle-write
         # bytes}: CPU/shuffle are the attribution signal the box's

@@ -194,16 +194,28 @@ def mixture_plan(
     toks = df.groupBy(source_col).agg(
         F.sum(F.col(token_col).cast("long")).alias("src_tokens")
     )
-    raw = (
+    # Spark's `/` on two longs is DOUBLE division; truncating that
+    # quotient diverges from exact integer `//` once the numerator
+    # passes 2^53 (review-9: budget 1e15 × pct 99 ≈ 9.9e16 rounds in
+    # the double).  SQL `div` is Spark's integral division — long in,
+    # long out, bit-exact at any magnitude, matching the oracle's `//`.
+    num = (
         F.lit(int(budget_tokens))
         * F.coalesce(pct[F.col(source_col)], F.lit(0)).cast("long")
-    ) / (F.lit(100) * F.col("src_tokens"))
-    return toks.withColumn(
-        "repeats",
-        F.greatest(
-            F.lit(1),
-            F.least(F.lit(int(max_repeat)), raw.cast("long")),
-        ),
+    )
+    return (
+        toks.withColumn("_mr_num", num)
+        .withColumn(
+            "repeats",
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(int(max_repeat)),
+                    F.expr("_mr_num div (100L * src_tokens)"),
+                ),
+            ),
+        )
+        .drop("_mr_num")
     )
 
 

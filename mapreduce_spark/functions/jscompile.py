@@ -282,9 +282,9 @@ class _Parser:
                     f"{moff} is outside the compiled subset (only "
                     ".forEach(function (x) {…}) compiles)"
                 )
-            if self._elem is not None:
+            if self._elem is not None or self._idx is not None:
                 raise JSCompileError(
-                    "nested forEach is outside the compiled subset"
+                    "nested loops are outside the compiled subset"
                 )
             self._expect("(")
             self._expect("function")

@@ -688,3 +688,28 @@ def test_mixture_plan_and_apply(spark, sf_dir):
         range(1, rows["src0"][1] + 1))
     plan_str = mixed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_str
+
+
+def test_mixture_plan_integral_division_past_2p53(spark):
+    """The docstring's integer-exactness claim, stress-tested past
+    2^53 (review-9): budget*pct = 1.1e18 with src_tokens chosen so
+    DOUBLE division rounds UP across the integer boundary — float
+    truncation gives 3 epochs, exact integer `//` gives 2.  The plan
+    must use Spark's integral `div`, matching the DuckDB oracle's `//`
+    at any magnitude."""
+    from mapreduce_spark.extensions import sampling
+
+    budget, pct, st = 100_000_000_000_000_009, {"big": 11}, \
+        3_666_666_666_666_667
+    num, den = budget * pct["big"], 100 * st
+    assert num // den == 2 and int(float(num) / den) == 3  # premise
+    d = spark.createDataFrame(
+        [("d0", "big", st), ("d1", "tiny", 7)],
+        "doc_id string, source string, n_tok long",
+    )
+    plan = sampling.mixture_plan(
+        d, pct, budget, token_col="n_tok", max_repeat=10
+    )
+    got = {r["source"]: r["repeats"] for r in plan.collect()}
+    assert got["big"] == 2, got  # double division would say 3
+    assert got["tiny"] == 1  # pct 0 → floor of 1 epoch

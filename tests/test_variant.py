@@ -633,3 +633,66 @@ def test_forloop_plan_no_python(spark, tag_sf):
         for bad in ("BatchEvalPython", "ArrowEvalPython",
                     "MapInPandas", "PythonUDF"):
             assert bad not in plan, f"{bad} in compiled for-loop plan"
+
+
+def test_foreach_nested_in_forloop_falls_back(spark, tag_sf, tmp_path):
+    """forEach nested inside a compiled for-loop must NOT compile: two
+    loop markers over different arrays can't share one posexplode.
+    The compile rejects loudly (same guard as for-inside-for) and the
+    engine lands the source on the statement interpreter with correct
+    nested-iteration rows (review-9 repro: the forEach branch checked
+    only self._elem, so this shape silently compiled with key_sql
+    reading the WRONG array's elements)."""
+    js = ("function(doc) { for (var i = 0; i < doc.tags.length; i++) "
+          "{ doc.nums.forEach(function (t) { emit(t, i); }); } }")
+    from mapreduce_spark.functions.jscompile import _Parser
+    with pytest.raises(JSCompileError,
+                       match="nested loops are outside"):
+        _Parser(js).parse()
+    vd, eng, eng2 = _both_tiers(spark, tag_sf, tmp_path, js)
+    assert not isinstance(vd.map_def, VariantJSView)  # interpreter
+    rows = [(r["key"], r["id"], r["value"])
+            for r in eng.query("dd/v", stale="ok").rows()]
+    assert rows == [(r["key"], r["id"], r["value"])
+                    for r in eng2.query("dd/v", stale="ok").rows()]
+    # nested semantics: |tags| × |nums| emits per doc with arrays
+    want = 0
+    for _id, _seq, dj in _mk_tag_docs():
+        d = json.loads(dj)
+        if isinstance(d.get("tags"), list):
+            want += len(d["tags"]) * len(d["nums"])
+    assert len(rows) == want
+
+
+def test_forloop_string_field_drifts_to_char_iteration(
+        spark, tag_sf, tmp_path):
+    """A STRING in a for-loop-bounded field (review-9): JS iterates
+    characters (`"xy".length` is 2, `s[i]` indexes chars), which no
+    posexplode over array<variant> can express.  The compiled tier
+    must NOT silently emit zero rows — Spark's variant_get raises
+    INVALID_VARIANT_CAST on string→array, is_drift_error classifies
+    it, and the refresh retries on the interpreter tier, which
+    char-iterates.  Pins the convergence: compiled-then-drift ==
+    pure-interpreter, including the char rows."""
+    # the cast really does raise (not NULL) — the premise of the
+    # loud-fallback contract
+    with pytest.raises(Exception, match="INVALID_VARIANT_CAST"):
+        spark.sql("select variant_get(parse_json('{\"f\":\"xy\"}'), "
+                  "'$.f', 'array<variant>')").collect()
+    vd, eng, eng2 = _both_tiers(spark, tag_sf, tmp_path, FOR_JS)
+    assert isinstance(vd.map_def, VariantJSView)  # compiled initially
+    drift = [("t:9999", 10_000, json.dumps(
+        {"_id": "t:9999", "lang": "en", "n": 1.0, "nums": [1.0],
+         "tags": "xyz"}))]
+    spark.createDataFrame(
+        drift, ["_id", "seq", "doc_json"]
+    ).write.mode("append").parquet(f"{tag_sf}/tdocs.parquet")
+    eng.update_view("dd/v")   # drift → interpreter retry
+    eng2.update_view("dd/v")  # already interpreted
+    assert not isinstance(vd.map_def, VariantJSView)
+    rows = [(r["key"], r["id"], r["value"])
+            for r in eng.query("dd/v", stale="ok").rows()]
+    assert rows == [(r["key"], r["id"], r["value"])
+                    for r in eng2.query("dd/v", stale="ok").rows()]
+    chars = [(k, v) for k, i, v in rows if i == "t:9999"]
+    assert [k for k, _ in chars] == ["x", "y", "z"]  # char iteration
