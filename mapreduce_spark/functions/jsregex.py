@@ -158,21 +158,49 @@ def _prop_class(name: str) -> str:
     """``\\p{name}`` → the inside of a Python character class.
 
     Supported: General_Category values (short + long + ``gc=`` /
-    ``General_Category=`` forms) via the stdlib Unicode table, and
-    the table-free binary properties ASCII / Any / Assigned /
-    White_Space / ASCII_Hex_Digit / Hex_Digit.  Script properties and
-    the remaining binary properties (Alphabetic, ID_Start, …) need
-    UCD tables the stdlib does not carry — loud, never approximated."""
+    ``General_Category=`` forms) via the stdlib Unicode table; the
+    table-free binary properties ASCII / Any / Assigned /
+    White_Space / ASCII_Hex_Digit / Hex_Digit; and ``Script=`` /
+    ``sc=`` for the 28 major scripts in the generated
+    ``_script_ranges`` table (JDK UnicodeScript data — see
+    tools/gen_script_ranges.py).  Script names match ECMAScript's
+    case-sensitive canonical forms (long name or ISO 15924 alias:
+    ``Han``/``Hani``, ``Latin``/``Latn``).  Script_Extensions and the
+    remaining binary properties (Alphabetic, ID_Start, …) need UCD
+    tables this engine does not carry — loud, never approximated."""
     prop = name
+    if prop.startswith(("Script=", "sc=")):
+        from mapreduce_spark.functions import _script_ranges as S
+
+        val = prop.split("=", 1)[1]
+        # ECMAScript property values are case-sensitive canonical
+        # names; our table keys are the UPPERCASE long names, so the
+        # canonical spelling is the title-cased key or a listed alias
+        up = val.upper()
+        canon = S.ALIASES.get(up, up)
+        canonical_spellings = {canon.title()} | {
+            al.title() for al, lng in S.ALIASES.items() if lng == canon
+        }
+        if canon not in S.RANGES or val not in canonical_spellings:
+            raise JSReduceError(
+                f"\\p{{{name}}}: script {val!r} is outside the "
+                "generated table (28 major scripts; names are "
+                "case-sensitive canonical forms, e.g. Script=Han)"
+            )
+        return _ranges_body(S.RANGES[canon])
+    if prop.startswith(("Script_Extensions=", "scx=")):
+        raise JSReduceError(
+            f"\\p{{{name}}}: Script_Extensions needs the scx UCD "
+            "table this engine does not carry — use Script="
+        )
     if prop.startswith("General_Category="):
         prop = prop[len("General_Category="):]
     elif prop.startswith("gc="):
         prop = prop[3:]
     elif "=" in prop:
         raise JSReduceError(
-            f"\\p{{{name}}}: only General_Category key=value forms "
-            "are inside the subset (Script/Script_Extensions need "
-            "UCD tables this engine does not carry)"
+            f"\\p{{{name}}}: only General_Category and Script "
+            "key=value forms are inside the subset"
         )
     if prop == "ASCII":
         return "\\x00-\\x7f"
