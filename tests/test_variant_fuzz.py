@@ -49,6 +49,21 @@ def _mkcorpus(rng):
         d["dts"] = (f"2024-0{rng.randint(1, 9)}-"
                     f"{rng.randint(1, 27):02d}T"
                     f"{rng.randint(0, 23):02d}:15:00Z")
+        # array fields for the loop grammar (round 10): kind-pure per
+        # field (mixed elements reject at inference), lengths 0..4,
+        # sometimes missing/null — JS throws at .forEach / .length →
+        # tryMap skip, compiled NULL-explode → zero rows, same answer
+        r = rng.random()
+        if r < 0.15:
+            pass  # missing
+        elif r < 0.25:
+            d["arr"] = None
+        else:
+            d["arr"] = [rng.choice([0.0, -2.5, 3.0, 1e9])
+                        for _ in range(rng.randint(0, 4))]
+        if rng.random() < 0.85:
+            d["tags"] = [rng.choice(["red", "", "en", "x:y"])
+                         for _ in range(rng.randint(0, 3))]
         docs.append(d)
     return docs
 
@@ -103,6 +118,46 @@ def _gen_source(rng):
             return f"doc.{rng.choice(['s', 't'])}.{m}"
         return f"!({cond(depth - 1)})"
 
+    def loop_source():
+        # guarded array-emit loops (round 10, VERDICT r9 #7): forEach
+        # and the C-style for idiom, outer doc guards, inner element/
+        # index guards, elem/index in keys and values
+        field = rng.choice(["arr", "tags"])
+        fe = rng.random() < 0.5
+        if fe:
+            elem, idx = "x", None
+            opener = f"doc.{field}.forEach(function (x) {{ "
+            closer = " });"
+        else:
+            elem, idx = f"doc.{field}[i]", "i"
+            opener = (f"for (var i = 0; i < doc.{field}.length; "
+                      "i++) { ")
+            closer = " }"
+        econd = (f"{elem} > 0" if field == "arr"
+                 else f"{elem} !== 'en'")
+        iconds = []
+        if rng.random() < 0.6:
+            iconds.append(econd)
+        if idx is not None and rng.random() < 0.4:
+            iconds.append(f"{idx} % 2 === 0")
+        if rng.random() < 0.3:
+            iconds.append(cond(1))  # doc-level cond inside the loop
+        inner = "".join(f"if ({c}) {{ " for c in iconds)
+        key = rng.choice(
+            [elem, f"[doc.t, {elem}]"]
+            + ([f"[{idx}, {elem}]", idx] if idx is not None else [])
+        )
+        val = rng.choice(["1", "null", elem,
+                          num(1) if field == "arr" else strx(1)])
+        outer = "".join(
+            f"if ({cond(1)}) {{ " for _ in range(rng.randint(0, 1))
+        )
+        return ("function(doc) { " + outer + opener + inner
+                + f"emit({key}, {val});" + " }" * len(iconds)
+                + closer + " }" * outer.count("{") + " }")
+
+    if rng.random() < 0.3:
+        return loop_source()
     guards = "".join(
         f"if ({cond(1)}) {{ " for _ in range(rng.randint(0, 2))
     )
@@ -127,7 +182,7 @@ def _norm(v):
     return v
 
 
-@pytest.mark.parametrize("seed", [20260814])
+@pytest.mark.parametrize("seed", [20260814, 0x0A10])
 def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
     rng = random.Random(seed)
     docs = _mkcorpus(rng)
@@ -138,6 +193,7 @@ def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
     register_table(raw_doc_table("vfz"))
 
     compiled_n = 0
+    compiled_loops = 0
     for i in range(N_SRC):
         src = _gen_source(rng)
         try:
@@ -145,6 +201,8 @@ def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
         except JSCompileError:
             continue
         compiled_n += 1
+        if "forEach" in src or "for (" in src:
+            compiled_loops += 1
         specs = view.specs if isinstance(view.specs, list) \
             else [view.specs]
         got = set()
@@ -160,6 +218,8 @@ def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
         assert got == want, (src, sorted(got - want)[:3],
                              sorted(want - got)[:3])
     assert compiled_n >= 30, compiled_n
+    # the loop grammar must actually exercise the posexplode tier
+    assert compiled_loops >= 8, (compiled_loops, compiled_n)
 
 
 def _norm_json(vj):

@@ -183,15 +183,82 @@ def measure(spark, sf_dir: str, heavy: bool = True) -> dict:
         out["gemm"] = round(time.time() - t, 2)
         out["gemm_pairs"] = n
 
-        from mapreduce_spark.extensions import similarity
-
-        t = time.time()
-        n = similarity.ivf_topk(emb, [0, 1, 2, 3, 4], 10).count()
-        out["ivf"] = round(time.time() - t, 2)
-        out["ivf_rows"] = n
-
+    out.update(measure_ann(spark, sf_dir))
+    out.update(measure_sampling(spark, sf_dir))
     out.update(measure_refresh(spark, sf_dir))
     out.update(measure_ddoc(spark, sf_dir))
+    return out
+
+
+def measure_ann(spark, sf_dir: str) -> dict:
+    """ANN rehearsal (round 10, VERDICT r9 #8): rp_lsh_topk and
+    ivf_topk over the full embeddings table — both were sf1-only
+    before; at sf10 the corpus is 200k vectors.  The query set stays
+    fixed (5 ids, k=10): the decade measures the corpus-side scan /
+    banding / assignment cost, which is the term that grows at
+    100 TB (a bounded query batch is the operator's contract)."""
+    from mapreduce_spark.extensions import similarity
+
+    out = {}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    t = time.time()
+    out["rp_lsh_rows"] = similarity.rp_lsh_topk(emb, qids, 10).count()
+    out["rp_lsh"] = round(time.time() - t, 2)
+    t = time.time()
+    out["ivf_rows"] = similarity.ivf_topk(emb, qids, 10).count()
+    out["ivf"] = round(time.time() - t, 2)
+    return out
+
+
+def measure_sampling(spark, sf_dir: str) -> dict:
+    """Training-data sampling rehearsal (round 10, VERDICT r9 #6).
+
+    hash_split: the zero-exchange plan must SURVIVE a
+    ``partitionBy(split)`` parquet write — asserted on the pre-write
+    plan (no Exchange node; the writer's own shuffle-less dynamic
+    partitioning is outside the query plan), then the write runs and
+    row counts round-trip.  apply_mixture: the explode's row growth
+    must stay ≤ max_repeat× by construction — asserted on the
+    measured ratio."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_spark.extensions import sampling
+
+    out = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    split = sampling.hash_split(docs, w, salt="r10")
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "hash_split plan gained an Exchange"
+    dest = tempfile.mkdtemp(prefix="sfr-split-")
+    t = time.time()
+    split.write.partitionBy("split").mode("overwrite").parquet(dest)
+    out["hash_split_write"] = round(time.time() - t, 2)
+    n_in = docs.count()
+    n_back = spark.read.parquet(dest).count()
+    assert n_back == n_in, (n_back, n_in)
+    out["hash_split_rows"] = n_back
+
+    max_repeat = 4
+    d = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    budget = 2 * d.agg(F.sum("n_tok")).collect()[0][0]
+    srcs = [r[0] for r in d.select("source").distinct().collect()]
+    pct = {s: 90 // max(1, len(srcs)) for s in srcs[: len(srcs) // 2]}
+    t = time.time()
+    mixplan = sampling.mixture_plan(
+        d, pct, budget, token_col="n_tok", max_repeat=max_repeat
+    )
+    n_mixed = sampling.apply_mixture(d, mixplan).count()
+    out["mixture"] = round(time.time() - t, 2)
+    growth = n_mixed / n_in
+    assert growth <= max_repeat + 1e-9, growth
+    out["mixture_growth"] = round(growth, 2)
     return out
 
 
@@ -425,9 +492,10 @@ def main() -> None:
     ops = ["build_q02", "minhash", "clusters", "jaccard",
            "refresh_first", "refresh_steady",
            "ddoc_build_fused", "ddoc_build_perview",
-           "ddoc_refresh_fused", "ddoc_refresh_perview"]
+           "ddoc_refresh_fused", "ddoc_refresh_perview",
+           "rp_lsh", "ivf", "hash_split_write", "mixture"]
     if heavy:
-        ops += ["gemm", "ivf"]
+        ops += ["gemm"]
     decades = 2.0 if mode == "sf10" else 1.0
     expo = {
         k: round(
