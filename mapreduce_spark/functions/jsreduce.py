@@ -1321,6 +1321,8 @@ def _eval(e: Any, env: dict) -> Any:
                 return "y" in obj.flags
             if name == "unicode":
                 return "u" in obj.flags
+            if name == "unicodeSets":
+                return "v" in obj.flags
             if name == "dotAll":
                 return "s" in obj.flags
             if name == "hasIndices":

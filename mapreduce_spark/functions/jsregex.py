@@ -18,14 +18,17 @@ This module implements a faithful JS-regex subset on top of Python
   ``re.ASCII`` so ``\\b``/``\\B`` use the [A-Za-z0-9_] word set —
   ECMAScript's definition.  Constructs whose semantics the engine
   cannot reproduce raise loud :class:`JSReduceError`
-  (the ``v`` flag, Script ``\\p`` properties, ``\\cX``) — a compile
+  (the ``v`` flag, Script_Extensions, ``\\cX``) — a compile
   miss must never silently mis-match.  The ``u`` flag is supported
   since round 8 (see ``translate``): Python is code-point native, so
   u-mode's unit-vs-code-point semantics are what this module already
   implements; the translation adds ``\\u{…}``, surrogate-pair
   combining, u-mode escape strictness, and ``\\p{…}``/``\\P{…}``
-  General_Category property classes expanded from the stdlib
-  Unicode table (:func:`_prop_class`).
+  property classes — General_Category from the stdlib Unicode
+  table, ``Script=`` for 28 major scripts from the generated JDK
+  table (round 10, ``_script_ranges.py``); negated sets inside
+  character classes expand via complement ranges
+  (:func:`_invert_ranges`).
 - **Sticky ``y`` flag** (round 8): spec RegExpBuiltinExec anchors the
   match AT ``lastIndex`` (Python ``match`` vs ``search``) and
   advances/zeroes it whether or not ``g`` is set; match/matchAll/
@@ -153,9 +156,54 @@ def _ranges_body(ranges) -> str:
     )
 
 
-@lru_cache(maxsize=128)
+def _merge_ranges(ranges) -> tuple:
+    """Sorted union of inclusive ranges (adjacent runs coalesce)."""
+    out: list = []
+    for a, b in sorted(ranges):
+        if out and a <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return tuple(out)
+
+
+def _invert_ranges(ranges) -> tuple:
+    """Complement over [0, 0x10FFFF] of sorted disjoint ranges —
+    the machinery that lets negated sets (\\P{…}, \\D \\W \\S) live
+    INSIDE a character class as plain positive ranges (round 10);
+    surrogates are included, matching the [^…] form's behavior on
+    the lone surrogates Python strings can carry."""
+    out: list = []
+    nxt = 0
+    for a, b in ranges:
+        if a > nxt:
+            out.append((nxt, a - 1))
+        nxt = b + 1
+    if nxt <= 0x10FFFF:
+        out.append((nxt, 0x10FFFF))
+    return tuple(out)
+
+
+# the ECMAScript \d / \w / \s sets as ranges (complementable forms
+# of _CLASS_EXPANSION — same sets, pinned by the existing tests)
+_DWS_RANGES = {
+    "d": ((0x30, 0x39),),
+    "w": ((0x30, 0x39), (0x41, 0x5A), (0x5F, 0x5F), (0x61, 0x7A)),
+    "s": ((0x09, 0x0D), (0x20, 0x20), (0xA0, 0xA0),
+          (0x1680, 0x1680), (0x2000, 0x200A), (0x2028, 0x2029),
+          (0x202F, 0x202F), (0x205F, 0x205F), (0x3000, 0x3000),
+          (0xFEFF, 0xFEFF)),
+}
+
+
 def _prop_class(name: str) -> str:
-    """``\\p{name}`` → the inside of a Python character class.
+    """``\\p{name}`` → the inside of a Python character class."""
+    return _ranges_body(_prop_ranges(name))
+
+
+@lru_cache(maxsize=128)
+def _prop_ranges(name: str) -> tuple:
+    """``\\p{name}`` → sorted inclusive code-point ranges.
 
     Supported: General_Category values (short + long + ``gc=`` /
     ``General_Category=`` forms) via the stdlib Unicode table; the
@@ -187,7 +235,7 @@ def _prop_class(name: str) -> str:
                 "generated table (28 major scripts; names are "
                 "case-sensitive canonical forms, e.g. Script=Han)"
             )
-        return _ranges_body(S.RANGES[canon])
+        return tuple(S.RANGES[canon])
     if prop.startswith(("Script_Extensions=", "scx=")):
         raise JSReduceError(
             f"\\p{{{name}}}: Script_Extensions needs the scx UCD "
@@ -203,15 +251,20 @@ def _prop_class(name: str) -> str:
             "key=value forms are inside the subset"
         )
     if prop == "ASCII":
-        return "\\x00-\\x7f"
+        return ((0x00, 0x7F),)
     if prop == "Any":
-        return "\\x00-\\U0010ffff"
+        return ((0x00, 0x10FFFF),)
     if prop == "ASCII_Hex_Digit":
-        return "0-9A-Fa-f"
+        return ((0x30, 0x39), (0x41, 0x46), (0x61, 0x66))
     if prop == "Hex_Digit":
-        return "0-9A-Fa-f\\uff10-\\uff19\\uff21-\\uff26\\uff41-\\uff46"
+        return ((0x30, 0x39), (0x41, 0x46), (0x61, 0x66),
+                (0xFF10, 0xFF19), (0xFF21, 0xFF26), (0xFF41, 0xFF46))
     if prop == "White_Space":
-        return _UNICODE_WS
+        # Unicode White_Space (PropList.txt): see _UNICODE_WS
+        return ((0x09, 0x0D), (0x20, 0x20), (0x85, 0x85),
+                (0xA0, 0xA0), (0x1680, 0x1680), (0x2000, 0x200A),
+                (0x2028, 0x2029), (0x202F, 0x202F), (0x205F, 0x205F),
+                (0x3000, 0x3000))
     if prop == "Assigned":
         cn = _gc_ranges()["Cn"]
         out = []
@@ -222,7 +275,7 @@ def _prop_class(name: str) -> str:
             nxt = b + 1
         if nxt <= 0x10FFFF:
             out.append((nxt, 0x10FFFF))
-        return _ranges_body(out)
+        return tuple(out)
     gc = _GC_ALIAS.get(prop, prop)
     cats = _GC_GROUPS.get(gc, (gc,))
     table = _gc_ranges()
@@ -232,10 +285,9 @@ def _prop_class(name: str) -> str:
             "General_Category values, ASCII, Any, Assigned, "
             "White_Space, Hex_Digit)"
         )
-    body: list[str] = []
-    for c in cats:
-        body.append(_ranges_body(table[c]))
-    return "".join(body)
+    return _merge_ranges(
+        r for c in cats for r in table[c]
+    )
 
 
 def _p_escape(pattern: str, i: int, in_class: bool,
@@ -248,16 +300,14 @@ def _p_escape(pattern: str, i: int, in_class: bool,
     k = pattern.find("}", i + 3)
     if k < 0:
         raise JSRuntimeThrow("unterminated \\p{…} escape")
-    body = _prop_class(pattern[i + 3:k])
+    rs = _prop_ranges(pattern[i + 3:k])
     if in_class:
-        if negated:
-            # a negated set inside a class can't expand to ranges
-            # (same structural limit as \D \W \S in classes)
-            raise JSReduceError(
-                "\\P{…} inside a character class is outside the "
-                "subset"
-            )
+        # a negated set inside a class expands to the COMPLEMENT
+        # ranges (round 10) — [\P{L}x] is union(not-L, {x}) in JS,
+        # which positive ranges express exactly
+        body = _ranges_body(_invert_ranges(rs) if negated else rs)
         return body, k + 1
+    body = _ranges_body(rs)
     return (f"[^{body}]" if negated else f"[{body}]"), k + 1
 
 _HEX = set("0123456789abcdefABCDEF")
@@ -266,7 +316,7 @@ _HEX = set("0123456789abcdefABCDEF")
 # SyntaxError in real JS, and u-mode exists to be strict about it).
 # \p/\P and \c are rejected earlier with their own messages.
 _U_OK_OUTSIDE = set("^$\\.*+?()[]{}|/dDsSwWbBfnrtv0123456789xuk")
-_U_OK_IN_CLASS = set("^$\\.*+?()[]{}|/dswbfnrtv0xu-")
+_U_OK_IN_CLASS = set("^$\\.*+?()[]{}|/dDsSwWbfnrtv0xu-")
 
 
 def _py_cp(cp: int) -> str:
@@ -321,17 +371,34 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
     under ``re.ASCII`` is ASCII-only, so exotic i+u foldings (k ↔ K
     KELVIN, ſ ↔ s) do not match — the \\b/\\B word set must stay
     ECMAScript-ASCII, which Python couples to folding.  ``v``
-    remains outside the subset; ``y`` is behavioral
-    (:class:`JSRegExp`)."""
+    (ES2024 unicodeSets) is admitted for CLASS-FREE patterns only
+    (round 10): every v-vs-u divergence lives in class syntax — set
+    operations ``[[…]--[…]]``/``&&``, nested classes, ``\\q{…}``
+    string literals, strings-matching properties — so a pattern with
+    no ``[`` and no ``\\q`` behaves identically under v and u, and
+    translates as u; anything with a class stays loud.  ``y`` is
+    behavioral (:class:`JSRegExp`)."""
     refl = re.ASCII  # \b/\B use the ECMAScript [A-Za-z0-9_] word set
     if len(set(flags)) != len(flags):
         # a JS SyntaxError at literal parse → loud at registration
         # (the lexer validates), like any malformed pattern
         raise JSRuntimeThrow(f"duplicate regex flags {flags!r}")
     uflag = "u" in flags
+    if "v" in flags:
+        if uflag:  # real JS: u and v together are a SyntaxError
+            raise JSRuntimeThrow(
+                "regex flags 'u' and 'v' cannot be combined"
+            )
+        if "[" in pattern or "\\q" in pattern:
+            raise JSReduceError(
+                "v-mode character classes (set operations, \\q{…}) "
+                "are outside the subset; class-free v patterns run "
+                "with u semantics"
+            )
+        uflag = True
     for f in flags:
-        if f in ("g", "u", "y"):
-            continue  # g/y: behavioral (JSRegExp); u: handled here
+        if f in ("g", "u", "y", "v"):
+            continue  # g/y: behavioral (JSRegExp); u/v: handled here
         if f in _FLAG_MAP:
             refl |= _FLAG_MAP[f]
         else:
@@ -378,13 +445,13 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
                 if exp is not None:
                     out.append(exp)
                 elif e in "DWS":
-                    # a negated set INSIDE a class can't expand to a
-                    # range list; Python's \D\W\S differ in unicode —
-                    # keep correctness loud
-                    raise JSReduceError(
-                        f"\\{e} inside a character class is outside "
-                        "the subset"
-                    )
+                    # negated sets INSIDE a class expand to their
+                    # complement ranges (round 10) — Python's own
+                    # \D\W\S differ in unicode mode, so the exact
+                    # ECMAScript sets are inverted here instead
+                    out.append(_ranges_body(
+                        _invert_ranges(_DWS_RANGES[e.lower()])
+                    ))
                 else:
                     out.append(pattern[i:i + 2])
             else:

@@ -48,7 +48,7 @@ def test_flags():
     assert ev("/^b/m.test('a\\nb')") is True
     assert ev("/a.b/s.test('a\\nb')") is True
     with pytest.raises(JSReduceError):
-        translate("a", "v")  # v-mode class set operations: loud
+        translate("[ab]", "v")  # v-mode class set operations: loud
     with pytest.raises(JSReduceError):
         translate(r"\p{L}", "")  # \p without u: loud (identity
         # escape in real JS, but the author meant the property)
@@ -164,8 +164,19 @@ def test_prop_escapes_round8():
         translate(r"\p{letter}", "u")  # lowercase long form: loud
     with pytest.raises(JSReduceError):
         translate(r"\p{Alphabetic}", "u")  # needs UCD tables
-    with pytest.raises(JSReduceError):
-        translate(r"[\P{L}]", "u")  # negated set inside a class
+    # negated sets inside classes expand via complement ranges
+    # (round 10) — real ECMAScript answers
+    assert ev(r"/^[\P{L}\d]+$/u.test('12!')") is True
+    assert ev(r"/^[\P{L}]$/u.test('a')") is False
+    assert ev(r"/^[^\P{L}]$/u.test('x')") is True   # ¬¬L = L
+    assert ev(r"/^[^\P{L}]$/u.test('1')") is False
+    assert ev(r"'a1 b'.match(/[\D]/g)") == ["a", " ", "b"]
+    assert ev(r"/^[\W]$/.test('!')") is True
+    assert ev(r"/^[\W]$/.test('_')") is False
+    assert ev(r"/^[\S]$/u.test('x')") is True
+    assert ev(r"/^[\S]$/u.test(' ')") is False
+    assert ev(r"/^[\D\s]+$/u.test('a b')") is True
+    assert ev(r"/^[\D\s]+$/u.test('a 1')") is False
     from mapreduce_spark.functions.jsreduce import JSRuntimeThrow
 
     with pytest.raises(JSRuntimeThrow):
@@ -206,6 +217,15 @@ def test_prop_and_sticky_fuzz_round8():
         assert got == want, (prop, got ^ want)
         gotn = set(JSRegExp(f"\\P{{{prop}}}", "gu").match(s, U) or [])
         assert gotn == set(s) - want, prop
+        # in-class negated form (round 10: complement-range expansion
+        # — an independent code path from [^…])
+        gotc = set(JSRegExp(f"[\\P{{{prop}}}]", "gu").match(s, U)
+                   or [])
+        assert gotc == set(s) - want, prop
+        # and double negation: [^\P{p}] must equal \p{p}
+        gotdn = set(JSRegExp(f"[^\\P{{{prop}}}]", "gu").match(s, U)
+                    or [])
+        assert gotdn == want, prop
 
     pats = ["a", "ab", "a+", "b?a", "(a|b)c?", "\\d", "a*b"]
     alpha = "aabbc1 "
@@ -680,3 +700,26 @@ def test_script_ranges_fuzz_round10():
             assert ch in hira, hex(ord(ch))
         if nm.startswith("HANGUL SYLLABLE"):
             assert ch in hang, hex(ord(ch))
+
+
+def test_v_flag_class_free_subset_round10():
+    """ES2024 `v` (unicodeSets): every v-vs-u divergence lives in
+    class syntax, so CLASS-FREE v patterns run with u semantics
+    (round 10); classes, \\q{…} and the u+v combination stay loud.
+    Expected values are real ECMAScript answers."""
+    from mapreduce_spark.functions.jsreduce import JSRuntimeThrow
+
+    assert ev(r"/^\d+$/v.test('42')") is True
+    assert ev(r"/^\p{Script=Han}+$/v.test('汉字')") is True
+    assert ev(r"/^\p{L}$/v.test('é')") is True
+    assert ev(r"/\u{1F600}/v.test('😀')") is True
+    assert ev(r"/a/v.unicodeSets") is True
+    assert ev(r"/a/u.unicodeSets") is False
+    assert ev(r"/a/v.unicode") is False
+    assert ev(r"/a/v.flags") == "v"
+    with pytest.raises(JSReduceError):
+        translate(r"[\p{L}]", "v")   # any class stays loud under v
+    with pytest.raises(JSReduceError):
+        translate(r"\q{abc}", "v")
+    with pytest.raises(JSRuntimeThrow):
+        translate("a", "uv")         # real JS SyntaxError
