@@ -351,11 +351,42 @@ def _assign_cells(nd: DataFrame,
     return nd.withColumn("cell", _cell(F.col("nv")))
 
 
+def ivf_index(emb: DataFrame, n_cells: int | None = None,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              nd: DataFrame | None = None,
+              ) -> tuple[DataFrame, list[list[float]]]:
+    """One-time IVF index build: ``((vid, nv, cell) DataFrame,
+    centroids)``.
+
+    The 100 TB IVF story splits in two (round 10): the ASSIGNMENT of
+    every vector to its nearest cell is linear by construction — the
+    same truth as any index build — and must run ONCE, not once per
+    query batch.  Persist the returned frame
+    ``.write.partitionBy("cell").parquet(...)`` and hand the re-read
+    frame to :func:`ivf_topk` via ``index=``: probe cells are known
+    on the DRIVER at query time, so the probe filter is a static
+    ``cell IN (…)`` that prunes parquet partitions — each query batch
+    reads only the ~nprobe·√N rows it scores, never the corpus.
+    Centroids are a √N×dim driver list — persist as JSON beside the
+    index."""
+    if n_cells is None:
+        n = emb.count()
+        n_cells = max(8, min(4096, int(n ** 0.5)))
+    if nd is None:
+        nd = normalized(emb, id_col, vec_col)
+    cents = ivf_centroids(
+        emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd
+    )
+    return _assign_cells(nd, cents), cents
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
              n_cells: int | None = None, nprobe: int | None = None,
              id_col: str = "vec_id",
              vec_col: str = "embedding",
-             nd: DataFrame | None = None) -> DataFrame:
+             nd: DataFrame | None = None,
+             index: DataFrame | None = None,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per
     query, rerank candidates exactly.  Scans corpus·nprobe/n_cells.
 
@@ -369,21 +400,41 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
     collect now, so no internal cache is required: the driver issues
     exactly four jobs end to end — count (adaptive sizing), training
     sample, query rows, search.
-    """
-    if n_cells is None or nprobe is None:
-        n = emb.count()
-        if n_cells is None:
-            n_cells = max(8, min(4096, int(n ** 0.5)))
+
+    ``index``/``centroids`` (round 10): a prebuilt
+    :func:`ivf_index` — skips training AND the per-call corpus
+    assignment; with the index persisted ``partitionBy("cell")``,
+    the static probe-cell filter below prunes partitions and the
+    query reads only the probed cells.  This is the amortized path a
+    repeated-query workload must use at scale."""
+    if index is not None:
+        if centroids is None:
+            raise ValueError(
+                "ivf_topk(index=…) needs the matching centroids list"
+            )
+        cents = centroids
+        n_cells = len(cents)
         if nprobe is None:
             nprobe = max(4, n_cells // 4)
+        assigned = index
+        qrows = index.filter(
+            F.col("vid").isin(query_ids)
+        ).select("vid", "nv").collect()
+    else:
+        if n_cells is None or nprobe is None:
+            n = emb.count()
+            if n_cells is None:
+                n_cells = max(8, min(4096, int(n ** 0.5)))
+            if nprobe is None:
+                nprobe = max(4, n_cells // 4)
 
-    if nd is None:
-        nd = normalized(emb, id_col, vec_col)
-    cents = ivf_centroids(
-        emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd
-    )
-    qrows = nd.filter(F.col("vid").isin(query_ids)).collect()
-    assigned = _assign_cells(nd, cents)
+        if nd is None:
+            nd = normalized(emb, id_col, vec_col)
+        cents = ivf_centroids(
+            emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd
+        )
+        qrows = nd.filter(F.col("vid").isin(query_ids)).collect()
+        assigned = _assign_cells(nd, cents)
     C = np.array(cents)
     probes = []  # (qid, cell)
     for r in qrows:
@@ -421,8 +472,13 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
             )
         )
     )
+    # the probed cells are driver-known, so this is a STATIC IN
+    # filter — on a cell-partitioned persisted index it prunes
+    # partitions before any IO (the scale contract of ivf_index)
+    cells_needed = sorted({c for _, c in probes})
     cand = (
-        assigned.join(F.broadcast(probe_df), "cell")
+        assigned.filter(F.col("cell").isin(cells_needed))
+        .join(F.broadcast(probe_df), "cell")
         .filter(F.col("vid") != F.col("qid"))
         .join(F.broadcast(q), "qid")
     )

@@ -228,7 +228,10 @@ VIEW_DEFS: dict[str, dict] = {
             function (doc) {
               var w = doc.event_type.split(/r/);
               var d = new Date(doc.ts);
-              emit([w[0], d.getUTCDate(), d.getUTCDay()],
+              var lat = 0;
+              if (w.length > 1 &&
+                  /^\\p{Script=Latin}+$/u.test(w[1])) { lat = 1; }
+              emit([w[0], d.getUTCDate(), d.getUTCDay(), lat],
                    doc.value / 100);
             }
             """,
@@ -887,15 +890,18 @@ class Inventory:
     def q35(self):
         """F1 fallback tier: an out-of-compiled-subset JS ddoc (var,
         ``.split(/r/)`` — a REGEX separator, round-7 jsregex —
-        ``new Date`` bucketing with UTC getters, ``/``) on a TYPED
-        table, interpreted by functions/jsmap.py and reduced by the
-        JVM ``_sum`` — grouped word × day-of-month × day-of-week
-        value totals under the DuckDB gate."""
+        ``new Date`` bucketing with UTC getters, ``/``, and a
+        ``\\p{Script=Latin}`` u-mode property class, round 10) on a
+        TYPED table, interpreted by functions/jsmap.py and reduced by
+        the JVM ``_sum`` — grouped word × day-of-month × day-of-week
+        × latin-flag value totals under the DuckDB gate (DuckDB's RE2
+        evaluates the same script property independently)."""
         res = self._q("js_interp", group=True)
         return res.df.select(
             _j("$[0]").alias("word"),
             _j("$[1]", "double").alias("dom"),
             _j("$[2]", "double").alias("dow"),
+            _j("$[3]", "double").alias("lat"),
             F.round(F.col("value_num"), 2).alias("sum_v"),
         )
 
@@ -1204,8 +1210,11 @@ ORACLE_SQL: dict[str, str] = {
     "q35": (
         "SELECT string_split(event_type, 'r')[1] AS word, "
         "day(ts)::DOUBLE AS dom, dayofweek(ts)::DOUBLE AS dow, "
+        "CASE WHEN len(string_split(event_type, 'r')) > 1 AND "
+        "regexp_full_match(string_split(event_type, 'r')[2], "
+        "'\\p{Latin}+') THEN 1 ELSE 0 END::DOUBLE AS lat, "
         "ROUND(SUM(value::DOUBLE / 100), 2) AS sum_v "
-        "FROM events GROUP BY 1, 2, 3"
+        "FROM events GROUP BY 1, 2, 3, 4"
     ),
     "q36": (
         "SELECT FLOOR(o_totalprice / 10000) AS bucket, "

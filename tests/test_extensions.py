@@ -385,6 +385,38 @@ def test_ivf_topk_recall(emb):
     assert recall >= 0.55, f"recall@10 = {recall}"
 
 
+def test_ivf_persisted_index_path(emb, tmp_path, spark):
+    """The round-10 amortized path: ivf_index built once, persisted
+    partitionBy(cell), re-read and handed to ivf_topk(index=…) —
+    results must be IDENTICAL to the inline path (same deterministic
+    centroids → same assignment → same probes), and the query scan
+    must carry the static probe-cell partition filter so a
+    cell-partitioned store reads only probed cells."""
+    n = emb.count()
+    n_cells = max(8, min(4096, int(n ** 0.5)))
+    inline = similarity.ivf_topk(emb, [0, 1, 2, 3], 10,
+                                 n_cells=n_cells).collect()
+    idx, cents = similarity.ivf_index(emb, n_cells=n_cells)
+    dest = str(tmp_path / "ivfidx")
+    idx.write.partitionBy("cell").mode("overwrite").parquet(dest)
+    stored = spark.read.parquet(dest)
+    via_index = similarity.ivf_topk(
+        emb, [0, 1, 2, 3], 10, index=stored, centroids=cents
+    )
+    assert sorted((r.qid, r.vid, r.rank) for r in inline) == \
+        sorted((r.qid, r.vid, r.rank) for r in via_index.collect())
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "cell#" in plan and "PartitionFilters: [" in plan, plan[:800]
+    # the probe filter must actually reach PartitionFilters (not just
+    # a post-scan Filter): the pruned scan is the scale contract
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[[^\]]*cell", plan)
+    assert pf is not None, plan[:1500]
+    with pytest.raises(ValueError):
+        similarity.ivf_topk(emb, [0], 5, index=stored)  # no centroids
+
+
 def test_lsh_candidates_much_smaller_than_corpus(emb):
     n = emb.count()
     cand = similarity.rp_lsh_candidates(emb, [0, 1]).count()

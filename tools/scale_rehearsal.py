@@ -208,6 +208,26 @@ def measure_ann(spark, sf_dir: str) -> dict:
     t = time.time()
     out["ivf_rows"] = similarity.ivf_topk(emb, qids, 10).count()
     out["ivf"] = round(time.time() - t, 2)
+    # the amortized path (round 10): the one-shot ivf above re-assigns
+    # the corpus per call — linear by construction, 1.01/decade
+    # measured — so a repeated-query workload builds the index ONCE
+    # (ivf_build, linear like any index build) and queries the
+    # cell-partitioned store with a FIXED nprobe: the probed fraction
+    # nprobe/√N shrinks with the corpus, so ivf_query must come in
+    # clearly sublinear
+    from mapreduce_spark.extensions.similarity import ivf_index
+
+    t = time.time()
+    idx, cents = ivf_index(emb)
+    dest = tempfile.mkdtemp(prefix="sfr-ivf-")
+    idx.write.partitionBy("cell").mode("overwrite").parquet(dest)
+    out["ivf_build"] = round(time.time() - t, 2)
+    stored = spark.read.parquet(dest)
+    t = time.time()
+    out["ivf_query_rows"] = similarity.ivf_topk(
+        emb, qids, 10, index=stored, centroids=cents, nprobe=8
+    ).count()
+    out["ivf_query"] = round(time.time() - t, 2)
     return out
 
 
@@ -247,9 +267,15 @@ def measure_sampling(spark, sf_dir: str) -> dict:
         "doc_id", "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    budget = 2 * d.agg(F.sum("n_tok")).collect()[0][0]
-    srcs = [r[0] for r in d.select("source").distinct().collect()]
-    pct = {s: 90 // max(1, len(srcs)) for s in srcs[: len(srcs) // 2]}
+    budget = d.agg(F.sum("n_tok")).collect()[0][0]
+    srcs = sorted(
+        r[0] for r in d.select("source").distinct().collect()
+    )
+    # upweight three sources hard enough that repeats really exceed 1
+    # (the 20 synthetic sources are uniform: pct 30 over a 1/20 share
+    # clips at max_repeat, pct 10 lands at 2 — exercising both the
+    # clamp and the exact integral division)
+    pct = dict(zip(srcs[:3], (30, 20, 10)))
     t = time.time()
     mixplan = sampling.mixture_plan(
         d, pct, budget, token_col="n_tok", max_repeat=max_repeat
@@ -257,7 +283,7 @@ def measure_sampling(spark, sf_dir: str) -> dict:
     n_mixed = sampling.apply_mixture(d, mixplan).count()
     out["mixture"] = round(time.time() - t, 2)
     growth = n_mixed / n_in
-    assert growth <= max_repeat + 1e-9, growth
+    assert 1.0 < growth <= max_repeat + 1e-9, growth
     out["mixture_growth"] = round(growth, 2)
     return out
 
@@ -493,7 +519,8 @@ def main() -> None:
            "refresh_first", "refresh_steady",
            "ddoc_build_fused", "ddoc_build_perview",
            "ddoc_refresh_fused", "ddoc_refresh_perview",
-           "rp_lsh", "ivf", "hash_split_write", "mixture"]
+           "rp_lsh", "ivf", "ivf_build", "ivf_query",
+           "hash_split_write", "mixture"]
     if heavy:
         ops += ["gemm"]
     decades = 2.0 if mode == "sf10" else 1.0
