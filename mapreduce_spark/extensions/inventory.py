@@ -257,17 +257,31 @@ def x_mm_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three multimodal probes (binary feature extraction, real
-    PPM image decode, real WAV audio decode) joined on media_id into
-    one wide oracle row — all three operators stay value-checked every
-    round while occupying a single slot of the driver's 50-row
-    CORRECTNESS budget (round-6 repack).  Same-source equi-joins go
-    broadcast/AQE at this cardinality; at scale each probe remains an
-    independent single-scan mapInPandas pipeline."""
+    """The multimodal probes (binary feature extraction, real PPM
+    image decode, real zlib-PNG decode — round 10 — and real WAV
+    audio decode) joined on media_id into one wide oracle row — all
+    four operators stay value-checked every round while occupying a
+    single slot of the driver's 50-row CORRECTNESS budget (round-6
+    repack).  The PNG leg wraps the SAME raster as the PPM leg in a
+    real compressed PNG container, so the oracle's pixel derivation
+    from text bytes covers the full chunk-walk/inflate/unfilter
+    decode path.  Same-source equi-joins go broadcast/AQE at this
+    cardinality; at scale each probe remains an independent
+    single-scan mapInPandas pipeline."""
     f = x_mm_features(spark, sf_dir)
     p = x_mm_ppm(spark, sf_dir)
     w = x_mm_wav(spark, sf_dir)
-    return f.join(p, "media_id").join(w, "media_id")
+    g = multimodal.extract_image_features(
+        multimodal.documents_as_png(_docs(spark, sf_dir))
+    ).select(
+        "media_id",
+        F.col("mean_r").alias("png_mean_r"),
+        F.col("mean_b").alias("png_mean_b"),
+        F.col("luma").alias("png_luma"),
+    )
+    return (
+        f.join(p, "media_id").join(w, "media_id").join(g, "media_id")
+    )
 
 
 SAMPLE_N = 25
@@ -849,7 +863,9 @@ SELECT doc_id AS media_id, 8000 AS sample_rate, 64 AS n_samples,
   ROUND(sqrt(list_avg([x*x for x in vals])), 4) AS rms
 FROM vw)
 SELECT f.*, img.width, img.height, img.mean_r, img.mean_g, img.mean_b,
-       img.luma, aud.sample_rate, aud.n_samples, aud.mean_amp, aud.rms
+       img.luma, aud.sample_rate, aud.n_samples, aud.mean_amp, aud.rms,
+       img.mean_r AS png_mean_r, img.mean_b AS png_mean_b,
+       img.luma AS png_luma
 FROM f JOIN img USING (media_id) JOIN aud USING (media_id)
 """,
 }

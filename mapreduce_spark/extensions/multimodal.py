@@ -167,16 +167,150 @@ def encode_wav(samples: "np.ndarray", rate: int = 8000,
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse a PNG → (width, height, HxWxC uint8) with no imaging
+    library: real chunk walk (length/type/data/CRC), IHDR grammar,
+    zlib-inflated IDAT stream, and the five scanline filters
+    (None/Sub/Up/Average/Paeth) unfiltered per the spec.  Supports
+    the 8-bit non-interlaced color types a training pipeline actually
+    stores: 0 (gray), 2 (RGB), 6 (RGBA).  CRCs are verified —
+    corrupt media must fail loud, not feed garbage features.
+    """
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG (signature missing)")
+    pos, meta, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        cid = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + size]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + size:pos + 12 + size]
+        )
+        if zlib.crc32(cid + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {cid!r} CRC mismatch")
+        if cid == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or comp != 0 or filt != 0:
+                raise ValueError(
+                    "only 8-bit depth, deflate, filter-method 0 PNGs "
+                    "are supported"
+                )
+            if inter != 0:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
+            if ctype not in (0, 2, 6):
+                raise ValueError(
+                    f"PNG color type {ctype} unsupported (gray/RGB/"
+                    "RGBA only; palette needs a PLTE decoder)"
+                )
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[ctype])
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        row = np.frombuffer(
+            raw[p + 1:p + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        p += 1 + stride
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth need the in-row left neighbor —
+            # sequential per pixel-group (vector math per element;
+            # fixture rasters are small, real clusters decode via
+            # accelerated libs on this same plumbing)
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0    # left
+                b = prev[x]                          # up
+                if ftype == 1:    # Sub
+                    v = row[x] + a
+                elif ftype == 3:  # Average
+                    v = row[x] + ((a + b) >> 1)
+                elif ftype == 4:  # Paeth
+                    c = prev[x - ch] if x >= ch else 0
+                    pa, pb, pc = (
+                        abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    )
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    v = row[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, out.reshape(h, w, ch)
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes
+    (filter 0 scanlines, one IDAT) — the inverse of decode_png."""
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    body = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes()
+        for y in range(h)
+    )
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + cid + data
+            + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(data: bytes):
-    """Real decoder — requires an imaging library, absent here."""
+    """Format-sniffing image decode: PNG and PPM decode natively
+    (dependency-free, above); anything else needs an imaging
+    library."""
+    if data[:8] == PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
     try:
         import PIL.Image  # noqa: F401
         import io
         return PIL.Image.open(io.BytesIO(data))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "image decode needs PIL; install pillow on the cluster "
-            "and this path lights up unchanged"
+            "only PNG/PPM decode natively; other formats need PIL — "
+            "install pillow on the cluster and this path lights up "
+            "unchanged"
         ) from exc
 
 
@@ -285,16 +419,57 @@ def documents_as_wav(docs: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_png(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG fixture media: the SAME 8×4 RGB raster as
+    :func:`documents_as_ppm` (text bytes cycled), but wrapped in a
+    real zlib-compressed PNG container via encode_png — so PNG
+    features must equal PPM features row-for-row (metamorphic
+    contract), and the DuckDB oracle for the ppm tag covers the PNG
+    decode path too."""
+    need = PPM_W * PPM_H * 3
+
+    @F.pandas_udf(T.BinaryType())
+    def to_png(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            raw = t.encode("utf-8")
+            cyc = (raw * (need // len(raw) + 1))[:need]
+            px = np.frombuffer(cyc, dtype=np.uint8).reshape(
+                PPM_H, PPM_W, 3
+            )
+            out.append(encode_png(px))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        to_png(F.col("text")).alias("data"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(0).cast("long").alias("n_bytes"),  # varies (zlib)
+        ).alias("meta"),
+    )
+
+
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """REAL decode path: parse each PPM container (decode_ppm), then
-    per-channel means + luma off the pixel array.  Same mapInPandas
-    batch shape a CLIP-style encoder would use."""
+    """REAL decode path: sniff each container's magic (PNG or PPM),
+    decode it for real, then per-channel means + luma off the pixel
+    array.  Same mapInPandas batch shape a CLIP-style encoder would
+    use."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                w, h, px = decode_ppm(bytes(data))
+                b = bytes(data)
+                w, h, px = (
+                    decode_png(b) if b[:8] == PNG_SIG
+                    else decode_ppm(b)
+                )
+                if px.shape[2] == 1:  # gray → replicate channels
+                    px = np.repeat(px, 3, axis=2)
+                elif px.shape[2] == 4:  # drop alpha for the means
+                    px = px[:, :, :3]
                 means = px.astype(np.float64).mean(axis=(0, 1))
                 mr, mg, mb = (float(x) for x in means)
                 out.append(

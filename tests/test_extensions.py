@@ -532,8 +532,97 @@ def test_decode_stubs_raise():
     try:
         import PIL  # noqa: F401
     except ImportError:
+        # non-PNG/PPM formats still need an imaging library
         with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\x89PNG")
+            multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg...")
+
+
+def test_png_codec_roundtrip_filters_and_crc():
+    """Real PNG parsing (round 10): zlib IDAT, chunk CRCs, and ALL
+    FIVE scanline filters.  The decoder is exercised against a
+    test-side FORWARD filter (independent spec implementation): rows
+    filtered as Sub/Up/Average/Paeth must unfilter back to the
+    original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(10)
+    for ch, shape in ((3, (5, 4, 3)), (1, (4, 6)), (4, (3, 3, 4))):
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        w, h, out = multimodal.decode_png(multimodal.encode_png(px))
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert (w, h) == (want.shape[1], want.shape[0])
+        assert (out == want).all(), ch
+
+    # forward-filter a raster row-by-row (spec §9, independent impl)
+    px = rng.randint(0, 256, (5, 4, 3)).astype(np.uint8)
+    ch, stride = 3, 4 * 3
+    flat = px.reshape(5, stride).astype(np.int32)
+    body = b""
+    for y, ftype in enumerate([1, 2, 3, 4, 0]):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        filt = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c)
+            filt[x] = (row[x] - pred) & 0xFF
+        body += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+
+    def chunk(cid, data):
+        return (struct.pack(">I", len(data)) + cid + data
+                + struct.pack(">I", zlib.crc32(cid + data)))
+
+    crafted = (
+        multimodal.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+    w, h, out = multimodal.decode_png(crafted)
+    assert (out == px).all(), "filtered rows must unfilter exactly"
+
+    # CRC corruption fails loud
+    good = multimodal.encode_png(px)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNX" + good[4:])
+    # decode_image sniffs both native formats
+    assert multimodal.decode_image(good)[2].shape == (5, 4, 3)
+    ppm = multimodal.encode_ppm(px)
+    assert (multimodal.decode_image(ppm)[2] == px).all()
+
+
+def test_png_features_equal_ppm_features(docs):
+    """Metamorphic contract: the PNG fixture wraps the SAME raster as
+    the PPM fixture, so the full decode→features path must produce
+    identical rows through two entirely different containers (zlib
+    chunk stream vs netpbm header)."""
+    a = {r["media_id"]: r for r in multimodal.extract_image_features(
+        multimodal.documents_as_ppm(docs)).collect()}
+    b = {r["media_id"]: r for r in multimodal.extract_image_features(
+        multimodal.documents_as_png(docs)).collect()}
+    assert a.keys() == b.keys() and a
+    for k in a:
+        assert a[k] == b[k], k
 
 
 def test_stratified_sample_deterministic_and_capped(spark, sf_dir):
