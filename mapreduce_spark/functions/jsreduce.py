@@ -1302,6 +1302,9 @@ def _eval(e: Any, env: dict) -> Any:
 
         if isinstance(obj, JSMatchArray) and name in ("index", "input"):
             return obj.index if name == "index" else obj.input
+        if isinstance(obj, JSMatchArray) and name == "indices":
+            # d-flag match indices (round 10); undefined without d
+            return obj.indices if obj.indices is not None else _UNDEF
         if isinstance(obj, JSRegExp):
             if name in ("test", "exec", "toString"):
                 return ("__method__", obj, name)
@@ -1326,7 +1329,7 @@ def _eval(e: Any, env: dict) -> Any:
             if name == "dotAll":
                 return "s" in obj.flags
             if name == "hasIndices":
-                return False  # d flag is outside the subset
+                return "d" in obj.flags
             return _UNDEF
         if isinstance(obj, list):
             if name in _LIST_METHODS:

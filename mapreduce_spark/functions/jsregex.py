@@ -396,9 +396,18 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
                 "with u semantics"
             )
         uflag = True
+    if "d" in flags and "(?<" in pattern.replace(
+            "(?<=", "").replace("(?<!", ""):
+        # .indices.groups must be an OBJECT when named groups exist —
+        # our match-array property model can't express that; plain
+        # positional indices (the common case) work fine
+        raise JSReduceError(
+            "the d flag with named capture groups is outside the "
+            "subset (.indices.groups)"
+        )
     for f in flags:
-        if f in ("g", "u", "y", "v"):
-            continue  # g/y: behavioral (JSRegExp); u/v: handled here
+        if f in ("g", "u", "y", "v", "d"):
+            continue  # g/y/d: behavioral (JSRegExp); u/v: here
         if f in _FLAG_MAP:
             refl |= _FLAG_MAP[f]
         else:
@@ -553,14 +562,18 @@ def validate(pattern: str, flags: str) -> None:
 
 class JSMatchArray(list):
     """A JS regex match result: an Array of [full, ...groups] that
-    also carries ``index`` and ``input`` properties."""
+    also carries ``index`` and ``input`` properties — and, for a
+    ``d``-flag regex, ``indices`` ([start, end] per group, undefined
+    for unmatched groups; round 10)."""
 
-    __slots__ = ("index", "input")
+    __slots__ = ("index", "input", "indices")
 
-    def __init__(self, items: list, index: float, input_: str) -> None:
+    def __init__(self, items: list, index: float, input_: str,
+                 indices: Any = None) -> None:
         super().__init__(items)
         self.index = index
         self.input = input_
+        self.indices = indices
 
 
 def _groups_list(m: re.Match, undef: Any) -> list:
@@ -568,6 +581,18 @@ def _groups_list(m: re.Match, undef: Any) -> list:
     for g in m.groups():
         row.append(undef if g is None else g)
     return row
+
+
+def _indices_list(m: re.Match, undef: Any) -> list:
+    """d-flag match indices: [start, end] per group (JS numbers),
+    undefined for non-participating groups."""
+    out: list[Any] = []
+    for i in range(0, (m.re.groups or 0) + 1):
+        if m.group(i) is None:
+            out.append(undef)
+        else:
+            out.append([float(m.start(i)), float(m.end(i))])
+    return out
 
 
 class JSRegExp:
@@ -582,6 +607,7 @@ class JSRegExp:
         self.flags = flags
         self.global_ = "g" in flags
         self.sticky = "y" in flags
+        self.has_indices = "d" in flags
         self.last_index = 0.0
         self.pattern = _compiled(source, flags)
 
@@ -614,7 +640,8 @@ class JSRegExp:
         if stateful:
             self.last_index = float(m.end())
         return JSMatchArray(
-            _groups_list(m, undef), float(m.start()), s
+            _groups_list(m, undef), float(m.start()), s,
+            _indices_list(m, undef) if self.has_indices else None,
         )
 
     def test(self, s: str, undef: Any) -> bool:

@@ -52,10 +52,8 @@ def test_flags():
     with pytest.raises(JSReduceError):
         translate(r"\p{L}", "")  # \p without u: loud (identity
         # escape in real JS, but the author meant the property)
-    with pytest.raises(JSReduceError):
-        JSMapFunctionFull(
-            "function(doc) { emit(/a/d.test('a'), null); }"
-        )  # d (hasIndices) stays loud at registration, not per doc
+    # d (hasIndices) is behavioral since round 10 — see
+    # test_d_flag_indices_round10
 
 
 def test_duplicate_flags_are_syntax_errors():
@@ -723,3 +721,31 @@ def test_v_flag_class_free_subset_round10():
         translate(r"\q{abc}", "v")
     with pytest.raises(JSRuntimeThrow):
         translate("a", "uv")         # real JS SyntaxError
+
+
+def test_d_flag_indices_round10():
+    """The d (hasIndices) flag: match results carry per-group
+    [start, end] spans; undefined for non-participating groups and
+    without the flag.  Expected values are real ECMAScript answers."""
+    assert ev(r"/(\d+)-(\d+)/d.exec('a12-34').indices[0]") == [1, 6]
+    assert ev(r"/(\d+)-(\d+)/d.exec('a12-34').indices[1]") == [1, 3]
+    assert ev(r"/(\d+)-(\d+)/d.exec('a12-34').indices[2]") == [4, 6]
+    # without d, .indices is undefined (emitted as null)
+    assert ev(r"/(\d+)/.exec('a12').indices") is None
+    # non-participating group -> undefined entry
+    assert ev(r"/(a)|(b)/d.exec('xa').indices[2]") is None
+    assert ev(r"/(a)|(b)/d.exec('xa').indices[1]") == [1, 2]
+    assert ev(r"/a/d.hasIndices") is True
+    assert ev(r"/a/.hasIndices") is False
+    assert ev(r"/a/dg.flags") == "dg"
+    # d composes with g statefulness and with u
+    assert ev(
+        "(function(){ var re = /\\d/dg; re.exec('a1b2');"
+        " return re.exec('a1b2').indices[0]; })()"
+    ) == [3, 4]
+    assert ev(r"/\p{L}/du.exec('9é').indices[0]") == [1, 2]
+    # named groups + d stay loud (.indices.groups is an object there)
+    with pytest.raises(JSReduceError):
+        translate(r"(?<y>\d)", "d")
+    # lookbehind is not a named group — still admitted
+    assert ev(r"/(?<=a)b/d.exec('ab').indices[0]") == [1, 2]
