@@ -664,7 +664,11 @@ class JSRegExp:
             if m is None:
                 break
             out.append(
-                JSMatchArray(_groups_list(m, undef), float(m.start()), s)
+                JSMatchArray(
+                    _groups_list(m, undef), float(m.start()), s,
+                    _indices_list(m, undef)
+                    if self.has_indices else None,
+                )
             )
             pos = m.end() + 1 if m.end() == m.start() else m.end()
         return out

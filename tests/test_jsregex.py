@@ -749,3 +749,5 @@ def test_d_flag_indices_round10():
         translate(r"(?<y>\d)", "d")
     # lookbehind is not a named group — still admitted
     assert ev(r"/(?<=a)b/d.exec('ab').indices[0]") == [1, 2]
+    # matchAll results carry indices too
+    assert ev(r"'a1b2'.matchAll(/\d/dg)[1].indices[0]") == [3, 4]
