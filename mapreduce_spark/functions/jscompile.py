@@ -169,7 +169,13 @@ class _Parser:
         self._elem: tuple[str, str, int] | None = None
         # inside a compiled C-style for body: (index_var, field, serial)
         self._idx: tuple[str, str, int] | None = None
+        # inside a compiled for-in body: (key_var, field, serial)
+        self._inkey: tuple[str, str, int] | None = None
         self._foreach_serial = 0
+
+    def _in_loop(self) -> bool:
+        return (self._elem is not None or self._idx is not None
+                or self._inkey is not None)
 
     # -- token helpers --------------------------------------------------
     def _peek(self) -> tuple[str, str, int]:
@@ -282,7 +288,7 @@ class _Parser:
                     f"{moff} is outside the compiled subset (only "
                     ".forEach(function (x) {…}) compiles)"
                 )
-            if self._elem is not None or self._idx is not None:
+            if self._in_loop():
                 raise JSCompileError(
                     "nested loops are outside the compiled subset"
                 )
@@ -335,7 +341,7 @@ class _Parser:
         ``i`` parses as ('epos',) (the posexplode position) and
         ``doc.f[i]`` as ('elem', f); indexing any OTHER array with
         ``i`` rejects the compile."""
-        if self._elem is not None or self._idx is not None:
+        if self._in_loop():
             raise JSCompileError(
                 "nested loops are outside the compiled subset"
             )
@@ -347,6 +353,41 @@ class _Parser:
             raise JSCompileError(
                 f"unsupported for-loop index variable at offset {o}"
             )
+        if self._peek()[1] == "in":
+            # for (var k in doc.f) { … } — object-key enumeration,
+            # compiled to an object-entry explode (jsvariant
+            # forin_object_sql); `k` parses as ('ekey',), `doc.f[k]`
+            # as ('elem', f).  The emit-order soundness condition
+            # (bare `k` must be a key component) is enforced at
+            # lowering, where the emitted keys are visible.
+            self._next()
+            _k2, d, o2 = self._next()
+            if d != "doc":
+                raise JSCompileError(
+                    f"for-in target at offset {o2} is not a doc "
+                    "field; the interpreter tier runs it"
+                )
+            parts = self._field_path(o2)
+            if not parts:
+                raise JSCompileError(
+                    "for-in over the whole doc is outside the "
+                    "compiled subset; the interpreter tier runs it"
+                )
+            field = ".".join(parts)
+            self._expect(")")
+            self._expect("{")
+            serial = self._foreach_serial
+            self._foreach_serial += 1
+            self._inkey = (ivar, field, serial)
+            try:
+                self._stmts(
+                    emits, guards + [("forin", field, serial)],
+                    end="}",
+                )
+            finally:
+                self._inkey = None
+            self._eat(";")
+            return
         self._expect("=")
         k, z, o = self._next()
         if k != "num" or float(z) != 0:
@@ -531,8 +572,33 @@ class _Parser:
             if self._idx is not None and tok == self._idx[0]:
                 # for-loop index variable: the posexplode position
                 return ("epos",)
+            if self._inkey is not None and tok == self._inkey[0]:
+                # for-in loop variable: the object-entry key string
+                return ("ekey",)
             if tok == "doc":
                 parts = self._field_path(off)
+                if (
+                    self._inkey is not None
+                    and self._at("[")
+                    and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1][1] == self._inkey[0]
+                    and self.i + 2 < len(self.toks)
+                    and self.toks[self.i + 2][1] == "]"
+                ):
+                    # doc.f[k] under the compiled for-in: the current
+                    # entry value — only of the object the loop
+                    # enumerates
+                    if ".".join(parts) != self._inkey[1]:
+                        raise JSCompileError(
+                            f"doc.{'.'.join(parts)}"
+                            f"[{self._inkey[0]}] indexes a different "
+                            "object than the for-in target "
+                            f"doc.{self._inkey[1]} — outside the "
+                            "compiled subset; the interpreter tier "
+                            "runs it"
+                        )
+                    self.i += 3
+                    return ("elem", self._inkey[1])
                 if (
                     self._idx is not None
                     and self._at("[")
@@ -915,6 +981,8 @@ class _Compiler:
             return self.elem_ref(ast)
         if tag == "epos":
             return self.epos_ref()
+        if tag == "ekey":
+            return self.ekey_ref()
         if tag == "bin":
             op, l, r = ast[1], ast[2], ast[3]
             (lk, ls) = self.computed(l)
@@ -929,7 +997,8 @@ class _Compiler:
                 # fields could both be null at runtime, flipping the
                 # RESULT KIND per row; that stays on the interpreter.
                 def _nonnull_str(a: Any) -> bool:
-                    return a[0] in ("lit", "method")
+                    # ekey: object keys are non-null strings
+                    return a[0] in ("lit", "method", "ekey")
 
                 if not (_nonnull_str(l) or _nonnull_str(r)):
                     raise JSCompileError(
@@ -1216,8 +1285,10 @@ class _Compiler:
         )
 
     def elem_ref(self, ast: Any) -> tuple[str, str]:
-        """forEach element → (elem kind, guarded extraction SQL) over
-        the posexplode output column (jsvariant.elem_value_sql)."""
+        """forEach element / for-in entry value → (elem kind, guarded
+        extraction SQL) over the explode output column
+        (jsvariant.elem_value_sql — the guard is identical: entry
+        values drift-check per row exactly like array elements)."""
         if self.variant_types is None:
             raise JSCompileError(
                 "forEach over a typed table is outside the compiled "
@@ -1226,15 +1297,30 @@ class _Compiler:
             )
         f = ast[1]
         kind = self.variant_types.get(f)
-        if kind is None or not kind.startswith("arr:"):
+        if kind is None or ":" not in kind \
+                or kind.split(":", 1)[1] == "any":
             raise JSCompileError(
-                f"doc.{f} has no inferred array kind in the sampled "
-                "corpus"
+                f"doc.{f} has no inferred element kind in the "
+                "sampled corpus"
             )
         from mapreduce_spark.functions.jsvariant import elem_value_sql
 
         ekind = kind.split(":", 1)[1]
         return ekind, elem_value_sql(f, ekind)
+
+    def ekey_ref(self) -> tuple[str, str]:
+        """for-in loop variable → the object-entry key column (always
+        a non-null JS string — JSON object keys may be empty but
+        never null)."""
+        if self.variant_types is None:
+            raise JSCompileError(
+                "a compiled for-in over a typed table is outside "
+                "the compiled subset (raw doc sources only); the "
+                "Python map path runs it"
+            )
+        from mapreduce_spark.functions.jsvariant import EKEY_COL
+
+        return "str", EKEY_COL
 
     def epos_ref(self) -> tuple[str, str]:
         """for-loop index variable → the posexplode position column
@@ -1308,6 +1394,8 @@ class _Compiler:
             return self.elem_ref(ast)
         if tag == "epos":
             return self.epos_ref()
+        if tag == "ekey":
+            return self.ekey_ref()
         if tag in ("bin", "method", "strlen", "math", "ternary"):
             kind, sql = self.computed(ast)
             if kind not in ("num", "str", "bool", "iso"):
@@ -1347,6 +1435,8 @@ class _Compiler:
             return self.elem_ref(ast)
         if tag == "epos":
             return self.epos_ref()
+        if tag == "ekey":
+            return self.ekey_ref()
         if tag in ("bin", "method", "strlen", "math", "ternary"):
             kind, sql = self.computed(ast)
             if kind not in ("num", "str", "bool"):
@@ -1699,6 +1789,8 @@ class _Compiler:
             return self.elem_ref(ast)
         if ast[0] == "epos":
             return self.epos_ref()
+        if ast[0] == "ekey":
+            return self.ekey_ref()
         if ast[0] in ("bin", "method", "strlen", "math", "ternary"):
             return self.computed(ast)
         if ast[0] == "lit":
@@ -1748,10 +1840,11 @@ def compile_js_map(source: str, table: str, schema,
     marks = [
         next((g for g in guards
               if isinstance(g, tuple)
-              and g[0] in ("foreach", "forloop")), None)
+              and g[0] in ("foreach", "forloop", "forin")), None)
         for guards, _k, _v in emits
     ]
     foreach_field: str | None = None
+    forin = False
     if any(m is not None for m in marks):
         if not all(m is not None for m in marks) \
                 or len({m[2] for m in marks}) != 1:
@@ -1768,6 +1861,29 @@ def compile_js_map(source: str, table: str, schema,
                 "runs it"
             )
         foreach_field = marks[0][1]
+        forin = marks[0][0] == "forin"
+    if forin:
+        # Soundness condition for the object-entry explode: variant
+        # dictionary order (lexicographic) differs from JS property
+        # order (integer-like keys numerically first, then insertion
+        # order), so the compiled tier is only order-equivalent when
+        # collation TIES across iterations are impossible — i.e. the
+        # bare loop key (unique per doc) is itself a key component.
+        # Anything else (constant keys, transformed keys) runs on the
+        # interpreter, which iterates in true JS order.
+        def _bare_ekey(k: Any) -> bool:
+            return k == ("ekey",) or (
+                isinstance(k, tuple) and k[0] == "arr"
+                and any(a == ("ekey",) for a in k[1])
+            )
+
+        if not all(_bare_ekey(key_ast) for _g, key_ast, _v in emits):
+            raise JSCompileError(
+                "for-in emits compile only when the loop key is "
+                "itself a key component (emit order across object "
+                "keys is otherwise observable); the interpreter "
+                "tier runs it"
+            )
     c = _Compiler(table, schema, variant_types=variant_types,
                   variant_iso=variant_iso)
     specs = []
@@ -1801,12 +1917,14 @@ def compile_js_map(source: str, table: str, schema,
 
     def _elem_dependent(ctx: str | None, gsql: str) -> bool:
         from mapreduce_spark.functions.jsvariant import (
+            EKEY_COL,
             ELEM_COL,
             EPOS_COL,
         )
 
         both = gsql + (ctx or "")
-        return ELEM_COL in both or EPOS_COL in both
+        return (ELEM_COL in both or EPOS_COL in both
+                or EKEY_COL in both)
 
     n_sites = len(emits)
     for site, (guards, key_ast, value_ast) in enumerate(emits):
@@ -1817,7 +1935,8 @@ def compile_js_map(source: str, table: str, schema,
         in_elem = False           # past the forEach marker
         body_throws = False       # throw guards arising inside the loop
         for g in guards:
-            if isinstance(g, tuple) and g[0] in ("foreach", "forloop"):
+            if isinstance(g, tuple) \
+                    and g[0] in ("foreach", "forloop", "forin"):
                 in_elem = True
                 continue
             c.pending_guards = []
@@ -1877,17 +1996,24 @@ def compile_js_map(source: str, table: str, schema,
             )
         else:
             from mapreduce_spark.functions.jsvariant import (
+                forin_object_sql,
                 variant_array_sql,
             )
 
             econds = list(dict.fromkeys(econds))
+            explode = (
+                (forin_object_sql(foreach_field), n_sites, site,
+                 "obj")
+                if forin
+                else (variant_array_sql(foreach_field), n_sites,
+                      site)
+            )
             specs.append(
                 MapSpec(
                     table, key, value,
                     where=" AND ".join(all_conds)
                     if all_conds else None,
-                    explode=(variant_array_sql(foreach_field),
-                             n_sites, site),
+                    explode=explode,
                     explode_where=" AND ".join(econds)
                     if econds else None,
                 )
@@ -1990,6 +2116,26 @@ _CSM = None  # cached jsreduce._call_str_method (circular import)
 
 _ELEM_KEY = "\x00elem"  # forEach element binding inside the doc dict
 _EPOS_KEY = "\x00epos"  # for-loop index binding inside the doc dict
+_EKEY_KEY = "\x00ekey"  # for-in key binding inside the doc dict
+
+
+def es_own_keys(obj: dict) -> list:
+    """Own enumerable keys in ES OrdinaryOwnPropertyKeys order --
+    the order JS for-in / Object.keys observe: canonical array-index
+    keys ('0', '1', ..., no leading zeros, < 2^32-1) ascending
+    NUMERICALLY first, then the remaining string keys in insertion
+    order.  Python dicts preserve JSON insertion order, so only the
+    integer-like keys need hoisting."""
+    def _index_key(k) -> bool:
+        return (
+            isinstance(k, str) and k.isascii() and k.isdigit()
+            and (k == "0" or not k.startswith("0"))
+            and int(k) < 2 ** 32 - 1
+        )
+
+    idx = sorted((k for k in obj if _index_key(k)), key=int)
+    taken = set(idx)
+    return idx + [k for k in obj if k not in taken]
 
 
 def _ev(ast: Any, doc: dict) -> Any:
@@ -2003,6 +2149,9 @@ def _ev(ast: Any, doc: dict) -> Any:
             else _UNDEF
     if tag == "epos":
         return doc.get(_EPOS_KEY, _UNDEF) if isinstance(doc, dict) \
+            else _UNDEF
+    if tag == "ekey":
+        return doc.get(_EKEY_KEY, _UNDEF) if isinstance(doc, dict) \
             else _UNDEF
     if tag == "arr":
         return [_ev(a, doc) for a in ast[1]]
@@ -2300,7 +2449,7 @@ class JSMapFunction:
                 mark = next(
                     (g for g in guards
                      if isinstance(g, tuple)
-                     and g[0] in ("foreach", "forloop")),
+                     and g[0] in ("foreach", "forloop", "forin")),
                     None,
                 )
                 if mark is None:
@@ -2317,7 +2466,8 @@ class JSMapFunction:
                 past = False
                 for g in guards:
                     if isinstance(g, tuple) \
-                            and g[0] in ("foreach", "forloop"):
+                            and g[0] in ("foreach", "forloop",
+                                         "forin"):
                         past = True
                         continue
                     (post if past else pre).append(g)
@@ -2327,7 +2477,21 @@ class JSMapFunction:
                     doc.get(mark[1], _UNDEF)
                     if isinstance(doc, dict) else _UNDEF
                 )
-                if mark[0] == "foreach":
+                keys: list | None = None
+                if mark[0] == "forin":
+                    # for (k in doc.f): objects enumerate own keys in
+                    # ES order, arrays/strings their index strings;
+                    # null/undefined/primitives iterate zero times
+                    # (for-in never throws)
+                    if isinstance(arr, dict):
+                        keys = es_own_keys(arr)
+                        arr = [arr[k] for k in keys]
+                    elif isinstance(arr, (list, str)):
+                        keys = [str(i) for i in range(len(arr))]
+                        arr = list(arr)
+                    else:
+                        keys, arr = [], []
+                elif mark[0] == "foreach":
                     if not isinstance(arr, list):
                         # null/undefined/scalar .forEach throws in JS
                         raise _MapThrow(
@@ -2347,6 +2511,8 @@ class JSMapFunction:
                     docv = dict(doc)
                     docv[_ELEM_KEY] = el
                     docv[_EPOS_KEY] = float(pos)
+                    if keys is not None:
+                        docv[_EKEY_KEY] = keys[pos]
                     if all(_cond_eval(g, docv) for g in post):
                         emit(
                             _de_undef(_ev(key_ast, docv)),

@@ -1039,7 +1039,13 @@ def _exec_stmt(s: Any, env: "_Scope") -> None:
         _, k, oexpr, body = s
         obj = _eval(oexpr, env)
         if isinstance(obj, dict):
-            keys = list(obj.keys())  # JS own-key insertion order
+            # ES OrdinaryOwnPropertyKeys order: integer-like keys
+            # numerically first, then insertion order
+            from mapreduce_spark.functions.jscompile import (
+                es_own_keys,
+            )
+
+            keys = es_own_keys(obj)
         elif isinstance(obj, (list, str)):
             keys = [str(i) for i in range(len(obj))]
         else:
@@ -1511,8 +1517,13 @@ def _call(fn: Any, args: list) -> Any:
             o = args[0] if args else _UNDEF
             if not isinstance(o, dict):
                 raise JSRuntimeThrow(f"{name} on a non-object")
-            return (list(o.keys()) if name == "Object.keys"
-                    else [o[k] for k in o])
+            from mapreduce_spark.functions.jscompile import (
+                es_own_keys,
+            )
+
+            ks = es_own_keys(o)  # ES property order
+            return (ks if name == "Object.keys"
+                    else [o[k] for k in ks])
         if name == "Date.parse":
             a = args[0] if args else _UNDEF
             return (parse_date(a) if isinstance(a, str)

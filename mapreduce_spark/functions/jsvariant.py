@@ -126,9 +126,12 @@ VDOC_COL = "_vdoc"
 
 # the posexplode output columns every exploded MapSpec references
 # (operators/mapphase.py build path); '_mr_' prefixed to stay clear
-# of raw table columns
+# of raw table columns.  Array explodes bind (EPOS, ELEM); object-
+# entry explodes (JS for-in, MapSpec explode kind 'obj') bind all
+# three — EKEY is the entry key string (the for-in loop variable)
 EPOS_COL = "_mr_epos"
 ELEM_COL = "_mr_elem"
+EKEY_COL = "_mr_ekey"
 
 
 def variant_field_sql(name: str, kind: str,
@@ -169,6 +172,141 @@ def variant_array_sql(name: str, var_col: str = VDOC_COL) -> str:
     scalar raises INVALID_VARIANT_CAST, which ``is_drift_error``
     classifies and the engine retries on the interpreter tier."""
     return f"variant_get({var_col}, '$.{name}', 'array<variant>')"
+
+
+def forin_object_sql(name: str, var_col: str = VDOC_COL) -> str:
+    """Entry extraction of a for-in-consumed doc field, as a
+    ``map<string, variant>`` whose posexplode yields
+    ``(pos, key, value)`` — the JS ``for (k in doc.f)`` iteration
+    space, type-dispatched per row to the exact JS semantics:
+
+    - object  → its entries (``cast(variant AS map)``);
+    - array   → index-string keys ``'0'..'n-1'`` (JS enumerates array
+      indices as strings);
+    - null / absent / number / boolean → SQL NULL → zero Generate
+      rows (JS for-in over these iterates zero times, never throws);
+    - string  → drift ``raise_error``: JS enumerates character
+      indices, which only the interpreter tier reproduces per-row.
+
+    Map entry ORDER is the variant dictionary order (lexicographic by
+    key), not JS insertion order — sound because the compiler only
+    accepts for-in emits whose key contains the bare loop variable
+    (jscompile), making collation ties across iterations impossible;
+    see PLANS.md "for-in object-entry tier"."""
+    vg = f"variant_get({var_col}, '$.{name}')"
+    sov = f"schema_of_variant({vg})"
+    return (
+        f"(CASE WHEN {vg} IS NULL THEN NULL "
+        f"WHEN {sov} LIKE 'OBJECT%' THEN "
+        f"cast({vg} AS map<string, variant>) "
+        f"WHEN {sov} LIKE 'ARRAY%' THEN map_from_entries(transform("
+        f"cast({vg} AS array<variant>), "
+        f"(x, i) -> struct(cast(i AS string), x))) "
+        f"WHEN {sov} = 'STRING' THEN "
+        f"raise_error('[{DRIFT_MARK}] doc.{name} is a string — JS "
+        f"for-in enumerates character indices; interpreter tier "
+        f"required') "
+        f"ELSE NULL END)"
+    )
+
+
+def _object_value_ddls(ddl: str) -> list[str] | None:
+    """Top-level value DDLs of an ``OBJECT<name: TYPE, …>`` schema
+    string, or None when ``ddl`` is not an OBJECT.  Field names may be
+    backtick-quoted (with ```` `` ```` escaping) and may contain
+    ``,``/``:``/``<``; values nest (``OBJECT<…>``/``ARRAY<…>``), so
+    the split tracks ``<>`` depth and backtick state."""
+    if not (ddl.startswith("OBJECT<") and ddl.endswith(">")):
+        return None
+    body = ddl[len("OBJECT<"):-1]
+    if not body.strip():
+        return []
+    entries: list[str] = []
+    depth, tick, cur = 0, False, []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if tick:
+            if c == "`":
+                if i + 1 < len(body) and body[i + 1] == "`":
+                    cur.append("``")
+                    i += 2
+                    continue
+                tick = False
+        elif c == "`":
+            tick = True
+        elif c in "<(":
+            depth += 1
+        elif c in ">)":
+            depth -= 1
+        elif c == "," and depth == 0:
+            entries.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    entries.append("".join(cur))
+    vals: list[str] = []
+    for e in entries:
+        # first ':' at depth 0 outside backticks separates name: TYPE
+        depth, tick = 0, False
+        for j, c in enumerate(e):
+            if tick:
+                tick = c != "`"
+            elif c == "`":
+                tick = True
+            elif c in "<(":
+                depth += 1
+            elif c in ">)":
+                depth -= 1
+            elif c == ":" and depth == 0:
+                vals.append(e[j + 1:].strip())
+                break
+        else:
+            return None  # malformed entry
+    return vals
+
+
+def _obj_kind(ddl: str | None, need_value: bool) -> str | None:
+    """for-in receiver DDL → 'obj:<kind>' compile kind, or None.
+
+    ``need_value`` is whether the source reads ``doc.f[k]`` — when it
+    does not, any enumerable shape compiles ('obj:any'); when it
+    does, every top-level entry value must merge to ONE scalar kind
+    (VOID — JSON null — is compatible with any, like array elements).
+    STRING rejects (character-index enumeration is interpreter-only);
+    scalar kinds compile to zero iterations (faithful JS)."""
+    if ddl is None:
+        return None
+    if ddl == "STRING":
+        return None
+    if ddl == "VOID":
+        return "obj:num"
+    if ddl == "VARIANT":
+        # mixed shapes across docs: the runtime CASE dispatches each
+        # row exactly (strings drift loudly), so enumeration-only
+        # sources compile; reading doc.f[k] needs one kind — reject
+        return None if need_value else "obj:any"
+    vals = _object_value_ddls(ddl)
+    if vals is None:
+        if ddl.startswith("ARRAY<") and ddl.endswith(">"):
+            if not need_value:
+                return "obj:any"
+            ak = _arr_kind(ddl)
+            return None if ak is None else "obj:" + ak.split(":", 1)[1]
+        # remaining scalars (numbers, booleans): zero iterations
+        return "obj:num" if _ddl_kind(ddl) is not None else None
+    if not need_value:
+        return "obj:any"
+    kinds = {_ddl_kind(v) for v in vals if v != "VOID"}
+    if None in kinds:
+        return None
+    if not kinds:
+        return "obj:num"  # all entries JSON null (or empty object)
+    if len(kinds) > 1:
+        return None
+    return "obj:" + kinds.pop()
 
 
 def elem_value_sql(name: str, kind: str,
@@ -338,8 +476,54 @@ def foreach_fields(source: str) -> list[str]:
     return out
 
 
+def forin_fields(source: str) -> tuple[list[str], set[str]]:
+    """Doc fields consumed as for-in receivers — marked
+    ('forin', field, serial) in the emit guard lists — plus the
+    subset whose entry VALUES the source reads (``doc.f[k]``,
+    parsed as ('elem', field) nodes).  ``([], set())`` when none or
+    unparsable."""
+    try:
+        emits = _Parser(source).parse()
+    except JSCompileError:
+        return [], set()
+    fields: list[str] = []
+    for guards, _k, _v in emits:
+        for g in guards:
+            if isinstance(g, tuple) and g[0] == "forin" \
+                    and g[1] not in fields:
+                fields.append(g[1])
+    want = set(fields)
+    read: set[str] = set()
+
+    def walk(ast: Any) -> None:
+        if not isinstance(ast, tuple):
+            return
+        if ast[0] == "elem" and isinstance(ast[1], str) \
+                and ast[1] in want:
+            read.add(ast[1])
+            return
+        for a in ast[1:]:
+            if isinstance(a, tuple):
+                walk(a)
+            elif isinstance(a, list):
+                for x in a:
+                    walk(x)
+            elif isinstance(a, dict):
+                for x in a.values():
+                    walk(x)
+
+    for guards, key_ast, value_ast in emits:
+        for g in guards:
+            walk(g)
+        walk(key_ast)
+        walk(value_ast)
+    return fields, read
+
+
 def infer_variant_types(
     df, fields: list[str], arr_fields: list[str] | None = None,
+    obj_fields: list[str] | None = None,
+    obj_value_read: set[str] | None = None,
 ) -> dict[str, str] | None:
     """Sampled per-field kind inference (module docstring §1).
 
@@ -350,19 +534,27 @@ def infer_variant_types(
 
     ``arr_fields``: fields consumed as forEach receivers (array-emit
     views) — these infer as 'arr:<elem kind>' via ``_arr_kind`` and
-    reject on mixed-element / nested shapes.  A field used BOTH as a
-    scalar and a forEach receiver rejects the compile outright (the
-    data cannot satisfy both contracts)."""
+    reject on mixed-element / nested shapes.  ``obj_fields``: fields
+    consumed as for-in receivers — 'obj:<entry kind>' via
+    ``_obj_kind`` (``obj_value_read`` is the subset whose entry
+    values the source actually reads; the rest accept any enumerable
+    shape).  A field used in more than one of the three roles rejects
+    the compile outright (the data cannot satisfy both contracts)."""
     from pyspark.sql import functions as F
 
     arr_fields = list(arr_fields or [])
-    if set(arr_fields) & set(fields):
+    obj_fields = list(obj_fields or [])
+    obj_value_read = set(obj_value_read or ())
+    roles = (set(fields), set(arr_fields), set(obj_fields))
+    if (roles[0] & roles[1]) or (roles[0] & roles[2]) \
+            or (roles[1] & roles[2]):
         return None
-    if not fields and not arr_fields:
+    if not fields and not arr_fields and not obj_fields:
         return {}
-    for f in fields + arr_fields:
+    for f in fields + arr_fields + obj_fields:
         if f == "_id":
-            if f in arr_fields:  # _id is never an array
+            # _id is never an array/object receiver
+            if f in arr_fields or f in obj_fields:
                 return None
             continue
         if f in ("_rev", "_deleted"):
@@ -371,8 +563,9 @@ def infer_variant_types(
         # must be identifier-safe for the '$.a.b' extraction path
         if not all(_IDENT.match(seg) for seg in f.split(".")):
             return None
-    probe = [f for f in fields if f != "_id"] + arr_fields
+    probe = [f for f in fields if f != "_id"] + arr_fields + obj_fields
     arr_set = set(arr_fields)
+    obj_set = set(obj_fields)
     if not probe:
         return {}
     d = df
@@ -403,7 +596,12 @@ def infer_variant_types(
     out: dict[str, str] = {}
     for i, f in enumerate(probe):
         ddl = row[f"t{i}"]
-        kind = _arr_kind(ddl) if f in arr_set else _ddl_kind(ddl)
+        if f in arr_set:
+            kind = _arr_kind(ddl)
+        elif f in obj_set:
+            kind = _obj_kind(ddl, f in obj_value_read)
+        else:
+            kind = _ddl_kind(ddl)
         if kind is None or row[f"p{i}"] == 0:
             return None
         out[f] = kind
@@ -428,10 +626,12 @@ def compile_js_map_variant(spark, sf_dir: str, table: str,
     if fields is None:
         raise JSCompileError("source is outside the subset grammar")
     arr_fields = foreach_fields(source)
+    obj_fields, obj_value_read = forin_fields(source)
     df = load_table(spark, sf_dir, table)
     if "doc_json" not in df.columns:
         raise JSCompileError(f"table {table!r} has no doc_json column")
-    kinds = infer_variant_types(df, fields, arr_fields)
+    kinds = infer_variant_types(df, fields, arr_fields,
+                                obj_fields, obj_value_read)
     if kinds is None:
         raise JSCompileError(
             "referenced doc fields are not unambiguous scalars (or "

@@ -107,9 +107,13 @@ class MapSpec:
     columns that key/value/explode_where expressions may reference,
     with ``emit_ord = _mr_epos * n_sites + site`` (order-equivalent
     to the interpreter's dense per-doc ordinal — collation only needs
-    relative order).  ``explode_where``: element-level conjuncts,
-    applied post-explode (Catalyst re-pushes doc-only conjuncts below
-    the Generate on its own).
+    relative order).  The 4-tuple form ``(map_sql, n_sites, site,
+    'obj')`` is the object-entry explode (JS ``for (k in doc.f)``):
+    ``map_sql`` yields ``map<string, variant>`` and the posexplode
+    additionally binds ``_mr_ekey`` (the entry key string).
+    ``explode_where``: element-level conjuncts, applied post-explode
+    (Catalyst re-pushes doc-only conjuncts below the Generate on its
+    own).
     """
 
     table: str
@@ -235,19 +239,41 @@ def build_view_structured_on(df: DataFrame, spec: MapSpec) -> DataFrame:
         df = df.filter(spec.where)
     if spec.explode is not None:
         from mapreduce_spark.functions.jsvariant import (
+            EKEY_COL,
             ELEM_COL,
             EPOS_COL,
         )
 
-        # one Generate per doc row: a NULL array (absent/null field)
-        # yields zero rows — exactly JS null.forEach's throw → tryMap
-        # doc skip; an empty array emits nothing, like forEach
-        df = df.select(
-            "*",
-            F.posexplode(F.expr(spec.explode[0])).alias(
-                EPOS_COL, ELEM_COL
-            ),
-        )
+        if len(spec.explode) == 4:  # object-entry explode (for-in)
+            # the map CASE stays INLINE in the Generate, like the
+            # forEach array expr: projecting it to a column first
+            # looks cleaner but lets InferFiltersFromGenerate add a
+            # `size(col) > 0` predicate that predicate-pushdown then
+            # substitutes through the _vdoc Project — re-inlining the
+            # whole CASE (12 parse_json per row) into the scan
+            # Filter.  Inline generator children are exempt from that
+            # rule (attribute-only), keeping the parse-once contract
+            # (plan-asserted in tests/test_variant.py).  The inline
+            # map-typed Generate falls off WholeStageCodegen, but
+            # one interpreted CASE per doc row is far cheaper than
+            # the 12 extra parse_json the pushed filter costs
+            df = df.select(
+                "*",
+                F.posexplode(F.expr(spec.explode[0])).alias(
+                    EPOS_COL, EKEY_COL, ELEM_COL
+                ),
+            )
+        else:
+            # one Generate per doc row: a NULL array (absent/null
+            # field) yields zero rows — exactly JS null.forEach's
+            # throw → tryMap doc skip; an empty array emits nothing,
+            # like forEach
+            df = df.select(
+                "*",
+                F.posexplode(F.expr(spec.explode[0])).alias(
+                    EPOS_COL, ELEM_COL
+                ),
+            )
         if spec.explode_where:
             df = df.filter(spec.explode_where)
     cols = spec_output_columns(spec)
@@ -331,7 +357,7 @@ def spec_output_columns(spec: MapSpec) -> dict[str, Column]:
     if spec.explode is not None:
         from mapreduce_spark.functions.jsvariant import EPOS_COL
 
-        _arr, n_sites, site = spec.explode
+        _arr, n_sites, site = spec.explode[:3]
         emit_ord = (
             F.col(EPOS_COL) * F.lit(int(n_sites)) + F.lit(int(site))
         ).cast("int")

@@ -524,3 +524,65 @@ def test_array_reduce_right():
     }"""
     # s: 'c'+'b'+'a'; n: 3*2 + 2*1 + 1*0 = 8
     assert run_map(src, {}) == [("cba", 8.0)]
+
+
+# --------------------------------------------------- ES property order
+
+
+def test_es_own_keys_order():
+    """ES OrdinaryOwnPropertyKeys: canonical integer-like keys first,
+    NUMERICALLY ascending, then strings in insertion order.
+    Non-canonical numerics ('01', '00') stay in insertion order."""
+    from mapreduce_spark.functions.jscompile import es_own_keys
+
+    obj = {"b": 1, "10": 2, "a": 3, "2": 4, "01": 5, "0": 6}
+    assert es_own_keys(obj) == ["0", "2", "10", "b", "a", "01"]
+    assert es_own_keys({}) == []
+    assert es_own_keys({"x": 1}) == ["x"]
+
+
+def test_forin_statement_interpreter_es_order():
+    """for-in visits integer-like keys numerically first, then the
+    rest in insertion order — the JS engines' order, not Python
+    dict order."""
+    src = ("function(doc) { for (var k in doc.f) "
+           "{ emit(k, doc.f[k]); } }")
+    doc = {"f": {"b": 1.0, "10": 2.0, "a": 3.0, "2": 4.0}}
+    assert run_map(src, doc) == [
+        ("2", 4.0), ("10", 2.0), ("b", 1.0), ("a", 3.0)
+    ]
+
+
+def test_object_keys_values_es_order():
+    src = ("function(doc) { emit(Object.keys(doc.f), "
+           "Object.values(doc.f)); }")
+    doc = {"f": {"b": 1.0, "10": 2.0, "a": 3.0, "2": 4.0}}
+    assert run_map(src, doc) == [
+        (["2", "10", "b", "a"], [4.0, 2.0, 1.0, 3.0])
+    ]
+
+
+def test_forin_expression_interpreter_matches_statement_tier():
+    """The narrow expression interpreter (JSMapFunction — the tier
+    between compile and full statements) executes for-in marks with
+    the same ES order, array index-strings, string char-indices and
+    zero-iteration scalars."""
+    from mapreduce_spark.functions.jscompile import JSMapFunction
+
+    src = ("function(doc) { for (var k in doc.f) "
+           "{ emit(k, doc.f[k]); } }")
+
+    def run_expr(doc):
+        out = []
+        JSMapFunction(src)(doc, lambda k, v: out.append((k, v)))
+        return out
+
+    for doc in [
+        {"f": {"b": 1.0, "10": 2.0, "a": 3.0, "2": 4.0}},
+        {"f": [5.0, 6.0]},
+        {"f": "xy"},
+        {"f": None},
+        {"f": 3.0},
+        {},
+    ]:
+        assert run_expr(doc) == run_map(src, doc), doc

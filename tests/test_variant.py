@@ -696,3 +696,234 @@ def test_forloop_string_field_drifts_to_char_iteration(
                     for r in eng2.query("dd/v", stale="ok").rows()]
     chars = [(k, v) for k, i, v in rows if i == "t:9999"]
     assert [k for k, _ in chars] == ["x", "y", "z"]  # char iteration
+
+
+# ------------------------------------------------------------------ for-in
+
+
+def _mk_obj_docs(n=120):
+    """Docs with an object field attrs (numeric values, incl.
+    integer-like keys '10'/'2' whose ES for-in order differs from
+    lexicographic) and an array field nums.  Every 7th doc has NO
+    attrs, every 11th attrs: null, every 17th attrs: {} — all three
+    iterate zero times in JS for-in (it never throws)."""
+    docs = []
+    for i in range(n):
+        d = {"_id": f"o:{i:04d}", "lang": ["en", "fr"][i % 2],
+             "nums": [float(i), float(i) * 2],
+             "attrs": {"alpha": float(i), "beta": i * 2.0,
+                       "10": 7.0, "2": float(i % 5)}}
+        if i % 7 == 0:
+            del d["attrs"]
+        elif i % 11 == 0:
+            d["attrs"] = None
+        elif i % 17 == 0:
+            d["attrs"] = {}
+        docs.append((d["_id"], i, json.dumps(d)))
+    return docs
+
+
+@pytest.fixture()
+def obj_sf(spark, tmp_path):
+    df = spark.createDataFrame(_mk_obj_docs(),
+                               ["_id", "seq", "doc_json"])
+    sf = str(tmp_path / "rawobjs")
+    df.write.mode("overwrite").parquet(f"{sf}/odocs.parquet")
+    register_table(raw_doc_table("odocs"))
+    return sf
+
+
+FORIN_JS = ("function(doc) { for (var k in doc.attrs) "
+            "{ emit(k, doc.attrs[k]); } }")
+
+
+def _both_tiers_obj(spark, sf, tmp_path, js, **view):
+    eng = Engine(spark, sf, str(tmp_path / "fi_c"))
+    eng.put_design("dd", {"v": dict(view, map=("odocs", js))})
+    vd = next(iter(eng._defs.values()))
+    eng.update_view("dd/v")
+    eng2 = Engine(spark, sf, str(tmp_path / "fi_i"))
+    eng2.put_design(
+        "dd", {"v": dict(view, map=("odocs", compile_js_map_fn(js)))})
+    eng2.update_view("dd/v")
+    return vd, eng, eng2
+
+
+def _map_rows(eng, **qkw):
+    return [(r.get("key"), r.get("id"), r.get("value"))
+            for r in eng.query("dd/v", stale="ok", **qkw).rows()]
+
+
+def test_forin_compiles_and_matches_interpreter(spark, obj_sf,
+                                                tmp_path):
+    """The canonical object-index ddoc `for (k in doc.f)
+    emit(k, doc.f[k])` compiles to the object-entry explode (4-tuple
+    MapSpec.explode) and matches the interpreter tier row-for-row —
+    including docs with missing/null/empty attrs (zero rows) and the
+    integer-like keys whose variant order (lexicographic) differs
+    from the interpreter's ES order (unobservable: k is the key)."""
+    vd, eng, eng2 = _both_tiers_obj(spark, obj_sf, tmp_path, FORIN_JS)
+    assert isinstance(vd.map_def, VariantJSView)
+    specs = (vd.map_def.specs if isinstance(vd.map_def.specs, list)
+             else [vd.map_def.specs])
+    assert all(s.explode is not None and len(s.explode) == 4
+               and s.explode[3] == "obj" for s in specs)
+    a, b = _map_rows(eng), _map_rows(eng2)
+    assert a == b and a
+    # zero-iteration docs never appear
+    assert not any(int(i[2:]) % 7 == 0 or int(i[2:]) % 11 == 0
+                   or int(i[2:]) % 17 == 0 for _k, i, _v in a)
+    # integer-like keys enumerate as strings
+    assert {"10", "2"} <= {k for k, _i, _v in a}
+
+
+def test_forin_composite_key_guards_and_multi_emit(spark, obj_sf,
+                                                   tmp_path):
+    """k inside an array key, entry-value guards, key guards and
+    multi-emit bodies all compile and match the interpreter."""
+    js = ("function(doc) { for (k in doc.attrs) { "
+          "if (doc.attrs[k] > 3) { emit([doc.lang, k], 1); } "
+          "if (k !== 'beta') { emit([k, doc.lang], doc.attrs[k]); } "
+          "} }")
+    vd, eng, eng2 = _both_tiers_obj(spark, obj_sf, tmp_path, js)
+    assert isinstance(vd.map_def, VariantJSView)
+    a, b = _map_rows(eng), _map_rows(eng2)
+    assert a == b and a
+
+
+def test_forin_count_per_key(spark, obj_sf, tmp_path):
+    """Grouped _count over for-in keys (the 'index by attribute
+    name' ddoc) compiles and reduces identically."""
+    js = ("function(doc) { for (var k in doc.attrs) "
+          "{ emit(k, 1); } }")
+    vd, eng, eng2 = _both_tiers_obj(spark, obj_sf, tmp_path, js,
+                                    reduce="_count")
+    assert isinstance(vd.map_def, VariantJSView)
+    a = {r["key"]: r["value"]
+         for r in eng.query("dd/v", group=True, stale="ok").rows()}
+    b = {r["key"]: r["value"]
+         for r in eng2.query("dd/v", group=True, stale="ok").rows()}
+    assert a == b and a
+    assert a["alpha"] == a["beta"] == a["10"] == a["2"]
+
+
+def test_forin_order_unsafe_key_falls_back(spark, obj_sf, tmp_path):
+    """An emit whose key does NOT contain the bare loop variable
+    (constant key here) makes emit order across object keys
+    observable — variant order (lexicographic) differs from ES order
+    — so the compile rejects loudly and the interpreter runs it in
+    true JS order."""
+    js = "function(doc) { for (var k in doc.attrs) { emit(1, k); } }"
+    with pytest.raises(JSCompileError, match="key component"):
+        compile_js_map_variant(spark, obj_sf, "odocs", js)
+    vd, eng, eng2 = _both_tiers_obj(spark, obj_sf, tmp_path, js)
+    assert not isinstance(vd.map_def, VariantJSView)
+    a, b = _map_rows(eng), _map_rows(eng2)
+    assert a == b and a
+    # interpreter order is ES order: integer-like keys first,
+    # numerically — observable in the emitted VALUES under the
+    # constant key
+    vals = [v for _k, i, v in a if i == "o:0001"]
+    assert vals == ["2", "10", "alpha", "beta"]
+
+
+def test_forin_array_field_index_keys(spark, obj_sf, tmp_path):
+    """for-in over a consistently-ARRAY field enumerates index
+    STRINGS '0', '1', … — compiled via the array branch of the entry
+    CASE, identical to the interpreter."""
+    js = ("function(doc) { for (var k in doc.nums) "
+          "{ emit(k, doc.nums[k]); } }")
+    vd, eng, eng2 = _both_tiers_obj(spark, obj_sf, tmp_path, js)
+    assert isinstance(vd.map_def, VariantJSView)
+    a, b = _map_rows(eng), _map_rows(eng2)
+    assert a == b and a
+    assert {k for k, _i, _v in a} == {"0", "1"}
+
+
+def test_forin_mixed_value_kinds_fall_back(spark, tmp_path):
+    """Entry values of mixed scalar kinds reject the compile when the
+    source READS doc.f[k] (no single extraction kind) but compile
+    when it only enumerates keys."""
+    docs = [(f"m:{i:02d}", i, json.dumps(
+        {"_id": f"m:{i:02d}",
+         "attrs": {"a": 1.0, "b": "x"}})) for i in range(30)]
+    sf = str(tmp_path / "rawmixed")
+    spark.createDataFrame(docs, ["_id", "seq", "doc_json"]) \
+        .write.mode("overwrite").parquet(f"{sf}/odocs.parquet")
+    register_table(raw_doc_table("odocs"))
+    with pytest.raises(JSCompileError):
+        compile_js_map_variant(spark, sf, "odocs", FORIN_JS)
+    keys_only = ("function(doc) { for (var k in doc.attrs) "
+                 "{ emit(k, 1); } }")
+    v = compile_js_map_variant(spark, sf, "odocs", keys_only)
+    assert isinstance(v, VariantJSView)
+
+
+def test_forin_string_field_drifts_to_char_iteration(
+        spark, obj_sf, tmp_path):
+    """A STRING arriving in a for-in field AFTER the compiled build:
+    JS enumerates character indices, which the static explode cannot
+    express — the entry CASE raises the MR_RAW_DRIFT sentinel, the
+    refresh retries on the interpreter tier, and the tiers converge
+    on the char-index rows."""
+    js = ("function(doc) { for (var k in doc.attrs) "
+          "{ emit(k, 1); } }")
+    vd, eng, eng2 = _both_tiers_obj(spark, obj_sf, tmp_path, js)
+    assert isinstance(vd.map_def, VariantJSView)
+    drift = [("o:9999", 10_000, json.dumps(
+        {"_id": "o:9999", "lang": "en", "nums": [1.0],
+         "attrs": "xy"}))]
+    spark.createDataFrame(
+        drift, ["_id", "seq", "doc_json"]
+    ).write.mode("append").parquet(f"{obj_sf}/odocs.parquet")
+    eng.update_view("dd/v")   # drift → interpreter retry
+    eng2.update_view("dd/v")
+    assert not isinstance(vd.map_def, VariantJSView)
+    a, b = _map_rows(eng), _map_rows(eng2)
+    assert a == b
+    chars = sorted(k for k, i, _v in a if i == "o:9999")
+    assert chars == ["0", "1"]  # character indices
+
+
+def test_forin_nested_rejects(spark):
+    """for-in refuses to nest with any other compiled loop — both
+    directions land on the statement interpreter."""
+    from mapreduce_spark.functions.jscompile import _Parser
+
+    for js in [
+        ("function(doc) { for (var k in doc.a) { "
+         "doc.b.forEach(function (t) { emit(t, k); }); } }"),
+        ("function(doc) { doc.b.forEach(function (t) { "
+         "for (var k in doc.a) { emit(k, t); } }); }"),
+        ("function(doc) { for (var i = 0; i < doc.b.length; i++) { "
+         "for (var k in doc.a) { emit(k, i); } } }"),
+    ]:
+        with pytest.raises(JSCompileError,
+                           match="nested loops are outside"):
+            _Parser(js).parse()
+
+
+def test_forin_plan_no_python_and_one_parse(spark, obj_sf):
+    """The object-entry build plan stays JVM-only and parses doc_json
+    exactly ONCE per row.  Regression guard: projecting the entry map
+    to a column before the Generate lets InferFiltersFromGenerate +
+    predicate pushdown re-inline the CASE (12 parses) into the scan
+    Filter — the inline generator shape must stay."""
+    from mapreduce_spark.operators.mapphase import (
+        build_view_structured_on,
+    )
+    from mapreduce_spark.sources.docs import load_table
+
+    v = compile_js_map_variant(spark, obj_sf, "odocs", FORIN_JS)
+    specs = v.specs if isinstance(v.specs, list) else [v.specs]
+    assert specs and all(len(s.explode) == 4 for s in specs)
+    for spec in specs:
+        plan = build_view_structured_on(
+            load_table(spark, obj_sf, "odocs"), spec
+        )._jdf.queryExecution().executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython",
+                    "MapInPandas", "PythonUDF"):
+            assert bad not in plan, f"{bad} in for-in build plan"
+        # the parse appears exactly once (the _vdoc Project);
+        # a pushed inferred filter would multiply it
+        assert plan.count("parseJson") == 1

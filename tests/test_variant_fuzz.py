@@ -64,6 +64,32 @@ def _mkcorpus(rng):
         if rng.random() < 0.85:
             d["tags"] = [rng.choice(["red", "", "en", "x:y"])
                          for _ in range(rng.randint(0, 3))]
+        # object fields for the for-in grammar (round 10): 'props' is
+        # kind-pure numeric (entry-value reads compile), with
+        # integer-like keys whose ES order differs from the variant
+        # dictionary order; 'mix' alternates object/array per doc
+        # (inference says VARIANT → only key-enumeration compiles,
+        # runtime CASE dispatches each row)
+        r = rng.random()
+        if r < 0.15:
+            pass  # missing
+        elif r < 0.25:
+            d["props"] = None
+        elif r < 0.35:
+            d["props"] = {}
+        else:
+            d["props"] = {
+                k: float(rng.randint(-3, 9))
+                for k in rng.sample(["alpha", "beta", "2", "10", ""],
+                                    rng.randint(1, 4))
+            }
+        if rng.random() < 0.8:
+            d["mix"] = (
+                {"u": float(rng.randint(0, 5)), "v": 1.5}
+                if rng.random() < 0.5
+                else [float(rng.randint(0, 5))
+                      for _ in range(rng.randint(0, 3))]
+            )
         docs.append(d)
     return docs
 
@@ -122,8 +148,40 @@ def _gen_source(rng):
         # guarded array-emit loops (round 10, VERDICT r9 #7): forEach
         # and the C-style for idiom, outer doc guards, inner element/
         # index guards, elem/index in keys and values
+        shape = rng.randint(0, 2)
+        if shape == 2:
+            # for-in over an object field (round-10 entry explode):
+            # keys are order-safe (bare k as a component) ~85% of
+            # the time; the rest exercise the loud order rejection
+            field = rng.choice(["props", "props", "mix"])
+            elem, idx = f"doc.{field}[k]", None
+            opener = f"for (var k in doc.{field}) {{ "
+            closer = " }"
+            iconds = []
+            if rng.random() < 0.4:
+                iconds.append("k !== 'alpha'")
+            if field == "props" and rng.random() < 0.4:
+                iconds.append(f"{elem} > 0")
+            if rng.random() < 0.3:
+                iconds.append(cond(1))
+            inner = "".join(f"if ({c}) {{ " for c in iconds)
+            key = rng.choice(
+                ["k", "k", "k", f"[doc.t, k]", f"[k, {num(1)}]",
+                 "doc.t"]  # last: order-unsafe, must reject
+            )
+            val = rng.choice(
+                ["1", "null", "k"]
+                + ([elem, num(1)] if field == "props" else [])
+            )
+            outer = "".join(
+                f"if ({cond(1)}) {{ "
+                for _ in range(rng.randint(0, 1))
+            )
+            return ("function(doc) { " + outer + opener + inner
+                    + f"emit({key}, {val});" + " }" * len(iconds)
+                    + closer + " }" * outer.count("{") + " }")
         field = rng.choice(["arr", "tags"])
-        fe = rng.random() < 0.5
+        fe = shape == 0
         if fe:
             elem, idx = "x", None
             opener = f"doc.{field}.forEach(function (x) {{ "
@@ -194,6 +252,7 @@ def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
 
     compiled_n = 0
     compiled_loops = 0
+    compiled_forin = 0
     for i in range(N_SRC):
         src = _gen_source(rng)
         try:
@@ -203,6 +262,8 @@ def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
         compiled_n += 1
         if "forEach" in src or "for (" in src:
             compiled_loops += 1
+        if "for (var k in" in src:
+            compiled_forin += 1
         specs = view.specs if isinstance(view.specs, list) \
             else [view.specs]
         got = set()
@@ -220,6 +281,8 @@ def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
     assert compiled_n >= 30, compiled_n
     # the loop grammar must actually exercise the posexplode tier
     assert compiled_loops >= 8, (compiled_loops, compiled_n)
+    # ... and the round-10 object-entry (for-in) tier
+    assert compiled_forin >= 3, (compiled_forin, compiled_n)
 
 
 def _norm_json(vj):
