@@ -323,6 +323,86 @@ class _Parser:
             self._expect(")")
             self._eat(";")
             return
+        if tok == "Object":
+            # Object.keys(doc.f).forEach(function (k) { … }) — the
+            # modern spelling of the for-in idiom: same key space,
+            # same ES enumeration order, so it compiles to the SAME
+            # ('forin', field, serial) object-entry explode.  The one
+            # semantic difference — Object.keys(null) THROWS where
+            # for-in iterates zero times — is unobservable in the
+            # compiled output: every emit site lives inside the loop,
+            # so the doc contributes zero rows either way.
+            self._next()
+            self._expect(".")
+            _k2, m, moff = self._next()
+            if m != "keys" or not self._eat("("):
+                raise JSCompileError(
+                    f"statement-level Object.{m} at offset {moff} is "
+                    "outside the compiled subset (only Object.keys("
+                    "doc.<f>).forEach(function (k) {…}) compiles)"
+                )
+            _k3, d, o3 = self._next()
+            if d != "doc":
+                raise JSCompileError(
+                    f"Object.keys target at offset {o3} is not a doc "
+                    "field; the interpreter tier runs it"
+                )
+            parts = self._field_path(o3)
+            if not parts:
+                raise JSCompileError(
+                    "Object.keys over the whole doc is outside the "
+                    "compiled subset; the interpreter tier runs it"
+                )
+            field = ".".join(parts)
+            self._expect(")")
+            self._expect(".")
+            _k4, m2, m2off = self._next()
+            if m2 != "forEach":
+                raise JSCompileError(
+                    f"Object.keys(doc.{field}).{m2} at offset "
+                    f"{m2off} is outside the compiled subset as a "
+                    "statement (only .forEach(function (k) {…}) "
+                    "compiles)"
+                )
+            if self._in_loop():
+                raise JSCompileError(
+                    "nested loops are outside the compiled subset"
+                )
+            self._expect("(")
+            self._expect("function")
+            if self._peek()[0] == "ident" and not self._at("("):
+                self._next()  # optional callback name
+            self._expect("(")
+            params = []
+            while not self._eat(")"):
+                k5, p, _o5 = self._next()
+                if k5 == "ident":
+                    params.append(p)
+                self._eat(",")
+            if len(params) != 1:
+                raise JSCompileError(
+                    "Object.keys().forEach callbacks with index/array "
+                    "parameters are outside the compiled subset"
+                )
+            self._expect("{")
+            serial = self._foreach_serial
+            self._foreach_serial += 1
+            self._inkey = (params[0], field, serial)
+            try:
+                self._stmts(
+                    emits,
+                    # 'throw' tag: Object.keys(null) THROWS (tryMap
+                    # doc skip) where bare for-in iterates zero
+                    # times — same compiled rows, but the Python
+                    # mark executor honors the distinction
+                    guards + [("forin", field, serial, "throw")],
+                    end="}",
+                )
+            finally:
+                self._inkey = None
+            self._expect(")")
+            self._eat(";")
+            return
         raise JSCompileError(
             f"unsupported construct {tok!r} at offset {off} — the "
             "compilable subset is emit(...), if/else guards and log(); "
@@ -2482,7 +2562,14 @@ class JSMapFunction:
                     # for (k in doc.f): objects enumerate own keys in
                     # ES order, arrays/strings their index strings;
                     # null/undefined/primitives iterate zero times
-                    # (for-in never throws)
+                    # (for-in never throws — but the Object.keys
+                    # spelling, marked 'throw', does on null)
+                    if (arr is None or arr is _UNDEF) \
+                            and len(mark) > 3:
+                        raise _MapThrow(
+                            f"Object.keys(doc.{mark[1]}) on "
+                            "null/undefined"
+                        )
                     if isinstance(arr, dict):
                         keys = es_own_keys(arr)
                         arr = [arr[k] for k in keys]

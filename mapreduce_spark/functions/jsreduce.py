@@ -1514,16 +1514,25 @@ def _call(fn: Any, args: list) -> Any:
             except ValueError:
                 raise JSRuntimeThrow("JSON.parse: invalid JSON")
         if name in ("Object.keys", "Object.values"):
+            # ES2015 ToObject coercion: arrays/strings yield index
+            # keys, other primitives yield [] — only null/undefined
+            # throw
             o = args[0] if args else _UNDEF
-            if not isinstance(o, dict):
-                raise JSRuntimeThrow(f"{name} on a non-object")
-            from mapreduce_spark.functions.jscompile import (
-                es_own_keys,
-            )
+            if isinstance(o, dict):
+                from mapreduce_spark.functions.jscompile import (
+                    es_own_keys,
+                )
 
-            ks = es_own_keys(o)  # ES property order
-            return (ks if name == "Object.keys"
-                    else [o[k] for k in ks])
+                ks = es_own_keys(o)  # ES property order
+                vs = [o[k] for k in ks]
+            elif isinstance(o, (list, str)):
+                ks = [str(i) for i in range(len(o))]
+                vs = list(o)
+            elif o is None or o is _UNDEF:
+                raise JSRuntimeThrow(f"{name} on null/undefined")
+            else:
+                ks, vs = [], []
+            return ks if name == "Object.keys" else vs
         if name == "Date.parse":
             a = args[0] if args else _UNDEF
             return (parse_date(a) if isinstance(a, str)

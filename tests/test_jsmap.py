@@ -586,3 +586,28 @@ def test_forin_expression_interpreter_matches_statement_tier():
         {},
     ]:
         assert run_expr(doc) == run_map(src, doc), doc
+
+
+def test_object_keys_es_coercion():
+    """Object.keys/values apply ES2015 ToObject: arrays and strings
+    yield index keys, other primitives yield [], and only
+    null/undefined throw (skipping the doc's remaining emits)."""
+    assert run_map(
+        "function(doc) { emit(Object.keys(doc.f), "
+        "Object.values(doc.f)); }",
+        {"f": ["a", "b"]},
+    ) == [(["0", "1"], ["a", "b"])]
+    assert run_map(
+        "function(doc) { emit(Object.keys(doc.f), 1); }",
+        {"f": "xy"},
+    ) == [(["0", "1"], 1.0)]
+    assert run_map(
+        "function(doc) { emit(Object.keys(doc.f), 1); }",
+        {"f": 5.0},
+    ) == [([], 1.0)]
+    # null: earlier emits stand, the throw kills the rest (tryMap)
+    assert run_map(
+        "function(doc) { emit(1, 1); emit(Object.keys(doc.f), 1); "
+        "emit(2, 2); }",
+        {"f": None},
+    ) == [(1.0, 1.0)]

@@ -927,3 +927,29 @@ def test_forin_plan_no_python_and_one_parse(spark, obj_sf):
         # the parse appears exactly once (the _vdoc Project);
         # a pushed inferred filter would multiply it
         assert plan.count("parseJson") == 1
+
+
+OBJKEYS_JS = ("function(doc) { Object.keys(doc.attrs).forEach("
+              "function (k) { emit(k, doc.attrs[k]); }); }")
+
+
+def test_object_keys_foreach_compiles_like_forin(spark, obj_sf,
+                                                 tmp_path):
+    """Object.keys(doc.f).forEach(function (k) {…}) — the modern
+    spelling of the for-in idiom — compiles to the SAME object-entry
+    explode and matches the interpreter tier.  The null-receiver
+    difference (Object.keys(null) throws, for-in iterates zero
+    times) is unobservable: both produce zero rows for those docs."""
+    vd, eng, eng2 = _both_tiers_obj(spark, obj_sf, tmp_path,
+                                    OBJKEYS_JS)
+    assert isinstance(vd.map_def, VariantJSView)
+    specs = (vd.map_def.specs if isinstance(vd.map_def.specs, list)
+             else [vd.map_def.specs])
+    assert all(len(s.explode) == 4 and s.explode[3] == "obj"
+               for s in specs)
+    a, b = _map_rows(eng), _map_rows(eng2)
+    assert a == b and a
+    # identical rows to the bare for-in spelling of the same view
+    vd2, eng3, _e4 = _both_tiers_obj(
+        spark, obj_sf, tmp_path / "alt", FORIN_JS)
+    assert a == _map_rows(eng3)
