@@ -54,6 +54,7 @@ from mapreduce_spark.operators.mapphase import (
 )
 from mapreduce_spark.operators.query import (
     attach_docs,
+    fused_sort,
     query_map,
     query_reduced,
     row_order,
@@ -63,9 +64,9 @@ from mapreduce_spark.plans.registry import Registry, signature
 from mapreduce_spark.plans.spec import UNSET, QueryOptions, options_from
 from mapreduce_spark.sources.docs import (
     TABLES,
+    as_docs,
     doc_id_col,
     doc_json_frame,
-    docs_df,
     load_table,
 )
 
@@ -260,6 +261,15 @@ class Engine:
         self.registry = Registry(self.storage_dir)
         self.compact_after = compact_after
         self._defs: dict[str, ViewDef] = {}
+        # resolved-DataFrame caches for the raw source tables.  A
+        # fresh spark.read.parquet launches a footer schema-inference
+        # job every call — one avoidable Spark job PER READ-PATH QUERY
+        # on the include_docs/doc-fetch side (VERDICT r10 #1).  Source
+        # tables are immutable for an engine's lifetime (changes
+        # arrive as DataFrames, never as in-place file edits), so the
+        # resolved plan/file-list snapshot is safe to reuse.
+        self._table_cache: dict[str, DataFrame] = {}
+        self._docs_cache: dict[tuple, DataFrame] = {}
 
     # ------------------------------------------------------------------
     # design docs
@@ -327,7 +337,7 @@ class Engine:
                             "interpreter tier (%s)", ce,
                         )
                 return (table, compile_js_map_fn(src))
-            schema = load_table(self.spark, self.sf_dir, table).schema
+            schema = self._load_table(table).schema
             try:
                 return compile_js_map(src, table, schema)
             except JSCompileError as ce:
@@ -546,6 +556,11 @@ class Engine:
                     F.max(F.when(vw, F.size("value_num_arr")))
                     .alias(f"w{i}")
                 )
+                metrics.append(
+                    F.approx_count_distinct(
+                        F.when(vw, F.col("key_enc"))
+                    ).alias(f"keys{i}")
+                )
             tmp = _tf.mkdtemp(prefix="fused-",
                               dir=self.registry.storage_dir)
             (
@@ -582,6 +597,7 @@ class Engine:
                             int(m[f"w{i}"])
                             if m[f"w{i}"] is not None else -1
                         ),
+                        "keys": int(m[f"keys{i}"] or 0),
                     },
                     counts=None,
                 )
@@ -746,6 +762,10 @@ class Engine:
                 F.max(F.when(vw, F.size("value_num_arr")))
                 .alias(f"w{i}")
             )
+            metrics.append(
+                F.approx_count_distinct(F.when(vw, F.col("key_enc")))
+                .alias(f"keys{i}")
+            )
             n_pred = is_sent if changes is not None else (
                 is_sent & (F.col("value_num") > int(ls))
             )
@@ -865,6 +885,13 @@ class Engine:
                         "rows": prev["rows"]
                         + int(m[f"rows{i}"] or 0) - removed,
                         "sum_w": max(prev["sum_w"], dw),
+                        # additive upper bound (deletes only shrink
+                        # the distinct set); compaction re-observes
+                        # the exact layout and tightens it
+                        "keys": (
+                            prev["keys"] + int(m[f"keys{i}"] or 0)
+                            if prev.get("keys") is not None else None
+                        ),
                     }
                 self.registry.set_view(sig, entry)
                 if len(entry["layers"]) >= self.compact_after:
@@ -966,6 +993,9 @@ class Engine:
                 observed_width=(
                     stats.get("sum_w") if stats is not None else None
                 ),
+                keys_bound=(
+                    stats.get("keys") if stats is not None else None
+                ),
             )
             res = QueryResult(
                 red.select(*REDUCED_RESULT_COLS),
@@ -974,7 +1004,8 @@ class Engine:
                 update_seq=upd_seq,
             )
         else:
-            rows = query_map(view, o)
+            rows_bound = stats.get("rows") if stats is not None else None
+            rows = query_map(view, o, rows_bound=rows_bound)
             keep_ord = "_key_ord" in rows.columns
             if o.include_docs:
                 docs = self._docs_for_join(
@@ -991,6 +1022,12 @@ class Engine:
                 # which is correct at that size)
                 if o.limit is not None and o.limit <= 10_000:
                     prune = "broadcast"
+                elif rows_bound is not None and rows_bound <= 100_000:
+                    # the id set is bounded by the (small) view itself:
+                    # static broadcast skips the AQE measurement
+                    # round-trip; past 100k ids the broadcast fan-out
+                    # cost at cluster scale outweighs it → adaptive
+                    prune = "broadcast"
                 elif o.key is not UNSET or o.keys is not UNSET:
                     prune = "adaptive"
                 else:
@@ -998,9 +1035,14 @@ class Engine:
                 rows = attach_docs(rows, docs, prune=prune)
                 if o.sorted or keep_ord:
                     order = (
-                        ["_key_ord"] if keep_ord else []
+                        [F.col("_key_ord")] if keep_ord else []
                     ) + row_order(o.descending)
-                    rows = rows.orderBy(*order)
+                    # post-join row count ≤ index rows (left join on a
+                    # unique doc id); an applied limit tightens it
+                    b = rows_bound
+                    if o.limit is not None:
+                        b = o.limit if b is None else min(b, o.limit)
+                    rows = fused_sort(rows, order, b)
                 cols = MAP_RESULT_COLS + ["doc_json"]
             else:
                 cols = MAP_RESULT_COLS
@@ -1118,7 +1160,7 @@ class Engine:
         whole table at 100 TB (arithmetic predicates never reach
         PushedFilters)."""
         t = TABLES[vdef.table]
-        df = load_table(self.spark, self.sf_dir, vdef.table)
+        df = self._load_table(vdef.table)
         if since is not None:
             df = df.filter(F.expr(t.seq_expr).cast("long") > since)
             if t.seq_lo_pred:
@@ -1312,6 +1354,7 @@ class Engine:
                 dobs,
                 F.count(F.lit(1)).alias("rows"),
                 F.max(F.size("value_num_arr")).alias("w"),
+                F.approx_count_distinct("key_enc").alias("keys"),
             ).write.mode("overwrite").parquet(delta_path)
             probe = observed(obs)
             if probe is None or not probe["n"]:
@@ -1379,6 +1422,11 @@ class Engine:
                     # max over live pieces; exact width is re-observed
                     # at every compaction (see _compact)
                     "sum_w": max(prev["sum_w"], dw),
+                    # additive distinct-key upper bound (see fused path)
+                    "keys": (
+                        prev["keys"] + int(dm["keys"] or 0)
+                        if prev.get("keys") is not None else None
+                    ),
                 }
             self.registry.set_view(sig, entry)
             if len(entry["layers"]) >= self.compact_after:
@@ -1405,6 +1453,7 @@ class Engine:
                 obs,
                 F.count(F.lit(1)).alias("rows"),
                 F.max(F.size("value_num_arr")).alias("w"),
+                F.approx_count_distinct("key_enc").alias("keys"),
             )
             .sortWithinPartitions("key_enc", "id", "emit_ord")
             .write.mode("overwrite")
@@ -1414,6 +1463,10 @@ class Engine:
         return {
             "rows": int(m["rows"] or 0),
             "sum_w": int(m["w"]) if m["w"] is not None else -1,
+            # HLL distinct-key estimate (±2%): the small-result sort-
+            # fusion gate (operators/query.fused_sort) — an estimate is
+            # fine because it only picks between two correct plans
+            "keys": int(m["keys"] or 0),
         }
 
     # ------------------------------------------------------------------
@@ -1888,14 +1941,32 @@ class Engine:
     # docs join side (J1/J2)
     # ------------------------------------------------------------------
 
+    def _load_table(self, name: str) -> DataFrame:
+        """Cached :func:`load_table` (one footer-inference job per
+        table per engine instead of one per query)."""
+        df = self._table_cache.get(name)
+        if df is None:
+            df = load_table(self.spark, self.sf_dir, name)
+            self._table_cache[name] = df
+        return df
+
     def _docs_for_join(self, tables: list[str],
                        *, conflicts: bool = False,
                        attachments: bool = False) -> DataFrame:
-        """(_id, doc_json) across the tables reachable by this query."""
+        """(_id, doc_json) across the tables reachable by this query.
+
+        Per-table frames are cached (plan reuse, NOT materialization):
+        the doc-fetch side of every include_docs query would otherwise
+        re-run parquet schema inference — a whole Spark job — per
+        query per table."""
         out = None
         for tbl in dict.fromkeys(tables):
-            d = docs_df(self.spark, self.sf_dir, tbl)
-            dj = doc_json_frame(d, conflicts=conflicts,
-                                attachments=attachments)
+            ck = (tbl, conflicts, attachments)
+            dj = self._docs_cache.get(ck)
+            if dj is None:
+                d = as_docs(self._load_table(tbl), tbl)
+                dj = doc_json_frame(d, conflicts=conflicts,
+                                    attachments=attachments)
+                self._docs_cache[ck] = dj
             out = dj if out is None else out.unionByName(dj)
         return out

@@ -34,6 +34,35 @@ from mapreduce_spark.operators.reduce import (
     reduce_custom,
 )
 
+# Small-result sort fusion (VERDICT r10 #1): when registry stats bound
+# the sorted result set at or below this many rows, the global orderBy
+# (a range exchange whose partitioner runs an extra bounds-sampling
+# job) is replaced with a single-partition sortWithinPartitions — one
+# Spark job fewer per query, and one exchange fewer on the reduce path.
+# The bound is a *static upper bound* (view row count for map queries,
+# distinct-key count for grouped reduces), so a view that would be big
+# at 100 TB automatically takes the scalable global-sort plan; only
+# result sets that are provably small enough to sort in one task fuse.
+FUSED_SORT_MAX_ROWS = 1_000_000
+
+
+def fused_sort(rows: DataFrame, order: list[Column],
+               bound: int | None, *, narrow: bool = False) -> DataFrame:
+    """Globally-sorted ``rows`` — fused to one partition when ``bound``
+    (a static upper bound on the row count) is small enough.
+
+    ``narrow=True`` uses ``coalesce(1)`` — correct ONLY when an
+    exchange sits immediately below (the reduce path's final
+    aggregate), where it merges post-shuffle partitions without
+    collapsing upstream scan parallelism.  The default
+    ``repartition(1)`` keeps scans/joins parallel at the cost of the
+    one exchange the global sort needed anyway."""
+    if bound is not None and 0 <= bound <= FUSED_SORT_MAX_ROWS:
+        one = rows.coalesce(1) if narrow else rows.repartition(1)
+        return one.sortWithinPartitions(*order)
+    return rows.orderBy(*order)
+
+
 def asc_order() -> list[Column]:
     return [F.col("key_enc"), F.col("id"), F.col("emit_ord")]
 
@@ -104,21 +133,33 @@ def scan_rows(view: DataFrame, opts: QueryOptions) -> DataFrame:
     return view.filter(pred) if pred is not None else view
 
 
-def query_map(view: DataFrame, opts: QueryOptions) -> DataFrame:
-    """Map-query path: ordered rows with skip/limit applied."""
+def query_map(view: DataFrame, opts: QueryOptions,
+              rows_bound: int | None = None) -> DataFrame:
+    """Map-query path: ordered rows with skip/limit applied.
+
+    ``rows_bound``: static upper bound on the view's row count
+    (registry stats) — enables small-result sort fusion.  Queries with
+    a ``limit`` keep ``orderBy`` so Catalyst plans
+    TakeOrderedAndProject (already a single job)."""
     if opts.keys is not UNSET:
-        rows = _keys_lookup(view, opts.keys, opts.descending)
+        rows = _keys_lookup(view, opts.keys, opts.descending,
+                            rows_bound if opts.limit is None else None)
     else:
         rows = scan_rows(view, opts)
         if opts.sorted:
-            rows = rows.orderBy(*row_order(opts.descending))
+            order = row_order(opts.descending)
+            if opts.limit is None:
+                rows = fused_sort(rows, order, rows_bound)
+            else:
+                rows = rows.orderBy(*order)
         # sorted=False: storage order — no global Sort/TakeOrdered in
         # the plan; skip/limit slice an unspecified (but filtered)
         # subset, CouchDB parity for its performance escape hatch
     return _paginate(rows, opts)
 
 
-def _keys_lookup(view: DataFrame, keys: list, descending: bool) -> DataFrame:
+def _keys_lookup(view: DataFrame, keys: list, descending: bool,
+                 rows_bound: int | None = None) -> DataFrame:
     """Multi-key fetch preserving request order & duplicates (P5).
 
     Two-step shape so the point lookups stay index-like at scale:
@@ -157,7 +198,7 @@ def _keys_lookup(view: DataFrame, keys: list, descending: bool) -> DataFrame:
     order = [F.col("_key_ord")] + row_order(descending)
     # _key_ord is kept so callers can re-establish request order after a
     # doc join; the engine's final column selection drops it.
-    return rows.orderBy(*order)
+    return fused_sort(rows, order, rows_bound)
 
 
 def _paginate(rows: DataFrame, opts: QueryOptions) -> DataFrame:
@@ -172,6 +213,7 @@ def query_reduced(
     view: DataFrame, opts: QueryOptions, reduce_def: Any,
     value_hint: tuple | None = None,
     observed_width: int | None = None,
+    keys_bound: int | None = None,
 ) -> DataFrame:
     """Reduce-query path: filter → group/global reduce → order → slice.
 
@@ -201,9 +243,21 @@ def query_reduced(
             value_hint=value_hint,
             observed_width=observed_width,
         )
-    red = red.orderBy(
+    order = [
         F.col("gk_enc").desc() if opts.descending else F.col("gk_enc")
-    )
+    ]
+    # grouped output is bounded by the view's distinct-key count
+    # (group_level truncation only merges groups); a global reduce is
+    # exactly one row.  ``narrow=True``: the coalesce(1) sits directly
+    # above the aggregation exchange, so map-side partial aggregation
+    # and scan parallelism are untouched — only the (tiny) final
+    # aggregate + sort run single-task, dropping the sort's range
+    # exchange AND its bounds-sampling job from the plan.
+    bound = keys_bound if opts.is_grouped else 1
+    if opts.limit is None:
+        red = fused_sort(red, order, bound, narrow=True)
+    else:
+        red = red.orderBy(*order)
     return _paginate(red, opts).drop("gk_enc")
 
 
@@ -240,7 +294,11 @@ def _keys_reduced(view: DataFrame, opts: QueryOptions, reduce_def: Any,
     # order given regardless of descending (matching _keys_lookup)
     out = red.join(
         F.broadcast(keys_df), red["gk_enc"] == keys_df["_key_enc"]
-    ).orderBy(F.col("_key_ord"))
+    )
+    # ≤ len(keys) result rows by construction: always fused.  narrow —
+    # the coalesce(1) collapses only the broadcast join + final
+    # aggregate above the agg exchange into one task.
+    out = fused_sort(out, [F.col("_key_ord")], len(pairs), narrow=True)
     return _paginate(out, opts).drop("gk_enc", "_key_enc", "_key_ord")
 
 
@@ -270,9 +328,16 @@ def attach_docs(rows: DataFrame, docs: DataFrame,
     join_key = F.coalesce(F.col("value_link_id"), F.col("id"))
     rows = rows.withColumn("_doc_key", join_key)
     if prune != "none":
-        need = rows.select(F.col("_doc_key").alias("_id")).distinct()
+        need = rows.select(F.col("_doc_key").alias("_id"))
         if prune == "broadcast":
+            # no .distinct(): the semi join dedups anyway, and the
+            # build side is statically bounded small — dropping the
+            # distinct removes one exchange (and its Spark job)
             need = F.broadcast(need)
+        else:
+            # adaptive: the distinct shrinks the shuffle AQE measures
+            # to decide broadcast-vs-shuffled semi at runtime
+            need = need.distinct()
         docs = docs.join(need, "_id", "left_semi")
     out = rows.join(docs, rows["_doc_key"] == docs["_id"], "left")
     return out.drop("_doc_key", "_id")
