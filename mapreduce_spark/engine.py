@@ -261,15 +261,6 @@ class Engine:
         self.registry = Registry(self.storage_dir)
         self.compact_after = compact_after
         self._defs: dict[str, ViewDef] = {}
-        # resolved-DataFrame caches for the raw source tables.  A
-        # fresh spark.read.parquet launches a footer schema-inference
-        # job every call — one avoidable Spark job PER READ-PATH QUERY
-        # on the include_docs/doc-fetch side (VERDICT r10 #1).  Source
-        # tables are immutable for an engine's lifetime (changes
-        # arrive as DataFrames, never as in-place file edits), so the
-        # resolved plan/file-list snapshot is safe to reuse.
-        self._table_cache: dict[str, DataFrame] = {}
-        self._docs_cache: dict[tuple, DataFrame] = {}
 
     # ------------------------------------------------------------------
     # design docs
@@ -1942,31 +1933,25 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _load_table(self, name: str) -> DataFrame:
-        """Cached :func:`load_table` (one footer-inference job per
-        table per engine instead of one per query)."""
-        df = self._table_cache.get(name)
-        if df is None:
-            df = load_table(self.spark, self.sf_dir, name)
-            self._table_cache[name] = df
-        return df
+        """A fresh read of the raw table — cheap per query because
+        :func:`load_table` caches the footer SCHEMA per path (the
+        part that costs a Spark job) while re-listing files, so
+        appended changes-feed batches stay visible."""
+        return load_table(self.spark, self.sf_dir, name)
 
     def _docs_for_join(self, tables: list[str],
                        *, conflicts: bool = False,
                        attachments: bool = False) -> DataFrame:
         """(_id, doc_json) across the tables reachable by this query.
 
-        Per-table frames are cached (plan reuse, NOT materialization):
-        the doc-fetch side of every include_docs query would otherwise
-        re-run parquet schema inference — a whole Spark job — per
-        query per table."""
+        Rebuilt per query (driver-side plan construction, zero jobs —
+        the schema cache in ``load_table`` removes the per-query
+        footer-inference job) so appended source batches are never
+        served stale."""
         out = None
         for tbl in dict.fromkeys(tables):
-            ck = (tbl, conflicts, attachments)
-            dj = self._docs_cache.get(ck)
-            if dj is None:
-                d = as_docs(self._load_table(tbl), tbl)
-                dj = doc_json_frame(d, conflicts=conflicts,
-                                    attachments=attachments)
-                self._docs_cache[ck] = dj
+            d = as_docs(self._load_table(tbl), tbl)
+            dj = doc_json_frame(d, conflicts=conflicts,
+                                attachments=attachments)
             out = dj if out is None else out.unionByName(dj)
         return out

@@ -26,6 +26,9 @@ Two paths:
 from __future__ import annotations
 
 import hashlib
+import json
+import os
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -380,13 +383,90 @@ def ivf_index(emb: DataFrame, n_cells: int | None = None,
     return _assign_cells(nd, cents), cents
 
 
+class _QRow(NamedTuple):
+    vid: int
+    nv: list
+
+
+def _normalize_query_vectors(
+    query_vectors: dict[int, list[float]],
+) -> list[_QRow]:
+    """Driver-side L2 normalization of caller-supplied query vectors
+    (bounded query set — numpy on the driver, zero Spark jobs)."""
+    out = []
+    for qid, v in query_vectors.items():
+        a = np.asarray(v, dtype=np.float64)
+        # same epsilon-clamped norm as normalized_vectors (bit parity
+        # with a corpus-resident copy of the same vector)
+        n = max(float(np.linalg.norm(a)), 1e-12)
+        out.append(_QRow(int(qid), [float(x) for x in a / n]))
+    return out
+
+
+class IVFIndex(NamedTuple):
+    """A persisted IVF index bundle (see :func:`write_ivf_index`).
+
+    ``cells``: (vid, nv, cell) read from the cell-partitioned store —
+    the probe filter prunes its partitions.  ``vids``: the same (vid,
+    nv) pairs re-read from a vid-range-partitioned, vid-sorted sidecar
+    — a ``vid IN (…)`` point lookup prunes to O(queries) row groups
+    via parquet min/max stats instead of scanning the corpus (the
+    round-10 weak edge: fetching ~5 query vectors through the
+    cell-partitioned store read every partition's vid/nv columns).
+    ``centroids``: the √N×dim driver-side list."""
+
+    cells: DataFrame
+    vids: DataFrame
+    centroids: list
+
+
+def write_ivf_index(index: DataFrame, centroids: list,
+                    path: str) -> None:
+    """Persist an :func:`ivf_index` result as a self-contained bundle:
+
+    - ``cells/``  — partitionBy("cell"): query batches read only their
+      probed cells (static partition pruning);
+    - ``vids/``   — (vid, nv) range-partitioned and sorted by vid:
+      query-vector point lookups read only the matching row groups;
+    - ``centroids.json`` — the driver-side centroid list.
+
+    The sidecar doubles the index footprint's (vid, nv) columns —
+    ~8·dim bytes/vector — which is the classic space-for-IO trade: it
+    converts the per-batch query fetch from O(corpus) to O(queries)."""
+    index.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "cells")
+    )
+    (
+        index.select("vid", "nv")
+        .repartitionByRange("vid")
+        .sortWithinPartitions("vid")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "vids"))
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def read_ivf_index(spark, path: str) -> IVFIndex:
+    """Re-open a :func:`write_ivf_index` bundle."""
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = json.load(f)
+    return IVFIndex(
+        cells=spark.read.parquet(os.path.join(path, "cells")),
+        vids=spark.read.parquet(os.path.join(path, "vids")),
+        centroids=cents,
+    )
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
              n_cells: int | None = None, nprobe: int | None = None,
              id_col: str = "vec_id",
              vec_col: str = "embedding",
              nd: DataFrame | None = None,
-             index: DataFrame | None = None,
-             centroids: list[list[float]] | None = None) -> DataFrame:
+             index: DataFrame | IVFIndex | None = None,
+             centroids: list[list[float]] | None = None,
+             query_vectors: dict[int, list[float]] | None = None,
+             ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per
     query, rerank candidates exactly.  Scans corpus·nprobe/n_cells.
 
@@ -406,20 +486,48 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
     assignment; with the index persisted ``partitionBy("cell")``,
     the static probe-cell filter below prunes partitions and the
     query reads only the probed cells.  This is the amortized path a
-    repeated-query workload must use at scale."""
+    repeated-query workload must use at scale.
+
+    Query-vector sources for the amortized path, in preference order
+    (round 11 — making the path scan-free end to end):
+
+    - ``query_vectors={qid: raw_vector}`` — the natural API: queries
+      usually don't live in the corpus at query time.  Normalized
+      driver-side; ZERO fetch jobs.
+    - ``index`` as an :class:`IVFIndex` (``read_ivf_index``) — the
+      ``vids`` sidecar is vid-sorted/range-partitioned, so the
+      ``vid IN (…)`` lookup reads only the matching row groups.
+    - ``index`` as a bare cells DataFrame — legacy fallback; the vid
+      lookup cannot prune a cell-partitioned layout and reads every
+      partition's (vid, nv) columns.  Fine inline, wrong at scale —
+      pass an ``IVFIndex`` or ``query_vectors`` instead."""
     if index is not None:
-        if centroids is None:
+        if isinstance(index, IVFIndex):
+            cents = index.centroids if centroids is None else centroids
+            lookup = index.vids
+            assigned = index.cells
+        else:
+            if centroids is None and query_vectors is None:
+                raise ValueError(
+                    "ivf_topk(index=…) needs the matching centroids "
+                    "list"
+                )
+            cents = centroids
+            lookup = index
+            assigned = index
+        if cents is None:
             raise ValueError(
                 "ivf_topk(index=…) needs the matching centroids list"
             )
-        cents = centroids
         n_cells = len(cents)
         if nprobe is None:
             nprobe = max(4, n_cells // 4)
-        assigned = index
-        qrows = index.filter(
-            F.col("vid").isin(query_ids)
-        ).select("vid", "nv").collect()
+        if query_vectors is not None:
+            qrows = _normalize_query_vectors(query_vectors)
+        else:
+            qrows = lookup.filter(
+                F.col("vid").isin(query_ids)
+            ).select("vid", "nv").collect()
     else:
         if n_cells is None or nprobe is None:
             n = emb.count()
@@ -441,7 +549,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
         v = np.array(r.nv)
         order = np.argsort(-(C @ v))
         probes += [(int(r.vid), int(c)) for c in order[:nprobe]]
-    spark = emb.sparkSession
+    spark = (emb if emb is not None else assigned).sparkSession
     # all-literal inline tables (LocalTableScan — no Python RDD scan
     # and no job to build each broadcast side)
     probe_df = spark.range(1).select(

@@ -308,6 +308,11 @@ def _p_escape(pattern: str, i: int, in_class: bool,
         body = _ranges_body(_invert_ranges(rs) if negated else rs)
         return body, k + 1
     body = _ranges_body(rs)
+    if not body:
+        # an empty expansion (e.g. \P{Any}) is VALID never-matching
+        # JS — emit a guaranteed-empty construct instead of the
+        # un-compilable '[]' / '[^]'
+        return ("[\\s\\S]" if negated else "(?!)"), k + 1
     return (f"[^{body}]" if negated else f"[{body}]"), k + 1
 
 _HEX = set("0123456789abcdefABCDEF")
@@ -417,6 +422,7 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
     out: list[str] = []
     i, n = 0, len(pattern)
     in_class = False
+    class_start = 0
     while i < n:
         c = pattern[i]
         if c == "\\":
@@ -485,6 +491,17 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
         if in_class:
             if c == "]":
                 in_class = False
+                # a class whose every member expanded to the empty
+                # set (e.g. [\P{Any}]) is valid never-matching JS but
+                # would render as the un-compilable '[]' — substitute
+                # the guaranteed-empty/guaranteed-full constructs
+                body = "".join(out[class_start + 1:])
+                neg = body.startswith("^")
+                if not body[1 if neg else 0:]:
+                    del out[class_start:]
+                    out.append("[\\s\\S]" if neg else "(?!)")
+                    i += 1
+                    continue
             out.append(c)
             i += 1
             continue
@@ -498,6 +515,7 @@ def translate(pattern: str, flags: str) -> tuple[str, int]:
                 i += 3
                 continue
             in_class = True
+            class_start = len(out)
             out.append(c)
             i += 1
             continue
@@ -684,7 +702,8 @@ class JSRegExp:
             if m is None:
                 return None
             return JSMatchArray(
-                _groups_list(m, undef), float(m.start()), s
+                _groups_list(m, undef), float(m.start()), s,
+                _indices_list(m, undef) if self.has_indices else None,
             )
         self.last_index = 0.0
         out: list[str] = []

@@ -169,6 +169,17 @@ TABLES: dict[str, DocTable] = {
 }
 
 
+# (path → parquet footer schema) — schema inference is a whole Spark
+# job per spark.read.parquet call; one inference per table path per
+# process is enough.  Only the SCHEMA is cached, never the file list:
+# raw sources are append-only changes feeds (tests and real CouchDB
+# exports append new part files), so every read re-lists the
+# directory (driver-side, no job) and new batches stay visible.
+# Appended batches carry the table's schema by construction — the
+# uncached read infers from one footer and would behave identically.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Raw typed table (filters/pruning push into parquet).
 
@@ -190,6 +201,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         found = table_path(sf_dir, name)
         if found is not None:
             return load_formatted(spark, found[0], found[1], name)
+    cached = _SCHEMA_CACHE.get(path)
     if t and t.ns_timestamp_cols:
         # batch reads resolve the footer schema eagerly, so the conf
         # is only needed inside this scope; execution captures it in
@@ -197,9 +209,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # columns — generators that write micros/ntz come through as real
         # timestamps, so convert adaptively per actual column type.
         with nanos_as_long(spark):
-            df = spark.read.parquet(path)
+            if cached is not None:
+                df = spark.read.schema(cached).parquet(path)
+            else:
+                df = spark.read.parquet(path)
+                _SCHEMA_CACHE[path] = df.schema
         return ts_to_micros(df, name)
-    return spark.read.parquet(path)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = df.schema
+    return df
 
 
 def ts_to_micros(df: DataFrame, table: str) -> DataFrame:

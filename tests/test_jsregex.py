@@ -751,3 +751,25 @@ def test_d_flag_indices_round10():
     assert ev(r"/(?<=a)b/d.exec('ab').indices[0]") == [1, 2]
     # matchAll results carry indices too
     assert ev(r"'a1b2'.matchAll(/\d/dg)[1].indices[0]") == [3, 4]
+    # String.prototype.match with a NON-global d regex (ADVICE r10):
+    # one RegExpExec, so the result carries indices exactly like exec
+    assert ev(r"'a12'.match(/(\d+)/d).indices[0]") == [1, 3]
+    assert ev(r"'a12'.match(/(\d+)/d).indices[1]") == [1, 3]
+    assert ev(r"'a12'.match(/(\d+)/).indices") is None
+    # ... and the non-global STICKY path (delegates to exec)
+    assert ev(r"'12a'.match(/(\d+)/dy).indices[1]") == [0, 2]
+
+
+def test_empty_property_class_round11():
+    """A property class that expands to the empty set is VALID
+    never-matching JS (ADVICE r10 low): [\\P{Any}] must compile and
+    match nothing; [^\\P{Any}] matches everything; members beside the
+    empty expansion behave as their union."""
+    assert ev(r"/[\P{Any}]/u.test('x')") is False
+    assert ev(r"/[\P{Any}]/u.test('\u0000')") is False
+    assert ev(r"/[^\P{Any}]/u.test('x')") is True
+    assert ev(r"/[\P{Any}x]/u.test('x')") is True
+    assert ev(r"/[\P{Any}x]/u.test('y')") is False
+    # outside a class: \P{Any} never matches, \p{Any} always does
+    assert ev(r"/\P{Any}/u.test('x')") is False
+    assert ev(r"/\p{Any}/u.test('x')") is True
