@@ -171,11 +171,29 @@ class _Parser:
         self._idx: tuple[str, str, int] | None = None
         # inside a compiled for-in body: (key_var, field, serial)
         self._inkey: tuple[str, str, int] | None = None
+        # inside Object.entries(doc.f).forEach(function (e) {…}):
+        # (pair_var, field, serial) — e[0] is the key, e[1] the value
+        self._entry: tuple[str, str, int] | None = None
+        # single-assignment local aliases (round 11): `var v = expr;`
+        # binds v to the parsed expression node; later uses substitute
+        # it (sound: subset expressions are pure).  Block-scoped
+        # conservatively — a var bound inside an if-arm or loop body
+        # is forgotten at the block's end, so the conditionally-
+        # assigned / out-of-explode-scope cases fall to the
+        # interpreter instead of compiling wrong.
+        self._aliases: dict[str, Any] = {}
         self._foreach_serial = 0
 
     def _in_loop(self) -> bool:
         return (self._elem is not None or self._idx is not None
-                or self._inkey is not None)
+                or self._inkey is not None or self._entry is not None)
+
+    def _bound_names(self) -> set[str]:
+        out = set(self._aliases)
+        for b in (self._elem, self._idx, self._inkey, self._entry):
+            if b is not None:
+                out.add(b[0])
+        return out
 
     # -- token helpers --------------------------------------------------
     def _peek(self) -> tuple[str, str, int]:
@@ -221,10 +239,58 @@ class _Parser:
         while not self._eat(end):
             self._stmt(emits, guards)
 
+    def _scoped_stmts(self, emits: list, guards: list,
+                      end: str) -> None:
+        """Block body: aliases declared inside are forgotten at the
+        end (see ``_aliases``)."""
+        saved = dict(self._aliases)
+        try:
+            self._stmts(emits, guards, end)
+        finally:
+            self._aliases = saved
+
+    def _scoped_stmt(self, emits: list, guards: list) -> None:
+        saved = dict(self._aliases)
+        try:
+            self._stmt(emits, guards)
+        finally:
+            self._aliases = saved
+
     def _stmt(self, emits: list, guards: list) -> None:
         if self._eat(";"):
             return
         kind, tok, off = self._peek()
+        if tok in ("var", "let", "const"):
+            # single-assignment local alias(es): `var v = expr, w = …;`
+            # — substitution is sound because subset expressions are
+            # pure; anything mutated later fails compile (a bare
+            # `v = …` statement is outside the grammar) and runs on
+            # the interpreter
+            self._next()
+            while True:
+                k2, name, o2 = self._next()
+                if k2 != "ident" or name in ("doc", "emit", "log"):
+                    raise JSCompileError(
+                        f"unsupported declaration target at offset "
+                        f"{o2}"
+                    )
+                if name in self._bound_names():
+                    raise JSCompileError(
+                        f"redeclaration of {name!r} at offset {o2} is "
+                        "outside the compiled subset; the interpreter "
+                        "tier runs it"
+                    )
+                if not self._eat("="):
+                    raise JSCompileError(
+                        f"uninitialized declaration of {name!r} is "
+                        "outside the compiled subset (undefined-until-"
+                        "assigned); the interpreter tier runs it"
+                    )
+                self._aliases[name] = self._expr()
+                if not self._eat(","):
+                    break
+            self._eat(";")
+            return
         if tok == "emit":
             self._next()
             self._expect("(")
@@ -241,17 +307,17 @@ class _Parser:
             self._expect(")")
             inner = guards + [cond]
             if self._eat("{"):
-                self._stmts(emits, inner, end="}")
+                self._scoped_stmts(emits, inner, end="}")
             else:
-                self._stmt(emits, inner)
+                self._scoped_stmt(emits, inner)
             if self._eat("else"):
                 # else ≡ the negated guard; an `else if` chain recurses
                 # through this same statement handler naturally
                 neg = guards + [("not", cond)]
                 if self._eat("{"):
-                    self._stmts(emits, neg, end="}")
+                    self._scoped_stmts(emits, neg, end="}")
                 else:
-                    self._stmt(emits, neg)
+                    self._scoped_stmt(emits, neg)
             return
         if tok == "log":
             # upstream sandbox global (F1): debugging output, no
@@ -313,7 +379,7 @@ class _Parser:
             self._foreach_serial += 1
             self._elem = (params[0], field, serial)
             try:
-                self._stmts(
+                self._scoped_stmts(
                     emits,
                     guards + [("foreach", field, serial)],
                     end="}",
@@ -335,11 +401,12 @@ class _Parser:
             self._next()
             self._expect(".")
             _k2, m, moff = self._next()
-            if m != "keys" or not self._eat("("):
+            if m not in ("keys", "entries") or not self._eat("("):
                 raise JSCompileError(
                     f"statement-level Object.{m} at offset {moff} is "
-                    "outside the compiled subset (only Object.keys("
-                    "doc.<f>).forEach(function (k) {…}) compiles)"
+                    "outside the compiled subset (only Object.keys/"
+                    "Object.entries(doc.<f>).forEach(function (…) "
+                    "{…}) compile)"
                 )
             _k3, d, o3 = self._next()
             if d != "doc":
@@ -373,33 +440,62 @@ class _Parser:
             if self._peek()[0] == "ident" and not self._at("("):
                 self._next()  # optional callback name
             self._expect("(")
-            params = []
-            while not self._eat(")"):
-                k5, p, _o5 = self._next()
-                if k5 == "ident":
-                    params.append(p)
-                self._eat(",")
-            if len(params) != 1:
-                raise JSCompileError(
-                    "Object.keys().forEach callbacks with index/array "
-                    "parameters are outside the compiled subset"
-                )
-            self._expect("{")
             serial = self._foreach_serial
             self._foreach_serial += 1
-            self._inkey = (params[0], field, serial)
+            entry_alias = None
+            if m == "entries" and self._at("["):
+                # destructured pair: function ([k, v]) {…} — k is the
+                # object-entry key, v the value (an alias on the
+                # existing elem node; same lowering as doc.f[k])
+                self.i += 1
+                k5, kn, o5 = self._next()
+                self._expect(",")
+                k6, vn, o6 = self._next()
+                self._expect("]")
+                self._expect(")")
+                if (k5 != "ident" or k6 != "ident" or kn == vn
+                        or {kn, vn} & {"doc", "emit", "log"}):
+                    raise JSCompileError(
+                        f"unsupported entries destructuring at offset "
+                        f"{o5}"
+                    )
+                self._inkey = (kn, field, serial)
+                entry_alias = vn
+            else:
+                params = []
+                while not self._eat(")"):
+                    k5, p, _o5 = self._next()
+                    if k5 == "ident":
+                        params.append(p)
+                    self._eat(",")
+                if len(params) != 1:
+                    raise JSCompileError(
+                        f"Object.{m}().forEach callbacks with index/"
+                        "array parameters are outside the compiled "
+                        "subset"
+                    )
+                if m == "entries":
+                    self._entry = (params[0], field, serial)
+                else:
+                    self._inkey = (params[0], field, serial)
+            self._expect("{")
+            saved_alias = dict(self._aliases)
+            if entry_alias is not None:
+                self._aliases[entry_alias] = ("elem", field)
             try:
                 self._stmts(
                     emits,
-                    # 'throw' tag: Object.keys(null) THROWS (tryMap
-                    # doc skip) where bare for-in iterates zero
-                    # times — same compiled rows, but the Python
+                    # 'throw' tag: Object.keys/entries(null) THROWS
+                    # (tryMap doc skip) where bare for-in iterates
+                    # zero times — same compiled rows, but the Python
                     # mark executor honors the distinction
                     guards + [("forin", field, serial, "throw")],
                     end="}",
                 )
             finally:
                 self._inkey = None
+                self._entry = None
+                self._aliases = saved_alias
             self._expect(")")
             self._eat(";")
             return
@@ -460,7 +556,7 @@ class _Parser:
             self._foreach_serial += 1
             self._inkey = (ivar, field, serial)
             try:
-                self._stmts(
+                self._scoped_stmts(
                     emits, guards + [("forin", field, serial)],
                     end="}",
                 )
@@ -529,7 +625,7 @@ class _Parser:
         self._foreach_serial += 1
         self._idx = (ivar, field, serial)
         try:
-            self._stmts(
+            self._scoped_stmts(
                 emits, guards + [("forloop", field, serial)], end="}"
             )
         finally:
@@ -655,6 +751,32 @@ class _Parser:
             if self._inkey is not None and tok == self._inkey[0]:
                 # for-in loop variable: the object-entry key string
                 return ("ekey",)
+            if self._entry is not None and tok == self._entry[0]:
+                # Object.entries pair param: only e[0] (key) and e[1]
+                # (value) are in the subset — the bare pair (an array
+                # value) would need a compiled 2-element array of
+                # mixed provenance, which no ddoc in the corpus uses
+                if not self._at("["):
+                    raise JSCompileError(
+                        f"bare use of the entries pair "
+                        f"{self._entry[0]!r} is outside the compiled "
+                        "subset (only [0]/[1] indexing); the "
+                        "interpreter tier runs it"
+                    )
+                self.i += 1
+                k2, idx, o2 = self._next()
+                if k2 != "num" or float(idx) not in (0.0, 1.0):
+                    raise JSCompileError(
+                        f"entries pair index at offset {o2} must be "
+                        "the literal 0 or 1; the interpreter tier "
+                        "runs it"
+                    )
+                self._expect("]")
+                return (("ekey",) if float(idx) == 0.0
+                        else ("elem", self._entry[1]))
+            if tok in self._aliases:
+                # single-assignment local: substitute the bound node
+                return self._aliases[tok]
             if tok == "doc":
                 parts = self._field_path(off)
                 if (

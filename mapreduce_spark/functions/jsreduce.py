@@ -268,11 +268,24 @@ class _Parser:
         if self._peek()[0] == "ident":
             fname = self._next()[1]
         self._expect("(")
-        params: list[str] = []
+        params: list = []
         while not self._eat(")"):
             k2, t2, o2 = self._next()
             if k2 == "ident":
                 params.append(t2)
+            elif t2 == "[":
+                # array-destructured parameter: function ([k, v]) {…}
+                names: list[str] = []
+                while not self._eat("]"):
+                    k3, t3, o3 = self._next()
+                    if k3 == "ident":
+                        names.append(t3)
+                    elif t3 != ",":
+                        raise JSReduceError(
+                            f"unexpected {t3!r} in destructuring "
+                            f"pattern at {o3}"
+                        )
+                params.append(("destructure", names))
             elif t2 != ",":
                 raise JSReduceError(
                     f"unexpected {t2!r} in parameter list at {o2}"
@@ -1439,9 +1452,25 @@ def _call(fn: Any, args: list) -> Any:
         return fn(args)
     if isinstance(fn, tuple) and fn[:1] == ("__closure__",):
         _, params, body, captured = fn
-        local: dict = {p: _UNDEF for p in params}
+        local: dict = {}
+        for p in params:
+            if isinstance(p, tuple) and p[0] == "destructure":
+                for n in p[1]:
+                    local[n] = _UNDEF
+            else:
+                local[p] = _UNDEF
         for p, a in zip(params, args):
-            local[p] = a
+            if isinstance(p, tuple) and p[0] == "destructure":
+                # JS array destructuring: null/undefined/non-iterable
+                # arguments throw a TypeError
+                if not isinstance(a, (list, str)):
+                    raise JSRuntimeThrow(
+                        "cannot destructure a non-iterable argument"
+                    )
+                for j, n in enumerate(p[1]):
+                    local[n] = a[j] if j < len(a) else _UNDEF
+            else:
+                local[p] = a
         local.setdefault("arguments", list(args))
         try:
             _exec_block(body, _Scope(local, captured))
@@ -1513,7 +1542,7 @@ def _call(fn: Any, args: list) -> Any:
                 return _json.loads(_js_str(args[0]) if args else "")
             except ValueError:
                 raise JSRuntimeThrow("JSON.parse: invalid JSON")
-        if name in ("Object.keys", "Object.values"):
+        if name in ("Object.keys", "Object.values", "Object.entries"):
             # ES2015 ToObject coercion: arrays/strings yield index
             # keys, other primitives yield [] — only null/undefined
             # throw
@@ -1532,7 +1561,11 @@ def _call(fn: Any, args: list) -> Any:
                 raise JSRuntimeThrow(f"{name} on null/undefined")
             else:
                 ks, vs = [], []
-            return ks if name == "Object.keys" else vs
+            if name == "Object.keys":
+                return ks
+            if name == "Object.values":
+                return vs
+            return [[k, v] for k, v in zip(ks, vs)]
         if name == "Date.parse":
             a = args[0] if args else _UNDEF
             return (parse_date(a) if isinstance(a, str)

@@ -18,7 +18,7 @@ This module implements a faithful JS-regex subset on top of Python
   ``re.ASCII`` so ``\\b``/``\\B`` use the [A-Za-z0-9_] word set —
   ECMAScript's definition.  Constructs whose semantics the engine
   cannot reproduce raise loud :class:`JSReduceError`
-  (the ``v`` flag, Script_Extensions, ``\\cX``) — a compile
+  (the ``v`` flag's class set operations, ``\\cX``) — a compile
   miss must never silently mis-match.  The ``u`` flag is supported
   since round 8 (see ``translate``): Python is code-point native, so
   u-mode's unit-vs-code-point semantics are what this module already
@@ -26,7 +26,9 @@ This module implements a faithful JS-regex subset on top of Python
   combining, u-mode escape strictness, and ``\\p{…}``/``\\P{…}``
   property classes — General_Category from the stdlib Unicode
   table, ``Script=`` for 28 major scripts from the generated JDK
-  table (round 10, ``_script_ranges.py``); negated sets inside
+  table (round 10, ``_script_ranges.py``), ``Script_Extensions=``
+  for the same scripts from the generated ``regex``-package UCD
+  table (round 11, ``_scx_ranges.py``); negated sets inside
   character classes expand via complement ranges
   (:func:`_invert_ranges`).
 - **Sticky ``y`` flag** (round 8): spec RegExpBuiltinExec anchors the
@@ -211,15 +213,21 @@ def _prop_ranges(name: str) -> tuple:
     White_Space / ASCII_Hex_Digit / Hex_Digit; and ``Script=`` /
     ``sc=`` for the 28 major scripts in the generated
     ``_script_ranges`` table (JDK UnicodeScript data — see
-    tools/gen_script_ranges.py).  Script names match ECMAScript's
-    case-sensitive canonical forms (long name or ISO 15924 alias:
-    ``Han``/``Hani``, ``Latin``/``Latn``).  Script_Extensions and the
-    remaining binary properties (Alphabetic, ID_Start, …) need UCD
-    tables this engine does not carry — loud, never approximated."""
+    tools/gen_script_ranges.py); ``Script_Extensions=`` / ``scx=``
+    for the same scripts via the generated ``_scx_ranges`` table
+    (``regex``-package UCD data — tools/gen_scx_ranges.py).  Script
+    names match ECMAScript's case-sensitive canonical forms (long
+    name or ISO 15924 alias: ``Han``/``Hani``, ``Latin``/``Latn``).
+    The remaining binary properties (Alphabetic, ID_Start, …) need
+    UCD tables this engine does not carry — loud, never
+    approximated."""
     prop = name
-    if prop.startswith(("Script=", "sc=")):
+    if prop.startswith(
+        ("Script=", "sc=", "Script_Extensions=", "scx=")
+    ):
         from mapreduce_spark.functions import _script_ranges as S
 
+        ext = prop.startswith(("Script_Extensions=", "scx="))
         val = prop.split("=", 1)[1]
         # ECMAScript property values are case-sensitive canonical
         # names; our table keys are the UPPERCASE long names, so the
@@ -230,17 +238,20 @@ def _prop_ranges(name: str) -> tuple:
             al.title() for al, lng in S.ALIASES.items() if lng == canon
         }
         if canon not in S.RANGES or val not in canonical_spellings:
+            kind = "Script_Extensions" if ext else "Script"
             raise JSReduceError(
                 f"\\p{{{name}}}: script {val!r} is outside the "
-                "generated table (28 major scripts; names are "
-                "case-sensitive canonical forms, e.g. Script=Han)"
+                f"generated {kind} table (28 major scripts; names "
+                "are case-sensitive canonical forms, e.g. "
+                "Script=Han)"
             )
+        if ext:
+            # round 11: scx ranges generated from the `regex`
+            # package's UCD tables (tools/gen_scx_ranges.py)
+            from mapreduce_spark.functions import _scx_ranges as X
+
+            return tuple(X.SCX_RANGES[canon])
         return tuple(S.RANGES[canon])
-    if prop.startswith(("Script_Extensions=", "scx=")):
-        raise JSReduceError(
-            f"\\p{{{name}}}: Script_Extensions needs the scx UCD "
-            "table this engine does not carry — use Script="
-        )
     if prop.startswith("General_Category="):
         prop = prop[len("General_Category="):]
     elif prop.startswith("gc="):

@@ -300,9 +300,13 @@ def _raw_source_env(spark: SparkSession, sf_dir: str) -> "Engine":
     # subset grammar — the arbitrary-JS witness), by_lang_c the
     # VARIANT-COMPILED tier (functions/jsvariant.py: pure-JVM build,
     # the 100 TB raw-source path)
-    # regex idiom (round-7: functions/jsregex.py) + `var` keep this
-    # source on the statement interpreter; semantics ≡ `l !== 'en'`
+    # the alias MUTATION keeps this source on the statement
+    # interpreter (round 11 compiles single-assignment `var`, so the
+    # old bare-var witness would now compile); the guard is
+    # vacuously false on the fixture (lang is never null), so the
+    # semantics stay ≡ `l !== 'en'`
     js_interp = ("function(doc){ var l = doc.lang; "
+                 "if (doc.lang === null) { l = 'none'; } "
                  "if (!/^en$/.test(l)) { emit(l, doc.n_chars); } }")
     js_compiled = ("function(doc){ if (doc.lang !== 'en') "
                    "{ emit(doc.lang, doc.n_chars); } }")

@@ -642,8 +642,8 @@ def test_script_properties_round10():
         translate(r"\p{Script=han}", "u")  # wrong case: loud
     with pytest.raises(JSReduceError):
         translate(r"\p{Script=Cherokee}", "u")  # outside the table
-    with pytest.raises(JSReduceError):
-        translate(r"\p{scx=Han}", "u")  # Script_Extensions: loud
+    # scx= resolves since round 11 — see test_script_extensions_round11
+    assert ev(r"/\p{scx=Han}/u.test('中')") is True
     with pytest.raises(JSReduceError):
         translate(r"\p{Script=Han}", "")  # \p without u: identity
 
@@ -698,6 +698,64 @@ def test_script_ranges_fuzz_round10():
             assert ch in hira, hex(ord(ch))
         if nm.startswith("HANGUL SYLLABLE"):
             assert ch in hang, hex(ord(ch))
+
+
+def test_script_extensions_round11():
+    """\\p{Script_Extensions=…}/\\p{scx=…} (round 11, VERDICT r10
+    #6) over the generated `regex`-package UCD table.  Expected
+    values are real ECMAScript answers: scx ⊇ sc, and the shared
+    punctuation/marks carry the extension sets sc= misses."""
+    # U+30FC PROLONGED SOUND MARK: sc=Common, scx={Hira, Kana}
+    assert ev(r"/\p{scx=Hiragana}/u.test('ー')") is True
+    assert ev(r"/\p{scx=Katakana}/u.test('ー')") is True
+    assert ev(r"/\p{Script=Hiragana}/u.test('ー')") is False
+    assert ev(r"/\p{Script_Extensions=Hiragana}/u.test('ー')") is True
+    # U+0964 DEVANAGARI DANDA is shared across the Indic scripts
+    assert ev(r"/\p{scx=Bengali}/u.test('।')") is True
+    assert ev(r"/\p{scx=Devanagari}/u.test('।')") is True
+    assert ev(r"/\p{Script=Bengali}/u.test('।')") is False
+    # scx ⊇ sc on plain letters
+    assert ev(r"/^\p{scx=Latin}+$/u.test('abc')") is True
+    assert ev(r"/^\p{scx=Han}+$/u.test('汉字')") is True
+    # ISO aliases + negation + in-class forms work like Script=
+    assert ev(r"/\p{scx=Hira}/u.test('ー')") is True
+    assert ev(r"/^\P{scx=Latin}$/u.test('9')") is True
+    assert ev(r"/^[\p{scx=Latin}\d]+$/u.test('ab12')") is True
+    # outside the 28-script table / non-canonical case: loud
+    with pytest.raises(JSReduceError):
+        translate(r"\p{scx=Ogham}", "u")
+    with pytest.raises(JSReduceError):
+        translate(r"\p{scx=hiragana}", "u")
+    with pytest.raises(JSReduceError):
+        translate(r"\p{Script_Extensions=HIRAGANA}", "u")
+
+
+def test_scx_superset_of_script_fuzz_round11():
+    """Property check over the two generated tables: for every
+    script, the scx set contains the sc set (UCD invariant), modulo
+    the handful of code points newly assigned between the JDK-17
+    (Unicode 13) and regex-package UCD snapshots — those may appear
+    in scx only, never the reverse direction in bulk."""
+    from mapreduce_spark.functions import _script_ranges as S
+    from mapreduce_spark.functions import _scx_ranges as X
+
+    for name, sc in S.RANGES.items():
+        if name in ("COMMON", "INHERITED"):
+            # scx=Common/Inherited are the chars with NO extensions —
+            # strictly smaller than sc=, by definition
+            continue
+        scx = X.SCX_RANGES[name]
+
+        def member(cp, rs):
+            return any(a <= cp <= b for a, b in rs)
+
+        missing = [
+            cp
+            for a, b in sc
+            for cp in range(a, min(b, a + 500) + 1)
+            if not member(cp, scx)
+        ]
+        assert not missing, (name, [hex(c) for c in missing[:5]])
 
 
 def test_v_flag_class_free_subset_round10():

@@ -150,34 +150,60 @@ def _gen_source(rng):
         # index guards, elem/index in keys and values
         shape = rng.randint(0, 2)
         if shape == 2:
-            # for-in over an object field (round-10 entry explode):
-            # keys are order-safe (bare k as a component) ~85% of
+            # for-in over an object field (round-10 entry explode),
+            # in all four spellings (round 11, VERDICT r10 #7):
+            # bare for-in, Object.keys().forEach, Object.entries()
+            # with e[0]/e[1], Object.entries() destructured [k, v] —
+            # plus an optional local alias `var v0 = <entry value>;`.
+            # Keys are order-safe (bare key as a component) ~85% of
             # the time; the rest exercise the loud order rejection
             field = rng.choice(["props", "props", "mix"])
-            elem, idx = f"doc.{field}[k]", None
-            opener = f"for (var k in doc.{field}) {{ "
-            closer = " }"
+            spelling = rng.randint(0, 3)
+            if spelling == 0:
+                kref, elem = "k", f"doc.{field}[k]"
+                opener = f"for (var k in doc.{field}) {{ "
+                closer = " }"
+            elif spelling == 1:
+                kref, elem = "k", f"doc.{field}[k]"
+                opener = (f"Object.keys(doc.{field}).forEach("
+                          "function (k) { ")
+                closer = " });"
+            elif spelling == 2:
+                kref, elem = "e[0]", "e[1]"
+                opener = (f"Object.entries(doc.{field}).forEach("
+                          "function (e) { ")
+                closer = " });"
+            else:
+                kref, elem = "k", "v"
+                opener = (f"Object.entries(doc.{field}).forEach("
+                          "function ([k, v]) { ")
+                closer = " });"
+            alias = ""
+            if rng.random() < 0.3:
+                alias, elem = f"var v0 = {elem}; ", "v0"
             iconds = []
             if rng.random() < 0.4:
-                iconds.append("k !== 'alpha'")
+                iconds.append(f"{kref} !== 'alpha'")
             if field == "props" and rng.random() < 0.4:
                 iconds.append(f"{elem} > 0")
             if rng.random() < 0.3:
                 iconds.append(cond(1))
             inner = "".join(f"if ({c}) {{ " for c in iconds)
             key = rng.choice(
-                ["k", "k", "k", f"[doc.t, k]", f"[k, {num(1)}]",
+                [kref, kref, kref, f"[doc.t, {kref}]",
+                 f"[{kref}, {num(1)}]",
                  "doc.t"]  # last: order-unsafe, must reject
             )
             val = rng.choice(
-                ["1", "null", "k"]
+                ["1", "null", kref]
                 + ([elem, num(1)] if field == "props" else [])
             )
             outer = "".join(
                 f"if ({cond(1)}) {{ "
                 for _ in range(rng.randint(0, 1))
             )
-            return ("function(doc) { " + outer + opener + inner
+            return ("function(doc) { " + outer + opener + alias
+                    + inner
                     + f"emit({key}, {val});" + " }" * len(iconds)
                     + closer + " }" * outer.count("{") + " }")
         field = rng.choice(["arr", "tags"])
@@ -216,17 +242,24 @@ def _gen_source(rng):
 
     if rng.random() < 0.3:
         return loop_source()
+    # function-level single-assignment alias (round 11): `var a0 = …;`
+    # substitutes into guards/keys/values
+    pre = ""
+    if rng.random() < 0.25:
+        pre = f"var a0 = {strx(1)}; "
     guards = "".join(
         f"if ({cond(1)}) {{ " for _ in range(rng.randint(0, 2))
     )
     key = rng.choice([num(2), strx(2),
-                      f"[{strx(1)}, {num(1)}]"])
+                      f"[{strx(1)}, {num(1)}]"]
+                     + (["a0", f"[a0, {num(1)}]"] if pre else []))
     val = rng.choice([num(2), "null", "1", strx(1),
-                      f"[{num(1)}, {num(1)}]"])
+                      f"[{num(1)}, {num(1)}]"]
+                     + (["a0"] if pre else []))
     emits = f"emit({key}, {val});"
     if rng.random() < 0.3:
         emits += f" emit({strx(1)}, {num(1)});"
-    return ("function(doc) { " + guards + emits +
+    return ("function(doc) { " + pre + guards + emits +
             " }" * guards.count("{") + " }")
 
 
@@ -262,7 +295,11 @@ def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
         compiled_n += 1
         if "forEach" in src or "for (" in src:
             compiled_loops += 1
-        if "for (var k in" in src:
+        # the object-entry explode family: all four spellings
+        # (round 11 — for-in, Object.keys, Object.entries plain and
+        # destructured) lower to the same 4-tuple explode
+        if ("for (var k in" in src or "Object.keys(" in src
+                or "Object.entries(" in src):
             compiled_forin += 1
         specs = view.specs if isinstance(view.specs, list) \
             else [view.specs]

@@ -383,6 +383,69 @@ def measure_ddoc(spark, sf_dir: str) -> dict:
     return out
 
 
+def measure_selective_read(spark, sf_dir: str) -> dict:
+    """Selective-read pruning rehearsal (round 11, VERDICT r10 #3).
+
+    The X3 design claim: the persisted view is range-partitioned and
+    sorted by ``key_enc``, so a narrow startkey/endkey query pushes
+    its bounds into the parquet scan and row-group min/max stats
+    prune everything outside the range — the read costs O(selected
+    rows), not O(view).
+
+    The experiment holds the SELECTED set constant while the view
+    grows 100×: the sf10 lineitem replicas shift ``l_orderkey`` by
+    disjoint ranges, so the same narrow orderkey window selects the
+    identical rows at sf0.1 (600k-row view) and sf10 (60M-row view).
+    O(selected) predicts a ~flat narrow-read wall across the decade
+    jump (exponent ≈ 0); an O(view) scan would grow it ~100×."""
+    import statistics
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    eng = Engine(spark, sf_dir, tempfile.mkdtemp(prefix="selr-"))
+    eng.put_design(
+        "sel",
+        {
+            "v": {
+                "map": MapSpec(
+                    "lineitem",
+                    ("num", "l_orderkey"),
+                    ("num", "l_quantity"),
+                )
+            }
+        },
+    )
+    t = time.time()
+    eng.build_ddoc("sel")
+    build = round(time.time() - t, 2)
+
+    # ~10k orders ≈ 40k index rows — 0.07% of the sf10 view
+    lo, hi = 100_000, 110_000
+    walls = []
+    rows = 0
+    for _ in range(3):
+        t = time.time()
+        rows = len(
+            eng.query("sel/v", startkey=lo, endkey=hi,
+                      stale="ok").df.collect()
+        )
+        walls.append(time.time() - t)
+    res = eng.query("sel/v", startkey=lo, endkey=hi, stale="ok")
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    pushed = ("PushedFilters: [IsNotNull(key_enc), "
+              "GreaterThanOrEqual(key_enc" in plan
+              or "GreaterThanOrEqual(key_enc" in plan)
+    return {
+        "sel_build": build,
+        "sel_read_narrow": round(statistics.median(walls), 3),
+        "sel_rows": rows,
+        "sel_pushed_filter": bool(pushed),
+    }
+
+
 def measure_skew(spark, sf_dir: str) -> dict:
     """Skew-keyed vs uniform grouped reduce at the same scale.
 
@@ -497,7 +560,46 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    reps_n = 100 if mode == "sf10" else 10
+    reps_n = 100 if mode in ("sf10", "selread") else 10
+    if mode == "selread":
+        # selective-read-only leg (round 11): synthesize just the sf10
+        # lineitem (the other tables aren't read) and measure the
+        # narrow-window read at both scales
+        li_path = f"{out_dir}/lineitem.parquet"
+        if not os.path.exists(li_path):
+            from pyspark.sql import functions as F
+
+            reps = spark.range(reps_n).withColumnRenamed("id", "_rep")
+            li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+            shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+            (
+                li.crossJoin(reps)
+                .withColumn(
+                    "l_orderkey",
+                    (F.col("l_orderkey")
+                     + F.col("_rep") * F.lit(shift)).cast(
+                        li.schema["l_orderkey"].dataType
+                    ),
+                )
+                .drop("_rep")
+                .write.mode("overwrite")
+                .parquet(li_path)
+            )
+        measure_selective_read(spark, "/root/testdata/sf0.001")  # warmup
+        r01 = measure_selective_read(spark, SF01)
+        r10 = measure_selective_read(spark, out_dir)
+        expo = round(
+            math.log10(
+                max(r10["sel_read_narrow"], 1e-3)
+                / max(r01["sel_read_narrow"], 1e-3)
+            ) / 2.0,
+            2,
+        )
+        print(json.dumps({
+            "sf0.1": r01, "sf10": r10,
+            "sel_read_exponent_per_decade": expo,
+        }))
+        return
     if not os.path.exists(f"{out_dir}/embeddings.parquet"):
         t = time.time()
         synthesize(spark, out_dir, reps_n)
