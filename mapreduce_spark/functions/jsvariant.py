@@ -404,10 +404,11 @@ def iso_string_fields(df, fields: list[str]) -> set[str]:
     d = df
     if "_deleted" in d.columns:
         d = d.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-    d = d.filter(F.col("doc_json").isNotNull()).limit(SAMPLE_DOCS)
+    d = _body_notnull(d).limit(SAMPLE_DOCS)
+    vsrc = _src_vexpr(df)
     aggs = []
     for i, f in enumerate(fields):
-        vg = (f"try_variant_get(parse_json(doc_json), '$.{f}', "
+        vg = (f"try_variant_get({vsrc}, '$.{f}', "
               "'string')")
         aggs.append(F.expr(
             f"count(CASE WHEN {vg} IS NOT NULL AND "
@@ -419,6 +420,22 @@ def iso_string_fields(df, fields: list[str]) -> set[str]:
         f for i, f in enumerate(fields)
         if row[f"bad{i}"] == 0 and row[f"ok{i}"] > 0
     }
+
+
+
+def _src_vexpr(df) -> str:
+    """SQL text of the parsed doc variant for a raw frame: the stored
+    VARIANT column when the table was shredded at ingest
+    (sources.docs.shred_raw_table), else a parse of the JSON string."""
+    return ("doc_var" if "doc_var" in df.columns
+            else "parse_json(doc_json)")
+
+
+def _body_notnull(df):
+    from pyspark.sql import functions as F
+
+    col = "doc_var" if "doc_var" in df.columns else "doc_json"
+    return df.filter(F.col(col).isNotNull())
 
 
 def referenced_doc_fields(source: str) -> list[str] | None:
@@ -571,11 +588,12 @@ def infer_variant_types(
     d = df
     if "_deleted" in d.columns:
         d = d.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-    d = d.filter(F.col("doc_json").isNotNull()).limit(SAMPLE_DOCS)
+    d = _body_notnull(d).limit(SAMPLE_DOCS)
+    vsrc = _src_vexpr(df)
     aggs = [
         F.expr(
             "schema_of_variant_agg("
-            f"variant_get(parse_json(doc_json), '$.{f}'))"
+            f"variant_get({vsrc}, '$.{f}'))"
         ).alias(f"t{i}")
         for i, f in enumerate(probe)
     ]
@@ -585,7 +603,7 @@ def infer_variant_types(
     # it rejects the compile rather than guessing
     aggs += [
         F.count(
-            F.expr(f"variant_get(parse_json(doc_json), '$.{f}')")
+            F.expr(f"variant_get({vsrc}, '$.{f}')")
         ).alias(f"p{i}")
         for i, f in enumerate(probe)
     ]
@@ -628,8 +646,10 @@ def compile_js_map_variant(spark, sf_dir: str, table: str,
     arr_fields = foreach_fields(source)
     obj_fields, obj_value_read = forin_fields(source)
     df = load_table(spark, sf_dir, table)
-    if "doc_json" not in df.columns:
-        raise JSCompileError(f"table {table!r} has no doc_json column")
+    if "doc_json" not in df.columns and "doc_var" not in df.columns:
+        raise JSCompileError(
+            f"table {table!r} has no doc_json/doc_var column"
+        )
     kinds = infer_variant_types(df, fields, arr_fields,
                                 obj_fields, obj_value_read)
     if kinds is None:
@@ -654,7 +674,7 @@ def compile_js_map_variant(spark, sf_dir: str, table: str,
         from pyspark.sql import functions as F
 
         d = d.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-    d = d.filter("doc_json IS NOT NULL").limit(SAMPLE_DOCS)
+    d = _body_notnull(d).limit(SAMPLE_DOCS)
     try:
         for spec in specs if isinstance(specs, list) else [specs]:
             built = build_view_structured_on(d, spec)

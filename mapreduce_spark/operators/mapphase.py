@@ -227,6 +227,12 @@ def with_vdoc(df: DataFrame) -> DataFrame:
 
     if VDOC_COL in df.columns:
         return df
+    if "doc_var" in df.columns:
+        # VARIANT-stored body (sources.docs.shred_raw_table): already
+        # parsed at ingest — zero parse_json in the build plan, and
+        # with a shredded store the field extractions read real
+        # parquet columns
+        return df.withColumn(VDOC_COL, F.col("doc_var"))
     return df.withColumn(VDOC_COL, F.expr("parse_json(doc_json)"))
 
 

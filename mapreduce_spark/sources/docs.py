@@ -111,6 +111,80 @@ def raw_doc_table(name: str, *, seq_expr: str = "seq") -> DocTable:
     return DocTable(name, "%s", ("_id",), seq_expr, raw_json=True)
 
 
+@contextmanager
+def variant_shredding(spark: SparkSession):
+    """Scoped opt-in for Parquet VARIANT shredding on write.
+
+    Shredding stores the variant's common fields as real Parquet
+    columns (schema inferred per file), so downstream reads that
+    extract those fields get columnar IO + min/max stats instead of
+    decoding the whole binary variant per row; rare/deep fields stay
+    in the binary residual.  Spark 4.1 gates it behind these confs."""
+    keys = {
+        "spark.sql.variant.writeShredding.enabled": "true",
+        "spark.sql.variant.inferShreddingSchema": "true",
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, p in prev.items():
+            if p is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, p)
+
+
+def shred_raw_table(spark: SparkSession, sf_dir: str, table: str,
+                    dest_dir: str) -> str:
+    """One-time ingest conversion of a raw docs table: the
+    ``doc_json STRING`` body becomes a shredded ``doc_var VARIANT``
+    parquet column (round 11, VERDICT r10 #4).
+
+    Why: every variant-tier read of a JSON-string table pays a full
+    ``parse_json(doc_json)`` per row AT THE SCAN — at 100 TB that
+    parse dominates the build.  Stored as VARIANT, the parse happens
+    ONCE here; with shredding, compiled field extractions read real
+    Parquet columns.  The string table stays the fallback — nothing
+    requires conversion; ``load_table`` transparently serves either
+    layout (deriving ``doc_json`` via ``to_json`` for the interpreter
+    tier / include_docs, pruned away on the compiled path).
+
+    Returns the new table's parquet path
+    (``<dest_dir>/<table>.parquet``)."""
+    df = load_table(spark, sf_dir, table)
+    keep = [c for c in ("_id", "_rev", "_deleted", "seq")
+            if c in df.columns]
+    # parquet readers split at row-group/file boundaries: writing the
+    # converted table as a handful of big files would serialize every
+    # downstream scan, so spread it over the session's parallelism —
+    # but RANGE-partitioned and sorted by the change sequence, so
+    # row-group min/max stats keep pruning incremental `seq > since`
+    # refresh scans (a round-robin spread scatters seq and turns
+    # every refresh into a full-table scan).  The shuffle runs BEFORE
+    # the parse so it carries compact JSON strings, not materialized
+    # variant rows.
+    seq_col = F.expr(TABLES[table].seq_expr).cast("long")
+    out = (
+        df.select(*keep, "doc_json")
+        .repartitionByRange(
+            spark.sparkContext.defaultParallelism, seq_col
+        )
+        .sortWithinPartitions(seq_col)
+        .select(*keep, F.expr("parse_json(doc_json)").alias("doc_var"))
+    )
+    path = f"{dest_dir}/{table}.parquet"
+    with variant_shredding(spark):
+        out.write.mode("overwrite").parquet(path)
+    return path
+
+
 def register_table(t: DocTable) -> None:
     """Register a user table so views can map over it.
 
@@ -202,6 +276,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if found is not None:
             return load_formatted(spark, found[0], found[1], name)
     cached = _SCHEMA_CACHE.get(path)
+    if t and t.raw_json:
+        df = (spark.read.schema(cached).parquet(path)
+              if cached is not None else spark.read.parquet(path))
+        if cached is None:
+            _SCHEMA_CACHE[path] = df.schema
+        if "doc_var" in df.columns and "doc_json" not in df.columns:
+            # VARIANT-stored body (see shred_raw_table): derive the
+            # doc_json view lazily — Catalyst prunes the to_json when
+            # nothing reads it, so the compiled variant tier (which
+            # reads doc_var directly) never pays the serialization;
+            # the interpreter tier and include_docs read doc_json as
+            # before (normalized key order — semantically the same
+            # body)
+            df = df.withColumn("doc_json", F.expr("to_json(doc_var)"))
+        return df
     if t and t.ns_timestamp_cols:
         # batch reads resolve the footer schema eagerly, so the conf
         # is only needed inside this scope; execution captures it in

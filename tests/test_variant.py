@@ -1012,3 +1012,79 @@ def test_local_alias_compiles_round11(spark, obj_sf, tmp_path):
                                       tmp_path / "c", js2)
     assert not isinstance(vd2.map_def, VariantJSView)
     assert _map_rows(eng3) == _map_rows(eng4)
+
+
+def test_variant_stored_bodies_round11(spark, tmp_path):
+    """Shredded-VARIANT doc bodies (VERDICT r10 #4): a raw table
+    converted once via shred_raw_table serves the same views as the
+    JSON-string original — identical rows on BOTH tiers — and the
+    compiled build plan over the variant layout contains ZERO
+    parse_json (the parse happened at ingest).  The string layout
+    stays the default (DuckDB/pyarrow cannot read the VARIANT
+    logical type yet), so include_docs / the interpreter tier read a
+    to_json-derived doc_json that Catalyst prunes away on the
+    compiled path."""
+    from mapreduce_spark.sources.docs import shred_raw_table
+
+    docs = [
+        (f"d:{i:03d}", i,
+         json.dumps({"lang": ["en", "fr", "de"][i % 3],
+                     "n": float(i), "text": "x" * 50}))
+        for i in range(60)
+    ]
+    sf = str(tmp_path / "strsf")
+    spark.createDataFrame(docs, ["_id", "seq", "doc_json"]) \
+        .write.parquet(f"{sf}/svdocs.parquet")
+    register_table(raw_doc_table("svdocs"))
+    sf2 = str(tmp_path / "varsf")
+    p = shred_raw_table(spark, sf, "svdocs", sf2)
+    import os as _os
+
+    _os.rename(p, f"{sf2}/vvdocs.parquet")
+    register_table(raw_doc_table("vvdocs"))
+
+    js = ("function(doc){ if (doc.lang !== 'en') "
+          "{ emit(doc.lang, doc.n); } }")
+    e1 = Engine(spark, sf, str(tmp_path / "e1"))
+    e1.put_design("d", {"v": {"map": ("svdocs", js)}})
+    e2 = Engine(spark, sf2, str(tmp_path / "e2"))
+    e2.put_design("d", {"v": {"map": ("vvdocs", js)}})
+    assert isinstance(next(iter(e2._defs.values())).map_def,
+                      VariantJSView)
+    r1 = [(r["key"], r["id"].split(":", 1)[1], r["value"])
+          for r in e1.query("d/v").rows()]
+    r2 = [(r["key"], r["id"].split(":", 1)[1], r["value"])
+          for r in e2.query("d/v").rows()]
+    assert r1 == r2 and r1
+
+    # zero parse_json in the variant-layout build plan
+    from mapreduce_spark.operators.mapphase import (
+        build_view_structured_on,
+    )
+    from mapreduce_spark.sources.docs import load_table
+
+    spec = next(iter(e2._defs.values())).map_def.specs
+    specs = spec if isinstance(spec, list) else [spec]
+    for s in specs:
+        plan = build_view_structured_on(
+            load_table(spark, sf2, "vvdocs"), s
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "parseJson" not in plan, plan[:600]
+        for bad in ("BatchEvalPython", "ArrowEvalPython",
+                    "MapInPandas"):
+            assert bad not in plan
+
+    # include_docs over the variant layout: doc_json derived via
+    # to_json, body semantically identical
+    res = e2.query("d/v", include_docs=True, limit=3)
+    got = [r["doc"] for r in res.rows()]
+    assert all(set(d) >= {"lang", "n", "text"} for d in got)
+
+    # the interpreter tier runs the same source over the variant
+    # layout (drift fallback path viability)
+    e3 = Engine(spark, sf2, str(tmp_path / "e3"))
+    e3.put_design(
+        "d", {"v": {"map": ("vvdocs", compile_js_map_fn(js))}})
+    r3 = [(r["key"], r["id"].split(":", 1)[1], r["value"])
+          for r in e3.query("d/v").rows()]
+    assert r3 == r2
