@@ -1950,8 +1950,13 @@ class Engine:
         served stale."""
         out = None
         for tbl in dict.fromkeys(tables):
+            t = TABLES[tbl]
             d = as_docs(self._load_table(tbl), tbl)
-            dj = doc_json_frame(d, conflicts=conflicts,
-                                attachments=attachments)
+            dj = doc_json_frame(
+                d, conflicts=conflicts, attachments=attachments,
+                # declared-unique pk ⇒ unique _id ⇒ no duplicate-id
+                # collapse exchange on the doc-fetch side
+                unique_id=t.pk_unique and not t.raw_json,
+            )
             out = dj if out is None else out.unionByName(dj)
         return out

@@ -104,6 +104,15 @@ class DocTable:
     # store ``_id``/``_rev`` in the body if you want them in the
     # include_docs output, as CouchDB exports do.
     raw_json: bool = False
+    # whether the table's pk — hence the derived ``_id`` — is unique.
+    # CouchDB semantics say yes, and every fixture table IS unique
+    # except the synthetic lineitem (~20% duplicated pk pairs,
+    # FIXTURES.md).  Unique tables skip the per-query duplicate-id
+    # collapse on the include_docs doc-fetch side — a groupBy(_id)
+    # exchange over doc bodies that the broadcast-pruned join shape
+    # no longer absorbs.  Raw tables always collapse (multi-revision
+    # rows share an _id by design).
+    pk_unique: bool = True
 
 
 def raw_doc_table(name: str, *, seq_expr: str = "seq") -> DocTable:
@@ -221,6 +230,7 @@ TABLES: dict[str, DocTable] = {
             #   seq <= s ⟹ ok ≤ (s-1) div 8
             seq_lo_pred="l_orderkey >= (({seq} - 7) DIV 8)",
             seq_hi_pred="l_orderkey <= (({seq} - 1) DIV 8)",
+            pk_unique=False,  # driver data duplicates ~20% of pairs
         ),
         DocTable(
             "events",
@@ -437,7 +447,8 @@ def docs_df(
 
 
 def doc_json_frame(d: DataFrame, *, conflicts: bool = False,
-                   attachments: bool = True) -> DataFrame:
+                   attachments: bool = True,
+                   unique_id: bool = False) -> DataFrame:
     """Docs DataFrame → ``(_id, doc_json)`` for include_docs joins.
 
     ``conflicts=True`` (J3; upstream #queryView forwards the flag into
@@ -453,6 +464,12 @@ def doc_json_frame(d: DataFrame, *, conflicts: bool = False,
     ``attachments=true`` inlines the base64 data.  Applied only to
     bodies that actually contain ``_attachments`` (JVM contains()
     prefilter; everything else passes through untouched).
+
+    ``unique_id=True`` (DocTable.pk_unique): the caller vouches that
+    ``_id`` is unique, so the duplicate-id collapse — a groupBy(_id)
+    exchange over doc bodies — is dropped from the plan entirely.
+    Raw sources ignore the flag (multi-revision rows share an _id by
+    design).
     """
     if "doc_json" in d.columns:
         # raw CouchDB-style source: the stored body is authoritative
@@ -478,12 +495,11 @@ def doc_json_frame(d: DataFrame, *, conflicts: bool = False,
         if c == "_conflicts":
             col = F.when(F.size(col) > 0, col)
         cols.append(col.alias(c))
-    return _one_doc_per_id(
-        d.select(
-            F.col("_id"),
-            F.to_json(F.struct(*cols)).alias("doc_json"),
-        )
+    out = d.select(
+        F.col("_id"),
+        F.to_json(F.struct(*cols)).alias("doc_json"),
     )
+    return out if unique_id else _one_doc_per_id(out)
 
 
 def stub_attachments(doc_json: str) -> str:
