@@ -1310,3 +1310,61 @@ def test_refresh_ddoc_noop_and_fallback(spark, sf_dir, tmp_path):
         for n in ("by_flag", "big_qty")
     }
     assert before == after
+
+
+def test_fused_sort_gate_round11(spark, sf_dir, tmp_path):
+    """The small-result sort fusion (VERDICT r10 #1) picks plans by
+    the stats bound:
+
+    - a persisted small view sorts in ONE partition — no
+      RangePartitioning (and no partitioner sampling job) in the
+      executed plan of a grouped reduce or a sorted map range;
+    - with the bound ABOVE the gate the global range-exchange sort
+      comes back (the 100 TB plan);
+    - both shapes return identical rows.
+    """
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.operators import query as Q
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    eng = Engine(spark, sf_dir, str(tmp_path / "fs"))
+    eng.put_design("fs", {
+        "v": {"map": MapSpec(
+            "lineitem",
+            [("str", "l_returnflag"), ("str", "l_linestatus")],
+            ("num", "l_quantity"),
+        ), "reduce": "_sum"},
+    })
+    eng.build_ddoc("fs")
+
+    def plan(**kw):
+        df = eng.query("fs/v", stale="ok", **kw).df
+        rows = df.collect()
+        return rows, df._jdf.queryExecution().executedPlan().toString()
+
+    # fused: grouped reduce on a small view — single-partition sort
+    rows_f, p = plan(group=True)
+    assert "rangepartitioning" not in p.lower(), p[:800]
+    # fused: sorted map range
+    rows_mf, pm = plan(reduce=False, startkey=["A"], endkey=["N", {}])
+    assert "rangepartitioning" not in pm.lower(), pm[:800]
+
+    # force the global path by shrinking the gate
+    orig = Q.FUSED_SORT_MAX_ROWS
+    Q.FUSED_SORT_MAX_ROWS = 0
+    try:
+        rows_g, pg = plan(group=True)
+        assert "rangepartitioning" in pg.lower(), pg[:800]
+        rows_mg, pmg = plan(reduce=False, startkey=["A"],
+                            endkey=["N", {}])
+        assert "rangepartitioning" in pmg.lower(), pmg[:800]
+    finally:
+        Q.FUSED_SORT_MAX_ROWS = orig
+    as_t = lambda rs: [tuple(r) for r in rs]  # noqa: E731
+    assert as_t(rows_f) == as_t(rows_g)
+    assert as_t(rows_mf) == as_t(rows_mg)
+
+    # the gate input exists: build wrote the HLL distinct-key stat
+    sig = eng.registry.resolve("fs", "v")
+    stats = eng.registry.get_view(sig)["stats"]
+    assert 0 < stats["keys"] <= stats["rows"]
