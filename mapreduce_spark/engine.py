@@ -1464,7 +1464,8 @@ class Engine:
     # per-doc emit-count metadata (O(changes) refresh accounting)
     # ------------------------------------------------------------------
 
-    def _write_counts(self, data_path: str, out_path: str) -> None:
+    def _write_counts(self, data_path: str, out_path: str,
+                      rows_bound: int | None = None) -> None:
         """Persist per-doc emit counts (id, n) for a base version.
 
         One column-pruned (id-only) pass over the just-written files —
@@ -1472,12 +1473,22 @@ class Engine:
         sorted and range-partitioned so the per-refresh lookup's
         ``isin`` predicate prunes to the matching row groups via
         parquet min/max stats (the reference keeps the same per-doc
-        emit bookkeeping in its index metadata)."""
-        (
+        emit bookkeeping in its index metadata).
+
+        Small views (``rows_bound`` ≤ 1M, registry stats) write ONE
+        sorted file instead: same min/max pruning, minus the range
+        partitioner's bounds-sampling job and its double execution of
+        the aggregation."""
+        counts = (
             self.spark.read.schema(VIEW_SCHEMA).parquet(data_path)
             .groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .repartitionByRange("id")
-            .sortWithinPartitions("id")
+        )
+        if rows_bound is not None and rows_bound <= 1_000_000:
+            counts = counts.coalesce(1)
+        else:
+            counts = counts.repartitionByRange("id")
+        (
+            counts.sortWithinPartitions("id")
             .write.mode("overwrite").parquet(out_path)
         )
 
@@ -1496,6 +1507,7 @@ class Engine:
             self._write_counts(
                 os.path.join(vdir, entry["base"]),
                 os.path.join(vdir, counts_rel),
+                rows_bound=(entry.get("stats") or {}).get("rows"),
             )
             entry["counts"] = counts_rel
 
