@@ -758,6 +758,42 @@ def test_scx_superset_of_script_fuzz_round11():
         assert not missing, (name, [hex(c) for c in missing[:5]])
 
 
+def test_scx_differential_fuzz_round11():
+    """Differential check of \\p{scx=…} against the `regex` package —
+    an INDEPENDENT oracle: the generated table was dumped from
+    regex's UCD data, but the production path here goes through
+    translate → range-class rendering → Python re, so a mismatch
+    catches generator truncation, merging or escaping bugs.  Random
+    code points including astral + every range boundary of three
+    scripts."""
+    import random
+
+    import regex as _rx
+
+    from mapreduce_spark.functions import _scx_ranges as X
+    from mapreduce_spark.functions.jsregex import JSRegExp
+
+    rng = random.Random(20260815)
+    U = object()
+    names = ["HIRAGANA", "KATAKANA", "BENGALI", "LATIN", "HAN",
+             "ARABIC", "CYRILLIC", "DEVANAGARI"]
+    cps = [rng.randint(0, 0x10FFFF) for _ in range(400)]
+    # surrogates are not valid re targets — skip them like real text
+    cps = [c for c in cps if not (0xD800 <= c <= 0xDFFF)]
+    for name in names:
+        for lo, hi in X.SCX_RANGES[name][:40]:
+            cps += [lo, hi, max(0, lo - 1), min(0x10FFFF, hi + 1)]
+    cps = sorted({c for c in cps if not (0xD800 <= c <= 0xDFFF)})
+    for name in names:
+        ours = JSRegExp(f"\\p{{scx={name.title()}}}", "u")
+        oracle = _rx.compile(rf"\p{{scx={name}}}")
+        bad = [
+            hex(cp) for cp in cps
+            if ours.test(chr(cp), U) != bool(oracle.match(chr(cp)))
+        ]
+        assert not bad, (name, bad[:8])
+
+
 def test_v_flag_class_free_subset_round10():
     """ES2024 `v` (unicodeSets): every v-vs-u divergence lives in
     class syntax, so CLASS-FREE v patterns run with u semantics
