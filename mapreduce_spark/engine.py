@@ -1454,9 +1454,11 @@ class Engine:
         return {
             "rows": int(m["rows"] or 0),
             "sum_w": int(m["w"]) if m["w"] is not None else -1,
-            # HLL distinct-key estimate (±2%): the small-result sort-
-            # fusion gate (operators/query.fused_sort) — an estimate is
-            # fine because it only picks between two correct plans
+            # HLL distinct-key ESTIMATE (default rsd ≈5%, and not a
+            # true bound in either direction): feeds only the
+            # small-result sort-fusion gate (operators/query.
+            # fused_sort), which picks between two CORRECT plans —
+            # never treat it as a correctness-bearing bound
             "keys": int(m["keys"] or 0),
         }
 

@@ -458,7 +458,8 @@ def read_ivf_index(spark, path: str) -> IVFIndex:
     )
 
 
-def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
+def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,
+             k: int,
              n_cells: int | None = None, nprobe: int | None = None,
              id_col: str = "vec_id",
              vec_col: str = "embedding",
@@ -493,7 +494,11 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
 
     - ``query_vectors={qid: raw_vector}`` — the natural API: queries
       usually don't live in the corpus at query time.  Normalized
-      driver-side; ZERO fetch jobs.
+      driver-side; ZERO fetch jobs.  qids are caller LABELS: no
+      self-exclusion is applied, so a corpus vector whose vid equals
+      a label still ranks (the vid != qid filter exists only for the
+      in-corpus ``query_ids`` paths, where a vector is trivially its
+      own nearest neighbor).
     - ``index`` as an :class:`IVFIndex` (``read_ivf_index``) — the
       ``vids`` sidecar is vid-sorted/range-partitioned, so the
       ``vid IN (…)`` lookup reads only the matching row groups.
@@ -507,11 +512,9 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
             lookup = index.vids
             assigned = index.cells
         else:
-            if centroids is None and query_vectors is None:
-                raise ValueError(
-                    "ivf_topk(index=…) needs the matching centroids "
-                    "list"
-                )
+            # bare cells DataFrame: the centroids list is required
+            # regardless of the query-vector source (probe selection
+            # needs it)
             cents = centroids
             lookup = index
             assigned = index
@@ -587,9 +590,14 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int,
     cand = (
         assigned.filter(F.col("cell").isin(cells_needed))
         .join(F.broadcast(probe_df), "cell")
-        .filter(F.col("vid") != F.col("qid"))
-        .join(F.broadcast(q), "qid")
     )
+    if query_vectors is None:
+        # queries came FROM the corpus: a vector is trivially its own
+        # nearest neighbor, exclude it.  Caller-supplied query_vectors
+        # carry arbitrary qid labels — a label that happens to equal
+        # some corpus vid must NOT drop that (unrelated) vector.
+        cand = cand.filter(F.col("vid") != F.col("qid"))
+    cand = cand.join(F.broadcast(q), "qid")
     cos = _dot(F.col("nv"), F.col("qv"))
     # no distinct needed: a vector sits in exactly one cell and the
     # probed cells per query are distinct, so (qid, vid) is unique

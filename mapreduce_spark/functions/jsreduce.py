@@ -275,12 +275,20 @@ class _Parser:
                 params.append(t2)
             elif t2 == "[":
                 # array-destructured parameter: function ([k, v]) {…}
-                names: list[str] = []
+                # — elisions ([, v], [a, , b]) bind positionally, so
+                # slots are tracked as None placeholders
+                names: list = []
+                expect_name = True
                 while not self._eat("]"):
                     k3, t3, o3 = self._next()
-                    if k3 == "ident":
+                    if k3 == "ident" and expect_name:
                         names.append(t3)
-                    elif t3 != ",":
+                        expect_name = False
+                    elif t3 == ",":
+                        if expect_name:
+                            names.append(None)  # elision slot
+                        expect_name = True
+                    else:
                         raise JSReduceError(
                             f"unexpected {t3!r} in destructuring "
                             f"pattern at {o3}"
@@ -1456,20 +1464,24 @@ def _call(fn: Any, args: list) -> Any:
         for p in params:
             if isinstance(p, tuple) and p[0] == "destructure":
                 for n in p[1]:
-                    local[n] = _UNDEF
+                    if n is not None:
+                        local[n] = _UNDEF
             else:
                 local[p] = _UNDEF
-        for p, a in zip(params, args):
+        for i, p in enumerate(params):
+            a = args[i] if i < len(args) else _UNDEF
             if isinstance(p, tuple) and p[0] == "destructure":
-                # JS array destructuring: null/undefined/non-iterable
-                # arguments throw a TypeError
+                # JS array destructuring: a missing argument
+                # (undefined), null, or any non-iterable throws a
+                # TypeError — including f() with zero args
                 if not isinstance(a, (list, str)):
                     raise JSRuntimeThrow(
                         "cannot destructure a non-iterable argument"
                     )
                 for j, n in enumerate(p[1]):
-                    local[n] = a[j] if j < len(a) else _UNDEF
-            else:
+                    if n is not None:  # elision slots bind nothing
+                        local[n] = a[j] if j < len(a) else _UNDEF
+            elif i < len(args):
                 local[p] = a
         local.setdefault("arguments", list(args))
         try:

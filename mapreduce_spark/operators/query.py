@@ -39,17 +39,18 @@ from mapreduce_spark.operators.reduce import (
 # (a range exchange whose partitioner runs an extra bounds-sampling
 # job) is replaced with a single-partition sortWithinPartitions — one
 # Spark job fewer per query, and one exchange fewer on the reduce path.
-# The bound is a *static upper bound* (view row count for map queries,
-# distinct-key count for grouped reduces), so a view that would be big
-# at 100 TB automatically takes the scalable global-sort plan; only
-# result sets that are provably small enough to sort in one task fuse.
+# The gate input is a static estimate — an exact row count for map
+# queries, an HLL distinct-key estimate (±~5%) for grouped reduces —
+# so a view that would be big at 100 TB takes the scalable global-sort
+# plan; both plan shapes are CORRECT, the estimate only picks the
+# cheaper one, so HLL error can never produce a wrong answer.
 FUSED_SORT_MAX_ROWS = 1_000_000
 
 
 def fused_sort(rows: DataFrame, order: list[Column],
                bound: int | None, *, narrow: bool = False) -> DataFrame:
     """Globally-sorted ``rows`` — fused to one partition when ``bound``
-    (a static upper bound on the row count) is small enough.
+    (a static row-count estimate; see module note) is small enough.
 
     ``narrow=True`` uses ``coalesce(1)`` — correct ONLY when an
     exchange sits immediately below (the reduce path's final

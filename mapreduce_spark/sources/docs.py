@@ -104,15 +104,18 @@ class DocTable:
     # store ``_id``/``_rev`` in the body if you want them in the
     # include_docs output, as CouchDB exports do.
     raw_json: bool = False
-    # whether the table's pk — hence the derived ``_id`` — is unique.
-    # CouchDB semantics say yes, and every fixture table IS unique
-    # except the synthetic lineitem (~20% duplicated pk pairs,
-    # FIXTURES.md).  Unique tables skip the per-query duplicate-id
+    # whether the table's pk — hence the derived ``_id`` — is KNOWN
+    # unique.  Declared-unique tables skip the per-query duplicate-id
     # collapse on the include_docs doc-fetch side — a groupBy(_id)
     # exchange over doc bodies that the broadcast-pruned join shape
-    # no longer absorbs.  Raw tables always collapse (multi-revision
-    # rows share an _id by design).
-    pk_unique: bool = True
+    # no longer absorbs.  Defaults to False (collapse — safe for any
+    # data): the flag is an explicit contract the table owner opts
+    # into, because a silently-duplicated pk would otherwise fan out
+    # include_docs rows.  Raw tables always collapse regardless
+    # (multi-revision rows share an _id by design); the fixture
+    # tables opt in below except the synthetic lineitem (~20%
+    # duplicated pk pairs, FIXTURES.md).
+    pk_unique: bool = False
 
 
 def raw_doc_table(name: str, *, seq_expr: str = "seq") -> DocTable:
@@ -206,17 +209,23 @@ def register_table(t: DocTable) -> None:
 TABLES: dict[str, DocTable] = {
     t.name: t
     for t in [
-        DocTable("region", "region:%02d", ("r_regionkey",), "r_regionkey"),
-        DocTable("nation", "nation:%02d", ("n_nationkey",), "n_nationkey"),
-        DocTable("customer", "customer:%06d", ("c_custkey",), "c_custkey"),
-        DocTable("supplier", "supplier:%06d", ("s_suppkey",), "s_suppkey"),
-        DocTable("part", "part:%06d", ("p_partkey",), "p_partkey"),
+        DocTable("region", "region:%02d", ("r_regionkey",),
+                 "r_regionkey", pk_unique=True),
+        DocTable("nation", "nation:%02d", ("n_nationkey",),
+                 "n_nationkey", pk_unique=True),
+        DocTable("customer", "customer:%06d", ("c_custkey",),
+                 "c_custkey", pk_unique=True),
+        DocTable("supplier", "supplier:%06d", ("s_suppkey",),
+                 "s_suppkey", pk_unique=True),
+        DocTable("part", "part:%06d", ("p_partkey",),
+                 "p_partkey", pk_unique=True),
         DocTable(
             "orders",
             "orders:%09d",
             ("o_orderkey",),
             "o_orderkey",
             timestamp_cols=("o_orderdate",),
+            pk_unique=True,
         ),
         DocTable(
             "lineitem",
@@ -230,7 +239,8 @@ TABLES: dict[str, DocTable] = {
             #   seq <= s ⟹ ok ≤ (s-1) div 8
             seq_lo_pred="l_orderkey >= (({seq} - 7) DIV 8)",
             seq_hi_pred="l_orderkey <= (({seq} - 1) DIV 8)",
-            pk_unique=False,  # driver data duplicates ~20% of pairs
+            # stays on the collapse path: driver data duplicates
+            # ~20% of (l_orderkey, l_linenumber) pairs
         ),
         DocTable(
             "events",
@@ -240,8 +250,10 @@ TABLES: dict[str, DocTable] = {
             timestamp_cols=("ts",),
             json_cols=("props",),
             ns_timestamp_cols=("ts",),
+            pk_unique=True,
         ),
-        DocTable("documents", "documents:%06d", ("doc_id",), "doc_id"),
+        DocTable("documents", "documents:%06d", ("doc_id",),
+                 "doc_id", pk_unique=True),
         DocTable(
             "embeddings",
             "embeddings:%06d",
@@ -253,15 +265,33 @@ TABLES: dict[str, DocTable] = {
 }
 
 
-# (path → parquet footer schema) — schema inference is a whole Spark
-# job per spark.read.parquet call; one inference per table path per
-# process is enough.  Only the SCHEMA is cached, never the file list:
-# raw sources are append-only changes feeds (tests and real CouchDB
-# exports append new part files), so every read re-lists the
-# directory (driver-side, no job) and new batches stay visible.
-# Appended batches carry the table's schema by construction — the
-# uncached read infers from one footer and would behave identically.
-_SCHEMA_CACHE: dict[str, object] = {}
+# (path → (dir mtime, parquet footer schema)) — schema inference is a
+# whole Spark job per spark.read.parquet call; one inference per table
+# path per CONTENT VERSION is enough.  Only the SCHEMA is cached,
+# never the file list: raw sources are append-only changes feeds
+# (tests and real CouchDB exports append new part files), so every
+# read re-lists the directory (driver-side, no job) and new batches
+# stay visible.  The directory mtime keys the entry so an append that
+# INTRODUCES a column (e.g. the first batch carrying the optional
+# ``_deleted``) re-infers instead of silently null-filling the new
+# column through a stale explicit schema.
+_SCHEMA_CACHE: dict[str, tuple[int, object]] = {}
+
+
+def _cached_schema(path: str):
+    try:
+        mt = os.stat(path).st_mtime_ns
+    except OSError:
+        return None, None
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == mt:
+        return mt, hit[1]
+    return mt, None
+
+
+def _remember_schema(path: str, mt, schema) -> None:
+    if mt is not None:
+        _SCHEMA_CACHE[path] = (mt, schema)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -285,12 +315,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         found = table_path(sf_dir, name)
         if found is not None:
             return load_formatted(spark, found[0], found[1], name)
-    cached = _SCHEMA_CACHE.get(path)
+    mt, cached = _cached_schema(path)
     if t and t.raw_json:
         df = (spark.read.schema(cached).parquet(path)
               if cached is not None else spark.read.parquet(path))
         if cached is None:
-            _SCHEMA_CACHE[path] = df.schema
+            _remember_schema(path, mt, df.schema)
         if "doc_var" in df.columns and "doc_json" not in df.columns:
             # VARIANT-stored body (see shred_raw_table): derive the
             # doc_json view lazily — Catalyst prunes the to_json when
@@ -312,12 +342,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = spark.read.schema(cached).parquet(path)
             else:
                 df = spark.read.parquet(path)
-                _SCHEMA_CACHE[path] = df.schema
+                _remember_schema(path, mt, df.schema)
         return ts_to_micros(df, name)
     if cached is not None:
         return spark.read.schema(cached).parquet(path)
     df = spark.read.parquet(path)
-    _SCHEMA_CACHE[path] = df.schema
+    _remember_schema(path, mt, df.schema)
     return df
 
 

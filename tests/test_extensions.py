@@ -447,17 +447,26 @@ def test_ivf_index_bundle_scan_free(emb, tmp_path, spark):
     fplan = fetch._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(vid" in fplan, fplan[:800]
 
-    # (c) caller-supplied query vectors: zero fetch jobs, emb unused
+    # (c) caller-supplied query vectors: zero fetch jobs, emb unused.
+    # qids are LABELS — no self-exclusion (code-review r11 fix: a
+    # corpus vid colliding with a label must not be dropped), so
+    # feeding corpus vectors back ranks each vector's own copy first
+    # (cosine 1.0) and the tail must equal the in-corpus top-k
     raw = {
         int(r.vec_id): list(r.embedding)
         for r in emb.filter(F.col("vec_id").isin([0, 1, 2, 3]))
         .collect()
     }
     via_vecs = similarity.ivf_topk(
-        None, None, 10, index=bundle, query_vectors=raw
-    )
-    assert sorted((r.qid, r.vid, r.rank) for r in inline) == \
-        sorted((r.qid, r.vid, r.rank) for r in via_vecs.collect())
+        None, None, 11, index=bundle, query_vectors=raw
+    ).collect()
+    firsts = {r.qid: r for r in via_vecs if r.rank == 1}
+    assert set(firsts) == {0, 1, 2, 3}
+    assert all(r.vid == q and r.cosine > 0.999999
+               for q, r in firsts.items())
+    tail = sorted((r.qid, r.vid, r.rank - 1) for r in via_vecs
+                  if r.rank > 1)
+    assert sorted((r.qid, r.vid, r.rank) for r in inline) == tail
 
 
 def test_lsh_candidates_much_smaller_than_corpus(emb):

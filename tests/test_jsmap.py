@@ -611,3 +611,39 @@ def test_object_keys_es_coercion():
         "emit(2, 2); }",
         {"f": None},
     ) == [(1.0, 1.0)]
+
+
+def test_destructured_params_elisions_round11():
+    """Array-pattern parameters (round 11) — real ECMAScript answers,
+    including elisions and the missing-argument TypeError (code-review
+    r11 findings: elisions bound wrong positions; f() with a pattern
+    param silently skipped the throw)."""
+    def run(src, doc=None):
+        out = []
+        JSMapFunctionFull(src)(doc or {}, lambda k, v: out.append((k, v)))
+        return out
+
+    # positional binding with elisions
+    assert run(
+        "function(doc) { [['k', 42]].forEach(function ([, v]) "
+        "{ emit(v, null); }); }"
+    ) == [(42.0, None)]
+    assert run(
+        "function(doc) { [[1, 2, 3]].forEach(function ([a, , b]) "
+        "{ emit([a, b], null); }); }"
+    ) == [([1.0, 3.0], None)]
+    # missing argument -> TypeError -> tryMap skips the doc entirely
+    assert run(
+        "function(doc) { var f = function([a]) { return 1; }; "
+        "emit(f(), null); }"
+    ) == []
+    # non-iterable argument throws too
+    assert run(
+        "function(doc) { [5].forEach(function ([a]) "
+        "{ emit(a, null); }); }"
+    ) == []
+    # string arguments destructure per JS (iterable of chars)
+    assert run(
+        "function(doc) { ['xy'].forEach(function ([a, b]) "
+        "{ emit(a + b, null); }); }"
+    ) == [("xy", None)]

@@ -36,13 +36,12 @@ def main() -> None:
     # one string holding every code point; index == code point
     all_cps = "".join(map(chr, range(0x110000)))
     out: dict[str, list[tuple[int, int]]] = {}
+    # note: COMMON/INHERITED are generated like any script —
+    # \p{scx=Common} is valid JS and resolves to the chars whose scx
+    # set is exactly {Zyyy}/{Zinh} (strictly smaller than sc=Common:
+    # a char with real extensions leaves the set), which is what the
+    # regex package computes too
     for name in sorted(S.RANGES):
-        if name in ("COMMON", "INHERITED"):
-            # scx never contains Common/Inherited for a char that has
-            # real extensions; \p{scx=Common} IS valid JS though —
-            # regex resolves it to the chars whose scx set is exactly
-            # {Zyyy}/{Zinh}
-            pass
         pat = regex.compile(rf"\p{{scx={name}}}")
         ranges: list[tuple[int, int]] = []
         for m in pat.finditer(all_cps):
