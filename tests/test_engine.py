@@ -1368,3 +1368,76 @@ def test_fused_sort_gate_round11(spark, sf_dir, tmp_path):
     sig = eng.registry.resolve("fs", "v")
     stats = eng.registry.get_view(sig)["stats"]
     assert 0 < stats["keys"] <= stats["rows"]
+
+
+def test_fused_sort_differential_fuzz_round11(spark, sf_dir, tmp_path):
+    """Randomized differential over the query-option space: every
+    option set must return IDENTICAL rows with the sort fusion on
+    (default gate) and forced off (gate = 0 → the global-sort plans).
+    Protects the round-11 plan rewrite across descending, bounds,
+    inclusive_end, skip, limit, keys=, group levels and include_docs
+    — any divergence is a real planner bug in one shape."""
+    import random
+
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.operators import query as Q
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    eng = Engine(spark, sf_dir, str(tmp_path / "fz"))
+    eng.put_design("fz", {
+        "m": {"map": MapSpec(
+            "lineitem",
+            [("str", "l_returnflag"), ("str", "l_linestatus")],
+            ("num", "l_quantity"),
+        )},
+        "r": {"map": MapSpec(
+            "orders", ("str", "o_orderpriority"),
+            ("num", "o_totalprice"),
+        ), "reduce": "_sum"},
+    })
+    eng.build_ddoc("fz")
+    rng = random.Random(20260815)
+    keys_pool = [["A", "F"], ["N", "O"], ["R", "F"], ["A", "F"]]
+
+    def rand_opts():
+        o: dict = {}
+        view = rng.choice(["fz/m", "fz/r"])
+        if view == "fz/r":
+            o["group"] = rng.random() < 0.7
+            if not o["group"] and rng.random() < 0.5:
+                o["group_level"] = 0
+        else:
+            if rng.random() < 0.3:
+                o["include_docs"] = True
+            if rng.random() < 0.4:
+                o["descending"] = True
+            r = rng.random()
+            if r < 0.3:
+                o["startkey"] = [rng.choice("ANR")]
+                o["endkey"] = [rng.choice("ANR"), {}]
+                if o.get("descending"):
+                    o["startkey"], o["endkey"] = \
+                        o["endkey"], o["startkey"]
+                if rng.random() < 0.4:
+                    o["inclusive_end"] = False
+            elif r < 0.45:
+                o["keys"] = [rng.choice(keys_pool)
+                             for _ in range(rng.randint(1, 3))]
+        if rng.random() < 0.4:
+            o["skip"] = rng.randint(0, 5)
+        if rng.random() < 0.5:
+            o["limit"] = rng.randint(1, 40)
+        return view, o
+
+    orig = Q.FUSED_SORT_MAX_ROWS
+    for i in range(25):
+        view, o = rand_opts()
+        try:
+            fused = [tuple(r) for r in
+                     eng.query(view, stale="ok", **o).df.collect()]
+            Q.FUSED_SORT_MAX_ROWS = 0
+            plain = [tuple(r) for r in
+                     eng.query(view, stale="ok", **o).df.collect()]
+        finally:
+            Q.FUSED_SORT_MAX_ROWS = orig
+        assert fused == plain, (view, o, fused[:3], plain[:3])
