@@ -1441,3 +1441,35 @@ def test_fused_sort_differential_fuzz_round11(spark, sf_dir, tmp_path):
         finally:
             Q.FUSED_SORT_MAX_ROWS = orig
         assert fused == plain, (view, o, fused[:3], plain[:3])
+
+
+def test_include_docs_collapse_gated_by_pk_unique_round11(
+    spark, sf_dir, tmp_path
+):
+    """Doc-fetch side of include_docs: declared-unique tables
+    (customer) carry NO duplicate-id collapse aggregate in the plan;
+    lineitem — whose driver data duplicates ~20% of pk pairs — keeps
+    the collapse AND the row-count guarantee (limit=N returns N rows,
+    not one per duplicate body)."""
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.operators.mapphase import MapSpec
+
+    eng = Engine(spark, sf_dir, str(tmp_path / "pk"))
+    eng.put_design("pk", {
+        "c": {"map": MapSpec("customer", ("str", "c_mktsegment"))},
+        "l": {"map": MapSpec(
+            "lineitem",
+            [("str", "l_returnflag"), ("str", "l_linestatus")],
+        )},
+    })
+    eng.build_ddoc("pk")
+
+    rc = eng.query("pk/c", include_docs=True, limit=7, stale="ok")
+    plan_c = rc.df._jdf.queryExecution().executedPlan().toString()
+    assert "max(doc_json" not in plan_c, plan_c[:900]
+    assert len(rc.df.collect()) == 7
+
+    rl = eng.query("pk/l", include_docs=True, limit=7, stale="ok")
+    plan_l = rl.df._jdf.queryExecution().executedPlan().toString()
+    assert "max(doc_json" in plan_l, plan_l[:900]
+    assert len(rl.df.collect()) == 7  # duplicates collapsed
