@@ -544,7 +544,15 @@ def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,
         cents = ivf_centroids(
             emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd
         )
-        qrows = nd.filter(F.col("vid").isin(query_ids)).collect()
+        # query_vectors is honored on the inline path too (round 12,
+        # ADVICE r11): previously it was silently ignored here — qrows
+        # were fetched via query_ids (crashing when query_ids is None)
+        # while the vid != qid self-exclusion below was already
+        # skipped, so each query got its own corpus copy at rank 1.
+        if query_vectors is not None:
+            qrows = _normalize_query_vectors(query_vectors)
+        else:
+            qrows = nd.filter(F.col("vid").isin(query_ids)).collect()
         assigned = _assign_cells(nd, cents)
     C = np.array(cents)
     probes = []  # (qid, cell)

@@ -265,28 +265,57 @@ TABLES: dict[str, DocTable] = {
 }
 
 
-# (path → (dir mtime, parquet footer schema)) — schema inference is a
-# whole Spark job per spark.read.parquet call; one inference per table
-# path per CONTENT VERSION is enough.  Only the SCHEMA is cached,
-# never the file list: raw sources are append-only changes feeds
-# (tests and real CouchDB exports append new part files), so every
-# read re-lists the directory (driver-side, no job) and new batches
-# stay visible.  The directory mtime keys the entry so an append that
-# INTRODUCES a column (e.g. the first batch carrying the optional
-# ``_deleted``) re-infers instead of silently null-filling the new
-# column through a stale explicit schema.
-_SCHEMA_CACHE: dict[str, tuple[int, object]] = {}
+# (path → (dir fingerprint, parquet footer schema)) — schema
+# inference is a whole Spark job per spark.read.parquet call; one
+# inference per table path per CONTENT VERSION is enough.  Only the
+# SCHEMA is cached, never the file list: raw sources are append-only
+# changes feeds (tests and real CouchDB exports append new part
+# files), so every read re-lists the directory (driver-side, no job)
+# and new batches stay visible.  The fingerprint keys the entry so an
+# append that INTRODUCES a column (e.g. the first batch carrying the
+# optional ``_deleted``) re-infers instead of silently null-filling
+# the new column through a stale explicit schema.  The fingerprint is
+# (dir mtime, file count, total bytes, max file mtime): dir mtime
+# alone misses an IN-PLACE rewrite of an existing part file (same
+# name, new content/schema) — size + per-file mtime catch it without
+# hashing (ADVICE r11).
+_SCHEMA_CACHE: dict[str, tuple[tuple, object]] = {}
+
+
+def _dir_fingerprint(path: str):
+    """Cheap content-version fingerprint of a parquet table directory
+    (driver-side listing only — no Spark job, no file reads)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, 1, st.st_size, st.st_mtime_ns)
+    n = total = newest = 0
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    s = e.stat()
+                except OSError:
+                    continue
+                n += 1
+                total += s.st_size
+                if s.st_mtime_ns > newest:
+                    newest = s.st_mtime_ns
+    except OSError:
+        return None
+    return (st.st_mtime_ns, n, total, newest)
 
 
 def _cached_schema(path: str):
-    try:
-        mt = os.stat(path).st_mtime_ns
-    except OSError:
+    fp = _dir_fingerprint(path)
+    if fp is None:
         return None, None
     hit = _SCHEMA_CACHE.get(path)
-    if hit is not None and hit[0] == mt:
-        return mt, hit[1]
-    return mt, None
+    if hit is not None and hit[0] == fp:
+        return fp, hit[1]
+    return fp, None
 
 
 def _remember_schema(path: str, mt, schema) -> None:

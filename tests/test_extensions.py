@@ -469,6 +469,34 @@ def test_ivf_index_bundle_scan_free(emb, tmp_path, spark):
     assert sorted((r.qid, r.vid, r.rank) for r in inline) == tail
 
 
+def test_ivf_inline_query_vectors(emb):
+    """ADVICE r11: ivf_topk(query_vectors=…) on the INLINE path
+    (index=None) must honor the supplied vectors — previously they
+    were silently ignored (qrows still fetched via query_ids, crashing
+    when query_ids is None) while self-exclusion was already skipped.
+    Same label semantics as the amortized path: each corpus vector fed
+    back as a query ranks its own copy first, tail equals the
+    in-corpus top-k."""
+    n = emb.count()
+    n_cells = max(8, min(4096, int(n ** 0.5)))
+    inline = similarity.ivf_topk(emb, [0, 1], 10,
+                                 n_cells=n_cells).collect()
+    raw = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id").isin([0, 1])).collect()
+    }
+    via_vecs = similarity.ivf_topk(
+        emb, None, 11, n_cells=n_cells, query_vectors=raw
+    ).collect()
+    firsts = {r.qid: r for r in via_vecs if r.rank == 1}
+    assert set(firsts) == {0, 1}
+    assert all(r.vid == q and r.cosine > 0.999999
+               for q, r in firsts.items())
+    tail = sorted((r.qid, r.vid, r.rank - 1) for r in via_vecs
+                  if r.rank > 1)
+    assert sorted((r.qid, r.vid, r.rank) for r in inline) == tail
+
+
 def test_lsh_candidates_much_smaller_than_corpus(emb):
     n = emb.count()
     cand = similarity.rp_lsh_candidates(emb, [0, 1]).count()

@@ -768,7 +768,9 @@ def test_scx_differential_fuzz_round11():
     scripts."""
     import random
 
-    import regex as _rx
+    _rx = pytest.importorskip(
+        "regex"
+    )  # optional: only the table GENERATOR needs it, not the library
 
     from mapreduce_spark.functions import _scx_ranges as X
     from mapreduce_spark.functions.jsregex import JSRegExp

@@ -325,3 +325,52 @@ def test_attachment_stub_whitespace_b64_and_undecodable(spark):
     bad = out["_attachments"]["broken.bin"]
     assert bad["data"] == "!!not-base64!!"  # untouched, data preserved
     assert "stub" not in bad
+
+
+def test_schema_cache_sees_in_place_rewrite(spark, tmp_path):
+    """ADVICE r11: the footer-schema cache keyed on directory mtime
+    alone, so an IN-PLACE rewrite of an existing part file (same
+    name — dir entry untouched) served a stale schema.  The
+    fingerprint now includes file count / total bytes / max file
+    mtime; a rewrite that adds a column must re-infer."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_spark.sources import docs as D
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    tdir = d / "userdocs.parquet"
+    tdir.mkdir()
+    part = tdir / "part-0.parquet"
+
+    def _tbl(extra=False):
+        cols = {
+            "_id": ["doc-0001"],
+            "_rev": ["1-" + "0" * 32],
+            "_deleted": [False],
+            "seq": [1],
+            "doc_json": ['{"_id":"doc-0001","type":"post"}'],
+        }
+        if extra:
+            cols["extra"] = ["x"]
+        return pa.table(cols)
+
+    pq.write_table(_tbl(), part)
+    register_table(raw_doc_table("userdocs"))
+    try:
+        df1 = D.load_table(spark, str(d), "userdocs")
+        assert "extra" not in df1.columns
+        st = os.stat(tdir)
+        pq.write_table(_tbl(extra=True), part)  # same filename
+        # pin the DIRECTORY mtime to the pre-rewrite value — the
+        # old-bug scenario where the dir entry looks unchanged
+        os.utime(tdir, ns=(st.st_atime_ns, st.st_mtime_ns))
+        df2 = D.load_table(spark, str(d), "userdocs")
+        assert "extra" in df2.columns, (
+            "stale cached schema served after in-place part rewrite"
+        )
+    finally:
+        TABLES.pop("userdocs", None)
