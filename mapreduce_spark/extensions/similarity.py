@@ -420,21 +420,49 @@ class IVFIndex(NamedTuple):
     centroids: list
 
 
+def _cell_fit(cents: list[list[float]]):
+    """(nv, cell) → cosine to the assigned centroid — the assignment
+    FIT, the quantity index-quality drift is measured in."""
+    C = np.asarray(cents, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _fit(vs: pd.Series, cells: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)
+        sel = C[cells.to_numpy(dtype=np.int64)]
+        return pd.Series(np.einsum("ij,ij->i", M, sel))
+
+    return _fit
+
+
 def write_ivf_index(index: DataFrame, centroids: list,
-                    path: str) -> None:
+                    path: str) -> dict:
     """Persist an :func:`ivf_index` result as a self-contained bundle:
 
     - ``cells/``  — partitionBy("cell"): query batches read only their
       probed cells (static partition pruning);
     - ``vids/``   — (vid, nv) range-partitioned and sorted by vid:
       query-vector point lookups read only the matching row groups;
-    - ``centroids.json`` — the driver-side centroid list.
+    - ``centroids.json`` — the driver-side centroid list;
+    - ``meta.json``      — build stats (corpus size, rows appended
+      since build, mean assignment fit) driving the
+      :func:`ivf_append` retrain recommendation.
 
     The sidecar doubles the index footprint's (vid, nv) columns —
     ~8·dim bytes/vector — which is the classic space-for-IO trade: it
-    converts the per-batch query fetch from O(corpus) to O(queries)."""
-    index.write.partitionBy("cell").mode("overwrite").parquet(
-        os.path.join(path, "cells")
+    converts the per-batch query fetch from O(corpus) to O(queries).
+
+    Returns the meta dict it wrote."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    fit = _cell_fit(centroids)
+    (
+        index.withColumn("_fit", fit(F.col("nv"), F.col("cell")))
+        .observe(obs, F.count(F.lit(1)).alias("n"),
+                 F.avg("_fit").alias("fit"))
+        .drop("_fit")
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(os.path.join(path, "cells"))
     )
     (
         index.select("vid", "nv")
@@ -445,6 +473,104 @@ def write_ivf_index(index: DataFrame, centroids: list,
     )
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(centroids, f)
+    m = obs.get
+    meta = {
+        "base_n": int(m["n"] or 0),
+        "appended_n": 0,
+        "base_mean_fit": float(m["fit"]) if m["fit"] is not None
+        else None,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+# ivf_append retrain thresholds (documented contract): recommend a
+# re-train when the appended batch's mean assignment fit has dropped
+# more than IVF_RETRAIN_FIT_DROP cosine below the build-time mean
+# (the centroids no longer describe the incoming distribution), or
+# when appends total more than IVF_RETRAIN_GROWTH × the build corpus
+# (cells have doubled; probe cost per query has too).  The index stays
+# CORRECT past either threshold — recall for well-fitting queries is
+# unchanged — it just drifts away from the √N-sized-cell cost model.
+IVF_RETRAIN_FIT_DROP = 0.05
+IVF_RETRAIN_GROWTH = 1.0
+
+
+def ivf_append(spark, path: str, new_emb: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               nd: DataFrame | None = None) -> dict:
+    """Incrementally extend a persisted IVF bundle with a new corpus
+    batch (VERDICT r11 #3): assign ONLY the new vectors to the
+    EXISTING centroids and append to ``cells/`` and the vid sidecar —
+    the refresh plan scans just the batch, never the stored index, so
+    maintenance is O(batch) where a rebuild is O(corpus).
+
+    The sidecar append adds new vid-sorted files rather than
+    re-sorting the store: parquet min/max pruning stays per-file, so
+    point lookups read at most one row group per APPEND GENERATION —
+    fine for bounded append cadence; each re-train (which rewrites the
+    bundle) folds the generations back to one sorted layout.
+
+    Returns a report ``{appended, mean_fit, base_mean_fit, fit_drop,
+    growth, retrain_recommended}``; see IVF_RETRAIN_FIT_DROP /
+    IVF_RETRAIN_GROWTH for the recommendation contract."""
+    from pyspark.sql import Observation
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = json.load(f)
+    meta_path = os.path.join(path, "meta.json")
+    meta = {"base_n": None, "appended_n": 0, "base_mean_fit": None}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if nd is None:
+        nd = normalized(new_emb, id_col, vec_col)
+    assigned = _assign_cells(nd, cents)
+    obs = Observation()
+    fit = _cell_fit(cents)
+    (
+        assigned.withColumn("_fit", fit(F.col("nv"), F.col("cell")))
+        .observe(obs, F.count(F.lit(1)).alias("n"),
+                 F.avg("_fit").alias("fit"))
+        .drop("_fit")
+        .write.partitionBy("cell").mode("append")
+        .parquet(os.path.join(path, "cells"))
+    )
+    (
+        assigned.select("vid", "nv")
+        .repartitionByRange("vid")
+        .sortWithinPartitions("vid")
+        .write.mode("append")
+        .parquet(os.path.join(path, "vids"))
+    )
+    m = obs.get
+    n = int(m["n"] or 0)
+    mean_fit = float(m["fit"]) if m["fit"] is not None else None
+    meta["appended_n"] = int(meta.get("appended_n") or 0) + n
+    base_fit = meta.get("base_mean_fit")
+    base_n = meta.get("base_n")
+    fit_drop = (
+        base_fit - mean_fit
+        if base_fit is not None and mean_fit is not None else None
+    )
+    growth = (
+        meta["appended_n"] / base_n if base_n else None
+    )
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return {
+        "appended": n,
+        "mean_fit": mean_fit,
+        "base_mean_fit": base_fit,
+        "fit_drop": fit_drop,
+        "growth": growth,
+        "retrain_recommended": bool(
+            (fit_drop is not None and fit_drop > IVF_RETRAIN_FIT_DROP)
+            or (growth is not None and growth > IVF_RETRAIN_GROWTH)
+        ),
+    }
 
 
 def read_ivf_index(spark, path: str) -> IVFIndex:
