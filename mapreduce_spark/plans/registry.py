@@ -107,7 +107,26 @@ class _ViewLock:
 
 
 class Registry:
-    """Driver-side view catalog persisted as JSON (atomic rename)."""
+    """Driver-side view catalog persisted as JSON.
+
+    Concurrency contract (VERDICT r11 #4 — M3 beyond one driver):
+
+    - every WRITE is write-temp + ``os.replace`` — readers always see
+      a complete, valid checkpoint, never a torn file;
+    - every read-modify-write (:meth:`update`) holds BOTH the
+      in-process mutex and an OS advisory flock on
+      ``<storage>/locks/registry.lock`` — two Engine instances (same
+      or different processes) sharing one warehouse serialize their
+      registry mutations, so a concurrent build of view A and refresh
+      of view B cannot lose each other's entries;
+    - plain reads take no lock: ``os.replace`` atomicity makes any
+      read a consistent snapshot (possibly one mutation stale — the
+      same staleness a CouchDB client sees between two requests);
+    - build WORK on one view is serialized by the per-sig
+      :meth:`view_lock` (also flock-backed); the registry lock is
+      strictly inner (only held inside :meth:`update`, never while
+      running Spark jobs), so lock order view→registry is acyclic.
+    """
 
     def __init__(self, storage_dir: str) -> None:
         self.storage_dir = storage_dir
@@ -131,12 +150,29 @@ class Registry:
         os.replace(tmp, self.path)  # atomic checkpoint (M1 exactly-once)
 
     def update(self, fn) -> dict:
-        """Atomically read-modify-write the registry state."""
+        """Atomically read-modify-write the registry state.
+
+        Cross-instance/cross-process safe: the in-process mutex only
+        covers threads of ONE Registry object, so the flock is what
+        stops two Engines on the same warehouse from interleaving
+        read→write and losing a mutation (the fn runs driver-side in
+        microseconds — contention is negligible next to any build)."""
         with self._lock:
-            state = self._read()
-            fn(state)
-            self._write(state)
-            return state
+            fh = None
+            if _fcntl is not None:
+                lockdir = os.path.join(self.storage_dir, "locks")
+                os.makedirs(lockdir, exist_ok=True)
+                fh = open(os.path.join(lockdir, "registry.lock"), "a+")
+                _fcntl.flock(fh, _fcntl.LOCK_EX)
+            try:
+                state = self._read()
+                fn(state)
+                self._write(state)
+                return state
+            finally:
+                if fh is not None:
+                    _fcntl.flock(fh, _fcntl.LOCK_UN)
+                    fh.close()
 
     def view_lock(self, sig: str) -> "_ViewLock":
         """Per-view build serialization (upstream TaskQueue parity).
@@ -208,22 +244,30 @@ class Registry:
     # -- cleanup (S6) ----------------------------------------------------
 
     def view_cleanup(self) -> dict:
-        """Delete storage for signatures not referenced by any design."""
-        state = self._read()
-        live = {
-            v["sig"]
-            for d in state["designs"].values()
-            for v in d["views"].values()
-        }
-        removed = []
-        for sig in list(state["views"]):
-            if sig not in live:
-                removed.append(sig)
-                shutil.rmtree(self.view_dir(sig), ignore_errors=True)
+        """Delete storage for signatures not referenced by any design.
+
+        Orphan DECISION and registry removal happen in one atomic
+        update (a concurrent put_design re-adding the sig either lands
+        before — sig stays live — or after — the design points at a
+        sig whose storage is gone, the same as registering a brand-new
+        view: the next build recreates it).  Directory deletion runs
+        after the entries are gone, so no reader resolves to storage
+        mid-delete."""
+        removed: list[str] = []
 
         def mut(s: dict) -> None:
-            for sig in removed:
-                s["views"].pop(sig, None)
+            removed.clear()  # update() retries would re-run fn
+            live = {
+                v["sig"]
+                for d in s["designs"].values()
+                for v in d["views"].values()
+            }
+            for sig in list(s["views"]):
+                if sig not in live:
+                    removed.append(sig)
+                    s["views"].pop(sig, None)
 
         self.update(mut)
+        for sig in removed:
+            shutil.rmtree(self.view_dir(sig), ignore_errors=True)
         return {"ok": True, "removed": removed}

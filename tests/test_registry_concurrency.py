@@ -1,0 +1,175 @@
+"""Multi-engine registry safety (VERDICT r11 #4).
+
+Upstream's TaskQueue assumed one process; a shared warehouse (two
+notebook drivers, or two Engine objects in one process) must not lose
+registry mutations.  The contract (plans/registry.py Registry
+docstring): atomic rename on every write, flock-serialized
+read-modify-write, per-view flock for build work, lock order
+view -> registry.
+
+The in-PROCESS two-instance case is the strongest local probe: two
+Registry objects have distinct threading.Locks, so only the flock
+serializes them -- exactly the cross-process failure mode, minus the
+fork overhead (flock is per open-file-description, so two fds in one
+process contend the same way two processes do).
+"""
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_spark.engine import Engine
+from mapreduce_spark.operators.mapphase import MapSpec
+from mapreduce_spark.plans.registry import Registry
+
+VIEW_A = {
+    "map": MapSpec(
+        "lineitem",
+        [("str", "l_returnflag"), ("str", "l_linestatus")],
+        ("num", "l_quantity"),
+    ),
+    "reduce": "_sum",
+}
+VIEW_B = {
+    "map": MapSpec("customer", ("str", "c_mktsegment")),
+    "reduce": "_count",
+}
+
+
+def test_update_rmw_atomic_across_instances(tmp_path):
+    """Two Registry INSTANCES interleaving update(): without the
+    registry flock, B reads before A writes and A's key is lost."""
+    d = str(tmp_path / "reg")
+    r1 = Registry(d)
+    r2 = Registry(d)
+    started = threading.Event()
+
+    def slow_a(state):
+        state["views"]["sig-a"] = {"last_seq": 1}
+        started.set()
+        # hold the lock across the window where the lost-update race
+        # would bite: B's update() must block until A's write lands
+        time.sleep(0.4)
+
+    t = threading.Thread(target=lambda: r1.update(slow_a))
+    t.start()
+    assert started.wait(5)
+    r2.update(
+        lambda s: s["views"].__setitem__("sig-b", {"last_seq": 2})
+    )
+    t.join()
+    final = r1.get_view("sig-a"), r2.get_view("sig-b")
+    assert final == ({"last_seq": 1}, {"last_seq": 2}), (
+        f"lost registry update across instances: {final}"
+    )
+
+
+def test_two_engines_concurrent_build_converges(
+    spark, sf_dir, tmp_path
+):
+    """Two Engines on one warehouse build DIFFERENT views of the same
+    design concurrently; both entries must survive with exact stats,
+    and a third engine must read both."""
+    store = str(tmp_path / "wh")
+    ea = Engine(spark, sf_dir, store)
+    eb = Engine(spark, sf_dir, store)
+    design = {"a": VIEW_A, "b": VIEW_B}
+    ea.put_design("d", design)
+    eb.put_design("d", design)
+
+    errs = []
+
+    def build(eng, name):
+        try:
+            eng.update_view(f"d/{name}")
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append((name, e))
+
+    ta = threading.Thread(target=build, args=(ea, "a"))
+    tb = threading.Thread(target=build, args=(eb, "b"))
+    ta.start()
+    tb.start()
+    ta.join()
+    tb.join()
+    assert not errs, errs
+
+    lineitem_n = spark.read.parquet(
+        f"{sf_dir}/lineitem.parquet"
+    ).count()
+    customer_n = spark.read.parquet(
+        f"{sf_dir}/customer.parquet"
+    ).count()
+    # fixture lineitem duplicates ~20% of pk pairs -> collapsed rows
+    ec = Engine(spark, sf_dir, store)
+    ec.put_design("d", design)
+    for name, src_n, exact_rows in (
+        ("a", lineitem_n, None),
+        ("b", customer_n, customer_n),
+    ):
+        sig = ec.registry.resolve("d", name)
+        entry = ec.registry.get_view(sig)
+        assert entry is not None and entry["base"] is not None, (
+            f"view {name} lost by the concurrent build"
+        )
+        got = ec._assemble_view(sig).count()
+        assert entry["stats"]["rows"] == got
+        if exact_rows is not None:
+            assert got == exact_rows
+        res = ec.query(f"d/{name}", group=True, stale="ok")
+        assert len(res.rows()) > 0
+
+
+def test_two_engines_same_view_refresh_serializes(
+    spark, sf_dir, tmp_path
+):
+    """Two Engines refresh the SAME view with disjoint batches
+    concurrently: the per-view flock serializes the builds, the
+    second engine layers on top of the first's entry, and the result
+    equals a single-engine build of everything."""
+    store = str(tmp_path / "wh2")
+    ea = Engine(spark, sf_dir, store)
+    eb = Engine(spark, sf_dir, store)
+    ea.put_design("d", {"v": VIEW_A})
+    eb.put_design("d", {"v": VIEW_A})
+
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seq = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast(
+        "long"
+    )
+    hi = raw.agg(F.max(seq)).collect()[0][0]
+    mid = hi // 2
+    b1 = raw.filter(seq <= mid)
+    b2 = raw.filter(seq > mid)
+
+    errs = []
+
+    def refresh(eng, batch):
+        try:
+            eng.update_view("d/v", changes=batch)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=refresh, args=(ea, b1))
+    t2 = threading.Thread(target=refresh, args=(eb, b2))
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    assert not errs, errs
+
+    ec = Engine(spark, sf_dir, store)
+    ec.put_design("d", {"v": VIEW_A})
+    got = sorted(
+        (tuple(r["key"]), round(r["value"], 6))
+        for r in ec.query("d/v", group_level=2, stale="ok").rows()
+    )
+    want = sorted(
+        (tuple(r["key"]), round(r["value"], 6))
+        for r in ec.query(VIEW_A, group_level=2).rows()
+    )
+    assert got == want
+    sig = ec.registry.resolve("d", "v")
+    entry = ec.registry.get_view(sig)
+    assert entry["stats"]["rows"] == ec._assemble_view(sig).count()
