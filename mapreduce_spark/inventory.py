@@ -294,6 +294,20 @@ def _raw_source_env(spark: SparkSession, sf_dir: str) -> "Engine":
     sf2 = tempfile.mkdtemp(prefix="rawsf-")
     raw.write.mode("overwrite").parquet(f"{sf2}/rawdocs.parquet")
     register_table(raw_doc_table("rawdocs"))
+    # shredded-VARIANT copy of the SAME export (round 12, VERDICT r11
+    # #5): q31's 'v' tag queries it through the identical compiled
+    # source, so the driver's value-hash oracle covers the variant
+    # layout — shredded ≡ string ≡ DuckDB, in one contract row
+    # (DuckDB itself cannot read VARIANT parquet, so the layout is
+    # oracled THROUGH the engine rather than read directly)
+    import os as _os
+
+    from mapreduce_spark.sources.docs import shred_raw_table
+
+    _vtmp = tempfile.mkdtemp(prefix="rawvar-")
+    _p = shred_raw_table(spark, sf2, "rawdocs", _vtmp)
+    _os.rename(_p, f"{sf2}/rawdocs_v.parquet")
+    register_table(raw_doc_table("rawdocs_v"))
     eng = Engine(spark, sf2, tempfile.mkdtemp(prefix="rawv-"))
     # two tiers of the SAME semantics, both value-checked by q31:
     # by_lang pins the INTERPRETER (the `var` statement is outside the
@@ -314,17 +328,28 @@ def _raw_source_env(spark: SparkSession, sf_dir: str) -> "Engine":
         "by_lang": {"map": ("rawdocs", js_interp), "reduce": "_sum"},
         "by_lang_c": {"map": ("rawdocs", js_compiled),
                       "reduce": "_sum"},
+        # same compiled source over the shredded-VARIANT layout —
+        # the 'v' oracle leg
+        "by_lang_v": {"map": ("rawdocs_v", js_compiled),
+                      "reduce": "_sum"},
     })
     from mapreduce_spark.functions.jsvariant import VariantJSView
 
     tiers = {
         name: type(eng._defs[eng.registry.resolve("rawddoc", name)]
                    .map_def)
-        for name in ("by_lang", "by_lang_c")
+        for name in ("by_lang", "by_lang_c", "by_lang_v")
     }
     assert tiers["by_lang"] is tuple, "q31 interpreter witness lost"
     assert tiers["by_lang_c"] is VariantJSView, \
         "q31 compiled witness lost"
+    assert tiers["by_lang_v"] is VariantJSView, \
+        "q31 shredded-layout witness lost"
+    # and the 'v' leg really reads a VARIANT-stored body, not a
+    # re-parsed string
+    from mapreduce_spark.sources.docs import load_table as _lt
+
+    assert "doc_var" in _lt(spark, sf2, "rawdocs_v").columns
     eng.build_ddoc("rawddoc")
     _RAW_ENV_CACHE[key] = eng
     return eng
@@ -822,22 +847,30 @@ class Inventory:
         witness); tag 'c' is the VARIANT-COMPILED tier
         (functions/jsvariant.py: drift-guarded parse_json/variant_get
         expressions, zero Python in the build plan — the 100 TB
-        path).  Identical values under both tags IS the tier-
-        equivalence check.  The raw export and the materialized views
+        path); tag 'v' (round 12) is the same compiled source over a
+        ``shred_raw_table`` VARIANT-stored copy of the export, which
+        puts the shredded LAYOUT under the DuckDB value-hash oracle
+        (DuckDB cannot read VARIANT parquet directly, so the layout
+        is oracled through the engine).  Identical values under all
+        three tags IS the tier- and layout-equivalence check.  The raw export and the materialized views
         are cached per (session, sf_dir), so repeated invocations
         (bench warm runs) measure the persisted read path, not
         re-ingestion."""
         eng = _raw_source_env(self.spark, self.sf_dir)
         outs = []
         for tag, view in (("i", "rawddoc/by_lang"),
-                          ("c", "rawddoc/by_lang_c")):
+                          ("c", "rawddoc/by_lang_c"),
+                          ("v", "rawddoc/by_lang_v")):
             res = eng.query(view, stale="ok", group=True)
             outs.append(res.df.select(
                 F.lit(tag).alias("src"),
                 _j("$").alias("lang"),
                 F.col("value_num").alias("sum_chars"),
             ))
-        return outs[0].unionByName(outs[1])
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
 
     def q32(self):
         """Descending scan whose END boundary is an exact (key, docid)
@@ -1168,10 +1201,17 @@ ORACLE_SQL: dict[str, str] = {
         "AND id > 'customer:000500'))"
     ),
     "q31": (
+        # three tags, one semantics: 'i' interpreter on JSON strings,
+        # 'c' variant-compiled on JSON strings, 'v' variant-compiled
+        # on the shredded-VARIANT layout — matching all three against
+        # the same relational truth proves tier AND layout equivalence
         "SELECT 'i' AS src, lang, sum(n_chars::DOUBLE) AS sum_chars "
         "FROM documents WHERE lang <> 'en' GROUP BY 2 "
         "UNION ALL "
         "SELECT 'c' AS src, lang, sum(n_chars::DOUBLE) AS sum_chars "
+        "FROM documents WHERE lang <> 'en' GROUP BY 2 "
+        "UNION ALL "
+        "SELECT 'v' AS src, lang, sum(n_chars::DOUBLE) AS sum_chars "
         "FROM documents WHERE lang <> 'en' GROUP BY 2"
     ),
     "q30": (

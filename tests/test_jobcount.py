@@ -38,7 +38,10 @@ JOB_CEILINGS = {
     "q08": 2, "q09": 3, "q10": 1, "q11": 6, "q12": 4, "q13": 2,
     "q14": 2, "q15": 2, "q16": 3, "q17": 3, "q18": 21, "q19": 2,
     "q20": 1, "q21": 3, "q22": 2, "q23": 2, "q24": 1, "q25": 2,
-    "q26": 2, "q28": 2, "q29": 2, "q30": 3, "q31": 3, "q32": 2,
+    # q31: 4 since round 12 — the third ('v', shredded-VARIANT
+    # layout) oracle leg reads one more persisted view (+1 job for
+    # +1 layout under the value-hash gate)
+    "q26": 2, "q28": 2, "q29": 2, "q30": 3, "q31": 4, "q32": 2,
     "q33": 2, "q34": 7, "q35": 2, "q36": 2,
 }
 
@@ -91,8 +94,10 @@ def test_total_warm_job_budget():
     the read path.  r12 measured total: 101 jobs across all 34
     queries including q18's full metamorphic rebuild (the r10
     regressed state was ~150 on the same counting; PLANS.md's
-    130 -> 79 figures counted the non-maintenance read legs only)."""
-    assert sum(JOB_CEILINGS.values()) <= 101, (
+    130 -> 79 figures counted the non-maintenance read legs only).
+    102 = 101 measured + 1 for q31's round-12 shredded-layout oracle
+    leg (a deliberate +1-view coverage buy)."""
+    assert sum(JOB_CEILINGS.values()) <= 102, (
         "ceiling table drifted past the round-12 measured state -- "
         "fuse the new job or justify the bump here"
     )
