@@ -263,6 +263,65 @@ def _j(path: str, typ: str | None = None):
     return c.cast(typ) if typ else c
 
 
+# ---------------------------------------------------------------------------
+# tier witnesses (round 12, VERDICT r11 #6)
+# ---------------------------------------------------------------------------
+# The tagged inventory rows owe their COVERAGE claims to which tier
+# actually executes: q28/q36 prove the compiled MapSpec path, q35 the
+# statement interpreter, q33 the interpreted JS reduce, q31 all three
+# raw-source tiers (asserted inside _raw_source_env).  Widening a
+# compile tier can silently STEAL a witness — round 11's var-alias
+# widening compiled q31's old interpreter source and the theft was
+# only caught by hand.  Each witness below is asserted at QUERY TIME
+# (so the driver contract run fails loud) and pinned by
+# tests/test_spine.py::test_tier_witnesses.
+
+TIER_WITNESSES: dict[str, tuple[str, str]] = {
+    "js_orders": ("q28", "mapspec"),
+    "js_math": ("q36", "mapspec"),
+    "js_interp": ("q35", "interpreted"),
+}
+
+REDUCE_WITNESSES: dict[str, str] = {
+    "js_custom_stats": "q33",  # must stay on the JS reduce interpreter
+}
+
+
+def assert_tier_witness(engine: "Engine", view: str) -> None:
+    """Fail loud if ``view`` no longer executes on the tier its
+    inventory row claims to witness (see TIER_WITNESSES)."""
+    exp = TIER_WITNESSES.get(view)
+    if exp is not None:
+        q, tier = exp
+        m = engine._normalize_map(VIEW_DEFS[view]["map"])
+        specs = m if isinstance(m, list) else [m]
+        if tier == "mapspec":
+            ok = all(isinstance(s, MapSpec) for s in specs)
+        else:  # "interpreted": (table, python callable) pair
+            ok = (
+                isinstance(m, tuple) and len(m) == 2
+                and callable(m[1])
+            )
+        assert ok, (
+            f"{q} tier witness lost: view '{view}' now normalizes "
+            f"to {type(m).__name__}, expected {tier} — a compile-"
+            f"tier widening stole the witness; mutate the source "
+            f"back out of the subset (see _raw_source_env's alias-"
+            f"mutation precedent)"
+        )
+    q33 = REDUCE_WITNESSES.get(view)
+    if q33 is not None:
+        from mapreduce_spark.functions.jsreduce import (
+            JSReduceFunction,
+        )
+
+        r = engine._normalize_reduce(VIEW_DEFS[view].get("reduce"))
+        assert isinstance(r, JSReduceFunction), (
+            f"{q33} reduce witness lost: '{view}' reduce now lowers "
+            f"to {r!r} instead of the JS reduce interpreter"
+        )
+
+
 _RAW_ENV_CACHE: dict[tuple, "Engine"] = {}
 
 
@@ -778,6 +837,7 @@ class Inventory:
         """View defined from a JS design-doc source string (F1),
         grouped at level 1: per-priority totals of big open orders +
         one 'closed' bucket counting non-open orders."""
+        assert_tier_witness(self.engine, "js_orders")
         res = self._q("js_orders", group_level=1)
         return res.df.select(
             _j("$[0]").alias("k"),
@@ -894,6 +954,7 @@ class Inventory:
         body one field beyond the ``_sum_count`` builtin lowering, so
         this row pins the INTERPRETER tier every round (the lowered
         tier has its own plan-assert + property tests)."""
+        assert_tier_witness(self.engine, "js_custom_stats")
         res = self._q("js_custom_stats", group_level=2)
         vj = F.col("value_json")
         return res.df.select(
@@ -933,6 +994,7 @@ class Inventory:
         the JVM ``_sum`` — grouped word × day-of-month × day-of-week
         × latin-flag value totals under the DuckDB gate (DuckDB's RE2
         evaluates the same script property independently)."""
+        assert_tier_witness(self.engine, "js_interp")
         res = self._q("js_interp", group=True)
         return res.df.select(
             _j("$[0]").alias("word"),
@@ -947,10 +1009,7 @@ class Inventory:
         division, ``%`` and string ``.length`` in one ddoc — asserted
         compiled (MapSpec: no Python evaluation) and value-checked
         against DuckDB."""
-        from mapreduce_spark.operators.mapphase import MapSpec
-
-        spec = self.engine._normalize_map(VIEW_DEFS["js_math"]["map"])
-        assert isinstance(spec, MapSpec), "q36 must stay compiled"
+        assert_tier_witness(self.engine, "js_math")
         res = self._q("js_math", group=True)
         return res.df.select(
             _j("$[0]", "double").alias("bucket"),

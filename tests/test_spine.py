@@ -62,3 +62,45 @@ def test_spine_map_range(engine, duck):
     got_keys = [json.loads(r["key_json"]) for r in rows]
     assert got_keys == [e[0] for e in exp]
     assert got_keys == sorted(got_keys)
+
+
+def test_tier_witnesses(spark, sf_dir, engine):
+    """VERDICT r11 #6: every tagged inventory row's tier witness is
+    asserted mechanically — a compile-tier widening that silently
+    compiles a previously-interpreted source (round 11's var-alias
+    incident) must fail HERE, not be caught by hand.  The raw-source
+    (q31) witnesses — interpreter, variant-compiled, shredded-layout —
+    assert inside _raw_source_env itself."""
+    from mapreduce_spark.inventory import (
+        REDUCE_WITNESSES,
+        TIER_WITNESSES,
+        _raw_source_env,
+        assert_tier_witness,
+    )
+
+    for view in (*TIER_WITNESSES, *REDUCE_WITNESSES):
+        assert_tier_witness(engine, view)
+    # building the raw env runs its three witness asserts (cached per
+    # session+sf_dir, so the contract run shares the work)
+    _raw_source_env(spark, sf_dir)
+
+
+def test_tier_witness_detects_theft(engine):
+    """The checker itself must catch a stolen witness: a trivially
+    compilable source under q35's 'interpreted' claim fails."""
+    from mapreduce_spark.inventory import (
+        VIEW_DEFS,
+        assert_tier_witness,
+    )
+
+    stolen = dict(VIEW_DEFS["js_interp"])
+    stolen["map"] = (
+        "events", "function(doc){ emit(doc.event_type, 1); }"
+    )
+    orig = VIEW_DEFS["js_interp"]
+    VIEW_DEFS["js_interp"] = stolen
+    try:
+        with pytest.raises(AssertionError, match="witness lost"):
+            assert_tier_witness(engine, "js_interp")
+    finally:
+        VIEW_DEFS["js_interp"] = orig
