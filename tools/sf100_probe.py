@@ -1,0 +1,186 @@
+"""sf100 probe (round 12, VERDICT r11 #7): stretch the two
+cheapest-to-run, highest-value scale cases ONE more decade —
+selective read and steady-state refresh — on a 600M-row lineitem
+(1000× sf0.1).
+
+Design: ONE map-only view (l_orderkey → l_quantity) serves both
+measurements, so the probe pays a single O(corpus) build:
+
+- ``selread``: the same ~10k-order narrow window selects identical
+  rows at sf0.1 (600k-row view) and sf100 (600M-row view).  X3
+  predicts ~flat (row-group min/max pruning on the key_enc-sorted
+  store); an O(view) scan would be 1000×.
+- ``refresh_steady``: a fixed ~60k-row change batch against the 600M
+  view.  M1's O(changes) accounting predicts ~flat.
+
+The base build is built to seq-quantile s0 so the last two ~60k-row
+seq slices remain as refresh batches (refresh_first pays the one-time
+lazy counts pass, refresh_steady is the forever cost).
+
+Usage: python tools/sf100_probe.py [out_dir]   (default /tmp/sf100)
+Prints one JSON line with both legs and per-decade exponents (3
+decades sf0.1 → sf100).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+SF01 = "/root/testdata/sf0.1"
+REPS = 1000
+BATCH_ROWS = 60_000
+
+
+def synthesize_lineitem(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    li_path = f"{out_dir}/lineitem.parquet"
+    if os.path.exists(li_path):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(REPS).withColumnRenamed("id", "_rep")
+    # the sf0.1 source is ONE 11 MB file — without a repartition the
+    # crossJoin inherits ~1 input split and the 600M-row write
+    # serializes onto a couple of tasks (measured ~8 h); 32-way gives
+    # ~350 MB of output per task
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet").repartition(32)
+    shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    t = time.time()
+    (
+        li.crossJoin(reps)
+        .withColumn(
+            "l_orderkey",
+            (F.col("l_orderkey") + F.col("_rep") * F.lit(shift))
+            .cast(li.schema["l_orderkey"].dataType),
+        )
+        .drop("_rep")
+        # the changes-feed ingest contract (PLANS.md round 11): the
+        # raw table must be seq-CLUSTERED or `seq > since` refresh
+        # pruning degrades to a full scan.  The crossJoin interleaves
+        # all 1000 replicas row-by-row, so every row group would span
+        # the whole orderkey range — range-repartition + sort restores
+        # the layout a real ingest writes.
+        .repartitionByRange(64, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .parquet(li_path)
+    )
+    print(f"# synthesized sf100 lineitem in {time.time()-t:.1f}s",
+          file=sys.stderr)
+
+
+def measure(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from mapreduce_spark.engine import Engine
+    from mapreduce_spark.operators.mapphase import MapSpec
+    from mapreduce_spark.sources.docs import load_table
+
+    raw = load_table(spark, sf_dir, "lineitem")
+    seq = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast(
+        "long"
+    )
+    n = raw.count()
+    qs = raw.select(seq.alias("s")).approxQuantile(
+        "s",
+        [max(0.0, 1 - 2 * BATCH_ROWS / n),
+         max(0.0, 1 - BATCH_ROWS / n)],
+        0.001,
+    )
+    s0, s1 = int(qs[0]), int(qs[1])
+
+    eng = Engine(spark, sf_dir, tempfile.mkdtemp(prefix="sf100-"))
+    eng.put_design(
+        "sel",
+        {
+            "v": {
+                "map": MapSpec(
+                    "lineitem",
+                    ("num", "l_orderkey"),
+                    ("num", "l_quantity"),
+                )
+            }
+        },
+    )
+    vdef = eng._resolve("sel/v")[0]
+    out = {"rows": n}
+    t = time.time()
+    eng.update_view(vdef, to_seq=s0)
+    out["base_build"] = round(time.time() - t, 2)
+
+    # narrow window: identical selected rows at every scale (replica
+    # shards shift l_orderkey by disjoint ranges)
+    lo, hi = 100_000, 110_000
+    walls = []
+    sel_rows = 0
+    for _ in range(3):
+        t = time.time()
+        sel_rows = len(
+            eng.query("sel/v", startkey=lo, endkey=hi,
+                      stale="ok").df.collect()
+        )
+        walls.append(time.time() - t)
+    res = eng.query("sel/v", startkey=lo, endkey=hi, stale="ok")
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    out["sel_read_narrow"] = round(statistics.median(walls), 3)
+    out["sel_rows"] = sel_rows
+    out["sel_pushed_filter"] = "GreaterThanOrEqual(key_enc" in plan
+
+    t = time.time()
+    eng.update_view(vdef, to_seq=s1)  # one-time lazy counts (O(view))
+    out["refresh_first"] = round(time.time() - t, 2)
+    t = time.time()
+    eng.update_view(vdef)  # steady state: pure O(changes)
+    out["refresh_steady"] = round(time.time() - t, 2)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    synthesize_lineitem(spark, out_dir)
+    # warmup (JVM/codegen init must not land on the sf0.1 column)
+    measure(spark, "/root/testdata/sf0.001")
+    r01 = measure(spark, SF01)
+    r100 = measure(spark, out_dir)
+    expo = {
+        k: round(
+            math.log10(max(r100[k], 1e-3) / max(r01[k], 1e-3)) / 3.0,
+            2,
+        )
+        for k in ("sel_read_narrow", "refresh_steady",
+                  "refresh_first", "base_build")
+    }
+    print(json.dumps({
+        "sf0.1": r01, "sf100": r100,
+        "exponent_per_decade": expo,
+    }))
+
+
+if __name__ == "__main__":
+    main()
