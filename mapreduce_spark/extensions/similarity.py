@@ -452,25 +452,33 @@ def write_ivf_index(index: DataFrame, centroids: list,
     converts the per-batch query fetch from O(corpus) to O(queries).
 
     Returns the meta dict it wrote."""
+    from pyspark import StorageLevel
     from pyspark.sql import Observation
 
     obs = Observation()
     fit = _cell_fit(centroids)
-    (
-        index.withColumn("_fit", fit(F.col("nv"), F.col("cell")))
-        .observe(obs, F.count(F.lit(1)).alias("n"),
-                 F.avg("_fit").alias("fit"))
-        .drop("_fit")
-        .write.partitionBy("cell").mode("overwrite")
-        .parquet(os.path.join(path, "cells"))
-    )
-    (
-        index.select("vid", "nv")
-        .repartitionByRange("vid")
-        .sortWithinPartitions("vid")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "vids"))
-    )
+    # persist across the two store writes: the assignment (a pandas
+    # UDF over the whole corpus) would otherwise execute twice — once
+    # for cells/, once for the sidecar's sampler+write
+    index = index.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (
+            index.withColumn("_fit", fit(F.col("nv"), F.col("cell")))
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.avg("_fit").alias("fit"))
+            .drop("_fit")
+            .write.partitionBy("cell").mode("overwrite")
+            .parquet(os.path.join(path, "cells"))
+        )
+        (
+            index.select("vid", "nv")
+            .repartitionByRange("vid")
+            .sortWithinPartitions("vid")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "vids"))
+        )
+    finally:
+        index.unpersist()
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(centroids, f)
     m = obs.get
@@ -480,9 +488,19 @@ def write_ivf_index(index: DataFrame, centroids: list,
         "base_mean_fit": float(m["fit"]) if m["fit"] is not None
         else None,
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(path, meta)
     return meta
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    """Atomic meta.json checkpoint (write-temp + rename): a crash
+    mid-dump must leave the previous meta, never torn JSON that would
+    fail the next append's json.load."""
+    mp = os.path.join(path, "meta.json")
+    tmp = f"{mp}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, mp)
 
 
 # ivf_append retrain thresholds (documented contract): recommend a
@@ -497,7 +515,7 @@ IVF_RETRAIN_FIT_DROP = 0.05
 IVF_RETRAIN_GROWTH = 1.0
 
 
-def ivf_append(spark, path: str, new_emb: DataFrame,
+def ivf_append(path: str, new_emb: DataFrame,
                id_col: str = "vec_id",
                vec_col: str = "embedding",
                nd: DataFrame | None = None) -> dict:
@@ -513,6 +531,17 @@ def ivf_append(spark, path: str, new_emb: DataFrame,
     fine for bounded append cadence; each re-train (which rewrites the
     bundle) folds the generations back to one sorted layout.
 
+    The assignment is snapshotted (``localCheckpoint``) before the
+    two writes, so a live ``new_emb`` source (an append-only changes
+    feed growing mid-call) cannot make cells/ and vids/ diverge, and
+    the batch is scanned + UDF-assigned exactly once.  Crash
+    semantics: the two store appends are not atomic — a driver death
+    between them leaves the bundle half-appended (vectors scored as
+    candidates but invisible to vid lookups, or vice versa).  Do NOT
+    blindly re-run the append (duplicate vids inflate ranks); recover
+    by re-training (write_ivf_index rewrites both stores) — the
+    meta.json checkpoint itself is atomic either way.
+
     Returns a report ``{appended, mean_fit, base_mean_fit, fit_drop,
     growth, retrain_recommended}``; see IVF_RETRAIN_FIT_DROP /
     IVF_RETRAIN_GROWTH for the recommendation contract."""
@@ -527,14 +556,17 @@ def ivf_append(spark, path: str, new_emb: DataFrame,
             meta = json.load(f)
     if nd is None:
         nd = normalized(new_emb, id_col, vec_col)
-    assigned = _assign_cells(nd, cents)
     obs = Observation()
     fit = _cell_fit(cents)
-    (
-        assigned.withColumn("_fit", fit(F.col("nv"), F.col("cell")))
+    assigned = (
+        _assign_cells(nd, cents)
+        .withColumn("_fit", fit(F.col("nv"), F.col("cell")))
         .observe(obs, F.count(F.lit(1)).alias("n"),
                  F.avg("_fit").alias("fit"))
-        .drop("_fit")
+        .localCheckpoint()  # one scan; both writes read the snapshot
+    )
+    (
+        assigned.drop("_fit")
         .write.partitionBy("cell").mode("append")
         .parquet(os.path.join(path, "cells"))
     )
@@ -558,8 +590,7 @@ def ivf_append(spark, path: str, new_emb: DataFrame,
     growth = (
         meta["appended_n"] / base_n if base_n else None
     )
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    _write_meta(path, meta)
     return {
         "appended": n,
         "mean_fit": mean_fit,

@@ -302,13 +302,16 @@ def assert_tier_witness(engine: "Engine", view: str) -> None:
                 isinstance(m, tuple) and len(m) == 2
                 and callable(m[1])
             )
-        assert ok, (
-            f"{q} tier witness lost: view '{view}' now normalizes "
-            f"to {type(m).__name__}, expected {tier} — a compile-"
-            f"tier widening stole the witness; mutate the source "
-            f"back out of the subset (see _raw_source_env's alias-"
-            f"mutation precedent)"
-        )
+        # explicit raise, not `assert`: python -O strips asserts and
+        # would silently disable the exact fail-loud guarantee
+        if not ok:
+            raise AssertionError(
+                f"{q} tier witness lost: view '{view}' now "
+                f"normalizes to {type(m).__name__}, expected {tier} "
+                f"— a compile-tier widening stole the witness; "
+                f"mutate the source back out of the subset (see "
+                f"_raw_source_env's alias-mutation precedent)"
+            )
     q33 = REDUCE_WITNESSES.get(view)
     if q33 is not None:
         from mapreduce_spark.functions.jsreduce import (
@@ -316,10 +319,12 @@ def assert_tier_witness(engine: "Engine", view: str) -> None:
         )
 
         r = engine._normalize_reduce(VIEW_DEFS[view].get("reduce"))
-        assert isinstance(r, JSReduceFunction), (
-            f"{q33} reduce witness lost: '{view}' reduce now lowers "
-            f"to {r!r} instead of the JS reduce interpreter"
-        )
+        if not isinstance(r, JSReduceFunction):
+            raise AssertionError(
+                f"{q33} reduce witness lost: '{view}' reduce now "
+                f"lowers to {r!r} instead of the JS reduce "
+                f"interpreter"
+            )
 
 
 _RAW_ENV_CACHE: dict[tuple, "Engine"] = {}
@@ -399,16 +404,25 @@ def _raw_source_env(spark: SparkSession, sf_dir: str) -> "Engine":
                    .map_def)
         for name in ("by_lang", "by_lang_c", "by_lang_v")
     }
-    assert tiers["by_lang"] is tuple, "q31 interpreter witness lost"
-    assert tiers["by_lang_c"] is VariantJSView, \
-        "q31 compiled witness lost"
-    assert tiers["by_lang_v"] is VariantJSView, \
-        "q31 shredded-layout witness lost"
+    # explicit raises (python -O strips asserts; these ARE the q31
+    # witness gate the contract run depends on)
+    expected = {
+        "by_lang": (tuple, "interpreter"),
+        "by_lang_c": (VariantJSView, "compiled"),
+        "by_lang_v": (VariantJSView, "shredded-layout"),
+    }
+    for name, (typ, label) in expected.items():
+        if tiers[name] is not typ:
+            raise AssertionError(
+                f"q31 {label} witness lost: {name} is "
+                f"{tiers[name].__name__}"
+            )
     # and the 'v' leg really reads a VARIANT-stored body, not a
     # re-parsed string
     from mapreduce_spark.sources.docs import load_table as _lt
 
-    assert "doc_var" in _lt(spark, sf2, "rawdocs_v").columns
+    if "doc_var" not in _lt(spark, sf2, "rawdocs_v").columns:
+        raise AssertionError("rawdocs_v lost its VARIANT layout")
     eng.build_ddoc("rawddoc")
     _RAW_ENV_CACHE[key] = eng
     return eng

@@ -73,6 +73,31 @@ except ImportError:  # pragma: no cover
     _fcntl = None
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _flocked(path: str):
+    """Exclusive OS advisory lock on ``path`` (no-op without fcntl).
+
+    The fd is closed on every exit path — including ``flock`` itself
+    raising (ENOLCK on some network filesystems, EINTR) — so a failed
+    acquisition never leaks a descriptor."""
+    if _fcntl is None:  # pragma: no cover - platform without fcntl
+        yield
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fh = open(path, "a+")
+    try:
+        _fcntl.flock(fh, _fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            _fcntl.flock(fh, _fcntl.LOCK_UN)
+    finally:
+        fh.close()
+
+
 class _ViewLock:
     """Context manager: in-process mutex + cross-process flock."""
 
@@ -135,7 +160,21 @@ class Registry:
         self._view_locks: dict[str, threading.Lock] = {}
         os.makedirs(os.path.join(storage_dir, "views"), exist_ok=True)
         if not os.path.exists(self.path):
-            self._write({"designs": {}, "views": {}})
+            # exclusive creation: two Engines racing __init__ on a
+            # fresh warehouse must not let the loser's empty initial
+            # state clobber designs the winner already registered
+            # (os.replace would).  Write a unique temp, then hardlink
+            # it into place — link(2) fails with EEXIST if anyone got
+            # there first.
+            tmp = f"{self.path}.init.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"designs": {}, "views": {}}, f, indent=1)
+            try:
+                os.link(tmp, self.path)
+            except FileExistsError:
+                pass  # the other engine's init (or real state) wins
+            finally:
+                os.unlink(tmp)
 
     # -- state ---------------------------------------------------------
 
@@ -158,21 +197,14 @@ class Registry:
         read→write and losing a mutation (the fn runs driver-side in
         microseconds — contention is negligible next to any build)."""
         with self._lock:
-            fh = None
-            if _fcntl is not None:
-                lockdir = os.path.join(self.storage_dir, "locks")
-                os.makedirs(lockdir, exist_ok=True)
-                fh = open(os.path.join(lockdir, "registry.lock"), "a+")
-                _fcntl.flock(fh, _fcntl.LOCK_EX)
-            try:
+            with _flocked(self._registry_lock_path()):
                 state = self._read()
                 fn(state)
                 self._write(state)
                 return state
-            finally:
-                if fh is not None:
-                    _fcntl.flock(fh, _fcntl.LOCK_UN)
-                    fh.close()
+
+    def _registry_lock_path(self) -> str:
+        return os.path.join(self.storage_dir, "locks", "registry.lock")
 
     def view_lock(self, sig: str) -> "_ViewLock":
         """Per-view build serialization (upstream TaskQueue parity).
@@ -250,13 +282,16 @@ class Registry:
         update (a concurrent put_design re-adding the sig either lands
         before — sig stays live — or after — the design points at a
         sig whose storage is gone, the same as registering a brand-new
-        view: the next build recreates it).  Directory deletion runs
-        after the entries are gone, so no reader resolves to storage
-        mid-delete."""
+        view: the next build recreates it).  Each directory deletion
+        then runs under the per-sig VIEW lock with a registry
+        re-check: a concurrent engine that re-registered AND rebuilt
+        the sig between our update and the rmtree would otherwise
+        lose its fresh storage while its registry entry survived
+        (builds hold the view lock, so once we hold it the re-check
+        is authoritative)."""
         removed: list[str] = []
 
         def mut(s: dict) -> None:
-            removed.clear()  # update() retries would re-run fn
             live = {
                 v["sig"]
                 for d in s["designs"].values()
@@ -268,6 +303,11 @@ class Registry:
                     s["views"].pop(sig, None)
 
         self.update(mut)
+        deleted = []
         for sig in removed:
-            shutil.rmtree(self.view_dir(sig), ignore_errors=True)
-        return {"ok": True, "removed": removed}
+            with self.view_lock(sig):
+                if self.get_view(sig) is None:  # not resurrected
+                    shutil.rmtree(self.view_dir(sig),
+                                  ignore_errors=True)
+                    deleted.append(sig)
+        return {"ok": True, "removed": deleted}

@@ -284,7 +284,13 @@ _SCHEMA_CACHE: dict[str, tuple[tuple, object]] = {}
 
 def _dir_fingerprint(path: str):
     """Cheap content-version fingerprint of a parquet table directory
-    (driver-side listing only — no Spark job, no file reads)."""
+    (driver-side listing only — no Spark job, no file reads).
+
+    Recurses into subdirectories so hive-partitioned layouts
+    (``key=…/part-*.parquet``) are fingerprinted by their leaf files
+    too — a top-level-only scan would miss an in-place rewrite of a
+    nested part (the exact staleness mode this cache key exists to
+    close)."""
     try:
         st = os.stat(path)
     except OSError:
@@ -293,10 +299,10 @@ def _dir_fingerprint(path: str):
         return (st.st_mtime_ns, 1, st.st_size, st.st_mtime_ns)
     n = total = newest = 0
     try:
-        with os.scandir(path) as it:
-            for e in it:
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
                 try:
-                    s = e.stat()
+                    s = os.stat(os.path.join(root, fn))
                 except OSError:
                     continue
                 n += 1

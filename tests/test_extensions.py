@@ -504,10 +504,10 @@ def test_ivf_append_incremental(emb, tmp_path, spark):
                 if fn.endswith(".parquet"):
                     with open(os.path.join(root, fn), "wb") as f:
                         f.write(b"not parquet")
-    rep_p = similarity.ivf_append(spark, poisoned, newb)
+    rep_p = similarity.ivf_append(poisoned, newb)
     assert rep_p["appended"] == n_new  # succeeded ⇒ index not read
 
-    rep = similarity.ivf_append(spark, dest, newb)
+    rep = similarity.ivf_append(dest, newb)
     assert rep["appended"] == n_new
     assert rep["growth"] == pytest.approx(n_new / n)
     # NOTE: no retrain-flag assertion here — on a 400-vector corpus
@@ -546,18 +546,18 @@ def test_ivf_append_incremental(emb, tmp_path, spark):
     copies = emb.limit(100).withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
-    rep_ok = similarity.ivf_append(spark, dest3, copies)
+    rep_ok = similarity.ivf_append(dest3, copies)
     assert rep_ok["fit_drop"] < similarity.IVF_RETRAIN_FIT_DROP
     assert rep_ok["retrain_recommended"] is False
     shifted = copies.withColumn(
         "embedding", F.transform("embedding", lambda x: -x)
     )
-    rep_bad = similarity.ivf_append(spark, dest3, shifted)
+    rep_bad = similarity.ivf_append(dest3, shifted)
     assert rep_bad["fit_drop"] > similarity.IVF_RETRAIN_FIT_DROP
     assert rep_bad["retrain_recommended"] is True
     # growth alone also triggers: append past IVF_RETRAIN_GROWTH×base
     big = emb.withColumn("vec_id", F.col("vec_id") + 200000)
-    rep_big = similarity.ivf_append(spark, dest3, big)
+    rep_big = similarity.ivf_append(dest3, big)
     assert rep_big["growth"] > similarity.IVF_RETRAIN_GROWTH
     assert rep_big["retrain_recommended"] is True
 

@@ -374,3 +374,51 @@ def test_schema_cache_sees_in_place_rewrite(spark, tmp_path):
         )
     finally:
         TABLES.pop("userdocs", None)
+
+
+def test_schema_cache_sees_nested_in_place_rewrite(spark, tmp_path):
+    """Review r12: the fingerprint must recurse — a hive-partitioned
+    table (key=.../part-*.parquet) whose NESTED part file is rewritten
+    in place (top-level listing unchanged) must re-infer too."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_spark.sources import docs as D
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    tdir = d / "userdocs.parquet"
+    sub = tdir / "part=0"
+    sub.mkdir(parents=True)
+    part = sub / "part-0.parquet"
+
+    def _tbl(extra=False):
+        cols = {
+            "_id": ["doc-0001"],
+            "_rev": ["1-" + "0" * 32],
+            "_deleted": [False],
+            "seq": [1],
+            "doc_json": ['{"_id":"doc-0001","type":"post"}'],
+        }
+        if extra:
+            cols["extra"] = ["x"]
+        return pa.table(cols)
+
+    pq.write_table(_tbl(), part)
+    register_table(raw_doc_table("userdocs"))
+    try:
+        df1 = D.load_table(spark, str(d), "userdocs")
+        assert "extra" not in df1.columns
+        st_dir = os.stat(tdir)
+        st_sub = os.stat(sub)
+        pq.write_table(_tbl(extra=True), part)  # nested, same name
+        os.utime(sub, ns=(st_sub.st_atime_ns, st_sub.st_mtime_ns))
+        os.utime(tdir, ns=(st_dir.st_atime_ns, st_dir.st_mtime_ns))
+        df2 = D.load_table(spark, str(d), "userdocs")
+        assert "extra" in df2.columns, (
+            "stale schema served after nested in-place rewrite"
+        )
+    finally:
+        TABLES.pop("userdocs", None)

@@ -173,3 +173,70 @@ def test_two_engines_same_view_refresh_serializes(
     sig = ec.registry.resolve("d", "v")
     entry = ec.registry.get_view(sig)
     assert entry["stats"]["rows"] == ec._assemble_view(sig).count()
+
+
+def test_registry_init_never_clobbers_existing_state(
+    tmp_path, monkeypatch
+):
+    """Review r12: two Engines racing __init__ on a fresh warehouse —
+    the loser's exists() check already passed (file 'missing') when
+    the winner wrote state.  The exclusive-create (hardlink) init must
+    leave the winner's state untouched."""
+    import os
+
+    import mapreduce_spark.plans.registry as R
+
+    d = str(tmp_path / "reg")
+    r1 = Registry(d)
+    r1.update(
+        lambda s: s["views"].__setitem__("sig-a", {"last_seq": 9})
+    )
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        R.os.path, "exists",
+        lambda p: False if str(p).endswith("registry.json")
+        else real_exists(p),
+    )
+    r2 = R.Registry(d)  # believes the file is missing — race window
+    monkeypatch.undo()
+    assert r2.get_view("sig-a") == {"last_seq": 9}, (
+        "registry init clobbered existing state"
+    )
+
+
+def test_view_cleanup_spares_resurrected_view(tmp_path):
+    """Review r12: a sig popped as orphan, then re-registered AND
+    rebuilt by another engine before cleanup reaches the rmtree, must
+    keep its fresh storage (cleanup re-checks under the view lock)."""
+    import os
+
+    d = str(tmp_path / "reg")
+    r = Registry(d)
+    r.update(
+        lambda s: s["views"].__setitem__("sig-x", {"base": "base-v1"})
+    )
+    vdir = r.view_dir("sig-x")
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, "data"), "w") as f:
+        f.write("fresh build")
+
+    orig = r.view_lock
+
+    def lock_after_resurrection(sig):
+        # simulate the concurrent engine winning the window between
+        # cleanup's registry update and its rmtree
+        other = Registry(d)
+
+        def mut(s):
+            s["designs"]["d"] = {"views": {"v": {"sig": sig}}}
+            s["views"][sig] = {"base": "base-v1"}
+
+        other.update(mut)
+        return orig(sig)
+
+    r.view_lock = lock_after_resurrection
+    res = r.view_cleanup()
+    assert res["removed"] == []
+    assert os.path.exists(os.path.join(vdir, "data")), (
+        "cleanup deleted a resurrected view's storage"
+    )
