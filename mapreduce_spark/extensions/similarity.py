@@ -503,6 +503,26 @@ def _write_meta(path: str, meta: dict) -> None:
     os.replace(tmp, mp)
 
 
+def ivf_compact(spark, path: str) -> dict:
+    """Fold a bundle's append generations back to one layout WITHOUT
+    re-training: rewrite cells/ and the vid sidecar from the current
+    store under the EXISTING centroids.
+
+    Cheaper than a re-train when the centroids still fit (no
+    assignment pass, no k-means): use it when ivf_append reports
+    growth but not fit_drop — point lookups return to one sorted
+    generation and the partition layout is re-packed.  O(corpus) IO
+    by nature (it IS a compaction); the store is materialized
+    (``localCheckpoint``) before the overwrite so the rewrite never
+    reads the files it is replacing.
+
+    Returns the fresh meta dict (appended_n folds into base_n)."""
+    idx = read_ivf_index(spark, path)
+    snap = idx.cells.localCheckpoint()
+    meta = write_ivf_index(snap, idx.centroids, path)
+    return meta
+
+
 # ivf_append retrain thresholds (documented contract): recommend a
 # re-train when the appended batch's mean assignment fit has dropped
 # more than IVF_RETRAIN_FIT_DROP cosine below the build-time mean

@@ -562,6 +562,45 @@ def test_ivf_append_incremental(emb, tmp_path, spark):
     assert rep_big["retrain_recommended"] is True
 
 
+def test_ivf_compact_folds_generations(emb, tmp_path, spark):
+    """ivf_compact rewrites the bundle under the existing centroids:
+    query results identical, the vid sidecar folds back to one
+    sorted generation, meta absorbs the appended rows."""
+    import os
+
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    newb = emb.filter(F.col("vec_id") % 5 == 0)
+    n, n_new = base.count(), newb.count()
+    n_cells = max(8, min(4096, int(n ** 0.5)))
+    idx, cents = similarity.ivf_index(base, n_cells=n_cells)
+    dest = str(tmp_path / "b")
+    similarity.write_ivf_index(idx, cents, dest)
+    similarity.ivf_append(dest, newb)
+
+    before = similarity.read_ivf_index(spark, dest)
+    qs = [0, 1, 2, 3]
+    r_before = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(None, qs, 10, index=before).collect()
+    )
+    vids_files = lambda: len([
+        f for f in os.listdir(os.path.join(dest, "vids"))
+        if f.endswith(".parquet")
+    ])
+    files_before = vids_files()
+
+    meta = similarity.ivf_compact(spark, dest)
+    assert meta["base_n"] == n + n_new
+    assert meta["appended_n"] == 0
+    after = similarity.read_ivf_index(spark, dest)
+    r_after = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(None, qs, 10, index=after).collect()
+    )
+    assert r_after == r_before
+    assert vids_files() <= files_before  # generations folded
+
+
 def test_ivf_inline_query_vectors(emb):
     """ADVICE r11: ivf_topk(query_vectors=…) on the INLINE path
     (index=None) must honor the supplied vectors — previously they
