@@ -519,7 +519,10 @@ def ivf_compact(spark, path: str) -> dict:
     Returns the fresh meta dict (appended_n folds into base_n)."""
     idx = read_ivf_index(spark, path)
     snap = idx.cells.localCheckpoint()
-    meta = write_ivf_index(snap, idx.centroids, path)
+    try:
+        meta = write_ivf_index(snap, idx.centroids, path)
+    finally:
+        snap.unpersist()
     return meta
 
 
@@ -585,18 +588,23 @@ def ivf_append(path: str, new_emb: DataFrame,
                  F.avg("_fit").alias("fit"))
         .localCheckpoint()  # one scan; both writes read the snapshot
     )
-    (
-        assigned.drop("_fit")
-        .write.partitionBy("cell").mode("append")
-        .parquet(os.path.join(path, "cells"))
-    )
-    (
-        assigned.select("vid", "nv")
-        .repartitionByRange("vid")
-        .sortWithinPartitions("vid")
-        .write.mode("append")
-        .parquet(os.path.join(path, "vids"))
-    )
+    try:
+        (
+            assigned.drop("_fit")
+            .write.partitionBy("cell").mode("append")
+            .parquet(os.path.join(path, "cells"))
+        )
+        (
+            assigned.select("vid", "nv")
+            .repartitionByRange("vid")
+            .sortWithinPartitions("vid")
+            .write.mode("append")
+            .parquet(os.path.join(path, "vids"))
+        )
+    finally:
+        # release the checkpoint blocks: repeated appends in one
+        # session must not accumulate executor storage
+        assigned.unpersist()
     m = obs.get
     n = int(m["n"] or 0)
     mean_fit = float(m["fit"]) if m["fit"] is not None else None

@@ -173,8 +173,16 @@ class Registry:
                 os.link(tmp, self.path)
             except FileExistsError:
                 pass  # the other engine's init (or real state) wins
+            except OSError:
+                # filesystem without hardlinks: best-effort
+                # non-clobbering fallback (the exists() re-check
+                # shrinks the race window to the rename itself)
+                if not os.path.exists(self.path):
+                    os.replace(tmp, self.path)
+                    tmp = None
             finally:
-                os.unlink(tmp)
+                if tmp is not None:
+                    os.unlink(tmp)
 
     # -- state ---------------------------------------------------------
 
