@@ -28,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 from typing import NamedTuple
 
 import numpy as np
@@ -434,27 +435,86 @@ def _cell_fit(cents: list[list[float]]):
     return _fit
 
 
-def write_ivf_index(index: DataFrame, centroids: list,
-                    path: str) -> dict:
-    """Persist an :func:`ivf_index` result as a self-contained bundle:
+def _bundle_paths(path: str, gen: int) -> tuple[str, str, str]:
+    """(cells dir, vids dir, centroids file) for a bundle generation.
 
-    - ``cells/``  — partitionBy("cell"): query batches read only their
-      probed cells (static partition pruning);
-    - ``vids/``   — (vid, nv) range-partitioned and sorted by vid:
-      query-vector point lookups read only the matching row groups;
-    - ``centroids.json`` — the driver-side centroid list;
-    - ``meta.json``      — build stats (corpus size, rows appended
-      since build, mean assignment fit) driving the
-      :func:`ivf_append` retrain recommendation.
+    Generation 0 keeps the round-12 flat names (``cells/``, ``vids/``,
+    ``centroids.json``) so pre-versioning bundles read unchanged;
+    every rewrite lands in ``-v<N>`` siblings and is published by the
+    atomic ``meta.json`` gen-pointer swap."""
+    if gen <= 0:
+        return (os.path.join(path, "cells"),
+                os.path.join(path, "vids"),
+                os.path.join(path, "centroids.json"))
+    return (os.path.join(path, f"cells-v{gen}"),
+            os.path.join(path, f"vids-v{gen}"),
+            os.path.join(path, f"centroids-v{gen}.json"))
 
-    The sidecar doubles the index footprint's (vid, nv) columns —
-    ~8·dim bytes/vector — which is the classic space-for-IO trade: it
-    converts the per-batch query fetch from O(corpus) to O(queries).
 
-    Returns the meta dict it wrote."""
+def _load_meta(path: str) -> dict:
+    """Bundle meta with defaults for pre-versioning (round-12) bundles:
+    no ``gen`` key means generation 0, no fit accumulator means no
+    appends have been tracked yet."""
+    mp = os.path.join(path, "meta.json")
+    meta = {"base_n": None, "appended_n": 0, "base_mean_fit": None}
+    if os.path.exists(mp):
+        with open(mp) as f:
+            meta = json.load(f)
+    meta.setdefault("gen", 0)
+    meta.setdefault("appended_fit_sum", 0.0)
+    meta.setdefault("appended_fit_n", 0)
+    return meta
+
+
+def _bundle_lock(path: str):
+    """Single-writer serialization for one bundle (ADVICE r12): all
+    mutators (write/append/compact/maintain) hold an exclusive flock
+    on ``<path>/meta.lock`` for their full span, so two engines
+    appending concurrently cannot lose ``appended_n`` increments or
+    interleave the store appends.  Same filesystem contract as the
+    view registry (``plans.registry.Registry``): reliable on local
+    POSIX filesystems; assume one writer per bundle on NFS/object
+    stores.  Readers take no lock — the gen pointer makes any read a
+    consistent snapshot."""
+    from mapreduce_spark.plans.registry import _flocked
+
+    return _flocked(os.path.join(path, "meta.lock"))
+
+
+def _sweep_gens(path: str, keep: int) -> None:
+    """Best-effort removal of every store generation except ``keep``
+    (called only AFTER the meta gen-pointer commit — a crash before
+    this leaves orphan dirs, never a broken bundle)."""
+    keep_paths = set(_bundle_paths(path, keep))
+    for name in list(os.listdir(path)):
+        full = os.path.join(path, name)
+        if full in keep_paths:
+            continue
+        try:
+            if (name == "cells" or name.startswith("cells-v")
+                    or name == "vids" or name.startswith("vids-v")):
+                shutil.rmtree(full)
+            elif (name == "centroids.json"
+                    or (name.startswith("centroids-v")
+                        and name.endswith(".json"))):
+                os.unlink(full)
+        except OSError:
+            pass  # a reader may pin files on some platforms; retry next rewrite
+
+
+def _write_bundle(index: DataFrame, centroids: list, path: str,
+                  gen: int) -> dict:
+    """Unlocked core of :func:`write_ivf_index` (callers hold the
+    bundle lock): write generation ``gen`` stores, commit the meta
+    gen pointer, sweep older generations."""
     from pyspark import StorageLevel
     from pyspark.sql import Observation
 
+    cells_dir, vids_dir, cent_path = _bundle_paths(path, gen)
+    # sweep a crashed earlier attempt at this same generation
+    for d in (cells_dir, vids_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     obs = Observation()
     fit = _cell_fit(centroids)
     # persist across the two store writes: the assignment (a pandas
@@ -468,28 +528,72 @@ def write_ivf_index(index: DataFrame, centroids: list,
                      F.avg("_fit").alias("fit"))
             .drop("_fit")
             .write.partitionBy("cell").mode("overwrite")
-            .parquet(os.path.join(path, "cells"))
+            .parquet(cells_dir)
         )
         (
             index.select("vid", "nv")
             .repartitionByRange("vid")
             .sortWithinPartitions("vid")
             .write.mode("overwrite")
-            .parquet(os.path.join(path, "vids"))
+            .parquet(vids_dir)
         )
     finally:
         index.unpersist()
-    with open(os.path.join(path, "centroids.json"), "w") as f:
+    ctmp = f"{cent_path}.tmp.{os.getpid()}"
+    with open(ctmp, "w") as f:
         json.dump(centroids, f)
+    os.replace(ctmp, cent_path)
     m = obs.get
     meta = {
+        "gen": gen,
         "base_n": int(m["n"] or 0),
         "appended_n": 0,
         "base_mean_fit": float(m["fit"]) if m["fit"] is not None
         else None,
+        "appended_fit_sum": 0.0,
+        "appended_fit_n": 0,
     }
-    _write_meta(path, meta)
+    _write_meta(path, meta)  # COMMIT: readers switch to gen here
+    _sweep_gens(path, gen)
     return meta
+
+
+def write_ivf_index(index: DataFrame, centroids: list,
+                    path: str) -> dict:
+    """Persist an :func:`ivf_index` result as a self-contained bundle:
+
+    - ``cells/``  — partitionBy("cell"): query batches read only their
+      probed cells (static partition pruning);
+    - ``vids/``   — (vid, nv) range-partitioned and sorted by vid:
+      query-vector point lookups read only the matching row groups;
+    - ``centroids.json`` — the driver-side centroid list;
+    - ``meta.json``      — the generation pointer plus build stats
+      (corpus size, rows appended since build, mean assignment fit)
+      driving the :func:`ivf_append` retrain recommendation.
+
+    The sidecar doubles the index footprint's (vid, nv) columns —
+    ~8·dim bytes/vector — which is the classic space-for-IO trade: it
+    converts the per-batch query fetch from O(corpus) to O(queries).
+
+    Crash semantics (ADVICE r12): a REWRITE of an existing bundle
+    (re-train over the same path, :func:`ivf_compact`,
+    :func:`ivf_maintain`) never overwrites the live stores — it writes
+    generation N+1 sibling directories and publishes them with the
+    atomic ``meta.json`` gen-pointer swap, so a crash at any point
+    leaves the previous generation intact and readable (orphan partial
+    dirs are swept by the next successful rewrite).  Old generations
+    are deleted after the commit: re-open the bundle
+    (:func:`read_ivf_index`) after any rewrite rather than reusing a
+    stale ``IVFIndex`` whose lazy frames point at swept files.
+
+    Returns the meta dict it wrote."""
+    os.makedirs(path, exist_ok=True)
+    with _bundle_lock(path):
+        old = _load_meta(path)
+        gen = (old["gen"] + 1
+               if os.path.exists(os.path.join(path, "meta.json"))
+               else 0)
+        return _write_bundle(index, centroids, path, gen)
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -505,25 +609,32 @@ def _write_meta(path: str, meta: dict) -> None:
 
 def ivf_compact(spark, path: str) -> dict:
     """Fold a bundle's append generations back to one layout WITHOUT
-    re-training: rewrite cells/ and the vid sidecar from the current
-    store under the EXISTING centroids.
+    re-training: rewrite the cell store and the vid sidecar from the
+    current generation under the EXISTING centroids.
 
-    Cheaper than a re-train when the centroids still fit (no
-    assignment pass, no k-means): use it when ivf_append reports
-    growth but not fit_drop — point lookups return to one sorted
-    generation and the partition layout is re-packed.  O(corpus) IO
-    by nature (it IS a compaction); the store is materialized
-    (``localCheckpoint``) before the overwrite so the rewrite never
-    reads the files it is replacing.
+    Cheaper than a re-train when the centroids still fit (no k-means):
+    use it when ivf_append reports growth but not fit_drop — point
+    lookups return to one sorted generation and the partition layout
+    is re-packed.  O(corpus) IO by nature (it IS a compaction).
+
+    Crash-safe (ADVICE r12 medium): the rewrite reads generation N's
+    files and writes generation N+1 sibling directories — at no point
+    does it delete or overwrite what it is reading — and the bundle
+    flips to the new layout only at the atomic meta gen-pointer
+    commit.  A crash mid-compact leaves generation N fully live; no
+    re-train or other recovery is needed, just re-run.  The bundle
+    lock serializes against concurrent appends for the full span.
 
     Returns the fresh meta dict (appended_n folds into base_n)."""
-    idx = read_ivf_index(spark, path)
-    snap = idx.cells.localCheckpoint()
-    try:
-        meta = write_ivf_index(snap, idx.centroids, path)
-    finally:
-        snap.unpersist()
-    return meta
+    with _bundle_lock(path):
+        meta = _load_meta(path)
+        cells_dir, _, cent_path = _bundle_paths(path, meta["gen"])
+        with open(cent_path) as f:
+            cents = json.load(f)
+        store = spark.read.parquet(cells_dir).select(
+            "vid", "nv", F.col("cell").cast("int").alias("cell")
+        )
+        return _write_bundle(store, cents, path, meta["gen"] + 1)
 
 
 # ivf_append retrain thresholds (documented contract): recommend a
@@ -565,60 +676,79 @@ def ivf_append(path: str, new_emb: DataFrame,
     by re-training (write_ivf_index rewrites both stores) — the
     meta.json checkpoint itself is atomic either way.
 
+    Concurrency (ADVICE r12): the whole span — meta load, the two
+    store appends, the meta checkpoint — runs under the bundle's
+    ``meta.lock`` flock, so two engines appending to one bundle
+    serialize instead of losing ``appended_n`` increments or
+    interleaving the four parquet appends.  Same filesystem contract
+    as the registry (local POSIX; single writer elsewhere).
+
     Returns a report ``{appended, mean_fit, base_mean_fit, fit_drop,
     growth, retrain_recommended}``; see IVF_RETRAIN_FIT_DROP /
-    IVF_RETRAIN_GROWTH for the recommendation contract."""
+    IVF_RETRAIN_GROWTH for the recommendation contract.
+    :func:`ivf_maintain` acts on the accumulated meta counters."""
     from pyspark.sql import Observation
 
-    with open(os.path.join(path, "centroids.json")) as f:
-        cents = json.load(f)
-    meta_path = os.path.join(path, "meta.json")
-    meta = {"base_n": None, "appended_n": 0, "base_mean_fit": None}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    if nd is None:
-        nd = normalized(new_emb, id_col, vec_col)
-    obs = Observation()
-    fit = _cell_fit(cents)
-    assigned = (
-        _assign_cells(nd, cents)
-        .withColumn("_fit", fit(F.col("nv"), F.col("cell")))
-        .observe(obs, F.count(F.lit(1)).alias("n"),
-                 F.avg("_fit").alias("fit"))
-        .localCheckpoint()  # one scan; both writes read the snapshot
-    )
-    try:
-        (
-            assigned.drop("_fit")
-            .write.partitionBy("cell").mode("append")
-            .parquet(os.path.join(path, "cells"))
+    with _bundle_lock(path):
+        meta = _load_meta(path)
+        cells_dir, vids_dir, cent_path = _bundle_paths(
+            path, meta["gen"]
         )
-        (
-            assigned.select("vid", "nv")
-            .repartitionByRange("vid")
-            .sortWithinPartitions("vid")
-            .write.mode("append")
-            .parquet(os.path.join(path, "vids"))
+        with open(cent_path) as f:
+            cents = json.load(f)
+        if nd is None:
+            nd = normalized(new_emb, id_col, vec_col)
+        obs = Observation()
+        fit = _cell_fit(cents)
+        assigned = (
+            _assign_cells(nd, cents)
+            .withColumn("_fit", fit(F.col("nv"), F.col("cell")))
+            .observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.avg("_fit").alias("fit"))
+            .localCheckpoint()  # one scan; both writes read the snapshot
         )
-    finally:
-        # release the checkpoint blocks: repeated appends in one
-        # session must not accumulate executor storage
-        assigned.unpersist()
-    m = obs.get
-    n = int(m["n"] or 0)
-    mean_fit = float(m["fit"]) if m["fit"] is not None else None
-    meta["appended_n"] = int(meta.get("appended_n") or 0) + n
-    base_fit = meta.get("base_mean_fit")
-    base_n = meta.get("base_n")
-    fit_drop = (
-        base_fit - mean_fit
-        if base_fit is not None and mean_fit is not None else None
-    )
-    growth = (
-        meta["appended_n"] / base_n if base_n else None
-    )
-    _write_meta(path, meta)
+        try:
+            (
+                assigned.drop("_fit")
+                .write.partitionBy("cell").mode("append")
+                .parquet(cells_dir)
+            )
+            (
+                assigned.select("vid", "nv")
+                .repartitionByRange("vid")
+                .sortWithinPartitions("vid")
+                .write.mode("append")
+                .parquet(vids_dir)
+            )
+        finally:
+            # release the checkpoint blocks: repeated appends in one
+            # session must not accumulate executor storage
+            assigned.unpersist()
+        m = obs.get
+        n = int(m["n"] or 0)
+        mean_fit = float(m["fit"]) if m["fit"] is not None else None
+        meta["appended_n"] = int(meta.get("appended_n") or 0) + n
+        if mean_fit is not None:
+            # running batch-fit accumulator: ivf_maintain's retrain
+            # decision uses the aggregate appended fit, not just the
+            # last batch's
+            meta["appended_fit_sum"] = (
+                float(meta.get("appended_fit_sum") or 0.0)
+                + mean_fit * n
+            )
+            meta["appended_fit_n"] = (
+                int(meta.get("appended_fit_n") or 0) + n
+            )
+        base_fit = meta.get("base_mean_fit")
+        base_n = meta.get("base_n")
+        fit_drop = (
+            base_fit - mean_fit
+            if base_fit is not None and mean_fit is not None else None
+        )
+        growth = (
+            meta["appended_n"] / base_n if base_n else None
+        )
+        _write_meta(path, meta)
     return {
         "appended": n,
         "mean_fit": mean_fit,
@@ -633,14 +763,90 @@ def ivf_append(path: str, new_emb: DataFrame,
 
 
 def read_ivf_index(spark, path: str) -> IVFIndex:
-    """Re-open a :func:`write_ivf_index` bundle."""
-    with open(os.path.join(path, "centroids.json")) as f:
+    """Re-open a :func:`write_ivf_index` bundle (at its current
+    generation — re-call after a compact/retrain rewrite)."""
+    cells_dir, vids_dir, cent_path = _bundle_paths(
+        path, _load_meta(path)["gen"]
+    )
+    with open(cent_path) as f:
         cents = json.load(f)
     return IVFIndex(
-        cells=spark.read.parquet(os.path.join(path, "cells")),
-        vids=spark.read.parquet(os.path.join(path, "vids")),
+        cells=spark.read.parquet(cells_dir),
+        vids=spark.read.parquet(vids_dir),
         centroids=cents,
     )
+
+
+def ivf_maintain(spark, path: str,
+                 fit_drop_threshold: float = IVF_RETRAIN_FIT_DROP,
+                 growth_threshold: float = IVF_RETRAIN_GROWTH,
+                 ) -> dict:
+    """Act on the :func:`ivf_append` retrain recommendation (VERDICT
+    r12 #6) — the maintenance entry point a scheduled job calls after
+    an append cadence:
+
+    - **retrain** when the aggregate appended-batch assignment fit has
+      dropped more than ``fit_drop_threshold`` below the build-time
+      mean: the centroids no longer describe the incoming
+      distribution.  New centroids are trained from the STORED
+      normalized vectors (no access to the source embeddings table is
+      needed — the store IS the corpus), the cell count re-sized to
+      √N for the grown corpus, and the bundle rewritten.
+    - **compact** when appends total more than ``growth_threshold`` ×
+      the build corpus but the fit still holds: fold the append
+      generations back to one sorted layout under the existing
+      centroids (:func:`ivf_compact` semantics).
+    - **none** otherwise — zero Spark jobs, just the meta read.
+
+    Both rewrites inherit :func:`write_ivf_index`'s crash semantics
+    (new-generation sibling dirs + atomic gen-pointer commit) and run
+    under the bundle lock, serialized against concurrent appends.
+
+    Returns ``{action, fit_drop, growth, meta}`` where ``meta`` is the
+    post-action bundle meta."""
+    with _bundle_lock(path):
+        meta = _load_meta(path)
+        afn = int(meta.get("appended_fit_n") or 0)
+        app_fit = (
+            float(meta["appended_fit_sum"]) / afn if afn else None
+        )
+        base_fit = meta.get("base_mean_fit")
+        base_n = meta.get("base_n")
+        fit_drop = (
+            base_fit - app_fit
+            if base_fit is not None and app_fit is not None else None
+        )
+        growth = (
+            meta["appended_n"] / base_n
+            if base_n and meta.get("appended_n") else None
+        )
+        if fit_drop is not None and fit_drop > fit_drop_threshold:
+            action = "retrain"
+        elif growth is not None and growth > growth_threshold:
+            action = "compact"
+        else:
+            return {"action": "none", "fit_drop": fit_drop,
+                    "growth": growth, "meta": meta}
+        cells_dir, _, cent_path = _bundle_paths(path, meta["gen"])
+        store = spark.read.parquet(cells_dir).select(
+            "vid", "nv", F.col("cell").cast("int").alias("cell")
+        )
+        if action == "retrain":
+            n_total = int(meta.get("base_n") or 0) + int(
+                meta.get("appended_n") or 0
+            )
+            k = max(8, min(4096, int(n_total ** 0.5))) if n_total \
+                else 8
+            cents = ivf_centroids(None, k, nd=store.select("vid", "nv"))
+            assigned = _assign_cells(store.select("vid", "nv"), cents)
+        else:
+            with open(cent_path) as f:
+                cents = json.load(f)
+            assigned = store
+        new_meta = _write_bundle(assigned, cents, path,
+                                 meta["gen"] + 1)
+        return {"action": action, "fit_drop": fit_drop,
+                "growth": growth, "meta": new_meta}
 
 
 def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,

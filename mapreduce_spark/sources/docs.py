@@ -290,7 +290,16 @@ def _dir_fingerprint(path: str):
     (``key=…/part-*.parquet``) are fingerprinted by their leaf files
     too — a top-level-only scan would miss an in-place rewrite of a
     nested part (the exact staleness mode this cache key exists to
-    close)."""
+    close).
+
+    Cost contract (ADVICE r12): O(files) driver-side stats per
+    load_table call — microseconds on a local FS at the file counts a
+    warehouse table has, which is this engine's stated lock/registry
+    filesystem contract anyway.  Deliberately NOT TTL-memoized: a
+    time-based cache re-opens the append-visibility staleness the
+    round-11 drift tests pinned shut.  If remote/object-store tables
+    ever become a target, swap this for the store's listing API
+    version token rather than adding a TTL here."""
     try:
         st = os.stat(path)
     except OSError:

@@ -583,15 +583,22 @@ def test_ivf_compact_folds_generations(emb, tmp_path, spark):
         (r.qid, r.vid, r.rank) for r in
         similarity.ivf_topk(None, qs, 10, index=before).collect()
     )
-    vids_files = lambda: len([
-        f for f in os.listdir(os.path.join(dest, "vids"))
-        if f.endswith(".parquet")
-    ])
+    def vids_files():
+        # resolve the CURRENT generation's sidecar dir (gen-versioned
+        # bundles since round 13)
+        gen = similarity._load_meta(dest)["gen"]
+        vdir = similarity._bundle_paths(dest, gen)[1]
+        return len([f for f in os.listdir(vdir)
+                    if f.endswith(".parquet")])
+
     files_before = vids_files()
 
     meta = similarity.ivf_compact(spark, dest)
     assert meta["base_n"] == n + n_new
     assert meta["appended_n"] == 0
+    assert meta["gen"] == 1  # rewrite published as a new generation
+    # old-generation dirs swept after the commit
+    assert not os.path.exists(os.path.join(dest, "cells"))
     after = similarity.read_ivf_index(spark, dest)
     r_after = sorted(
         (r.qid, r.vid, r.rank) for r in
@@ -599,6 +606,140 @@ def test_ivf_compact_folds_generations(emb, tmp_path, spark):
     )
     assert r_after == r_before
     assert vids_files() <= files_before  # generations folded
+
+
+def test_ivf_compact_crash_safe(emb, tmp_path, spark, monkeypatch):
+    """ADVICE r12 (medium): a crash at ANY point inside ivf_compact
+    must leave the previous bundle generation fully live — the rewrite
+    lands in sibling -v<N> dirs and publishes only via the atomic meta
+    gen-pointer swap.  Simulated by failing the meta commit itself
+    (the last possible moment before publication)."""
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    newb = emb.filter(F.col("vec_id") % 5 == 0)
+    idx, cents = similarity.ivf_index(base)
+    dest = str(tmp_path / "b")
+    similarity.write_ivf_index(idx, cents, dest)
+    similarity.ivf_append(dest, newb)
+    qs = [0, 1, 2, 3]
+    r_before = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(
+            None, qs, 10,
+            index=similarity.read_ivf_index(spark, dest)).collect()
+    )
+
+    real_write_meta = similarity._write_meta
+
+    def _boom(path, meta):
+        raise RuntimeError("simulated driver crash mid-compact")
+
+    monkeypatch.setattr(similarity, "_write_meta", _boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        similarity.ivf_compact(spark, dest)
+    monkeypatch.setattr(similarity, "_write_meta", real_write_meta)
+
+    # the bundle is NOT destroyed: gen pointer still 0, old stores
+    # intact, identical query results — no recovery needed
+    meta = similarity._load_meta(dest)
+    assert meta["gen"] == 0
+    r_crashed = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(
+            None, qs, 10,
+            index=similarity.read_ivf_index(spark, dest)).collect()
+    )
+    assert r_crashed == r_before
+
+    # simply re-running the compact succeeds and sweeps the orphan
+    # partial generation left by the crash
+    meta2 = similarity.ivf_compact(spark, dest)
+    assert meta2["gen"] == 1
+    import os
+    leftovers = [n for n in os.listdir(dest)
+                 if n.startswith(("cells", "vids"))]
+    assert sorted(leftovers) == ["cells-v1", "vids-v1"]
+    r_after = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(
+            None, qs, 10,
+            index=similarity.read_ivf_index(spark, dest)).collect()
+    )
+    assert r_after == r_before
+
+
+def test_ivf_maintain_policy(emb, tmp_path, spark):
+    """VERDICT r12 #6: ivf_maintain acts on the accumulated append
+    counters — none / compact (growth, fit holds) / retrain (fit
+    drop) — metamorphically: compact preserves pinned query results
+    exactly; retrain rewrites with fresh √N centroids and resets the
+    counters."""
+    full_n = emb.count()
+    idx, cents = similarity.ivf_index(emb)
+    dest = str(tmp_path / "m")
+    similarity.write_ivf_index(idx, cents, dest)
+    qs = [0, 1, 2, 3]
+
+    # fresh bundle: nothing to do, zero Spark jobs needed
+    rep = similarity.ivf_maintain(spark, dest)
+    assert rep["action"] == "none"
+
+    # growth without drift (re-appended in-distribution copies, per
+    # the r12 drift-metric note) → compact; results identical
+    copies = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    similarity.ivf_append(dest, copies)
+    similarity.ivf_append(
+        dest, emb.withColumn("vec_id", F.col("vec_id") + 200000))
+    r_before = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(
+            None, qs, 10,
+            index=similarity.read_ivf_index(spark, dest)).collect()
+    )
+    rep = similarity.ivf_maintain(spark, dest)
+    assert rep["action"] == "compact"
+    assert rep["growth"] > similarity.IVF_RETRAIN_GROWTH
+    assert rep["meta"]["gen"] == 1
+    assert rep["meta"]["base_n"] == 3 * full_n
+    assert rep["meta"]["appended_n"] == 0
+    r_after = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(
+            None, qs, 10,
+            index=similarity.read_ivf_index(spark, dest)).collect()
+    )
+    assert r_after == r_before  # same centroids ⇒ same answers
+    # counters folded: immediately maintaining again is a no-op
+    assert similarity.ivf_maintain(spark, dest)["action"] == "none"
+
+    # distribution drift (negated batch) → retrain from the STORE
+    shifted = (
+        emb.limit(200)
+        .withColumn("vec_id", F.col("vec_id") + 300000)
+        .withColumn("embedding",
+                    F.transform("embedding", lambda x: -x))
+    )
+    similarity.ivf_append(dest, shifted)
+    rep = similarity.ivf_maintain(spark, dest)
+    assert rep["action"] == "retrain"
+    assert rep["fit_drop"] > similarity.IVF_RETRAIN_FIT_DROP
+    m = rep["meta"]
+    assert m["gen"] == 2
+    assert m["base_n"] == 3 * full_n + 200
+    assert m["appended_n"] == 0 and m["appended_fit_n"] == 0
+    # fresh √N-sized codebook trained from the stored vectors
+    after = similarity.read_ivf_index(spark, dest)
+    assert len(after.centroids) == max(
+        8, min(4096, int(m["base_n"] ** 0.5)))
+    # the retrained bundle still answers pinned queries at full k,
+    # deterministically
+    out1 = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(None, qs, 10, index=after).collect())
+    out2 = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(None, qs, 10, index=after).collect())
+    assert out1 == out2
+    assert len(out1) == 10 * len(qs)
 
 
 def test_ivf_inline_query_vectors(emb):

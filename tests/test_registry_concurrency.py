@@ -204,6 +204,65 @@ def test_registry_init_never_clobbers_existing_state(
     )
 
 
+def test_registry_init_two_instances_one_process(tmp_path):
+    """ADVICE r12: a pid-derived init temp name collides for two
+    Registry instances in ONE process — the winner's cleanup unlink
+    made the loser's os.link raise FileNotFoundError out of
+    __init__.  With per-instance mkstemp temps, any number of
+    concurrent constructors on a fresh warehouse succeed."""
+    import json
+    import os
+
+    d = str(tmp_path / "reg")
+    os.makedirs(d, exist_ok=True)
+    errs = []
+    barrier = threading.Barrier(8)
+
+    def construct():
+        try:
+            barrier.wait()
+            Registry(d)
+        except BaseException as e:  # noqa: BLE001 - recording for assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=construct) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    with open(os.path.join(d, "registry.json")) as f:
+        assert json.load(f) == {"designs": {}, "views": {}}
+    # no leaked init temps
+    assert [n for n in os.listdir(d)
+            if n.startswith("registry.json.init.")] == []
+
+
+def test_registry_init_tolerates_swept_temp(tmp_path, monkeypatch):
+    """ADVICE r12 (deterministic form): if a racing instance sweeps
+    this instance's temp while it loses the os.link race, the cleanup
+    unlink must not raise FileNotFoundError out of __init__."""
+    import os
+
+    import mapreduce_spark.plans.registry as R
+
+    d = str(tmp_path / "reg")
+    os.makedirs(d, exist_ok=True)
+    real_link = os.link
+
+    def losing_link(src, dst, **kw):
+        os.unlink(src)  # the "winner" swept our temp
+        raise FileExistsError(dst)
+
+    monkeypatch.setattr(R.os, "link", losing_link)
+    R.Registry(d)  # must not raise
+    monkeypatch.undo()
+    # and a normal re-open still works
+    r = Registry(d)
+    r.update(lambda s: s["views"].__setitem__("s", {"last_seq": 1}))
+    assert r.get_view("s") == {"last_seq": 1}
+
+
 def test_view_cleanup_spares_resurrected_view(tmp_path):
     """Review r12: a sig popped as orphan, then re-registered AND
     rebuilt by another engine before cleanup reaches the rmtree, must
