@@ -252,6 +252,43 @@ def test_connected_components_equals_union_find(spark):
         assert got == want
 
 
+def test_connected_components_mega_component(spark):
+    """VERDICT r12 #1 (correctness pin for the skew rehearsal —
+    tools/cc_skew_rehearsal.py carries the timing claim): one
+    component holding ~40% of all nodes, in both adversarial shapes:
+
+    - ``megastar``: pre-collapsed star on the min node — maximum
+      groupBy/join key concentration from round 1;
+    - ``megatree``: random recursive tree (parent(i) = hash(i) mod i)
+      — the realistic LSH-pair shape, hot root emerging over rounds.
+
+    Labels must be exact (every mega member → node 0, every star
+    component → its own root) and the rest of the graph unaffected.
+    The rehearsal's measured verdict: per-round cost is FLAT under
+    maximum key concentration (megastar CPU 0.79× uniform at 10M
+    edges — partial agg + AQE skew-split absorb the hot key); the
+    megatree multiplier is round COUNT (O(log n) convergence), not
+    skew.  No salting needed; this test keeps the shapes exercised."""
+    M, REST = 4000, 6000
+    mega_star = [(i, 0) for i in range(1, M)]
+    rng_parent = lambda i: hash((i, "cc")) % i  # noqa: E731
+    mega_tree = [(i, rng_parent(i)) for i in range(1, M)]
+    rest = [
+        (i, M + ((i - M) // 5) * 5)
+        for i in range(M, M + REST) if (i - M) % 5 != 0
+    ]
+    for mega in (mega_star, mega_tree):
+        df = spark.createDataFrame(mega + rest, "id_a long, id_b long")
+        got = {r["node"]: r["root"]
+               for r in dedup.connected_components(df).collect()}
+        assert len(got) == M + REST
+        assert all(got[i] == 0 for i in range(M))
+        assert all(
+            got[i] == M + ((i - M) // 5) * 5
+            for i in range(M, M + REST)
+        )
+
+
 def test_duplicate_clusters_match_pair_graph(docs):
     """duplicate_clusters rows are EXACTLY the connected components of
     the verified minhash pair graph: min-id labels, correct sizes, and
@@ -1019,6 +1056,78 @@ def test_pack_sequences_stream_invariants(spark, sf_dir):
         for r in rs:
             assert r["bin"] * budget + r["off"] == pos, lang
             pos += r["n_tok"]
+
+
+def test_pack_sequences_token_count_fn_hook(spark, sf_dir):
+    """VERDICT r12 #4: pack_sequences accepts a real-tokenizer hook —
+    an Arrow-batched ``Series[str] -> counts`` callable — instead of a
+    precomputed count column.
+
+    - a hook that reproduces the whitespace count yields coordinates
+      IDENTICAL to the token_col path (the default/oracle row is
+      unchanged by construction);
+    - a different tokenizer (char-level here, standing in for a real
+      BPE) changes bin boundaries, deterministically across runs;
+    - the stream invariants hold under any counter;
+    - passing both/neither count sources is rejected."""
+    import pytest
+
+    from mapreduce_spark.extensions import sampling
+
+    budget = 256
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+
+    def key(df):
+        return sorted(
+            (r["doc_id"], r["bin"], r["off"]) for r in df.collect()
+        )
+
+    via_col = key(sampling.pack_sequences(
+        docs, budget, token_col="n_tok"))
+    via_fn = key(sampling.pack_sequences(
+        docs.drop("n_tok"), budget,
+        token_count_fn=lambda s: s.str.split().map(len)))
+    assert via_fn == via_col
+
+    # a char-level "tokenizer" moves the boundaries…
+    char_fn = lambda s: s.str.len()  # noqa: E731
+    via_char = key(sampling.pack_sequences(
+        docs.drop("n_tok"), budget, token_count_fn=char_fn))
+    assert via_char != via_col
+    # …deterministically
+    assert via_char == key(sampling.pack_sequences(
+        docs.drop("n_tok"), budget, token_count_fn=char_fn))
+
+    # stream invariants under the custom counter: gapless concat
+    out = sampling.pack_sequences(
+        docs.drop("n_tok"), budget, token_count_fn=char_fn
+    ).withColumn("n", F.length("text").cast("long")).collect()
+    by_lang = {}
+    for r in out:
+        assert 0 <= r["off"] < budget
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bin"] * budget + r["off"])
+        pos = 0
+        for r in rs:
+            assert r["bin"] * budget + r["off"] == pos, lang
+            pos += r["n"]
+    # the internal count column never leaks into the output
+    assert "__pack_n_tok" not in [
+        f.name for f in sampling.pack_sequences(
+            docs.drop("n_tok"), budget, token_count_fn=char_fn
+        ).schema.fields
+    ]
+
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.pack_sequences(docs, budget)
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.pack_sequences(
+            docs, budget, token_col="n_tok",
+            token_count_fn=char_fn)
 
 
 def test_repetition_features(spark):

@@ -20,6 +20,20 @@ lazy counts pass, refresh_steady is the forever cost).
 Usage: python tools/sf100_probe.py [out_dir]   (default /tmp/sf100)
 Prints one JSON line with both legs and per-decade exponents (3
 decades sf0.1 → sf100).
+
+minhash mode (round 13, VERDICT r12 #2): ``python tools/sf100_probe.py
+minhash [out_dir]`` stretches the dedup spine a third decade — 5M
+documents (1000× sf0.1, same disjoint-replica recipe as
+scale_rehearsal: shifted doc_ids + a per-replica token suffix so
+replicas share no shingles and true-pair volume scales linearly):
+
+- ``minhash_sig``: the signature build alone (shingle explode + 96
+  affine min-aggs, all whole-stage codegen) — a linear scan by
+  construction, exponent ≈ 1.0 expected;
+- ``minhash_pairs``: full candidate generation + exact verify
+  (signatures + band-bucket equi-join + Jaccard) — near-linear
+  expected while band buckets stay bounded (the max_df postings cap
+  and disjoint replicas keep them so).
 """
 
 from __future__ import annotations
@@ -77,6 +91,104 @@ def synthesize_lineitem(spark, out_dir: str) -> None:
     )
     print(f"# synthesized sf100 lineitem in {time.time()-t:.1f}s",
           file=sys.stderr)
+
+
+def synthesize_documents(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    d_path = f"{out_dir}/documents.parquet"
+    if os.path.exists(d_path):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(REPS).withColumnRenamed("id", "_rep")
+    # same split-inheritance trap as lineitem: the sf0.1 source is one
+    # small file; repartition before the crossJoin or the 5M-doc write
+    # serializes onto a couple of tasks
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").repartition(8)
+    dshift = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    t = time.time()
+    (
+        docs.crossJoin(reps)
+        .withColumn(
+            "doc_id", F.col("doc_id") + F.col("_rep") * F.lit(dshift)
+        )
+        # per-replica token suffix: replicas share NO shingles, so
+        # cross-replica band collisions are hash accidents only and
+        # true near-dup pairs scale linearly with the corpus
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda x: F.concat(x, F.col("_rep").cast("string")),
+                ),
+                " ",
+            ),
+        )
+        .drop("_rep")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(d_path)
+    )
+    print(f"# synthesized sf100 documents in {time.time()-t:.1f}s",
+          file=sys.stderr)
+
+
+def measure_minhash(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from mapreduce_spark.extensions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {"docs": docs.count()}
+
+    t = time.time()
+    sigs = dedup.minhash_signatures(docs)
+    # materialize via a count over the full signature frame: the agg
+    # consumes every (doc, sig, shingle-set) row the band join would
+    out["sig_rows"] = sigs.agg(
+        F.count("*"), F.sum(F.size("sig"))
+    ).first()[0]
+    out["minhash_sig"] = round(time.time() - t, 2)
+
+    t = time.time()
+    out["minhash_pairs_n"] = dedup.minhash_lsh_pairs(docs, 0.5).count()
+    out["minhash_pairs"] = round(time.time() - t, 2)
+    return out
+
+
+def main_minhash() -> None:
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf100"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_documents(spark, out_dir)
+    measure_minhash(spark, "/root/testdata/sf0.001")  # warmup
+    r01 = measure_minhash(spark, SF01)
+    r100 = measure_minhash(spark, out_dir)
+    expo = {
+        k: round(
+            math.log10(max(r100[k], 1e-3) / max(r01[k], 1e-3)) / 3.0,
+            2,
+        )
+        for k in ("minhash_sig", "minhash_pairs")
+    }
+    print(json.dumps({
+        "sf0.1": r01, "sf100": r100,
+        "exponent_per_decade": expo,
+    }))
 
 
 def measure(spark, sf_dir: str) -> dict:
@@ -146,6 +258,9 @@ def measure(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "minhash":
+        main_minhash()
+        return
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
     from pyspark.sql import SparkSession
 
