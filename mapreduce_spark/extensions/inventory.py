@@ -518,6 +518,35 @@ def _sql_ratio(words) -> str:
     )
 
 
+def _sql_lang_score(lang: str) -> str:
+    """DuckDB replica of text.lang_scores[lang] — same signal classes,
+    same operation ORDER (stop + W*(tri/n) + W*(dia/n)) so double
+    arithmetic is bit-identical to the Spark expression."""
+    tri = "+".join(
+        f"(len(lower(text))-len(replace(lower(text),'{t}','')))"
+        f"/{len(t)}"
+        for t in text.LANG_TRIGRAMS[lang]
+    )
+    s = (
+        f"({_sql_ratio(text.LANG_STOPWORDS[lang])}"
+        f" + {text.TRI_WEIGHT}*(({tri})/greatest(len(text),1))"
+    )
+    dia = text.LANG_DIACRITICS[lang]
+    if dia:
+        s += (
+            f" + {text.DIA_WEIGHT}*("
+            f"len(regexp_replace(lower(text),'[^{dia}]','','g'))"
+            f"::DOUBLE/greatest(len(text),1))"
+        )
+    return s + ")"
+
+
+_SQL_CJK = (
+    f"len(regexp_replace(text,'[^{text.CJK_RANGE}]','','g'))"
+    "::DOUBLE/greatest(len(text),1)"
+)
+
+
 _SHINGLES = (
     "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] "
     "for i in range(1, len(w)-1)])"
@@ -700,17 +729,20 @@ SELECT doc_id,
      + 0.15*least(({_sql_ratio(_STOP_EN)})*5, 1.0), 4) AS quality
 FROM t),
 ls AS (SELECT doc_id,
-  {_sql_ratio(text.LANG_STOPWORDS['en'])} s_en,
-  {_sql_ratio(text.LANG_STOPWORDS['es'])} s_es,
-  {_sql_ratio(text.LANG_STOPWORDS['fr'])} s_fr,
-  {_sql_ratio(text.LANG_STOPWORDS['de'])} s_de FROM t),
+  {_sql_lang_score('en')} s_en,
+  {_sql_lang_score('es')} s_es,
+  {_sql_lang_score('fr')} s_fr,
+  {_sql_lang_score('de')} s_de,
+  {_SQL_CJK} cjk FROM t),
 lang AS (
 SELECT doc_id,
- CASE WHEN greatest(s_en,s_es,s_fr,s_de) <= 0 THEN 'und'
+ CASE WHEN cjk > {text.CJK_MIN_RATIO} THEN 'zh'
+      WHEN greatest(s_en,s_es,s_fr,s_de) <= 0 THEN 'und'
       WHEN s_en >= greatest(s_es,s_fr,s_de) THEN 'en'
       WHEN s_es >= greatest(s_fr,s_de) THEN 'es'
       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang,
- ROUND(greatest(s_en,s_es,s_fr,s_de), 4) AS score
+ ROUND(CASE WHEN cjk > {text.CJK_MIN_RATIO} THEN cjk
+       ELSE greatest(s_en,s_es,s_fr,s_de) END, 4) AS score
 FROM ls),
 fp AS (
 SELECT doc_id, md5(text) AS text_md5,
