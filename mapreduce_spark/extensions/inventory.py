@@ -57,11 +57,9 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lang, score = text.lang_id()
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        lang.alias("pred_lang"),
-        F.round(score, 4).alias("score"),
+    return text.add_lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "pred_lang",
+        F.round("score", 4).alias("score"),
     )
 
 

@@ -138,34 +138,77 @@ def lang_scores(text: Column | str = "text") -> dict[str, Column]:
     return out
 
 
-def lang_id(text: Column | str = "text") -> tuple[Column, Column]:
-    """(predicted_lang, score) — argmax of :func:`lang_scores`, with a
-    CJK-ratio short-circuit for 'zh'; ties break in fixed lang order;
-    all-zero scores → 'und' (undetermined).
-
-    The argmax is array_max + array_position over ONE score array —
-    NOT a chained when() fold, which re-embeds every prior score
-    expression into each comparison (the same exponential plan-size
-    trap documented at similarity._assign_cells; with the round-13
-    trigram/diacritic terms each score is a ~12-node expression and
-    the fold made the 500-row x_text plan take ~90 s to analyze+run
-    vs ~2 s for the array form)."""
-    c = F.col(text) if isinstance(text, str) else text
-    scores = lang_scores(text)
-    arr = F.array(*scores.values())
-    mx = F.array_max(arr)
-    # first max wins → earlier lang on ties, same as the old fold
+def _lang_pick(sarr: Column, cjk: Column,
+               langs: list[str]) -> tuple[Column, Column]:
+    """(pred_lang, score) from a score-ARRAY column and a cjk-ratio
+    column.  First max wins → earlier lang on ties; all-zero → 'und';
+    CJK ratio past threshold short-circuits to 'zh'."""
+    mx = F.array_max(sarr)
     best_lang = F.element_at(
-        F.array(*[F.lit(lang) for lang in scores]),
-        F.array_position(arr, mx).cast("int"),
+        F.array(*[F.lit(lang) for lang in langs]),
+        F.array_position(sarr, mx).cast("int"),
     )
-    cjk = _class_ratio(c, CJK_RANGE)
     is_zh = cjk > CJK_MIN_RATIO
     return (
         F.when(is_zh, F.lit("zh"))
         .when(mx <= 0, F.lit("und"))
         .otherwise(best_lang),
         F.when(is_zh, cjk).otherwise(F.greatest(mx, F.lit(0.0))),
+    )
+
+
+def add_lang_id(df: DataFrame, text: str = "text",
+                lang_col: str = "pred_lang",
+                score_col: str = "score") -> DataFrame:
+    """``df`` + (``lang_col``, ``score_col``) — the FRAME-level
+    language-ID entry point, and the one hot paths must use.
+
+    Two projections on purpose: the per-language score expressions
+    (~12 string ops each after the round-13 trigram/diacritic terms)
+    are materialized into ONE array column in the first Project, and
+    the argmax/threshold logic references that column in the second.
+    A single-Column formulation re-evaluates the score array once per
+    reference (array_max + array_position + each output column);
+    codegen's subexpression elimination does NOT hoist them because
+    they sit under when() branches, measured 3.3 s vs 0.67 s on the
+    5k-doc bench row.  The optimizer keeps the split (CollapseProject
+    refuses to duplicate non-cheap multi-referenced aliases), so the
+    scores are computed exactly once per row."""
+    scores = lang_scores(text)
+    staged = df.withColumns({
+        "_lang_sarr": F.array(*scores.values()),
+        "_lang_cjk": _class_ratio(F.col(text), CJK_RANGE),
+    })
+    lang, score = _lang_pick(
+        F.col("_lang_sarr"), F.col("_lang_cjk"), list(scores)
+    )
+    return (
+        staged.withColumns({lang_col: lang, score_col: score})
+        .drop("_lang_sarr", "_lang_cjk")
+    )
+
+
+def lang_id(text: Column | str = "text") -> tuple[Column, Column]:
+    """(predicted_lang, score) — argmax of :func:`lang_scores`, with a
+    CJK-ratio short-circuit for 'zh'; ties break in fixed lang order;
+    all-zero scores → 'und' (undetermined).
+
+    Column-level convenience form: each returned Column embeds the
+    full score array, which is re-evaluated per reference — fine for
+    small frames and tests; BULK scans should use :func:`add_lang_id`
+    (one-evaluation two-projection plan, ~5× cheaper).
+
+    The argmax is array_max + array_position over ONE score array —
+    NOT a chained when() fold, which re-embeds every prior score
+    expression into each comparison (the same exponential plan-size
+    trap documented at similarity._assign_cells; with the round-13
+    trigram/diacritic terms the fold made the 500-row x_text plan
+    take ~90 s to analyze+run vs ~2 s for the array form)."""
+    c = F.col(text) if isinstance(text, str) else text
+    scores = lang_scores(text)
+    return _lang_pick(
+        F.array(*scores.values()), _class_ratio(c, CJK_RANGE),
+        list(scores),
     )
 
 

@@ -907,6 +907,22 @@ def test_lang_id_real_text(spark):
         r[lg] == 0.0 for r in stop_only for lg in text.LANG_STOPWORDS
     )
 
+    # frame-level entry point ≡ column-level form…
+    via_frame = {(r["doc_id"], r["pred_lang"]) for r in
+                 text.add_lang_id(df).select(
+                     "doc_id", "pred_lang").collect()}
+    assert via_frame == {(r["doc_id"], r["pred"]) for r in got}
+    # …and its optimized plan keeps the two-projection split: the
+    # score array is computed ONCE (one 'array(' for the staged
+    # column), not re-inlined per reference (CollapseProject must
+    # not duplicate the non-cheap alias — the 5× regression guard)
+    plan = (text.add_lang_id(df).select("doc_id", "pred_lang", "score")
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("lambdafunction") == len(text.LANG_STOPWORDS), (
+        "score expressions re-inlined; expected one stopword filter "
+        "per language, computed once"
+    )
+
 
 def test_fingerprint_shift_invariance(spark):
     """The rolling fingerprint (min shingle hash) survives edits at
