@@ -960,3 +960,32 @@ def duplicate_clusters(df: DataFrame, threshold: float,
         )
         .withColumn("cluster_size", F.count("*").over(w))
     )
+
+
+def cluster_representatives(labels: DataFrame, quality: DataFrame,
+                            id_col: str = "doc_id",
+                            cluster_col: str = "cluster_id",
+                            quality_col: str = "quality",
+                            ) -> DataFrame:
+    """``labels`` + a ``keep`` flag: within each duplicate cluster,
+    keep the HIGHEST-QUALITY member (ties → lowest id) instead of the
+    arbitrary min-id representative.
+
+    Real pretraining dedup keeps the best copy of a duplicated page
+    (longest/cleanest extraction), not the smallest id — this is the
+    selection stage between :func:`duplicate_clusters` and the final
+    corpus filter (``keep`` plus every singleton never in a pair).
+
+    One window over the cluster key (row_number, fully deterministic:
+    quality DESC, id ASC) sharing the exchange the cluster_size window
+    already established — no extra shuffle at scale beyond the
+    broadcast-ready quality join."""
+    w = (
+        Window.partitionBy(cluster_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+    )
+    return (
+        labels.join(quality.select(id_col, quality_col), id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .drop(quality_col)
+    )

@@ -142,11 +142,17 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate GROUPS, not just pairs: connected components
     (alternating large-star/small-star) over the verified MinHash-LSH
-    near-dup pair graph; cluster_id = min doc_id of the component.
-    Keep-one-per-group dedup is then ``doc_id = cluster_id`` plus the
+    near-dup pair graph; cluster_id = min doc_id of the component,
+    plus the round-13 ``keep`` flag — the highest-QUALITY member of
+    each cluster (ties → lowest id), the representative a real
+    pipeline retains.  Keep-best dedup is then ``keep`` plus the
     singletons.  Oracle: DuckDB recursive CTE computing the min
-    reachable doc_id over the same exact-Jaccard pair graph."""
-    return dedup.duplicate_clusters(_docs(spark, sf_dir), JACCARD_T)
+    reachable doc_id over the same exact-Jaccard pair graph + the
+    same quality row_number."""
+    d = _docs(spark, sf_dir)
+    labels = dedup.duplicate_clusters(d, JACCARD_T)
+    q = text.quality_features(d).select("doc_id", "quality")
+    return dedup.cluster_representatives(labels, q)
 
 
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,7 +806,7 @@ FROM documents
     "x_dedup_minhash": _JACCARD_PAIRS_SQL,
     "x_dedup_clusters": f"""
 WITH RECURSIVE
-t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+t AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} s FROM t),
 p AS (
   SELECT a.doc_id id_a, b.doc_id id_b,
@@ -812,10 +818,20 @@ e AS (SELECT id_a a, id_b b FROM p WHERE j >= {JACCARD_T}
 r AS (SELECT a AS node, a AS reach FROM e
       UNION SELECT r.node, e.b FROM r JOIN e ON e.a = r.reach),
 lab AS (SELECT node AS doc_id, min(reach) AS cluster_id
-        FROM r GROUP BY node)
-SELECT doc_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
-FROM lab
+        FROM r GROUP BY node),
+q AS (SELECT doc_id,
+ ROUND(0.35*least(len(w)/50.0, 1.0)
+     + 0.25*(len(list_distinct(w))::DOUBLE/greatest(len(w),1))
+     + 0.25*(len(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE
+             /greatest(len(text),1))
+     + 0.15*least(({_sql_ratio(_STOP_EN)})*5, 1.0), 4) AS quality
+FROM t)
+SELECT lab.doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY quality DESC, lab.doc_id ASC) = 1)
+         AS keep
+FROM lab JOIN q ON lab.doc_id = q.doc_id
 """,
     "x_dedup_simhash": _simhash_sql(),
     "x_dedup_embedding": f"""

@@ -252,6 +252,27 @@ def test_connected_components_equals_union_find(spark):
         assert got == want
 
 
+def test_cluster_representatives_keep_best(spark):
+    """Round 13: keep-best representative selection — within each
+    cluster exactly ONE keep=true row: the highest quality, ties by
+    lowest id.  Deterministic across partitionings."""
+    labels = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3),
+         (10, 10, 2), (11, 10, 2)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    quality = spark.createDataFrame(
+        # cluster 1: doc 2 best; cluster 10: tie -> doc 10 (lower id)
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7)],
+        "doc_id long, quality double",
+    )
+    got = {r["doc_id"]: r["keep"] for r in
+           dedup.cluster_representatives(
+               labels.repartition(7), quality).collect()}
+    assert got == {1: False, 2: True, 3: False,
+                   10: True, 11: False}
+
+
 def test_connected_components_mega_component(spark):
     """VERDICT r12 #1 (correctness pin for the skew rehearsal —
     tools/cc_skew_rehearsal.py carries the timing claim): one
