@@ -2,6 +2,8 @@
 produce MapSpecs equal in behavior to hand-written ones, and reject
 out-of-subset constructs with a clear error."""
 
+import os
+
 import pytest
 
 from mapreduce_spark.engine import Engine
@@ -458,7 +460,11 @@ def test_js_compile_property_matches_python_semantics(spark, sf_dir,
     import itertools
     import random
 
-    rng = random.Random(20260813)
+    # default seed is pinned; SPARK_GRAFT_FUZZ_SEED runs a fresh-seed
+    # soak (tools/fuzz_soak-style deep hunt) without editing the test
+    rng = random.Random(
+        int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260813"))
+    )
     fields = [("n_name", "str"),
               ("n_regionkey", "num"), ("n_nationkey", "num")]
 
@@ -964,7 +970,9 @@ def test_js_compile_fuzz_round6_constructs(spark, tmp_path):
         DocTable("fuzztab", "fuzztab:%s", ("tk",), "abs(hash(tk))")
     )
 
-    rng = random.Random(20260814)
+    rng = random.Random(
+        int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260814"))
+    )
 
     def num_expr(depth, in_cond):
         c = rng.randint(0, 8 if depth > 0 else 1)

@@ -13,6 +13,7 @@ falls back — but are counted: the subset must actually exercise.
 
 import json
 import math
+import os
 import random
 
 import pytest
@@ -273,7 +274,13 @@ def _norm(v):
     return v
 
 
-@pytest.mark.parametrize("seed", [20260814, 0x0A10])
+_FUZZ_SEEDS = [20260814, 0x0A10] + [
+    int(s) for s in
+    os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "").split(",") if s
+]
+
+
+@pytest.mark.parametrize("seed", _FUZZ_SEEDS)
 def test_variant_fuzz_compiled_vs_interpreter(spark, tmp_path, seed):
     rng = random.Random(seed)
     docs = _mkcorpus(rng)
