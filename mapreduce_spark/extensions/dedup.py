@@ -977,15 +977,24 @@ def cluster_representatives(labels: DataFrame, quality: DataFrame,
     corpus filter (``keep`` plus every singleton never in a pair).
 
     One window over the cluster key (row_number, fully deterministic:
-    quality DESC, id ASC) sharing the exchange the cluster_size window
-    already established — no extra shuffle at scale beyond the
-    broadcast-ready quality join."""
+    quality DESC NULLS LAST, id ASC) sharing the exchange the
+    cluster_size window already established — no extra shuffle at
+    scale beyond the broadcast-ready quality join.
+
+    The quality join is LEFT: a cluster member missing from the
+    quality frame (e.g. quality computed over a filtered subset) is
+    NEVER silently dropped from the output — it keeps its row, sorts
+    after every scored member, and can still be the representative if
+    no member of its cluster has a score (review r13: an inner join
+    here made 'keep + singletons' dedup silently delete documents)."""
     w = (
         Window.partitionBy(cluster_col)
-        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .orderBy(F.col(quality_col).desc_nulls_last(),
+                 F.col(id_col).asc())
     )
     return (
-        labels.join(quality.select(id_col, quality_col), id_col)
+        labels.join(quality.select(id_col, quality_col), id_col,
+                    "left")
         .withColumn("keep", F.row_number().over(w) == 1)
         .drop(quality_col)
     )

@@ -117,7 +117,11 @@ def pack_sequences(
         @F.pandas_udf(T.LongType())
         def _count(texts):
             out = token_count_fn(texts)
-            return pd.Series(out).astype("int64")
+            # null/NaN counts (a NULL text through e.g. s.str.len())
+            # pack as zero-length docs instead of crashing the int
+            # cast (review r13) — matching how a real tokenizer
+            # treats empty input
+            return pd.Series(out).fillna(0).astype("int64")
 
         token_col = "__pack_n_tok"
         drop_tok = True

@@ -474,18 +474,33 @@ def _bundle_lock(path: str):
     interleave the store appends.  Same filesystem contract as the
     view registry (``plans.registry.Registry``): reliable on local
     POSIX filesystems; assume one writer per bundle on NFS/object
-    stores.  Readers take no lock — the gen pointer makes any read a
-    consistent snapshot."""
+    stores.  Readers take no lock — the gen pointer gives any
+    read_ivf_index call a consistent generation, and a handle opened
+    just before a rewrite keeps working for one grace cycle (the
+    previous generation is GC'd by the NEXT rewrite, not the commit —
+    see :func:`_sweep_gens`); re-open handles after a rewrite rather
+    than holding them across several."""
     from mapreduce_spark.plans.registry import _flocked
 
     return _flocked(os.path.join(path, "meta.lock"))
 
 
 def _sweep_gens(path: str, keep: int) -> None:
-    """Best-effort removal of every store generation except ``keep``
-    (called only AFTER the meta gen-pointer commit — a crash before
-    this leaves orphan dirs, never a broken bundle)."""
+    """Best-effort removal of old store generations, called only
+    AFTER the meta gen-pointer commit (a crash before it leaves
+    orphan dirs, never a broken bundle).
+
+    The generation IMMEDIATELY BEFORE ``keep`` is spared: it outlives
+    its replacement by one full rewrite cycle, so a reader that
+    opened an :class:`IVFIndex` just before the swap keeps working —
+    the same writer-never-deletes-what-a-reader-may-hold rule the
+    view registry's base-v<N> layout follows.  It is GC'd by the NEXT
+    rewrite; long-lived handles should still re-open after a rewrite
+    (see :func:`write_ivf_index`).  Crashed temp files
+    (``centroids-*.json.tmp.<pid>``) are swept regardless."""
     keep_paths = set(_bundle_paths(path, keep))
+    if keep > 0:
+        keep_paths |= set(_bundle_paths(path, keep - 1))
     for name in list(os.listdir(path)):
         full = os.path.join(path, name)
         if full in keep_paths:
@@ -494,9 +509,7 @@ def _sweep_gens(path: str, keep: int) -> None:
             if (name == "cells" or name.startswith("cells-v")
                     or name == "vids" or name.startswith("vids-v")):
                 shutil.rmtree(full)
-            elif (name == "centroids.json"
-                    or (name.startswith("centroids-v")
-                        and name.endswith(".json"))):
+            elif name.startswith("centroids"):  # incl. crashed .tmp.*
                 os.unlink(full)
         except OSError:
             pass  # a reader may pin files on some platforms; retry next rewrite
@@ -627,14 +640,21 @@ def ivf_compact(spark, path: str) -> dict:
 
     Returns the fresh meta dict (appended_n folds into base_n)."""
     with _bundle_lock(path):
-        meta = _load_meta(path)
-        cells_dir, _, cent_path = _bundle_paths(path, meta["gen"])
-        with open(cent_path) as f:
-            cents = json.load(f)
-        store = spark.read.parquet(cells_dir).select(
-            "vid", "nv", F.col("cell").cast("int").alias("cell")
-        )
-        return _write_bundle(store, cents, path, meta["gen"] + 1)
+        return _compact_core(spark, path, _load_meta(path))
+
+
+def _compact_core(spark, path: str, meta: dict) -> dict:
+    """Unlocked compact body (callers hold the bundle lock): rewrite
+    the next generation from the current store under the EXISTING
+    centroids.  Shared by :func:`ivf_compact` and
+    :func:`ivf_maintain`'s compact branch."""
+    cells_dir, _, cent_path = _bundle_paths(path, meta["gen"])
+    with open(cent_path) as f:
+        cents = json.load(f)
+    store = spark.read.parquet(cells_dir).select(
+        "vid", "nv", F.col("cell").cast("int").alias("cell")
+    )
+    return _write_bundle(store, cents, path, meta["gen"] + 1)
 
 
 # ivf_append retrain thresholds (documented contract): recommend a
@@ -827,22 +847,28 @@ def ivf_maintain(spark, path: str,
         else:
             return {"action": "none", "fit_drop": fit_drop,
                     "growth": growth, "meta": meta}
-        cells_dir, _, cent_path = _bundle_paths(path, meta["gen"])
-        store = spark.read.parquet(cells_dir).select(
-            "vid", "nv", F.col("cell").cast("int").alias("cell")
+        if action == "compact":
+            new_meta = _compact_core(spark, path, meta)
+            return {"action": action, "fit_drop": fit_drop,
+                    "growth": growth, "meta": new_meta}
+        cells_dir, _, _ = _bundle_paths(path, meta["gen"])
+        store = spark.read.parquet(cells_dir).select("vid", "nv")
+        n_total = int(meta.get("base_n") or 0) + int(
+            meta.get("appended_n") or 0
         )
-        if action == "retrain":
-            n_total = int(meta.get("base_n") or 0) + int(
-                meta.get("appended_n") or 0
-            )
-            k = max(8, min(4096, int(n_total ** 0.5))) if n_total \
-                else 8
-            cents = ivf_centroids(None, k, nd=store.select("vid", "nv"))
-            assigned = _assign_cells(store.select("vid", "nv"), cents)
-        else:
-            with open(cent_path) as f:
-                cents = json.load(f)
-            assigned = store
+        k = max(8, min(4096, int(n_total ** 0.5))) if n_total else 8
+        # the k-means sample is drawn in vid-HASH order, not vid
+        # order: ivf_centroids' bounded limit would otherwise train
+        # only on the lowest vids — typically the ORIGINAL corpus —
+        # excluding exactly the drifted appended vectors this retrain
+        # exists to absorb (review r13).  Hashing the vid gives a
+        # deterministic uniform sample across base + appends; the
+        # sample's "vid" is only an ordering key for the seed stride.
+        sample_src = store.select(
+            F.xxhash64("vid").alias("vid"), "nv"
+        )
+        cents = ivf_centroids(None, k, nd=sample_src)
+        assigned = _assign_cells(store, cents)
         new_meta = _write_bundle(assigned, cents, path,
                                  meta["gen"] + 1)
         return {"action": action, "fit_drop": fit_drop,

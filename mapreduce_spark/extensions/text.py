@@ -119,9 +119,17 @@ def _class_ratio(c: Column, chars: str) -> Column:
 def lang_scores(text: Column | str = "text") -> dict[str, Column]:
     """Per-language evidence score: stopword-token ratio + weighted
     per-char trigram rate + weighted diacritic-class rate (one scan,
-    all codegen'd JVM expressions)."""
-    c = F.col(text) if isinstance(text, str) else text
-    w = tokens(text)
+    all codegen'd JVM expressions).
+
+    NULL text scores as empty text (all-zero → lang_id 'und'/0.0):
+    without the coalesce every signal is NULL and the downstream
+    argmax/threshold logic silently yields NULL labels (review r13).
+    The DuckDB x_text oracle is NOT null-hardened — the fixture
+    contract is text NOT NULL; parity is scoped to that."""
+    c = F.coalesce(
+        F.col(text) if isinstance(text, str) else text, F.lit("")
+    )
+    w = tokens(c)
     n_chars = F.greatest(F.length(c), F.lit(1))
     lower = F.lower(c)
     out: dict[str, Column] = {}
@@ -177,7 +185,9 @@ def add_lang_id(df: DataFrame, text: str = "text",
     scores = lang_scores(text)
     staged = df.withColumns({
         "_lang_sarr": F.array(*scores.values()),
-        "_lang_cjk": _class_ratio(F.col(text), CJK_RANGE),
+        "_lang_cjk": _class_ratio(
+            F.coalesce(F.col(text), F.lit("")), CJK_RANGE
+        ),
     })
     lang, score = _lang_pick(
         F.col("_lang_sarr"), F.col("_lang_cjk"), list(scores)
@@ -204,7 +214,9 @@ def lang_id(text: Column | str = "text") -> tuple[Column, Column]:
     trap documented at similarity._assign_cells; with the round-13
     trigram/diacritic terms the fold made the 500-row x_text plan
     take ~90 s to analyze+run vs ~2 s for the array form)."""
-    c = F.col(text) if isinstance(text, str) else text
+    c = F.coalesce(
+        F.col(text) if isinstance(text, str) else text, F.lit("")
+    )
     scores = lang_scores(text)
     return _lang_pick(
         F.array(*scores.values()), _class_ratio(c, CJK_RANGE),

@@ -186,6 +186,12 @@ class Registry:
             fd, tmp = tempfile.mkstemp(
                 prefix="registry.json.init.", dir=storage_dir
             )
+            # mkstemp creates 0600; restore the umask-derived mode a
+            # plain open() would have produced so a shared-warehouse
+            # reader under another uid keeps read access (review r13)
+            umask = os.umask(0)
+            os.umask(umask)
+            os.fchmod(fd, 0o666 & ~umask)
             with os.fdopen(fd, "w") as f:
                 json.dump({"designs": {}, "views": {}}, f, indent=1)
             try:

@@ -272,6 +272,17 @@ def test_cluster_representatives_keep_best(spark):
     assert got == {1: False, 2: True, 3: False,
                    10: True, 11: False}
 
+    # review r13: a member MISSING from the quality frame is never
+    # dropped (left join) — it sorts after scored members but keeps
+    # its row; an all-unscored cluster still elects its lowest id
+    got = {r["doc_id"]: r["keep"] for r in
+           dedup.cluster_representatives(
+               labels, quality.filter(~F.col("doc_id").isin(3, 10, 11))
+           ).collect()}
+    assert got == {1: False, 2: True, 3: False,
+                   10: True, 11: False}
+    assert len(got) == 5  # nobody silently deleted
+
 
 def test_connected_components_mega_component(spark):
     """VERDICT r12 #1 (correctness pin for the skew rehearsal —
@@ -651,11 +662,26 @@ def test_ivf_compact_folds_generations(emb, tmp_path, spark):
 
     files_before = vids_files()
 
+    # a handle opened BEFORE the rewrite must keep working for one
+    # grace cycle (the previous generation is GC'd by the NEXT
+    # rewrite, not the commit)
+    stale_handle = similarity.read_ivf_index(spark, dest)
+
     meta = similarity.ivf_compact(spark, dest)
     assert meta["base_n"] == n + n_new
     assert meta["appended_n"] == 0
     assert meta["gen"] == 1  # rewrite published as a new generation
-    # old-generation dirs swept after the commit
+    # grace period: generation 0 outlives its replacement by one
+    # rewrite cycle, so the pre-rewrite handle still answers
+    assert os.path.exists(os.path.join(dest, "cells"))
+    r_stale = sorted(
+        (r.qid, r.vid, r.rank) for r in
+        similarity.ivf_topk(None, qs, 10, index=stale_handle).collect()
+    )
+    assert r_stale == r_before
+    # …and the NEXT rewrite GCs it
+    meta2 = similarity.ivf_compact(spark, dest)
+    assert meta2["gen"] == 2
     assert not os.path.exists(os.path.join(dest, "cells"))
     after = similarity.read_ivf_index(spark, dest)
     r_after = sorted(
@@ -709,13 +735,15 @@ def test_ivf_compact_crash_safe(emb, tmp_path, spark, monkeypatch):
     assert r_crashed == r_before
 
     # simply re-running the compact succeeds and sweeps the orphan
-    # partial generation left by the crash
+    # partial generation left by the crash (gen 0 is spared one
+    # rewrite cycle as the lazy-reader grace generation)
     meta2 = similarity.ivf_compact(spark, dest)
     assert meta2["gen"] == 1
     import os
     leftovers = [n for n in os.listdir(dest)
                  if n.startswith(("cells", "vids"))]
-    assert sorted(leftovers) == ["cells-v1", "vids-v1"]
+    assert sorted(leftovers) == ["cells", "cells-v1",
+                                 "vids", "vids-v1"]
     r_after = sorted(
         (r.qid, r.vid, r.rank) for r in
         similarity.ivf_topk(
@@ -927,6 +955,17 @@ def test_lang_id_real_text(spark):
     assert all(
         r[lg] == 0.0 for r in stop_only for lg in text.LANG_STOPWORDS
     )
+
+    # review r13: NULL text is well-defined — 'und'/0.0, not NULL
+    # labels (every signal would otherwise be NULL and slip through
+    # the argmax); both the Column and frame forms
+    null_df = spark.createDataFrame(
+        [(99, None)], "doc_id long, text string")
+    nl, ns = text.lang_id()
+    r = null_df.select(nl.alias("l"), ns.alias("s")).first()
+    assert (r["l"], r["s"]) == ("und", 0.0)
+    r = text.add_lang_id(null_df).select("pred_lang", "score").first()
+    assert (r["pred_lang"], r["score"]) == ("und", 0.0)
 
     # frame-level entry point ≡ column-level form…
     via_frame = {(r["doc_id"], r["pred_lang"]) for r in
@@ -1231,6 +1270,32 @@ def test_pack_sequences_token_count_fn_hook(spark, sf_dir):
         sampling.pack_sequences(
             docs, budget, token_col="n_tok",
             token_count_fn=char_fn)
+
+    # review r13: a NULL text packs as a zero-length doc through the
+    # hook (the NaN count must not crash the int cast)
+    with_null = spark.createDataFrame(
+        [(1, "en", "alpha beta"), (2, "en", None), (3, "en", "gamma")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: (r["bin"], r["off"]) for r in
+            sampling.pack_sequences(
+                with_null, 4,
+                # .str.len() yields NaN for the null text — the
+                # fillna(0) inside the hook stage absorbs it
+                token_count_fn=lambda s: s.str.split().str.len()
+            ).collect()}
+    assert len(rows) == 3
+    # replicate the md5 stream order driver-side; the null doc must
+    # advance the stream by exactly 0 tokens
+    import hashlib as _hl
+    n_tok = {1: 2, 2: 0, 3: 1}
+    order = sorted(rows, key=lambda d: (
+        _hl.md5(f"{d}:".encode()).hexdigest(), d))
+    pos, want = 0, {}
+    for d in order:
+        want[d] = (pos // 4, pos % 4)
+        pos += n_tok[d]
+    assert rows == want
 
 
 def test_repetition_features(spark):

@@ -108,8 +108,8 @@ def _shapes(spark, n_edges: int):
     return out
 
 
-def _group_cpu(spark, group: str) -> float:
-    """Executor CPU seconds across every job of a job group."""
+def _group_cpu(spark, group: str) -> tuple[float, int]:
+    """(executor CPU seconds, job count) across a job group."""
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     gw = sc._gateway
