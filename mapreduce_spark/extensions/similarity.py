@@ -540,6 +540,13 @@ def _write_bundle(index: DataFrame, centroids: list, path: str,
             .observe(obs, F.count(F.lit(1)).alias("n"),
                      F.avg("_fit").alias("fit"))
             .drop("_fit")
+            # cluster by cell before the partitioned write: without
+            # it every upstream task writes a sliver into every cell
+            # directory (tasks × cells small files — ~45k at 2M
+            # vectors / 1.4k cells); after it each cell lands in
+            # exactly one task → one file per cell, and query-side
+            # partition pruning opens one file per probed cell
+            .repartition(F.col("cell"))
             .write.partitionBy("cell").mode("overwrite")
             .parquet(cells_dir)
         )

@@ -34,6 +34,17 @@ replicas share no shingles and true-pair volume scales linearly):
   (signatures + band-bucket equi-join + Jaccard) — near-linear
   expected while band buckets stay bounded (the max_df postings cap
   and disjoint replicas keep them so).
+
+ivf mode (round 13): ``python tools/sf100_probe.py ivf [out_dir]``
+stretches the ANN amortized path a third decade — 2M vectors (1000×
+sf0.1, disjoint vec_ids + circular-shift decorrelation):
+
+- ``ivf_build``: index build + persisted bundle write (linear like
+  any index build; one file per cell after the round-13 repartition);
+- ``ivf_query``: FIXED query batch (5 ids, k=10, nprobe=8) against
+  the persisted bundle via the vid-sidecar IVFIndex path — probed
+  fraction nprobe/√N shrinks with the corpus, so the decade exponent
+  must come in clearly sublinear (sf1→sf10 measured ~0.3/decade).
 """
 
 from __future__ import annotations
@@ -132,6 +143,103 @@ def synthesize_documents(spark, out_dir: str) -> None:
     )
     print(f"# synthesized sf100 documents in {time.time()-t:.1f}s",
           file=sys.stderr)
+
+
+def synthesize_embeddings(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    e_path = f"{out_dir}/embeddings.parquet"
+    if os.path.exists(e_path):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(REPS).withColumnRenamed("id", "_rep")
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").repartition(8)
+    eshift = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    # circular shift by replica decorrelates cross-replica cosines
+    # (same recipe as scale_rehearsal's sf1/sf10 embeddings)
+    rolled = F.concat(
+        F.slice(F.col("embedding"), (F.col("_rep") % dim) + 1,
+                dim - (F.col("_rep") % dim)),
+        F.slice(F.col("embedding"), 1, F.col("_rep") % dim),
+    )
+    t = time.time()
+    (
+        emb.crossJoin(reps)
+        .withColumn(
+            "vec_id", F.col("vec_id") + F.col("_rep") * F.lit(eshift)
+        )
+        .withColumn("embedding", rolled)
+        .drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(e_path)
+    )
+    print(f"# synthesized sf100 embeddings in {time.time()-t:.1f}s",
+          file=sys.stderr)
+
+
+def measure_ivf(spark, sf_dir: str, work_dir: str) -> dict:
+    from mapreduce_spark.extensions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {"vectors": emb.count()}
+    dest = os.path.join(work_dir, "bundle")
+    t = time.time()
+    idx, cents = similarity.ivf_index(emb)
+    similarity.write_ivf_index(idx, cents, dest)
+    out["ivf_build"] = round(time.time() - t, 2)
+    out["n_cells"] = len(cents)
+    bundle = similarity.read_ivf_index(spark, dest)
+    qids = [0, 1, 2, 3, 4]
+    similarity.ivf_topk(None, qids, 10, index=bundle,
+                        nprobe=8).count()  # warm
+    walls = []
+    for _ in range(3):
+        t = time.time()
+        out["ivf_query_rows"] = similarity.ivf_topk(
+            None, qids, 10, index=bundle, nprobe=8
+        ).count()
+        walls.append(time.time() - t)
+    out["ivf_query"] = round(statistics.median(walls), 3)
+    return out
+
+
+def main_ivf() -> None:
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf100"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_embeddings(spark, out_dir)
+    with tempfile.TemporaryDirectory(prefix="ivfwarm-") as wd:
+        measure_ivf(spark, "/root/testdata/sf0.001", wd)  # warmup
+    with tempfile.TemporaryDirectory(prefix="ivf01-") as wd:
+        r01 = measure_ivf(spark, SF01, wd)
+    with tempfile.TemporaryDirectory(prefix="ivf100-") as wd:
+        r100 = measure_ivf(spark, out_dir, wd)
+    expo = {
+        k: round(
+            math.log10(max(r100[k], 1e-3) / max(r01[k], 1e-3)) / 3.0,
+            2,
+        )
+        for k in ("ivf_build", "ivf_query")
+    }
+    print(json.dumps({
+        "sf0.1": r01, "sf100": r100,
+        "exponent_per_decade": expo,
+    }))
 
 
 def measure_minhash(spark, sf_dir: str) -> dict:
@@ -260,6 +368,9 @@ def measure(spark, sf_dir: str) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "minhash":
         main_minhash()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf":
+        main_ivf()
         return
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
     from pyspark.sql import SparkSession
