@@ -278,13 +278,43 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
     ``ivf_topk``).
 
     ``nd``: pre-normalized corpus (persisted or not — training now
-    reads one bounded ``limit`` from it)."""
+    reads one bounded ``limit`` from it).
+
+    Driver fan-in bound (round 13, found by the sf100 ANN probe): a
+    bare ``orderBy(vid).limit(n).collect()`` plans as TakeOrdered,
+    which ships the top-n OF EVERY PARTITION to the driver — the
+    driver payload grows with partition count (1 GB past
+    maxResultSize at 2M vectors / 30 partitions; unbounded on a
+    1000-executor scan).  Past a few partitions the sample is
+    pre-filtered to ``vid <= approxQuantile(~3n/N)`` first — a
+    deterministic superset of the true lowest-n, so the final
+    orderBy+limit returns the BIT-IDENTICAL sample the direct path
+    returns — bounding the fan-in at ~3n rows regardless of cluster
+    width (exact-count fallback if the sketch undershoots)."""
     if nd is None:
         nd = normalized(emb, id_col, vec_col)
-    sample = (
-        nd.select("vid", "nv").orderBy("vid")
-        .limit(k * TRAIN_PER_CELL).collect()
-    )
+    src = nd.select("vid", "nv")
+    n = k * TRAIN_PER_CELL
+
+    def _direct():
+        return src.orderBy("vid").limit(n).collect()
+
+    if src.rdd.getNumPartitions() <= 8:
+        sample = _direct()
+    else:
+        total = src.count()
+        if total <= n:
+            sample = _direct()
+        else:
+            thr = src.stat.approxQuantile(
+                "vid", [min(1.0, 3.0 * n / total)], 0.001
+            )[0]
+            sample = (
+                src.filter(F.col("vid") <= thr)
+                .orderBy("vid").limit(n).collect()
+            )
+            if len(sample) < n:  # sketch undershot: exact fallback
+                sample = _direct()
     S = np.asarray([r.nv for r in sample], dtype=np.float64)
     # seeds: same rule as every prior round — stride 7 through the
     # lowest-id vectors (the sample is a superset of that pool)
@@ -737,6 +767,9 @@ def ivf_append(path: str, new_emb: DataFrame,
         try:
             (
                 assigned.drop("_fit")
+                # same cell-clustering as _write_bundle: one file per
+                # touched cell per append generation, not tasks×cells
+                .repartition(F.col("cell"))
                 .write.partitionBy("cell").mode("append")
                 .parquet(cells_dir)
             )
