@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mapreduce_spark.extensions.text import shingles, tokens
-from mapreduce_spark.extensions.util import right_size
+from mapreduce_spark.extensions.util import (
+    release_local_checkpoint,
+    right_size,
+)
 
 log = logging.getLogger("mapreduce_spark.dedup")
 
@@ -888,7 +891,10 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     (count + xxhash64 bit_xor — detection only, never in the output) is
     stable; each round is localCheckpoint()ed so the iterative plan
     doesn't grow without bound (on a real cluster this is a reliable
-    checkpoint to the cluster FS — same call shape).
+    checkpoint to the cluster FS — same call shape), and the previous
+    round's blocks are released once the new round materializes, so
+    executor storage holds at most TWO edge frames however many
+    rounds convergence takes.
 
     The per-round checkpoint is LAZY: the convergence-fingerprint agg
     is the round's first action, so it materializes the checkpoint and
@@ -912,11 +918,24 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         .distinct()
     )
     prev = None
+    prev_frame = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        n, h = e.agg(
+        new = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        n, h = new.agg(
             F.count("*"), F.bit_xor(F.xxhash64("src", "dst"))
         ).first()
+        # round N-1's checkpoint blocks are dead the moment round N
+        # materialized (the fingerprint agg above) — releasing them
+        # bounds executor storage at TWO edge frames (input + latest)
+        # instead of O(rounds × edges), which OOM'd the 100M-edge
+        # skew rehearsal at ~10 retained rounds (round 13).  The
+        # INPUT checkpoint stays: `nodes` reads it in the final join.
+        # NB: DataFrame.unpersist() silently no-ops on checkpoint
+        # blocks — see util.release_local_checkpoint.
+        if prev_frame is not None:
+            release_local_checkpoint(prev_frame)
+        prev_frame = new
+        e = new
         if prev == (n, h):
             break
         prev = (n, h)

@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mapreduce_spark.extensions.dedup import _dot
-from mapreduce_spark.extensions.util import normalized_vectors, right_size
+from mapreduce_spark.extensions.util import (
+    normalized_vectors,
+    release_local_checkpoint,
+    right_size,
+)
 
 # 8 bands × 4 bits: band-match prob for cosine s is (1-acos(s)/π)^4,
 # ~0.18 at s=0.45 → ≥1-of-8-bands recall ≈ 0.8 even on weakly
@@ -782,8 +786,10 @@ def ivf_append(path: str, new_emb: DataFrame,
             )
         finally:
             # release the checkpoint blocks: repeated appends in one
-            # session must not accumulate executor storage
-            assigned.unpersist()
+            # session must not accumulate executor storage (round 13:
+            # DataFrame.unpersist() silently no-ops on checkpoint
+            # blocks — this call was ineffective until the helper)
+            release_local_checkpoint(assigned)
         m = obs.get
         n = int(m["n"] or 0)
         mean_fit = float(m["fit"]) if m["fit"] is not None else None

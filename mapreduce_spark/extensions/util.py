@@ -6,6 +6,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks of a ``localCheckpoint()``'d
+    DataFrame.
+
+    ``DataFrame.unpersist()`` is the WRONG lever here — it talks to
+    the CacheManager (``.cache()/.persist()`` plans) and silently
+    no-ops on the RDD-level persist a checkpoint holds; likewise
+    ``queryExecution().toRdd()`` returns a fresh wrapper RDD whose
+    unpersist touches nothing (measured round 13: a long CC run
+    retained one edge frame PER ROUND and OOM'd a 48g heap at 100M
+    edges).  The checkpointed DataFrame's analyzed plan is a
+    ``LogicalRDD`` whose ``rdd()`` accessor IS the persisted RDD —
+    unpersist that.  Best-effort: any plan shape other than a
+    checkpoint (or a future Spark changing the internals) just
+    leaves the blocks for session GC, as before."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dot_col(x: Column, y: Column) -> Column:
     """Σ xᵢ·yᵢ via zip_with/aggregate (JVM higher-order functions)."""
     return F.aggregate(

@@ -321,6 +321,26 @@ def test_connected_components_mega_component(spark):
         )
 
 
+def test_connected_components_bounded_checkpoint_storage(spark):
+    """Round 13: CC releases each round's localCheckpoint blocks once
+    the next round materializes — a long-converging graph (path-128,
+    many alternation rounds) must leave at most TWO retained edge
+    frames (input + final), not O(rounds).  Unreleased rounds OOM'd
+    the 100M-edge skew rehearsal."""
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    edges = [(i, i + 1) for i in range(127)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["root"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == {i: 0 for i in range(128)}
+    after = len(sc._jsc.getPersistentRDDs())
+    assert after - before <= 2, (
+        f"CC retained {after - before} checkpointed frames; "
+        "expected input + final round only"
+    )
+
+
 def test_duplicate_clusters_match_pair_graph(docs):
     """duplicate_clusters rows are EXACTLY the connected components of
     the verified minhash pair graph: min-id labels, correct sizes, and

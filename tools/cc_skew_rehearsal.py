@@ -54,10 +54,11 @@ MEGA_FRAC = 0.4
 
 
 def _shapes(spark, n_edges: int):
-    """Three equal-edge-count edge frames: uniform / megatree /
-    megastar.  Node ids are disjoint across the mega and uniform
-    regions; every frame is localCheckpoint()ed so synthesis cost
-    never leaks into the measured loop."""
+    """Three equal-edge-count edge shapes (as lazy thunks): uniform /
+    megatree / megastar.  Node ids are disjoint across the mega and
+    uniform regions; the caller checkpoints each shape just before
+    measuring it (synthesis cost stays out of the measured loop) and
+    releases it before the next."""
     from pyspark.sql import functions as F
 
     # uniform: size-5 stars → 4 edges per component
@@ -101,11 +102,14 @@ def _shapes(spark, n_edges: int):
         .select(F.col("id").alias("id_a"), F.lit(0).cast("long").alias("id_b"))
         .union(rest_stars())
     )
-    out = {}
-    for name, df in (("uniform", uniform), ("megatree", megatree),
-                     ("megastar", megastar)):
-        out[name] = df.repartition(32).localCheckpoint(eager=True)
-    return out
+    # thunks, not frames: each shape is synthesized+checkpointed only
+    # when measured and released before the next — three eager
+    # 100M-edge checkpoints at once OOM'd a 48g heap (round 13)
+    return {
+        "uniform": lambda: uniform,
+        "megatree": lambda: megatree,
+        "megastar": lambda: megastar,
+    }
 
 
 def _group_cpu(spark, group: str) -> tuple[float, int]:
@@ -142,7 +146,8 @@ def run_scale(spark, n_edges: int) -> dict:
 
     shapes = _shapes(spark, n_edges)
     res = {}
-    for name, e in shapes.items():
+    for name, thunk in shapes.items():
+        e = thunk().repartition(32).localCheckpoint(eager=True)
         group = f"cc-{name}-{n_edges}"
         spark.sparkContext.setJobGroup(group, group)
         t0 = time.monotonic()
