@@ -310,14 +310,31 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
         if total <= n:
             sample = _direct()
         else:
-            thr = src.stat.approxQuantile(
-                "vid", [min(1.0, 3.0 * n / total)], 0.001
-            )[0]
-            sample = (
-                src.filter(F.col("vid") <= thr)
-                .orderBy("vid").limit(n).collect()
-            )
-            if len(sample) < n:  # sketch undershot: exact fallback
+            # The 0.001 relative error is an ABSOLUTE rank-fraction
+            # bound: once 0.001·N exceeds the ~2n/N headroom of the
+            # 3n/N target (n=4096 → N ≥ ~8M rows) the sketched
+            # threshold can undershoot the true rank-n vid.  Falling
+            # straight back to _direct() would reintroduce the
+            # unbounded TakeOrdered fan-in on exactly the wide corpora
+            # this filter exists for (ADVICE r13) — so escalate the
+            # fraction (10n/N, then 100n/N) first; each retry is still
+            # a ~O(n) driver payload.  _direct() remains only for the
+            # fraction ≥ 1 endgame, where the filter would pass every
+            # row anyway (total ≤ 100n, so the fan-in is bounded).
+            sample = None
+            for mult in (3.0, 10.0, 100.0):
+                frac = mult * n / total
+                if frac >= 1.0:
+                    break
+                thr = src.stat.approxQuantile("vid", [frac], 0.001)[0]
+                cand = (
+                    src.filter(F.col("vid") <= thr)
+                    .orderBy("vid").limit(n).collect()
+                )
+                if len(cand) >= n:
+                    sample = cand
+                    break
+            if sample is None:
                 sample = _direct()
     S = np.asarray([r.nv for r in sample], dtype=np.float64)
     # seeds: same rule as every prior round — stride 7 through the

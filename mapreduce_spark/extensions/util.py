@@ -2,8 +2,12 @@
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_release_warned = False
 
 
 def release_local_checkpoint(df: DataFrame) -> None:
@@ -20,11 +24,28 @@ def release_local_checkpoint(df: DataFrame) -> None:
     ``LogicalRDD`` whose ``rdd()`` accessor IS the persisted RDD —
     unpersist that.  Best-effort: any plan shape other than a
     checkpoint (or a future Spark changing the internals) just
-    leaves the blocks for session GC, as before."""
+    leaves the blocks for session GC, as before — but NOT silently:
+    this helper rides private accessors, and a Spark upgrade that
+    renames them would otherwise no-op invisibly, regressing
+    connected_components to O(rounds) retained edge frames (the
+    100M-edge OOM this exists to prevent) with no signal outside the
+    version-pinned test suite (ADVICE r13).  One warning per session,
+    not per call — iterative callers hit this every round."""
+    global _release_warned
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:
+        if not _release_warned:
+            _release_warned = True
+            warnings.warn(
+                "release_local_checkpoint could not reach the "
+                f"checkpointed RDD ({type(exc).__name__}: {exc}); "
+                "storage blocks of iterative checkpoints will "
+                "accumulate until session GC. Spark internals may "
+                "have changed.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def dot_col(x: Column, y: Column) -> Column:

@@ -42,7 +42,18 @@ import os
 import shutil
 import tempfile
 import threading
+import time
 from typing import Any
+
+# Process umask, read ONCE at import time (imports run holding the
+# import lock, before this module spawns any threads).  The previous
+# inline probe — os.umask(0) then restore inside __init__ — was a
+# process-wide read-modify-write race: with concurrent constructors,
+# thread B can capture the 0 that thread A just set and "restore" it
+# after A's real restore, leaving the process umask 0 forever and every
+# subsequently created file world-writable (ADVICE r13).
+_UMASK = os.umask(0)
+os.umask(_UMASK)
 
 
 def definition_repr(map_def: Any, reduce_def: Any) -> str:
@@ -172,6 +183,7 @@ class Registry:
         self._lock = threading.Lock()
         self._view_locks: dict[str, threading.Lock] = {}
         os.makedirs(os.path.join(storage_dir, "views"), exist_ok=True)
+        self._sweep_stale_temps()
         if not os.path.exists(self.path):
             # exclusive creation: two Engines racing __init__ on a
             # fresh warehouse must not let the loser's empty initial
@@ -188,10 +200,10 @@ class Registry:
             )
             # mkstemp creates 0600; restore the umask-derived mode a
             # plain open() would have produced so a shared-warehouse
-            # reader under another uid keeps read access (review r13)
-            umask = os.umask(0)
-            os.umask(umask)
-            os.fchmod(fd, 0o666 & ~umask)
+            # reader under another uid keeps read access (review r13).
+            # _UMASK is the import-time constant — re-probing here
+            # would race concurrent constructors (ADVICE r13).
+            os.fchmod(fd, 0o666 & ~_UMASK)
             with os.fdopen(fd, "w") as f:
                 json.dump({"designs": {}, "views": {}}, f, indent=1)
             try:
@@ -212,6 +224,35 @@ class Registry:
                     except FileNotFoundError:
                         pass  # a racing instance already swept it
 
+    def _sweep_stale_temps(self, min_age_sec: float = 60.0) -> None:
+        """GC write-temps orphaned by crashed writers (ADVICE r13).
+
+        Per-writer-unique temp names (``registry.json.tmp.<pid>.<tid>``,
+        ``registry.json.init.*``) fixed the torn-write hazard but —
+        unlike the old fixed name, which the next writer overwrote — a
+        writer that dies between ``json.dump`` and ``os.replace``
+        orphans its temp forever.  Swept on construction, mirroring
+        ``_sweep_gens``' handling of crashed ``centroids-*.json.tmp``
+        files.  The age floor keeps a concurrent LIVE writer's temp
+        (which exists for microseconds between dump and rename) out of
+        reach — unlinking it mid-write would turn that writer's
+        ``os.replace`` into FileNotFoundError."""
+        now = time.time()
+        try:
+            names = os.listdir(self.storage_dir)
+        except OSError:
+            return
+        for name in names:
+            if not (name.startswith("registry.json.tmp.")
+                    or name.startswith("registry.json.init.")):
+                continue
+            p = os.path.join(self.storage_dir, name)
+            try:
+                if now - os.path.getmtime(p) > min_age_sec:
+                    os.unlink(p)
+            except OSError:
+                pass  # a racing sweeper won, or the writer renamed it
+
     # -- state ---------------------------------------------------------
 
     def _read(self) -> dict:
@@ -224,9 +265,19 @@ class Registry:
         # writers must not open/truncate ONE temp file and os.replace
         # a torn interleaving of both into registry.json (ADVICE r12)
         tmp = f"{self.path}.tmp.{os.getpid()}.{threading.get_ident()}"
-        with open(tmp, "w") as f:
-            json.dump(state, f, indent=1)
-        os.replace(tmp, self.path)  # atomic checkpoint (M1 exactly-once)
+        try:
+            with open(tmp, "w") as f:
+                json.dump(state, f, indent=1)
+            # atomic checkpoint (M1 exactly-once)
+            os.replace(tmp, self.path)
+        except BaseException:
+            # exception paths unlink their own temp; process death is
+            # covered by _sweep_stale_temps on the next construction
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def update(self, fn) -> dict:
         """Atomically read-modify-write the registry state.

@@ -1484,3 +1484,78 @@ def test_mixture_plan_integral_division_past_2p53(spark):
     got = {r["source"]: r["repeats"] for r in plan.collect()}
     assert got["big"] == 2, got  # double division would say 3
     assert got["tiny"] == 1  # pct 0 → floor of 1 epoch
+
+
+def test_centroid_sample_escalates_on_quantile_undershoot(spark):
+    """ADVICE r13: approxQuantile's 0.001 relative error is an absolute
+    rank-fraction bound, so on wide corpora the 3n/N threshold can
+    undershoot rank n.  The fix retries with a larger fraction instead
+    of falling back to the unbounded TakeOrdered _direct() path.
+    Simulated by forcing the FIRST sketch call to return an impossible
+    threshold: the escalation must land the bit-identical sample the
+    unpatched run produces, via a second (real) sketch call."""
+    # patch the CLASSIC class — df.stat instantiates it, not the parent
+    from pyspark.sql.classic.dataframe import DataFrameStatFunctions
+
+    from mapreduce_spark.extensions.util import normalized_vectors
+
+    emb = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 13).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    # >8 partitions so ivf_centroids takes the sketch-prefilter branch
+    nd = normalized_vectors(emb).repartition(16)
+    want = similarity.ivf_centroids(None, k=4, nd=nd)
+
+    real = DataFrameStatFunctions.approxQuantile
+    calls = []
+
+    def undershooting(self, col, probs, err):
+        calls.append(probs)
+        if len(calls) == 1:
+            return [-1.0]  # filter keeps zero rows -> undershoot
+        return real(self, col, probs, err)
+
+    DataFrameStatFunctions.approxQuantile = undershooting
+    try:
+        got = similarity.ivf_centroids(None, k=4, nd=nd)
+    finally:
+        DataFrameStatFunctions.approxQuantile = real
+    assert len(calls) >= 2, "undershoot must escalate, not give up"
+    assert got == want
+
+
+def test_release_local_checkpoint_warns_once_on_internal_drift(spark):
+    """ADVICE r13: the private-accessor failure path must be VISIBLE
+    (one RuntimeWarning per session), not a silent no-op that regrows
+    the O(rounds) checkpoint retention; the happy path stays quiet."""
+    import warnings as w
+
+    from mapreduce_spark.extensions import util
+
+    cp = spark.range(10).localCheckpoint()
+    with w.catch_warnings():
+        w.simplefilter("error")  # any warning -> test failure
+        util.release_local_checkpoint(cp)
+
+    util._release_warned = False
+    plain = spark.range(10)  # analyzed plan is no LogicalRDD
+    try:
+        with w.catch_warnings(record=True) as first:
+            w.simplefilter("always")
+            util.release_local_checkpoint(plain)
+        assert [x for x in first if x.category is RuntimeWarning], (
+            "accessor failure must warn"
+        )
+        with w.catch_warnings(record=True) as second:
+            w.simplefilter("always")
+            util.release_local_checkpoint(plain)
+        assert not [x for x in second if x.category is RuntimeWarning], (
+            "warning must fire once per session, not per call"
+        )
+    finally:
+        util._release_warned = False

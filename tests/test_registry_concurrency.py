@@ -299,3 +299,81 @@ def test_view_cleanup_spares_resurrected_view(tmp_path):
     assert os.path.exists(os.path.join(vdir, "data")), (
         "cleanup deleted a resurrected view's storage"
     )
+
+
+def test_registry_init_leaves_process_umask_alone(tmp_path):
+    """ADVICE r13: the old per-__init__ umask probe (set 0 / restore)
+    was a process-wide RMW race under concurrent constructors; the fix
+    reads the umask once at module import.  __init__ must not touch it
+    at all, and the created registry.json still carries the
+    umask-derived mode."""
+    import os
+
+    prev = os.umask(0o027)
+    try:
+        errs = []
+
+        def mk(i):
+            try:
+                Registry(str(tmp_path / f"w{i}"))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=mk, args=(i,)) for i in range(8)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs
+        now = os.umask(0)
+        os.umask(now)
+        assert now == 0o027, (
+            f"Registry.__init__ perturbed the process umask: {oct(now)}"
+        )
+        mode = os.stat(tmp_path / "w0" / "registry.json").st_mode & 0o777
+        assert mode == 0o666 & ~0o027 or mode == 0o666 & ~__import__(
+            "mapreduce_spark.plans.registry", fromlist=["x"]
+        )._UMASK  # import-time umask, if it differed from 0o027
+    finally:
+        os.umask(prev)
+
+
+def test_registry_init_sweeps_orphaned_write_temps(tmp_path):
+    """ADVICE r13: per-writer-unique temps orphaned by a crashed writer
+    (between json.dump and os.replace) accumulate forever unless swept;
+    a FRESH temp (a live concurrent writer's) must survive the sweep so
+    its os.replace is not yanked out from under it."""
+    import os
+
+    d = tmp_path / "reg"
+    d.mkdir()
+    Registry(str(d))  # lays down registry.json
+    stale = [d / "registry.json.tmp.999.888",
+             d / "registry.json.init.abc123"]
+    for p in stale:
+        p.write_text("{}")
+        os.utime(p, (time.time() - 300, time.time() - 300))
+    fresh = d / "registry.json.tmp.111.222"
+    fresh.write_text("{}")
+
+    Registry(str(d))
+    assert not any(p.exists() for p in stale), "stale temps must be GCd"
+    assert fresh.exists(), "a live writer's fresh temp must survive"
+    assert (d / "registry.json").exists()
+
+
+def test_registry_write_unlinks_temp_on_exception(tmp_path, monkeypatch):
+    """A _write that raises mid-dump must not leave its unique temp
+    behind (the non-crash half of the orphan fix)."""
+    import json as _json
+    import os
+
+    r = Registry(str(tmp_path / "reg"))
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(_json, "dump", boom)
+    with pytest.raises(RuntimeError):
+        r.update(lambda s: s["views"].__setitem__("x", {}))
+    leftovers = [n for n in os.listdir(tmp_path / "reg")
+                 if n.startswith("registry.json.tmp.")]
+    assert leftovers == []
