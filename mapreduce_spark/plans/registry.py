@@ -87,16 +87,90 @@ except ImportError:  # pragma: no cover
 
 from contextlib import contextmanager
 
+# Lease heartbeat/staleness horizon for the no-fcntl fallback.  A
+# holder refreshes the lease mtime every TTL/3 from a daemon thread,
+# so a LIVE holder (however long its build runs) is never stolen from;
+# a crashed holder's lease goes stale after one full TTL and is
+# recovered by the next waiter.
+_LEASE_TTL = 30.0
+
+
+@contextmanager
+def _leased(path: str):
+    """O_EXCL lease-file mutual exclusion (VERDICT r13 #6) — the
+    fallback for platforms without ``fcntl`` and filesystems whose
+    advisory locks are lossy (NFS, FUSE, object-store gateways), where
+    exclusive-create is typically the one primitive that IS atomic.
+
+    Protocol: the lock is ``<path>.lease``, acquired by
+    ``O_CREAT|O_EXCL`` (exactly one creator wins); the holder writes an
+    owner token and heartbeats the file's mtime from a daemon thread.
+    Waiters poll; a lease whose mtime is a full TTL old belongs to a
+    dead holder and is STOLEN BY RENAME to a waiter-unique name —
+    rename is the arbitration point (exactly one stealer succeeds; the
+    loser's rename raises and it goes back to polling), closing the
+    unlink-steal race where a slow second stealer would unlink the
+    first stealer's brand-new lease.  Release unlinks only if the file
+    still holds our token (a stealer may have replaced a lease whose
+    heartbeat thread stalled past the TTL — e.g. a driver paused at a
+    breakpoint; the build work itself is then unprotected, which is
+    the documented TTL trade every lease scheme carries)."""
+    lease = path + ".lease"
+    os.makedirs(os.path.dirname(lease), exist_ok=True)
+    token = f"{os.getpid()}:{threading.get_ident()}:{os.urandom(8).hex()}"
+    while True:
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, token.encode())
+            finally:
+                os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lease).st_mtime > _LEASE_TTL:
+                    os.rename(lease, f"{lease}.stale.{token}")
+                    os.unlink(f"{lease}.stale.{token}")
+                    continue
+            except OSError:
+                continue  # lost the steal race / holder released
+            time.sleep(0.05)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(_LEASE_TTL / 3.0):
+            try:
+                os.utime(lease)
+            except OSError:
+                return  # stolen or released under us — stop beating
+
+    beater = threading.Thread(target=_beat, daemon=True)
+    beater.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        beater.join(timeout=_LEASE_TTL)
+        try:
+            with open(lease) as fh:
+                mine = fh.read() == token
+            if mine:
+                os.unlink(lease)
+        except OSError:
+            pass  # stolen after a stall: nothing of ours to remove
+
 
 @contextmanager
 def _flocked(path: str):
-    """Exclusive OS advisory lock on ``path`` (no-op without fcntl).
+    """Exclusive OS advisory lock on ``path``; O_EXCL lease fallback
+    (:func:`_leased`) where ``fcntl`` does not exist.
 
     The fd is closed on every exit path — including ``flock`` itself
     raising (ENOLCK on some network filesystems, EINTR) — so a failed
     acquisition never leaks a descriptor."""
-    if _fcntl is None:  # pragma: no cover - platform without fcntl
-        yield
+    if _fcntl is None:  # platform without fcntl → lease protocol
+        with _leased(path):
+            yield
         return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fh = open(path, "a+")
@@ -164,17 +238,22 @@ class Registry:
       strictly inner (only held inside :meth:`update`, never while
       running Spark jobs), so lock order view→registry is acyclic.
 
-    Filesystem contract (VERDICT r12 #5): the cross-PROCESS half of
-    this guarantee rests on ``fcntl.flock``, which is reliable only on
-    local POSIX filesystems.  On NFS, FUSE mounts, or object-store
-    gateways advisory locks are famously lossy (silently granted to
-    both holders, or dropped on server restart) — and on platforms
-    without ``fcntl`` at all the flock layer is a no-op.  In those
-    environments run ONE driver per warehouse directory; the atomic
-    write-temp + rename checkpoints (with per-writer-unique temp
-    names, so even unlocked concurrent writers cannot tear each
-    other's bytes — last rename wins whole) still protect readers,
-    but concurrent read-modify-write mutations may be lost.
+    Filesystem contract (VERDICT r12 #5, r13 #6): the cross-PROCESS
+    half of this guarantee rests on ``fcntl.flock`` on local POSIX
+    filesystems; on platforms without ``fcntl`` the layer now falls
+    back to the :func:`_leased` O_EXCL lease protocol
+    (exclusive-create + heartbeat + TTL steal-by-rename) instead of
+    silently not locking.  On filesystems whose ADVISORY locks are
+    lossy but whose exclusive-create is atomic (NFSv3 O_EXCL via
+    lockfile emulation, most FUSE mounts), the lease protocol is also
+    the right choice — import-block ``fcntl`` or monkeypatch
+    ``registry._fcntl = None`` to select it explicitly.  On stores
+    with NO atomic create-or-fail (bare object stores), run ONE driver
+    per warehouse; the atomic write-temp + rename checkpoints (with
+    per-writer-unique temp names, so even unlocked concurrent writers
+    cannot tear each other's bytes — last rename wins whole) still
+    protect readers, but concurrent read-modify-write mutations may
+    be lost.
     """
 
     def __init__(self, storage_dir: str) -> None:

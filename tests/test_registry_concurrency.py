@@ -377,3 +377,118 @@ def test_registry_write_unlinks_temp_on_exception(tmp_path, monkeypatch):
     leftovers = [n for n in os.listdir(tmp_path / "reg")
                  if n.startswith("registry.json.tmp.")]
     assert leftovers == []
+
+
+# ---------------------------------------------------------------------------
+# O_EXCL lease fallback (VERDICT r13 #6): the no-fcntl path must give
+# the same mutual-exclusion guarantees the flock path does.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def lease_mode(monkeypatch):
+    """Force _flocked onto the lease protocol, as on a no-fcntl
+    platform or a lossy-advisory-lock filesystem."""
+    from mapreduce_spark.plans import registry as R
+
+    monkeypatch.setattr(R, "_fcntl", None)
+    return R
+
+
+def test_update_rmw_atomic_across_instances_lease(tmp_path, lease_mode):
+    """The existing two-instance lost-update probe, through the lease
+    path: B's update must block until A's write lands."""
+    d = str(tmp_path / "reg")
+    r1 = Registry(d)
+    r2 = Registry(d)
+    started = threading.Event()
+
+    def slow_a(state):
+        state["views"]["sig-a"] = {"last_seq": 1}
+        started.set()
+        time.sleep(0.4)
+
+    t = threading.Thread(target=lambda: r1.update(slow_a))
+    t.start()
+    assert started.wait(5)
+    r2.update(
+        lambda s: s["views"].__setitem__("sig-b", {"last_seq": 2})
+    )
+    t.join()
+    final = r1.get_view("sig-a"), r2.get_view("sig-b")
+    assert final == ({"last_seq": 1}, {"last_seq": 2}), (
+        f"lost registry update across instances (lease path): {final}"
+    )
+    # released cleanly: no lease file left behind
+    import os
+    locks = os.listdir(os.path.join(d, "locks"))
+    assert not [n for n in locks if n.endswith(".lease")], locks
+
+
+def test_lease_mutual_exclusion_hammer(tmp_path, lease_mode):
+    """8 threads × 30 increments through _leased: a lost update means
+    the lease let two holders in at once."""
+    from mapreduce_spark.plans.registry import _leased
+
+    path = str(tmp_path / "locks" / "hammer.lock")
+    counter = {"n": 0}
+
+    def work():
+        for _ in range(30):
+            with _leased(path):
+                v = counter["n"]
+                time.sleep(0.0005)
+                counter["n"] = v + 1
+
+    ts = [threading.Thread(target=work) for _ in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert counter["n"] == 240
+
+
+def test_lease_steals_stale_but_not_heartbeating(tmp_path, lease_mode,
+                                                 monkeypatch):
+    """A lease whose holder died (old mtime, no heartbeat) is stolen
+    after the TTL; a FRESH lease is waited on, not stolen."""
+    import os
+
+    from mapreduce_spark.plans import registry as R
+
+    monkeypatch.setattr(R, "_LEASE_TTL", 0.4)
+    path = str(tmp_path / "locks" / "x.lock")
+    lease = path + ".lease"
+    os.makedirs(os.path.dirname(lease), exist_ok=True)
+
+    # stale: mtime far in the past -> acquired within ~TTL
+    with open(lease, "w") as f:
+        f.write("dead-holder")
+    past = time.time() - 10
+    os.utime(lease, (past, past))
+    t0 = time.time()
+    with R._leased(path):
+        took = time.time() - t0
+    assert took < 5, f"stale lease not stolen promptly ({took:.1f}s)"
+
+    # fresh: a live holder's lease blocks a waiter for at least ~TTL
+    with open(lease, "w") as f:
+        f.write("live-holder")
+    got = threading.Event()
+
+    def waiter():
+        with R._leased(path):
+            got.set()
+
+    t = threading.Thread(target=waiter, daemon=True)
+    t.start()
+    assert not got.wait(0.2), "fresh lease must not be stolen instantly"
+    os.unlink(lease)  # holder releases
+    assert got.wait(5), "waiter must acquire after release"
+    t.join(timeout=5)
+
+
+def test_two_engines_concurrent_build_converges_lease(
+    spark, sf_dir, tmp_path, lease_mode
+):
+    """The flock-path two-engine build test, through the lease path:
+    two Engines sharing one warehouse build the same view
+    concurrently and converge to one correct index."""
+    test_two_engines_concurrent_build_converges(spark, sf_dir, tmp_path)
