@@ -374,6 +374,25 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tok", "bin", "off")
 
 
+def x_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences through the REAL-tokenizer hook (VERDICT r13
+    #5): token counts from the checked-in byte-level BPE encoder
+    (extensions/bpe.py) as one Arrow-batched pandas UDF stage, then
+    the identical window/binning plan as x_pack_sequences.  Bench-only
+    row (no SQL oracle — the merge loop is not SQL-expressible); the
+    packing INVARIANTS under BPE counts are pinned in
+    tests/test_extensions.py."""
+    from mapreduce_spark.extensions.bpe import BPETokenizer
+
+    tok = BPETokenizer()
+    out = sampling.pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "lang", "text"),
+        PACK_BUDGET, token_count_fn=tok.count_batch,
+        stratum_col="lang", id_col="doc_id",
+    )
+    return out.select("doc_id", "lang", "bin", "off")
+
+
 PIPE_N = 15
 PIPE_BUDGET = 512
 
@@ -503,6 +522,7 @@ EXT_BENCH_QUERIES = {
     "x_mm_features": x_mm_features,
     "x_mm_ppm": x_mm_ppm,
     "x_mm_wav": x_mm_wav,
+    "x_pack_bpe": x_pack_bpe,
 }
 
 

@@ -1559,3 +1559,82 @@ def test_release_local_checkpoint_warns_once_on_internal_drift(spark):
         )
     finally:
         util._release_warned = False
+
+
+def test_connected_components_shortcut_paths_equal_union_find(spark):
+    """VERDICT r13 #3: the pointer-doubling contraction interleaved
+    into the star alternation must label IDENTICALLY to the pure path
+    (shortcut_every=0) and the driver union-find oracle — including on
+    the shapes the shortcut exists for (deep path, random recursive
+    tree) and with the jump firing every round (the harshest
+    interleaving)."""
+    import random
+
+    cases = [[(i, i + 1) for i in range(63)]]  # path-64
+    rng = random.Random(7)
+    cases.append(  # random recursive tree, 400 nodes (megatree shape)
+        [(i, rng.randrange(i)) for i in range(1, 400)]
+    )
+    for seed in (1, 3):
+        rng = random.Random(seed)
+        n = rng.choice([20, 120])
+        cases.append([
+            (a, b) for a, b in (
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(n * 2)
+            ) if a != b
+        ])
+    for edges in cases:
+        want = _uf_min_labels(edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for every in (0, 1, 4):
+            got = {
+                r["node"]: r["root"]
+                for r in dedup.connected_components(
+                    df, shortcut_every=every
+                ).collect()
+            }
+            assert got == want, f"shortcut_every={every}"
+
+
+def test_pointer_jump_preserves_components_and_fixed_point(spark):
+    """_pointer_jump alone: (a) same components as its input on a
+    random graph (checked through the full CC of the jumped edge set);
+    (b) a min-rooted star forest passes through unchanged (the
+    alternation's convergence target must be a fixed point of the
+    interleaved step too)."""
+    import random
+
+    rng = random.Random(11)
+    edges = [
+        (a, b) for a, b in (
+            (rng.randrange(60), rng.randrange(60)) for _ in range(90)
+        ) if a != b
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    e = df.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    jumped, _ptr = dedup._pointer_jump(e)
+    jumped = jumped.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    want = _uf_min_labels(edges)
+    got = {
+        r["node"]: r["root"]
+        for r in dedup.connected_components(jumped).collect()
+    }
+    # nodes can legitimately drop out of the EDGE set only if they
+    # became roots with all neighbors rewritten onto them — compare on
+    # the intersection, then check no component was split or merged
+    assert all(got[n] == want[n] for n in got), "components changed"
+
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 9)] + [(i, 20) for i in range(21, 25)],
+        "src long, dst long",
+    ).select(F.col("src"), F.col("dst"))
+    jstar, _p2 = dedup._pointer_jump(star)
+    back = {(r.src, r.dst) for r in jstar.collect()}
+    assert back == {(i, 0) for i in range(1, 9)} | {
+        (i, 20) for i in range(21, 25)
+    }, "min-rooted star forest must be a fixed point"

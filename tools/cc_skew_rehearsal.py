@@ -151,7 +151,12 @@ def run_scale(spark, n_edges: int) -> dict:
         group = f"cc-{name}-{n_edges}"
         spark.sparkContext.setJobGroup(group, group)
         t0 = time.monotonic()
-        labels = connected_components(e, "id_a", "id_b")
+        labels = connected_components(
+            e, "id_a", "id_b",
+            shortcut_every=int(
+                os.environ.get("SPARK_GRAFT_CC_SHORTCUT", "0")
+            ),
+        )
         stats = labels.groupBy("root").count().agg(
             F.count("*").alias("clusters"),
             F.max("count").alias("max_cluster"),
