@@ -569,6 +569,14 @@ _SQL_CJK = (
     f"len(regexp_replace(text,'[^{text.CJK_RANGE}]','','g'))"
     "::DOUBLE/greatest(len(text),1)"
 )
+_SQL_KANA = (
+    f"len(regexp_replace(text,'[^{text.KANA_RANGE}]','','g'))"
+    "::DOUBLE/greatest(len(text),1)"
+)
+_SQL_CYR = (
+    f"len(regexp_replace(text,'[^{text.CYRILLIC_RANGE}]','','g'))"
+    "::DOUBLE/greatest(len(text),1)"
+)
 
 
 _SHINGLES = (
@@ -757,15 +765,19 @@ ls AS (SELECT doc_id,
   {_sql_lang_score('es')} s_es,
   {_sql_lang_score('fr')} s_fr,
   {_sql_lang_score('de')} s_de,
-  {_SQL_CJK} cjk FROM t),
+  {_SQL_CJK} cjk, {_SQL_KANA} kana, {_SQL_CYR} cyr FROM t),
 lang AS (
 SELECT doc_id,
- CASE WHEN cjk > {text.CJK_MIN_RATIO} THEN 'zh'
+ CASE WHEN kana > {text.KANA_MIN_RATIO} THEN 'ja'
+      WHEN cjk > {text.CJK_MIN_RATIO} THEN 'zh'
+      WHEN cyr > {text.CYR_MIN_RATIO} THEN 'ru'
       WHEN greatest(s_en,s_es,s_fr,s_de) <= 0 THEN 'und'
       WHEN s_en >= greatest(s_es,s_fr,s_de) THEN 'en'
       WHEN s_es >= greatest(s_fr,s_de) THEN 'es'
       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang,
- ROUND(CASE WHEN cjk > {text.CJK_MIN_RATIO} THEN cjk
+ ROUND(CASE WHEN kana > {text.KANA_MIN_RATIO} THEN kana
+       WHEN cjk > {text.CJK_MIN_RATIO} THEN cjk
+       WHEN cyr > {text.CYR_MIN_RATIO} THEN cyr
        ELSE greatest(s_en,s_es,s_fr,s_de) END, 4) AS score
 FROM ls),
 fp AS (

@@ -89,6 +89,19 @@ LANG_DIACRITICS: dict[str, str] = {
 }
 CJK_RANGE = f"{chr(0x4E00)}-{chr(0x9FFF)}"  # CJK Unified Ideographs
 CJK_MIN_RATIO = 0.2
+# Round-14 script signals (VERDICT r13 #7), same single-scan
+# codepoint-class-ratio shape as the CJK short-circuit:
+# - KANA (hiragana U+3040-309F + katakana U+30A0-30FF): uniquely
+#   Japanese.  Checked BEFORE the zh short-circuit — real Japanese
+#   prose is heavy in Han ideographs too, so a cjk-first order would
+#   swallow it; even a modest kana fraction (particles/okurigana put
+#   it at ~25-50% of characters) is decisive, hence the low threshold.
+# - CYRILLIC (U+0400-04FF): labeled 'ru' the way the Han class is
+#   labeled 'zh' — a script-level call, not a uk/bg/sr discriminator.
+KANA_RANGE = f"{chr(0x3040)}-{chr(0x30FF)}"
+KANA_MIN_RATIO = 0.05
+CYRILLIC_RANGE = f"{chr(0x0400)}-{chr(0x04FF)}"
+CYR_MIN_RATIO = 0.2
 TRI_WEIGHT = 10.0
 DIA_WEIGHT = 10.0
 
@@ -146,22 +159,29 @@ def lang_scores(text: Column | str = "text") -> dict[str, Column]:
     return out
 
 
-def _lang_pick(sarr: Column, cjk: Column,
+def _lang_pick(sarr: Column, cjk: Column, kana: Column, cyr: Column,
                langs: list[str]) -> tuple[Column, Column]:
-    """(pred_lang, score) from a score-ARRAY column and a cjk-ratio
-    column.  First max wins → earlier lang on ties; all-zero → 'und';
-    CJK ratio past threshold short-circuits to 'zh'."""
+    """(pred_lang, score) from a score-ARRAY column and the three
+    script-ratio columns.  First max wins → earlier lang on ties;
+    all-zero → 'und'; script ratios short-circuit in ja → zh → ru
+    order (ja BEFORE zh: Japanese prose is Han-heavy, so the kana test
+    must get first claim; ru is script-disjoint from both)."""
     mx = F.array_max(sarr)
     best_lang = F.element_at(
         F.array(*[F.lit(lang) for lang in langs]),
         F.array_position(sarr, mx).cast("int"),
     )
+    is_ja = kana > KANA_MIN_RATIO
     is_zh = cjk > CJK_MIN_RATIO
+    is_ru = cyr > CYR_MIN_RATIO
     return (
-        F.when(is_zh, F.lit("zh"))
+        F.when(is_ja, F.lit("ja"))
+        .when(is_zh, F.lit("zh"))
+        .when(is_ru, F.lit("ru"))
         .when(mx <= 0, F.lit("und"))
         .otherwise(best_lang),
-        F.when(is_zh, cjk).otherwise(F.greatest(mx, F.lit(0.0))),
+        F.when(is_ja, kana).when(is_zh, cjk).when(is_ru, cyr)
+        .otherwise(F.greatest(mx, F.lit(0.0))),
     )
 
 
@@ -183,18 +203,20 @@ def add_lang_id(df: DataFrame, text: str = "text",
     refuses to duplicate non-cheap multi-referenced aliases), so the
     scores are computed exactly once per row."""
     scores = lang_scores(text)
+    c = F.coalesce(F.col(text), F.lit(""))
     staged = df.withColumns({
         "_lang_sarr": F.array(*scores.values()),
-        "_lang_cjk": _class_ratio(
-            F.coalesce(F.col(text), F.lit("")), CJK_RANGE
-        ),
+        "_lang_cjk": _class_ratio(c, CJK_RANGE),
+        "_lang_kana": _class_ratio(c, KANA_RANGE),
+        "_lang_cyr": _class_ratio(c, CYRILLIC_RANGE),
     })
     lang, score = _lang_pick(
-        F.col("_lang_sarr"), F.col("_lang_cjk"), list(scores)
+        F.col("_lang_sarr"), F.col("_lang_cjk"),
+        F.col("_lang_kana"), F.col("_lang_cyr"), list(scores)
     )
     return (
         staged.withColumns({lang_col: lang, score_col: score})
-        .drop("_lang_sarr", "_lang_cjk")
+        .drop("_lang_sarr", "_lang_cjk", "_lang_kana", "_lang_cyr")
     )
 
 
@@ -220,6 +242,7 @@ def lang_id(text: Column | str = "text") -> tuple[Column, Column]:
     scores = lang_scores(text)
     return _lang_pick(
         F.array(*scores.values()), _class_ratio(c, CJK_RANGE),
+        _class_ratio(c, KANA_RANGE), _class_ratio(c, CYRILLIC_RANGE),
         list(scores),
     )
 

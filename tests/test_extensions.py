@@ -952,6 +952,19 @@ def test_lang_id_real_text(spark):
         ("今天天气很好，我们决定去公园散步，看到了很多美丽的花。", "zh"),
         ("这本书讲述了中国古代历史上的重要事件和人物。", "zh"),
         ("科学家们正在研究一种新的方法来提高计算机的性能。", "zh"),
+        # ja (round 14 — kana ratio must claim these BEFORE the Han
+        # short-circuit: every sentence is kanji-heavy like real prose)
+        ("今日は天気がとても良いので、公園へ散歩に行きました。", "ja"),
+        ("この本は日本の歴史についてわかりやすく書かれています。", "ja"),
+        ("科学者たちはコンピュータの性能を高める新しい方法を研究しています。",
+         "ja"),
+        # ru (round 14 — Cyrillic script ratio)
+        ("Сегодня хорошая погода, и мы решили пойти гулять в парк.",
+         "ru"),
+        ("Эта книга рассказывает о важных событиях русской истории.",
+         "ru"),
+        ("Учёные исследуют новый метод повышения производительности "
+         "компьютеров.", "ru"),
     ]
     df = spark.createDataFrame(
         [(i, t, want) for i, (t, want) in enumerate(samples)],

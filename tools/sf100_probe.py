@@ -145,14 +145,17 @@ def synthesize_documents(spark, out_dir: str) -> None:
           file=sys.stderr)
 
 
-def synthesize_embeddings(spark, out_dir: str) -> None:
+def synthesize_embeddings(spark, out_dir: str,
+                          n_reps: int | None = None) -> None:
     from pyspark.sql import functions as F
 
     e_path = f"{out_dir}/embeddings.parquet"
     if os.path.exists(e_path):
         return
     os.makedirs(out_dir, exist_ok=True)
-    reps = spark.range(REPS).withColumnRenamed("id", "_rep")
+    reps = spark.range(
+        REPS if n_reps is None else n_reps
+    ).withColumnRenamed("id", "_rep")
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet").repartition(8)
     eshift = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     dim = len(emb.select("embedding").first()[0])
@@ -240,6 +243,108 @@ def main_ivf() -> None:
         "sf0.1": r01, "sf100": r100,
         "exponent_per_decade": expo,
     }))
+
+
+def synthesize_random_embeddings(spark, out_dir: str, n: int,
+                                 dim: int = 64) -> None:
+    """Deterministic hash-random embeddings — the structure-FREE
+    recall regime.  The replica-shift sf100 corpus is degenerate for
+    recall measurement in both directions (1000 reps ⇒ ~15 bit-
+    identical same-shift copies per query fill the top-10 inside one
+    cell → recall trivially 1.0; 100 reps ⇒ autocorrelated shifts
+    create near-ties scattered across cells → recall artificially
+    low).  Uniform hash-random vectors are the opposite extreme: no
+    cluster structure at all, the adversarial bound for IVF."""
+    from pyspark.sql import functions as F
+
+    path = f"{out_dir}/embeddings.parquet"
+    if os.path.exists(path):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    comps = [
+        (F.xxhash64(F.col("id"), F.lit(i)) % 100000 / 50000.0
+         ).cast("float")
+        for i in range(dim)
+    ]
+    (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"),
+                F.array(*comps).alias("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def measure_recall(spark, sf_dir: str, work_dir: str,
+                   nprobes=(4, 8, 16, 32), k: int = 10,
+                   n_queries: int = 20) -> dict:
+    """IVF recall@k vs the exact cosine top-k at the SAME scale the
+    latency was measured (VERDICT r13 #2): build the bundle once, run
+    the amortized ivf_topk per nprobe, score against one exact
+    broadcast-scan pass.  Recall is averaged over n_queries·k neighbor
+    slots."""
+    from mapreduce_spark.extensions import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {"vectors": emb.count()}
+    dest = os.path.join(work_dir, "bundle")
+    idx, cents = similarity.ivf_index(emb)
+    similarity.write_ivf_index(idx, cents, dest)
+    bundle = similarity.read_ivf_index(spark, dest)
+    out["n_cells"] = len(cents)
+    qids = list(range(n_queries))
+    exact: dict[int, set] = {}
+    for r in similarity.cosine_topk(emb, qids, k).collect():
+        exact.setdefault(r["qid"], set()).add(r["vid"])
+    for np_ in nprobes:
+        got: dict[int, set] = {}
+        t = time.time()
+        rows = similarity.ivf_topk(
+            None, qids, k, index=bundle, nprobe=np_
+        ).collect()
+        wall = time.time() - t
+        for r in rows:
+            got.setdefault(r["qid"], set()).add(r["vid"])
+        hits = sum(len(got.get(q, set()) & exact[q]) for q in qids)
+        out[f"nprobe{np_}"] = {
+            "recall": round(hits / (k * len(qids)), 3),
+            "query_wall": round(wall, 2),
+        }
+    return out
+
+
+def main_recall() -> None:
+    sf100_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf100"
+    sf10_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf10emb"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_embeddings(spark, sf10_dir, n_reps=100)   # 200k vectors
+    synthesize_embeddings(spark, sf100_dir)              # 2M vectors
+    synthesize_random_embeddings(spark, "/tmp/rnd200k", 200_000)
+    synthesize_random_embeddings(spark, "/tmp/rnd2m", 2_000_000)
+    res = {}
+    with tempfile.TemporaryDirectory(prefix="rec10-") as wd:
+        res["sf10"] = measure_recall(spark, sf10_dir, wd)
+    with tempfile.TemporaryDirectory(prefix="rec100-") as wd:
+        res["sf100"] = measure_recall(spark, sf100_dir, wd)
+    with tempfile.TemporaryDirectory(prefix="recr10-") as wd:
+        res["rand200k"] = measure_recall(spark, "/tmp/rnd200k", wd)
+    with tempfile.TemporaryDirectory(prefix="recr100-") as wd:
+        res["rand2m"] = measure_recall(spark, "/tmp/rnd2m", wd)
+    print(json.dumps(res))
 
 
 def measure_minhash(spark, sf_dir: str) -> dict:
@@ -368,6 +473,9 @@ def measure(spark, sf_dir: str) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "minhash":
         main_minhash()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "recall":
+        main_recall()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         main_ivf()
