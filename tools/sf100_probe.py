@@ -104,14 +104,17 @@ def synthesize_lineitem(spark, out_dir: str) -> None:
           file=sys.stderr)
 
 
-def synthesize_documents(spark, out_dir: str) -> None:
+def synthesize_documents(spark, out_dir: str,
+                         n_reps: int | None = None) -> None:
     from pyspark.sql import functions as F
 
     d_path = f"{out_dir}/documents.parquet"
     if os.path.exists(d_path):
         return
     os.makedirs(out_dir, exist_ok=True)
-    reps = spark.range(REPS).withColumnRenamed("id", "_rep")
+    reps = spark.range(
+        REPS if n_reps is None else n_reps
+    ).withColumnRenamed("id", "_rep")
     # same split-inheritance trap as lineitem: the sf0.1 source is one
     # small file; repartition before the crossJoin or the 5M-doc write
     # serializes onto a couple of tasks
@@ -347,6 +350,77 @@ def main_recall() -> None:
     print(json.dumps(res))
 
 
+def measure_pipeline(spark, sf_dir: str) -> dict:
+    """x_pipeline scale leg (VERDICT r13 #4): the composed
+    dedup→cluster→sample→pack plan, total plus per-stage walls, so a
+    super-linear exponent is attributable to a stage (each stage is
+    individually measured linear-ish already — composition defects
+    like a lost persist or a repeated scan show up HERE)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_spark.extensions import dedup
+    from mapreduce_spark.extensions.inventory import (
+        JACCARD_T,
+        x_pipeline,
+    )
+
+    out = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out["docs"] = docs.count()
+
+    t = time.time()
+    out["rows_out"] = x_pipeline(spark, sf_dir).count()
+    out["pipeline_total"] = round(time.time() - t, 2)
+
+    # stage legs (independent actions over the same lazy stages)
+    t = time.time()
+    d = dedup.exact_dedup(docs)
+    keep = docs.join(
+        d.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    out["survivors_exact"] = keep.count()
+    out["stage_exact"] = round(time.time() - t, 2)
+
+    t = time.time()
+    out["cluster_rows"] = dedup.duplicate_clusters(
+        keep, JACCARD_T
+    ).count()
+    out["stage_clusters"] = round(time.time() - t, 2)
+    return out
+
+
+def main_pipeline() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_documents(spark, "/tmp/sfdocs1", n_reps=10)
+    synthesize_documents(spark, "/tmp/sfdocs10", n_reps=100)
+    measure_pipeline(spark, "/root/testdata/sf0.001")  # warmup
+    res = {
+        "sf0.1": measure_pipeline(spark, SF01),
+        "sf1": measure_pipeline(spark, "/tmp/sfdocs1"),
+        "sf10": measure_pipeline(spark, "/tmp/sfdocs10"),
+    }
+    expo = {}
+    for k in ("pipeline_total", "stage_exact", "stage_clusters"):
+        expo[k] = round(math.log10(
+            max(res["sf10"][k], 1e-3) / max(res["sf0.1"][k], 1e-3)
+        ) / 2.0, 2)
+    print(json.dumps({**res, "exponent_per_decade": expo}))
+
+
 def measure_minhash(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -473,6 +547,9 @@ def measure(spark, sf_dir: str) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "minhash":
         main_minhash()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
+        main_pipeline()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "recall":
         main_recall()
