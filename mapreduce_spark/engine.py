@@ -835,24 +835,39 @@ class Engine:
                 tomb_ids = ids.select("id").distinct()
                 lcounts_rel = f"lcounts-{batch}"
                 tomb_path = os.path.join(vdir, lcounts_rel)
-                delta_counts = (
-                    self.spark.read.schema(VIEW_SCHEMA)
-                    .parquet(delta_path)
+                # (changed ids as 0) ∪ (delta rows as 1) → sum per id:
+                # one exchange instead of distinct+groupBy+join (same
+                # rewrite as update_view — round 14; duplicate ids add
+                # zeros, so the result is row-identical)
+                lc = (
+                    ids.select(
+                        "id", F.lit(0).cast("long").alias("n")
+                    )
+                    .union(
+                        self.spark.read.schema(VIEW_SCHEMA)
+                        .parquet(delta_path)
+                        .select(
+                            "id", F.lit(1).cast("long").alias("n")
+                        )
+                    )
                     .groupBy("id")
-                    .agg(F.count(F.lit(1)).alias("n"))
+                    .agg(F.sum("n").cast("long").alias("n"))
                 )
-                lc = tomb_ids.join(delta_counts, "id", "left").select(
-                    "id",
-                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                lobs = Observation()
+                lc = lc.observe(
+                    lobs, F.min("id").alias("lo"),
+                    F.max("id").alias("hi"),
                 )
                 if n_i <= 1_000_000:
                     lc = lc.coalesce(1)
                 lc.write.mode("overwrite").parquet(tomb_path)
+                lb = observed(lobs)
                 removed = 0
                 if entry.get("stats") is not None:
                     self._ensure_counts(entry, vdir)
                     removed = self._removed_count(
-                        entry, vdir, tomb_path, n_i
+                        entry, vdir, tomb_path, n_i,
+                        bounds=(lb["lo"], lb["hi"]) if lb else None,
                     )
                     if removed is None:
                         removed = (
@@ -1362,21 +1377,38 @@ class Engine:
             # saves a write job + a source re-scan per refresh.
             lcounts_rel = tomb_rel = f"lcounts-{batch}"
             tomb_path = os.path.join(vdir, lcounts_rel)
-            tomb_ids = src.select(
-                doc_id_col(vdef.table).alias("id")
-            ).distinct()
-            delta_counts = (
-                self.spark.read.schema(VIEW_SCHEMA).parquet(delta_path)
-                .groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+            # (changed ids as 0) ∪ (delta rows as 1) → sum per id: the
+            # emit count for emitters, an explicit 0 for tombstone-only
+            # docs.  ONE exchange end to end — the previous
+            # distinct(src) ⟕ groupBy(delta) join shape paid three
+            # (distinct, groupBy, join) plus a broadcast, ~2 extra AQE
+            # jobs per refresh on q18's scheduling-latency-bound path
+            # (round 14); duplicate src rows only add zeros, so the
+            # result is row-identical to the join form.
+            lc = (
+                src.select(
+                    doc_id_col(vdef.table).alias("id"),
+                    F.lit(0).cast("long").alias("n"),
+                )
+                .union(
+                    self.spark.read.schema(VIEW_SCHEMA)
+                    .parquet(delta_path)
+                    .select("id", F.lit(1).cast("long").alias("n"))
+                )
+                .groupBy("id")
+                .agg(F.sum("n").cast("long").alias("n"))
             )
-            lc = tomb_ids.join(delta_counts, "id", "left").select(
-                "id",
-                F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            # tombstone-id [min,max] rides the lcounts write pass —
+            # _removed_count's pruning bounds without a job of its own
+            lobs = Observation()
+            lc = lc.observe(
+                lobs, F.min("id").alias("lo"), F.max("id").alias("hi")
             )
             if int(probe["n"] or 0) <= 1_000_000:
                 # typical refresh: one small file beats partition spray
                 lc = lc.coalesce(1)
             lc.write.mode("overwrite").parquet(tomb_path)
+            lb = observed(lobs)
             # rows this batch supersedes: live (pre-batch) emits of the
             # changed docs, answered from the per-doc emit-count
             # metadata (counts file / manifest sidecar / layer lcounts)
@@ -1387,7 +1419,8 @@ class Engine:
             if entry.get("stats") is not None:
                 self._ensure_counts(entry, vdir)
                 removed = self._removed_count(
-                    entry, vdir, tomb_path, int(probe["n"] or 0)
+                    entry, vdir, tomb_path, int(probe["n"] or 0),
+                    bounds=(lb["lo"], lb["hi"]) if lb else None,
                 )
                 if removed is None:
                     # pre-metadata storage layout: legacy one-shot
@@ -1535,7 +1568,8 @@ class Engine:
         )
 
     def _removed_count(self, entry: dict, vdir: str, tomb_path: str,
-                       n_hint: int) -> int | None:
+                       n_hint: int,
+                       bounds: tuple | None = None) -> int | None:
         """Live (pre-batch) emits of the changed docs, in O(changes).
 
         The newest piece containing a doc holds its live emit count:
@@ -1573,11 +1607,17 @@ class Engine:
         # EVERY measured size, clustered or random ids.  Huge batches
         # (≳10M changed docs) skip the broadcast (build-side memory)
         # for a shuffle semi-join.
-        b = tomb.agg(F.min("id").alias("lo"),
-                     F.max("id").alias("hi")).collect()[0]
-        if b["lo"] is None:
+        # the [lo,hi] pruning bounds normally ride the lcounts write
+        # as an Observation (zero jobs — round 14); the agg fallback
+        # covers callers without a fresh write pass to piggyback on
+        if bounds is None:
+            b = tomb.agg(F.min("id").alias("lo"),
+                         F.max("id").alias("hi")).collect()[0]
+            bounds = (b["lo"], b["hi"])
+        lo, hi = bounds
+        if lo is None:
             return 0
-        allc = allc.filter(F.col("id").between(b["lo"], b["hi"]))
+        allc = allc.filter(F.col("id").between(lo, hi))
         if n_hint <= 10_000_000:
             allc = allc.join(F.broadcast(tomb), "id", "left_semi")
         else:

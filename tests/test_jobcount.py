@@ -36,7 +36,7 @@ from mapreduce_spark.inventory import VIEW_DEFS, Inventory
 JOB_CEILINGS = {
     "q01": 2, "q02": 3, "q04": 2, "q05": 2, "q06": 2, "q07": 1,
     "q08": 2, "q09": 3, "q10": 1, "q11": 6, "q12": 4, "q13": 2,
-    "q14": 2, "q15": 2, "q16": 3, "q17": 3, "q18": 21, "q19": 2,
+    "q14": 2, "q15": 2, "q16": 3, "q17": 3, "q18": 17, "q19": 2,
     "q20": 1, "q21": 3, "q22": 2, "q23": 2, "q24": 1, "q25": 2,
     # q31: 4 since round 12 — the third ('v', shredded-VARIANT
     # layout) oracle leg reads one more persisted view (+1 job for
