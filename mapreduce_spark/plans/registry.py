@@ -331,6 +331,23 @@ class Registry:
                     os.unlink(p)
             except OSError:
                 pass  # a racing sweeper won, or the writer renamed it
+        # lease-protocol debris: a stealer that crashed between its
+        # steal-rename and the unlink leaves `<lock>.lease.stale.<tok>`
+        # behind (vanishing window, but append-only without this)
+        locks_dir = os.path.join(self.storage_dir, "locks")
+        try:
+            lock_names = os.listdir(locks_dir)
+        except OSError:
+            return
+        for name in lock_names:
+            if ".lease.stale." not in name:
+                continue
+            p = os.path.join(locks_dir, name)
+            try:
+                if now - os.path.getmtime(p) > min_age_sec:
+                    os.unlink(p)
+            except OSError:
+                pass
 
     # -- state ---------------------------------------------------------
 

@@ -492,3 +492,22 @@ def test_two_engines_concurrent_build_converges_lease(
     two Engines sharing one warehouse build the same view
     concurrently and converge to one correct index."""
     test_two_engines_concurrent_build_converges(spark, sf_dir, tmp_path)
+
+
+def test_sweep_clears_crashed_stealer_debris(tmp_path):
+    """A stealer that died between steal-rename and unlink leaves
+    <lock>.lease.stale.<token>; construction sweeps aged ones and
+    keeps fresh ones (a steal in progress)."""
+    import os
+
+    d = tmp_path / "reg"
+    locks = d / "locks"
+    locks.mkdir(parents=True)
+    old = locks / "x.lock.lease.stale.123:456:abcd"
+    old.write_text("dead")
+    os.utime(old, (time.time() - 300, time.time() - 300))
+    fresh = locks / "y.lock.lease.stale.789:012:ef01"
+    fresh.write_text("live")
+    Registry(str(d))
+    assert not old.exists()
+    assert fresh.exists()
