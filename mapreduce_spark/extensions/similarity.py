@@ -317,12 +317,15 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
             # straight back to _direct() would reintroduce the
             # unbounded TakeOrdered fan-in on exactly the wide corpora
             # this filter exists for (ADVICE r13) — so escalate the
-            # fraction (10n/N, then 100n/N) first; each retry is still
-            # a ~O(n) driver payload.  _direct() remains only for the
-            # fraction ≥ 1 endgame, where the filter would pass every
-            # row anyway (total ≤ 100n, so the fan-in is bounded).
+            # fraction (10n/N … 1000n/N; the sketch's absolute error
+            # 0.001·N only out-runs the margin once N > 999000·n, far
+            # past any real corpus) first; each retry's TakeOrdered is
+            # bounded by the filter to ≲ mult·n rows.  _direct()
+            # remains only for the fraction ≥ 1 endgame, where the
+            # filter would pass every row anyway (total ≤ 1000n, so
+            # the fan-in is bounded).
             sample = None
-            for mult in (3.0, 10.0, 100.0):
+            for mult in (3.0, 10.0, 100.0, 1000.0):
                 frac = mult * n / total
                 if frac >= 1.0:
                     break
