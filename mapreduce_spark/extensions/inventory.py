@@ -93,9 +93,54 @@ def x_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII augmentation for the oracle row.
+
+    The fixture corpus carries no natural PII/URLs (verified: zero
+    matches corpus-wide), so a raw-text oracle row would be a
+    degenerate all-zeros check.  Following the decontamination row's
+    pseudo-eval pattern, BOTH engines append the same synthetic
+    contact block in-query — emails, an IPv4, a phone, a URL, all
+    derived from doc_id — so detection counts and redaction are
+    value-checked on non-trivial, varying output (including zero-PII
+    docs via the % 3 gate and multi-match docs via the % 5 gate).
+    """
+    i = F.col("doc_id")
+
+    def s(c):  # noqa: ANN001 — Column → string cast shorthand
+        return c.cast("string")
+
+    aug = F.concat(
+        F.col("text"),
+        F.when(i % 3 != 2, F.concat(
+            F.lit(" contact u"), s(i), F.lit("@example.org ip 10."),
+            s(i % 256), F.lit("."), s((i * 7) % 256), F.lit("."),
+            s(i % 200), F.lit(" tel (555) "), s(i % 900 + 100),
+            F.lit("-"), s(i % 9000 + 1000), F.lit(" see https://ex"),
+            s(i % 10), F.lit(".example.com/d/"), s(i),
+        )).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(
+            F.lit(" cc admin"), s(i), F.lit("@example.net"),
+        )).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+
+
+def x_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts + redaction digest over the augmented
+    corpus (text.pii_features / text.redact_pii; single-scan JVM
+    regex, dialect-verified against the DuckDB oracle)."""
+    p = text.pii_features(_pii_augmented(spark, sf_dir))
+    return p.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones", "n_urls",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 def x_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality stats + language-ID + fingerprints + repetition +
-    decontamination + corpus-boilerplate signals joined on doc_id —
+    decontamination + corpus-boilerplate + PII-scrub signals joined
+    on doc_id —
     the text-analysis operators value-checked in one driver row
     (round-6 repack of the 50-row CORRECTNESS budget).  Each operator
     is still a narrow single-scan JVM map (the round-8 decontam pair
@@ -109,8 +154,9 @@ def x_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("ngrams", "ngrams3")
     rep3 = x_rep_ngrams(spark, sf_dir) \
         .select("doc_id", "rep_hits", "rep_fraction")
+    pii = x_text_pii(spark, sf_dir)
     return s.join(l, "doc_id").join(fp, "doc_id").join(rep, "doc_id") \
-        .join(con, "doc_id").join(rep3, "doc_id")
+        .join(con, "doc_id").join(rep3, "doc_id").join(pii, "doc_id")
 
 
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +556,7 @@ EXT_BENCH_QUERIES = {
     "x_text_stats": x_text_stats,
     "x_text_langid": x_text_langid,
     "x_text_fp": x_text_fp,
+    "x_text_pii": x_text_pii,
     "x_text_rep": (
         lambda spark, sf_dir: text.repetition_features(
             _docs(spark, sf_dir)
@@ -583,6 +630,37 @@ _SHINGLES = (
     "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] "
     "for i in range(1, len(w)-1)])"
 )
+
+# Mirrors _pii_augmented exactly (same literals, same modular
+# arithmetic; BIGINT::VARCHAR and Spark's long→string cast agree).
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 <> 2 THEN"
+    " ' contact u' || doc_id::VARCHAR || '@example.org ip 10.' ||"
+    " (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR"
+    " || '.' || (doc_id % 200)::VARCHAR || ' tel (555) ' ||"
+    " (doc_id % 900 + 100)::VARCHAR || '-' ||"
+    " (doc_id % 9000 + 1000)::VARCHAR || ' see https://ex' ||"
+    " (doc_id % 10)::VARCHAR || '.example.com/d/' || doc_id::VARCHAR"
+    " ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN"
+    " ' cc admin' || doc_id::VARCHAR || '@example.net' ELSE '' END"
+)
+
+
+def _pii_sql() -> str:
+    """DuckDB replica of x_text_pii: RE2 evaluates the same patterns
+    over the same augmented text (dialect agreement pinned in
+    tests/test_extensions.py::test_pii_dialect_battery)."""
+    counts = ", ".join(
+        f"len(regexp_extract_all(atext, '{pat}'))::BIGINT AS {name}"
+        for name, pat in text.PII_COUNT_COLS
+    )
+    red = "atext"
+    for pat, token in text.PII_REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return (
+        f"SELECT doc_id, {counts}, md5({red}) AS redacted_md5 "
+        f"FROM (SELECT doc_id, {_PII_AUG_SQL} AS atext FROM documents)"
+    )
 
 _JACCARD_PAIRS_SQL = f"""
 WITH t AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -818,14 +896,17 @@ SELECT sh3.doc_id, coalesce(r.hits, 0)::BIGINT AS rep_hits,
    AS rep_fraction
 FROM sh3 LEFT JOIN (
   SELECT e.doc_id, count(*) hits FROM ex3 e JOIN dfq USING (g)
-  WHERE dfq.c >= 2 GROUP BY 1) r USING (doc_id))
+  WHERE dfq.c >= 2 GROUP BY 1) r USING (doc_id)),
+pii AS ({_pii_sql()})
 SELECT stats.*, lang.pred_lang, lang.score, fp.text_md5,
        fp.rolling_fp, rep.dup_bigram_ratio, rep.top_token_ratio,
        con.ngrams3, con.contam_hits, con.contamination,
-       repn.rep_hits, repn.rep_fraction
+       repn.rep_hits, repn.rep_fraction,
+       pii.n_emails, pii.n_ipv4, pii.n_phones, pii.n_urls,
+       pii.redacted_md5
 FROM stats JOIN lang USING (doc_id) JOIN fp USING (doc_id)
      JOIN rep USING (doc_id) JOIN con USING (doc_id)
-     JOIN repn USING (doc_id)
+     JOIN repn USING (doc_id) JOIN pii USING (doc_id)
 """,
     "x_dedup_exact": """
 SELECT doc_id, md5(text) AS fp,

@@ -300,6 +300,77 @@ def fingerprints(df: DataFrame, text: str = "text",
     )
 
 
+# --- PII / URL scrubbing -------------------------------------------------
+#
+# The standard pretraining-corpus anonymization pass (C4 / FineWeb /
+# Dolma all ship one): detect and redact emails, IPv4 addresses, and
+# phone numbers, plus URL counting for blocklist-style filters.  All
+# four patterns are written in the common Java-regex / RE2 subset
+# (character classes, non-capturing groups, bounded repeats, ASCII
+# \b) and verified to produce byte-identical matches and replacements
+# in Spark (Java) and DuckDB (RE2) across an adversarial battery —
+# invalid octets (256.1.1.1), digit-glued candidates, trailing dots,
+# URLs that embed IPs — see tests/test_extensions.py::test_pii_*.
+#
+# Scale: every operator is a narrow codegen'd single-scan map over
+# ``text`` — no shuffle, no Python, column-pruned to one column.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
+)
+PII_PHONE_RE = r"\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+URL_RE = r"https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?"
+
+# Redaction order matters and is part of the contract: emails first
+# (an address must not be half-eaten by the URL rule), then URLs
+# (so an IP inside http://10.0.0.1/x is redacted as part of its URL,
+# matching how blocklist filters treat it), then bare IPs, then
+# phones.  Replacement tokens contain no digits, so no pass can
+# manufacture a match for a later pass.
+PII_REDACTIONS: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (URL_RE, "<URL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+PII_COUNT_COLS: tuple[tuple[str, str], ...] = (
+    ("n_emails", PII_EMAIL_RE),
+    ("n_ipv4", PII_IPV4_RE),
+    ("n_phones", PII_PHONE_RE),
+    ("n_urls", URL_RE),
+)
+
+
+def pii_counts(text: Column | str = "text") -> dict[str, Column]:
+    """Per-category PII/URL occurrence counts (pre-redaction: an IP
+    that sits inside a URL counts in BOTH n_ipv4 and n_urls)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("long").alias(name)
+        for name, pat in PII_COUNT_COLS
+    }
+
+
+def redact_pii(text: Column | str = "text") -> Column:
+    """Replace every PII match with its category token, in the
+    documented PII_REDACTIONS order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, token in PII_REDACTIONS:
+        c = F.regexp_replace(c, F.lit(pat), F.lit(token))
+    return c
+
+
+def pii_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-doc PII scrub frame: category counts + the redacted text."""
+    return df.select(
+        "doc_id",
+        *pii_counts(text).values(),
+        redact_pii(text).alias("text_redacted"),
+    )
+
+
 def repetition_features(df: DataFrame, text: str = "text") -> DataFrame:
     """Per-doc repetition signals — the published pretraining-corpus
     repetition filters (Gopher-style rules, public papers): the

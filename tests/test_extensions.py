@@ -1353,6 +1353,90 @@ def test_repetition_features(spark):
     assert got[5][0] == 0.0
 
 
+def test_pii_detection_and_redaction(spark):
+    """PII scrub (C4/FineWeb-style): category counts see every match
+    and reject near-misses; redaction replaces in the documented
+    order (email → URL → IP → phone), so an IP inside a URL redacts
+    as part of its URL."""
+    df = spark.createDataFrame(
+        [
+            (1, "write to john.doe+x@sub.example.co.uk today"),
+            (2, "bad 256.1.1.1 edge 999.9.9.9 glued1.2.3.4x "
+                "good 10.0.255.199"),
+            (3, "call (555) 123-4567 or 555.123.4567 not "
+                "1555-123-45678"),
+            (4, "see http://10.0.0.1:8080/x and https://a.b/c?q=1"),
+            (5, "no pii here at all"),
+            (6, "a@b.co c@d.io 1.2.3.4 5.6.7.8 444-555-6666"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.pii_features(df).collect()}
+    assert (got[1]["n_emails"], got[1]["text_redacted"]) == (
+        1, "write to <EMAIL> today")
+    # invalid octets and digit-glued candidates must NOT match
+    assert got[2]["n_ipv4"] == 1
+    assert "<IP>" in got[2]["text_redacted"]
+    assert "256.1.1.1" in got[2]["text_redacted"]
+    assert got[3]["n_phones"] == 2 and "45678" in got[3]["text_redacted"]
+    # pre-redaction counts overlap (the URL-embedded IP counts in
+    # both); redaction resolves it to the URL token
+    assert (got[4]["n_urls"], got[4]["n_ipv4"]) == (2, 1)
+    assert got[4]["text_redacted"] == "see <URL> and <URL>"
+    assert got[5]["text_redacted"] == "no pii here at all"
+    assert (got[6]["n_emails"], got[6]["n_ipv4"], got[6]["n_phones"]) \
+        == (2, 2, 1)
+
+
+def test_pii_dialect_battery(spark):
+    """The oracle contract hinges on Java-regex and RE2 agreeing on
+    the four PII patterns — counts AND replacement positions.  Runs
+    the adversarial battery through both engines and asserts
+    byte-identical results (this is the pin behind the x_text
+    contract row's pii columns)."""
+    import duckdb
+
+    cases = [
+        "write to john.doe+x@sub.example.co.uk today",
+        "bad 256.1.1.1 good 10.0.255.199 edge 999.999.999.999 "
+        "glued1.2.3.4x",
+        "call (555) 123-4567 or 555-123-4567 or 555.123.4567 not "
+        "1555-123-45678",
+        "see https://ex5.example.com/d/55?q=1 and "
+        "http://10.0.0.1:8080/x plain example.com",
+        "u5@example.org. trailing dot; a@b.c short tld",
+        "ip 10.5.35.55 tel (555) 155-1055",
+        "double a@b.co c@d.io 1.2.3.4 5.6.7.8 (111) 222-3333 "
+        "444-555-6666",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in df.select(
+            "doc_id", *text.pii_counts().values(),
+            text.redact_pii().alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    counts_sql = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS {name}"
+        for name, pat in text.PII_COUNT_COLS
+    )
+    red = "t"
+    for pat, token in text.PII_REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    for i, t in enumerate(cases):
+        want = con.execute(
+            f"SELECT {counts_sql}, {red} AS red FROM (SELECT ? AS t)",
+            [t],
+        ).fetchone()
+        have = tuple(
+            got[i][name] for name, _ in text.PII_COUNT_COLS
+        ) + (got[i]["red"],)
+        assert have == want, f"dialect mismatch on case {i}: {t!r}"
+
+
 def test_jaccard_dedup_routing(docs):
     """The jaccard scale router (round 8, the embedding_near_dup_pairs
     pattern): small corpora and sub-recall-floor thresholds stay on
