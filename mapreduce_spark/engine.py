@@ -1424,7 +1424,12 @@ class Engine:
                 )
                 if removed is None:
                     # pre-metadata storage layout: legacy one-shot
-                    # id-pruned view scan
+                    # id-pruned view scan (tombstone ids = the lcounts
+                    # id column just written, like every other reader)
+                    tomb_ids = (
+                        self.spark.read.schema("id string")
+                        .parquet(tomb_path)
+                    )
                     removed = (
                         self._assemble_view(sig)
                         .select("id")

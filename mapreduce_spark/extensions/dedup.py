@@ -880,7 +880,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _pointer_jump(e: DataFrame, jumps: int = 8, adaptive: bool = True
+def _pointer_jump(e: DataFrame, jumps: int = 8
                   ) -> tuple[DataFrame, DataFrame]:
     """One pointer-doubling contraction round — the classic PRAM
     path-doubling lever, interleaved into the Kiveris alternation
@@ -937,14 +937,7 @@ def _pointer_jump(e: DataFrame, jumps: int = 8, adaptive: bool = True
         nxt = p2.join(gp, "p2", "left").select(
             "src",
             F.least("p2", F.coalesce("_gp", "p2")).alias("p2"),
-        ).localCheckpoint(eager=not adaptive)
-        if not adaptive:
-            # fixed-iteration mode: the eager checkpoint is the
-            # materialization job; no stability probe (each probe is a
-            # full node-frame join — half the adaptive mode's cost)
-            release_local_checkpoint(p2)
-            p2 = nxt
-            continue
+        ).localCheckpoint(eager=False)
         # one job: materializes nxt's checkpoint AND answers whether
         # this doubling still shortened any pointer.  count(), NOT
         # isEmpty(): isEmpty is a limit-1 probe that stops at the

@@ -45,15 +45,42 @@ import threading
 import time
 from typing import Any
 
-# Process umask, read ONCE at import time (imports run holding the
-# import lock, before this module spawns any threads).  The previous
-# inline probe — os.umask(0) then restore inside __init__ — was a
-# process-wide read-modify-write race: with concurrent constructors,
-# thread B can capture the 0 that thread A just set and "restore" it
-# after A's real restore, leaving the process umask 0 forever and every
-# subsequently created file world-writable (ADVICE r13).
-_UMASK = os.umask(0)
-os.umask(_UMASK)
+def _proc_umask() -> int | None:
+    """Process umask via /proc (Linux): a pure READ — no setter
+    round-trip, so no process-wide RMW race with any thread, and no
+    staleness when the host application changes its umask later."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("Umask:"):
+                    return int(line.split()[1], 8)
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
+# Non-/proc platforms fall back to probing ONCE at import time (imports
+# run holding the import lock, before this module spawns any threads).
+# The previous inline probe — os.umask(0) then restore inside
+# __init__ — was a process-wide read-modify-write race: with concurrent
+# constructors, thread B can capture the 0 that thread A just set and
+# "restore" it after A's real restore, leaving the process umask 0
+# forever and every subsequently created file world-writable (ADVICE
+# r13).  Residual (documented) limit of the fallback only: a host app
+# whose OTHER threads create files during this first import races the
+# probe, and later umask changes are not observed.
+if _proc_umask() is None:  # pragma: no cover — non-Linux
+    _UMASK = os.umask(0)
+    os.umask(_UMASK)
+else:
+    _UMASK = None
+
+
+def _current_umask() -> int:
+    v = _proc_umask()
+    if v is not None:
+        return v
+    return _UMASK if _UMASK is not None else 0o022
 
 
 def definition_repr(map_def: Any, reduce_def: Any) -> str:
@@ -110,14 +137,24 @@ def _leased(path: str):
     rename is the arbitration point (exactly one stealer succeeds; the
     loser's rename raises and it goes back to polling), closing the
     unlink-steal race where a slow second stealer would unlink the
-    first stealer's brand-new lease.  Release unlinks only if the file
-    still holds our token (a stealer may have replaced a lease whose
-    heartbeat thread stalled past the TTL — e.g. a driver paused at a
-    breakpoint; the build work itself is then unprotected, which is
-    the documented TTL trade every lease scheme carries)."""
+    first stealer's brand-new lease.  A rename can still land AFTER a
+    rival completed a full steal+recreate cycle (the stat→rename
+    TOCTOU), so the stealer re-reads the renamed file: a token other
+    than the one it judged stale means it grabbed a LIVE lease, which
+    it restores via ``os.link`` (atomic, never clobbers a newer lease)
+    and goes back to polling — shrinking the unprotected window from
+    an unbounded stall to the instants between rename and restore.
+    Release unlinks only if the file still holds our token (a stealer
+    may have replaced a lease whose heartbeat thread stalled past the
+    TTL — e.g. a driver paused at a breakpoint; the build work itself
+    is then unprotected, which is the documented TTL trade every lease
+    scheme carries)."""
     lease = path + ".lease"
     os.makedirs(os.path.dirname(lease), exist_ok=True)
-    token = f"{os.getpid()}:{threading.get_ident()}:{os.urandom(8).hex()}"
+    # '-'-separated: the token doubles as a filename suffix in the
+    # steal rename, and ':' is reserved on NTFS — the primary
+    # no-fcntl platform this fallback exists for
+    token = f"{os.getpid()}-{threading.get_ident()}-{os.urandom(8).hex()}"
     while True:
         try:
             fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -128,21 +165,70 @@ def _leased(path: str):
             break
         except FileExistsError:
             try:
-                if time.time() - os.stat(lease).st_mtime > _LEASE_TTL:
-                    os.rename(lease, f"{lease}.stale.{token}")
-                    os.unlink(f"{lease}.stale.{token}")
+                if time.time() - os.stat(lease).st_mtime <= _LEASE_TTL:
+                    time.sleep(0.05)
                     continue
+                with open(lease) as fh:
+                    seen = fh.read()
+                # re-stat AFTER reading the token: a rival may have
+                # stolen+recreated between the first stat and the
+                # read, in which case `seen` is its LIVE token and
+                # the got==seen check below would wave the unlink
+                # through — a fresh mtime here sends us back to
+                # polling instead (a just-created lease is always
+                # fresh, so token `seen` + stale mtime can only
+                # belong to a dead holder's file)
+                if time.time() - os.stat(lease).st_mtime <= _LEASE_TTL:
+                    time.sleep(0.05)
+                    continue
+                stolen = f"{lease}.stale.{token}"
+                os.rename(lease, stolen)
+                try:
+                    with open(stolen) as fh:
+                        got = fh.read()
+                except OSError:
+                    got = seen
+                if got != seen and got:
+                    # stat→rename TOCTOU lost: a rival stole and
+                    # recreated between our stat and rename, and we
+                    # just renamed its fresh lease — put it back
+                    # (link never overwrites; if a third waiter won
+                    # the name meanwhile, the rival's token-verifying
+                    # heartbeat detects the loss and stops)
+                    try:
+                        os.link(stolen, lease)
+                    except OSError:
+                        pass
+                    os.unlink(stolen)
+                    time.sleep(0.05)
+                    continue
+                os.unlink(stolen)
+                continue  # stale lease cleared: race the O_EXCL
             except OSError:
                 continue  # lost the steal race / holder released
-            time.sleep(0.05)
     stop = threading.Event()
 
     def _beat() -> None:
+        misses = 0
         while not stop.wait(_LEASE_TTL / 3.0):
             try:
+                with open(lease) as fh:
+                    if fh.read() != token:
+                        return  # replaced by a rival: ours is gone
                 os.utime(lease)
+                misses = 0
+            except FileNotFoundError:
+                # possibly mid-steal-verification (renamed away and
+                # about to be restored): confirm on the next tick;
+                # two consecutive misses = genuinely stolen/released
+                misses += 1
+                if misses >= 2:
+                    return
             except OSError:
-                return  # stolen or released under us — stop beating
+                # transient filesystem error (ESTALE after an NFS
+                # failover, EINTR): keep beating — a single hiccup
+                # must not let a live holder's lease go stale
+                continue
 
     beater = threading.Thread(target=_beat, daemon=True)
     beater.start()
@@ -280,9 +366,10 @@ class Registry:
             # mkstemp creates 0600; restore the umask-derived mode a
             # plain open() would have produced so a shared-warehouse
             # reader under another uid keeps read access (review r13).
-            # _UMASK is the import-time constant — re-probing here
-            # would race concurrent constructors (ADVICE r13).
-            os.fchmod(fd, 0o666 & ~_UMASK)
+            # _current_umask() is a /proc READ on Linux (no RMW race,
+            # tracks later umask changes); elsewhere it is the
+            # import-time constant (ADVICE r13).
+            os.fchmod(fd, 0o666 & ~_current_umask())
             with os.fdopen(fd, "w") as f:
                 json.dump({"designs": {}, "views": {}}, f, indent=1)
             try:

@@ -344,6 +344,49 @@ def test_deleted_docs_removed_incrementally(spark, sf_dir, tmp_path):
     assert got != {tuple(k): v for k, v in before}
 
 
+def test_refresh_pre_metadata_layout_falls_back_to_view_scan(
+    spark, sf_dir, tmp_path
+):
+    """A manifest-mode view whose storage predates the per-doc
+    emit-count sidecar (no ``sidecar_n``) must still refresh: the
+    O(changes) accounting returns None and update_view falls back to
+    the legacy one-shot id-pruned view scan (regression: the round-14
+    lcounts rewrite dropped the fallback's tombstone frame, so this
+    path raised UnboundLocalError instead)."""
+    eng = Engine(spark, sf_dir, str(tmp_path), compact_after=99)
+    spec = {"map": MapSpec("orders", ("num", "o_orderkey"),
+                           ("num", "o_totalprice")),
+            "reduce": "_sum"}
+    eng.put_design("d", {"v": spec})
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = raw.agg(F.max("o_orderkey")).collect()[0][0]
+    b1 = raw.filter(F.col("o_orderkey") <= hi // 2)
+    b2 = raw.filter(F.col("o_orderkey") > hi // 2)
+    eng.update_view("d/v", changes=b1)
+    eng.compact_scoped("d/v")  # manifest mode
+    sig = eng.registry.resolve("d", "v")
+    entry = eng.registry.get_view(sig)
+    assert entry["manifest"] is not None and entry["sidecar_n"]
+    # simulate storage written before sidecar emit counts existed
+    entry["sidecar_n"] = False
+    eng.registry.set_view(sig, entry)
+
+    eng.update_view("d/v", changes=b2)
+    ref = Engine(spark, sf_dir, str(tmp_path / "ref"))
+    ref.put_design("d", {"v": spec})
+    ref.update_view("d/v", changes=b1.unionByName(b2))
+
+    def rows(res):
+        return sorted(
+            (r["key"], round(r["value"], 6)) for r in res.rows()
+        )
+
+    got = rows(eng.query("d/v", group=True, stale="ok"))
+    assert got == rows(ref.query("d/v", group=True, stale="ok"))
+    # the fallback's removed-count kept the zero-job stats exact
+    assert eng.registry.get_view(sig)["stats"]["rows"] == raw.count()
+
+
 def test_deep_layer_stack_reads_and_compaction_restores_scan(
     spark, sf_dir, tmp_path
 ):

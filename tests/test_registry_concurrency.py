@@ -304,10 +304,14 @@ def test_view_cleanup_spares_resurrected_view(tmp_path):
 def test_registry_init_leaves_process_umask_alone(tmp_path):
     """ADVICE r13: the old per-__init__ umask probe (set 0 / restore)
     was a process-wide RMW race under concurrent constructors; the fix
-    reads the umask once at module import.  __init__ must not touch it
-    at all, and the created registry.json still carries the
-    umask-derived mode."""
+    reads the umask via /proc on Linux (a pure read that also tracks
+    runtime umask changes) with an import-time probe as the non-/proc
+    fallback.  __init__ must not touch the process umask at all, and
+    the created registry.json carries the CURRENT umask-derived mode,
+    not a stale import-time one."""
     import os
+
+    from mapreduce_spark.plans import registry as R
 
     prev = os.umask(0o027)
     try:
@@ -329,9 +333,12 @@ def test_registry_init_leaves_process_umask_alone(tmp_path):
             f"Registry.__init__ perturbed the process umask: {oct(now)}"
         )
         mode = os.stat(tmp_path / "w0" / "registry.json").st_mode & 0o777
-        assert mode == 0o666 & ~0o027 or mode == 0o666 & ~__import__(
-            "mapreduce_spark.plans.registry", fromlist=["x"]
-        )._UMASK  # import-time umask, if it differed from 0o027
+        if R._proc_umask() is not None:
+            # /proc path: must reflect the umask set ABOVE (0o027),
+            # even though the module was imported under a different one
+            assert mode == 0o666 & ~0o027, oct(mode)
+        else:  # pragma: no cover — non-Linux fallback
+            assert mode == 0o666 & ~R._UMASK, oct(mode)
     finally:
         os.umask(prev)
 
@@ -483,6 +490,68 @@ def test_lease_steals_stale_but_not_heartbeating(tmp_path, lease_mode,
     os.unlink(lease)  # holder releases
     assert got.wait(5), "waiter must acquire after release"
     t.join(timeout=5)
+
+
+def test_lease_steal_toctou_restores_live_rival(tmp_path, lease_mode,
+                                                monkeypatch):
+    """The stat→rename TOCTOU: a rival completes a FULL steal+recreate
+    between our staleness stat and our rename, so our rename grabs its
+    fresh, live lease.  The stealer must detect the foreign token and
+    restore the rival's lease (os.link, no clobber) instead of
+    unlinking it — previously both waiters would proceed to hold the
+    'exclusive' lock at once."""
+    import os as _os
+
+    from mapreduce_spark.plans import registry as R
+
+    monkeypatch.setattr(R, "_LEASE_TTL", 0.4)
+    path = str(tmp_path / "locks" / "x.lock")
+    lease = path + ".lease"
+    _os.makedirs(_os.path.dirname(lease), exist_ok=True)
+    with open(lease, "w") as f:
+        f.write("dead-holder")
+    past = time.time() - 10
+    _os.utime(lease, (past, past))
+
+    real_rename = _os.rename
+    state = {"intercepted": False, "restored_seen": False}
+
+    def rename_hook(src, dst, *a, **kw):
+        if src == lease and not state["intercepted"]:
+            state["intercepted"] = True
+            # the rival's full cycle lands first: stale lease gone,
+            # fresh live lease (new token) in its place
+            _os.unlink(lease)
+            with open(lease, "w") as f:
+                f.write("rival-live")
+        return real_rename(src, dst, *a, **kw)
+
+    real_sleep = time.sleep
+
+    def sleep_hook(s):
+        # after the restore, observe the rival's lease back in place,
+        # then let the rival release so the test can finish
+        if state["intercepted"] and _os.path.exists(lease):
+            try:
+                with open(lease) as f:
+                    if f.read() == "rival-live":
+                        state["restored_seen"] = True
+                        _os.unlink(lease)
+            except OSError:
+                pass
+        real_sleep(min(s, 0.01))
+
+    monkeypatch.setattr(_os, "rename", rename_hook)
+    monkeypatch.setattr(R.time, "sleep", sleep_hook)
+    with R._leased(path):
+        pass
+    assert state["intercepted"], "steal rename never fired"
+    assert state["restored_seen"], (
+        "rival's live lease was not restored after the mistaken steal"
+    )
+    # no stolen-lease debris, and our own lease released
+    left = _os.listdir(_os.path.dirname(lease))
+    assert not [n for n in left if ".lease" in n], left
 
 
 def test_two_engines_concurrent_build_converges_lease(
