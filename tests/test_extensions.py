@@ -1388,6 +1388,16 @@ def test_pii_detection_and_redaction(spark):
         == (2, 2, 1)
 
 
+def test_pii_plan_single_scan(docs):
+    """The scrub is a pure map: one codegen'd project over a scan
+    pruned to (doc_id, text) — no exchange, no Python stage."""
+    q = text.pii_features(docs)._jdf.queryExecution()
+    plan = q.executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    # untouched columns pruned from the parquet read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
 def test_pii_dialect_battery(spark):
     """The oracle contract hinges on Java-regex and RE2 agreeing on
     the four PII patterns — counts AND replacement positions.  Runs
@@ -1435,6 +1445,61 @@ def test_pii_dialect_battery(spark):
             got[i][name] for name, _ in text.PII_COUNT_COLS
         ) + (got[i]["red"],)
         assert have == want, f"dialect mismatch on case {i}: {t!r}"
+
+
+def test_pii_dialect_fuzz(spark):
+    """Seeded random-text fuzz of the Java-regex/RE2 agreement: 300
+    strings over a PII-shaped alphabet (digits, '@', dots, dashes,
+    parens, 'http', boundary-adjacent glue chars), one Spark pass vs
+    one DuckDB pass, counts + redaction compared byte-for-byte.
+    SPARK_GRAFT_FUZZ_SEED soaks fresh seeds, like the JS fuzzers."""
+    import os
+    import random
+
+    import duckdb
+
+    seed = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260816"))
+    rng = random.Random(seed)
+    frags = [
+        "a", "Z", "9", "25", "256", "0", ".", "-", " ", "@", "(", ")",
+        "@b.co", "http://", "https://x.y", "10.0.0.1", "555", "1234",
+        "user+x", "%", "_", "/p?q=1", ":8080", "example.com", "\t",
+        "tel ", "..", "u@", ".com.", "-4567", "(555) ", "99.99",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 24)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: tuple(
+            r[n] for n, _ in text.PII_COUNT_COLS
+        ) + (r["red"],)
+        for r in df.select(
+            "doc_id", *text.pii_counts().values(),
+            text.redact_pii().alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    counts_sql = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS {name}"
+        for name, pat in text.PII_COUNT_COLS
+    )
+    red = "t"
+    for pat, token in text.PII_REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    con.execute("CREATE TABLE c (i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)",
+                    list(enumerate(cases)))
+    for i, *want in con.execute(
+        f"SELECT i, {counts_sql}, {red} AS red FROM c ORDER BY i"
+    ).fetchall():
+        assert got[i] == tuple(want), (
+            f"dialect mismatch (seed={seed}) on {cases[i]!r}: "
+            f"spark={got[i]} duckdb={tuple(want)}"
+        )
 
 
 def test_jaccard_dedup_routing(docs):
