@@ -300,6 +300,65 @@ def fingerprints(df: DataFrame, text: str = "text",
     )
 
 
+# --- Model-based quality filtering ---------------------------------------
+#
+# The FineWeb-edu / DCLM pattern: fit a small classifier on labeled
+# documents, then filter the corpus by its score.  Spark-first split:
+# the FIT is MLlib logistic regression (distributed treeAggregate
+# LBFGS — one estimator, any corpus size), but the model comes back as
+# PLAIN FLOATS so the corpus-scale SCORING path is a pure codegen'd
+# JVM expression (sigmoid of a literal dot product) — no model object,
+# no Python stage, no shuffle in the hot path, and the scorer is
+# auditable/serializable as JSON.
+QUALITY_MODEL_FEATURES: tuple[str, ...] = (
+    "n_tokens", "mean_tok_len", "stopword_ratio", "distinct_ratio",
+)
+
+
+def fit_quality_filter(df: DataFrame, label: str = "label",
+                       features: tuple[str, ...] = QUALITY_MODEL_FEATURES,
+                       max_iter: int = 50,
+                       reg_param: float = 0.0) -> dict:
+    """Fit a logistic-regression quality filter on a labeled frame
+    (columns = ``features`` + binary ``label``); returns
+    ``{"intercept": float, "coef": {feature: weight}}``."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    vec = VectorAssembler(
+        inputCols=list(features), outputCol="_fv",
+        handleInvalid="keep",
+    )
+    lr = LogisticRegression(
+        featuresCol="_fv", labelCol=label, maxIter=max_iter,
+        regParam=reg_param,
+    )
+    m = lr.fit(vec.transform(df.select(
+        *features, F.col(label).cast("double").alias(label)
+    )))
+    return {
+        "intercept": float(m.intercept),
+        "coef": dict(zip(features, map(float, m.coefficients))),
+    }
+
+
+def quality_model_score(model: dict) -> Column:
+    """P(good) under a fitted model, as a single JVM expression over
+    the feature columns (pair with :func:`quality_features`)."""
+    z = F.lit(model["intercept"])
+    for name, w in model["coef"].items():
+        z = z + F.lit(w) * F.col(name)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def score_quality(df: DataFrame, model: dict,
+                  text: str = "text") -> DataFrame:
+    """quality_features + the model score, one scan end to end."""
+    return quality_features(df, text).withColumn(
+        "model_score", quality_model_score(model)
+    )
+
+
 # --- PII / URL scrubbing -------------------------------------------------
 #
 # The standard pretraining-corpus anonymization pass (C4 / FineWeb /

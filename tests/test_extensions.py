@@ -1353,6 +1353,48 @@ def test_repetition_features(spark):
     assert got[5][0] == 0.0
 
 
+def test_quality_filter_fit_and_score(spark):
+    """Model-based quality filtering (the FineWeb-edu/DCLM pattern):
+    MLlib fits the classifier, but the corpus-scale scorer is a pure
+    JVM expression over literal coefficients — separable corpora
+    separate, and the scoring plan carries no Python and no
+    exchange."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["the", "a", "and", "of", "to", "in", "is", "science",
+             "river", "model", "data", "green", "house", "window",
+             "light", "story", "music", "paper"]
+    rows = []
+    for i in range(120):  # good: long, varied, stopword-bearing
+        n = rng.randint(30, 60)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)),
+                     1))
+    for i in range(120, 240):  # bad: short repetitive spam
+        w = rng.choice(["buy", "click", "now"])
+        rows.append((i, " ".join([w] * rng.randint(3, 8)), 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, label long"
+    )
+    feats = text.quality_features(df).join(
+        df.select("doc_id", "label"), "doc_id"
+    )
+    model = text.fit_quality_filter(feats)
+    assert set(model["coef"]) == set(text.QUALITY_MODEL_FEATURES)
+    scored = text.score_quality(df, model).join(
+        df.select("doc_id", "label"), "doc_id"
+    )
+    acc = scored.agg(F.avg(
+        ((F.col("model_score") > 0.5).cast("long")
+         == F.col("label")).cast("long")
+    )).collect()[0][0]
+    assert acc >= 0.95, f"separable corpus not separated: acc={acc}"
+    plan = text.score_quality(
+        df.select("doc_id", "text"), model
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_pii_detection_and_redaction(spark):
     """PII scrub (C4/FineWeb-style): category counts see every match
     and reject near-misses; redaction replaces in the documented
