@@ -421,6 +421,80 @@ def main_pipeline() -> None:
     print(json.dumps({**res, "exponent_per_decade": expo}))
 
 
+def measure_pack(spark, sf_dir: str) -> dict:
+    """Real-BPE packing scale leg: x_pack_bpe (BPE token counts via
+    the Arrow-batched hook + the window/binning pack plan) across
+    document decades.  The replica synthesis suffixes every word with
+    its replica index, so the per-executor BPE word cache CANNOT
+    amortize across replicas — distinct word types grow linearly with
+    the corpus, the worst case for the cache the encoder relies on."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_spark.extensions.bpe import BPETokenizer
+    from mapreduce_spark.extensions.inventory import PACK_BUDGET
+    from mapreduce_spark.extensions.sampling import pack_sequences
+
+    out = {}
+    # fixed 64-way parallelism at EVERY scale: the sf0.1 fixture is
+    # one parquet file (one scan task), which would hand the small
+    # decade a 64x parallelism handicap and fake a flat exponent
+    docs = spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).repartition(64)
+    out["docs"] = docs.count()
+    out["word_types"] = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.approx_count_distinct("w")).collect()[0][0]
+    )
+    tok = BPETokenizer()
+    packed = pack_sequences(
+        docs.select("doc_id", "lang", "text"), PACK_BUDGET,
+        token_count_fn=tok.count_batch, stratum_col="lang",
+        id_col="doc_id",
+    )
+    t = time.time()
+    # agg over bin/off, NOT count(): a bare count lets Catalyst prune
+    # the window AND the tokenizer UDF — measured 0.28 s vs the real
+    # 3.5 s at 500k docs
+    row = packed.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("bin").alias("chk")
+    ).collect()[0]
+    out["pack_bpe"] = round(time.time() - t, 2)
+    out["rows_out"] = row["rows"]
+    return out
+
+
+def main_pack() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_documents(spark, "/tmp/sfdocs1", n_reps=10)
+    synthesize_documents(spark, "/tmp/sfdocs10", n_reps=100)
+    measure_pack(spark, "/root/testdata/sf0.001")  # warmup
+    res = {
+        "sf0.1": measure_pack(spark, SF01),
+        "sf1": measure_pack(spark, "/tmp/sfdocs1"),
+        "sf10": measure_pack(spark, "/tmp/sfdocs10"),
+    }
+    expo = round(math.log10(
+        max(res["sf10"]["pack_bpe"], 1e-3)
+        / max(res["sf0.1"]["pack_bpe"], 1e-3)
+    ) / 2.0, 2)
+    print(json.dumps({**res, "pack_bpe_exponent_per_decade": expo}))
+
+
 def measure_minhash(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -547,6 +621,9 @@ def measure(spark, sf_dir: str) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "minhash":
         main_minhash()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pack":
+        main_pack()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
         main_pipeline()
