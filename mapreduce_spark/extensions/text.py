@@ -325,9 +325,12 @@ def fit_quality_filter(df: DataFrame, label: str = "label",
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
+    # skip, not keep: a single null/NaN feature row kept in the
+    # assembled vector NaN-poisons the LBFGS gradient and the fit
+    # silently returns an all-NaN model that scores NaN everywhere
     vec = VectorAssembler(
         inputCols=list(features), outputCol="_fv",
-        handleInvalid="keep",
+        handleInvalid="skip",
     )
     lr = LogisticRegression(
         featuresCol="_fv", labelCol=label, maxIter=max_iter,

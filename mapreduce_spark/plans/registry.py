@@ -69,7 +69,8 @@ def _proc_umask() -> int | None:
 # r13).  Residual (documented) limit of the fallback only: a host app
 # whose OTHER threads create files during this first import races the
 # probe, and later umask changes are not observed.
-if _proc_umask() is None:  # pragma: no cover — non-Linux
+_last_umask = _proc_umask()
+if _last_umask is None:  # pragma: no cover — non-Linux
     _UMASK = os.umask(0)
     os.umask(_UMASK)
 else:
@@ -77,10 +78,18 @@ else:
 
 
 def _current_umask() -> int:
+    global _last_umask
     v = _proc_umask()
     if v is not None:
+        _last_umask = v
         return v
-    return _UMASK if _UMASK is not None else 0o022
+    if _last_umask is not None:
+        # /proc read failed transiently (EMFILE, hidden after
+        # container start): the LAST successful read beats guessing —
+        # a 0o022 default could hand out group/world bits a 0o077
+        # process never intended
+        return _last_umask
+    return _UMASK if _UMASK is not None else 0o022  # pragma: no cover
 
 
 def definition_repr(map_def: Any, reduce_def: Any) -> str:
@@ -183,23 +192,43 @@ def _leased(path: str):
                     continue
                 stolen = f"{lease}.stale.{token}"
                 os.rename(lease, stolen)
+                # verify the STOLEN file is the dead lease we judged:
+                # same token AND stale mtime.  A rival that completed
+                # steal+recreate between our re-stat and our rename
+                # shows a foreign token OR a fresh mtime — including
+                # the window where its O_EXCL create succeeded but its
+                # token write hasn't landed (empty file, fresh mtime).
+                # Unreadable/vanished → assume live and restore.
                 try:
+                    st_mt = os.stat(stolen).st_mtime
                     with open(stolen) as fh:
                         got = fh.read()
+                    dead = (got == seen
+                            and time.time() - st_mt > _LEASE_TTL)
                 except OSError:
-                    got = seen
-                if got != seen and got:
-                    # stat→rename TOCTOU lost: a rival stole and
-                    # recreated between our stat and rename, and we
-                    # just renamed its fresh lease — put it back
-                    # (link never overwrites; if a third waiter won
-                    # the name meanwhile, the rival's token-verifying
-                    # heartbeat detects the loss and stops)
+                    dead = False
+                if not dead:
+                    # stat→rename TOCTOU lost — put the live lease
+                    # back.  link never overwrites: if a third waiter
+                    # won the name meanwhile, the rival's
+                    # token-verifying heartbeat detects the loss.
                     try:
                         os.link(stolen, lease)
+                        os.unlink(stolen)
+                    except FileExistsError:
+                        os.unlink(stolen)
                     except OSError:
-                        pass
-                    os.unlink(stolen)
+                        # filesystem without hardlinks (exFAT, some
+                        # FUSE/SMB): best-effort non-clobber
+                        # rename-back; never unlink a live lease we
+                        # could not restore — leave it as .stale.
+                        # debris for the sweep, detectable by the
+                        # rival's heartbeat
+                        if not os.path.exists(lease):
+                            try:
+                                os.rename(stolen, lease)
+                            except OSError:
+                                pass
                     time.sleep(0.05)
                     continue
                 os.unlink(stolen)

@@ -1373,6 +1373,7 @@ def test_quality_filter_fit_and_score(spark):
     for i in range(120, 240):  # bad: short repetitive spam
         w = rng.choice(["buy", "click", "now"])
         rows.append((i, " ".join([w] * rng.randint(3, 8)), 0))
+    rows.append((240, None, 1))  # null text: must not NaN-poison LBFGS
     df = spark.createDataFrame(
         rows, "doc_id long, text string, label long"
     )
@@ -1381,6 +1382,12 @@ def test_quality_filter_fit_and_score(spark):
     )
     model = text.fit_quality_filter(feats)
     assert set(model["coef"]) == set(text.QUALITY_MODEL_FEATURES)
+    import math
+
+    assert math.isfinite(model["intercept"]) and all(
+        math.isfinite(w) for w in model["coef"].values()
+    ), f"null feature row poisoned the fit: {model}"
+    df = df.filter(F.col("text").isNotNull())
     scored = text.score_quality(df, model).join(
         df.select("doc_id", "label"), "doc_id"
     )

@@ -492,14 +492,22 @@ def test_lease_steals_stale_but_not_heartbeating(tmp_path, lease_mode,
     t.join(timeout=5)
 
 
+@pytest.mark.parametrize("rival_token,link_works", [
+    ("rival-live", True),   # full recreate, hardlink restore
+    ("rival-live", False),  # same, on a no-hardlink filesystem
+    ("", True),             # rival's O_EXCL landed, token write hasn't
+])
 def test_lease_steal_toctou_restores_live_rival(tmp_path, lease_mode,
-                                                monkeypatch):
-    """The stat→rename TOCTOU: a rival completes a FULL steal+recreate
+                                                monkeypatch,
+                                                rival_token, link_works):
+    """The stat→rename TOCTOU: a rival completes a steal+recreate
     between our staleness stat and our rename, so our rename grabs its
-    fresh, live lease.  The stealer must detect the foreign token and
-    restore the rival's lease (os.link, no clobber) instead of
-    unlinking it — previously both waiters would proceed to hold the
-    'exclusive' lock at once."""
+    fresh, live lease.  The stealer must detect it is NOT the dead
+    lease it judged (foreign token, fresh mtime, or an empty
+    not-yet-written token) and restore it — via hardlink, or
+    non-clobber rename-back where links are unsupported — instead of
+    unlinking it, which would let two holders in at once."""
+    import errno
     import os as _os
 
     from mapreduce_spark.plans import registry as R
@@ -519,12 +527,18 @@ def test_lease_steal_toctou_restores_live_rival(tmp_path, lease_mode,
     def rename_hook(src, dst, *a, **kw):
         if src == lease and not state["intercepted"]:
             state["intercepted"] = True
-            # the rival's full cycle lands first: stale lease gone,
-            # fresh live lease (new token) in its place
+            # the rival's cycle lands first: stale lease gone, fresh
+            # live lease (possibly token-less yet) in its place
             _os.unlink(lease)
             with open(lease, "w") as f:
-                f.write("rival-live")
+                f.write(rival_token)
         return real_rename(src, dst, *a, **kw)
+
+    if not link_works:
+        def no_link(*a, **kw):
+            raise OSError(errno.ENOTSUP, "no hardlinks here")
+
+        monkeypatch.setattr(_os, "link", no_link)
 
     real_sleep = time.sleep
 
@@ -534,7 +548,7 @@ def test_lease_steal_toctou_restores_live_rival(tmp_path, lease_mode,
         if state["intercepted"] and _os.path.exists(lease):
             try:
                 with open(lease) as f:
-                    if f.read() == "rival-live":
+                    if f.read() == rival_token:
                         state["restored_seen"] = True
                         _os.unlink(lease)
             except OSError:
