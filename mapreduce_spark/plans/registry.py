@@ -131,6 +131,28 @@ from contextlib import contextmanager
 _LEASE_TTL = 30.0
 
 
+def _restore_lease(stolen: str, lease: str) -> None:
+    """Put a mistakenly renamed LIVE lease back at its path.
+
+    ``os.link`` never overwrites: if a third waiter won the name
+    meanwhile, the rival's token-verifying heartbeat detects the loss.
+    Filesystems without hardlinks (exFAT, some FUSE/SMB) fall back to
+    a best-effort non-clobber rename-back; a live lease that could not
+    be restored is NEVER unlinked — it stays as ``.stale.`` debris for
+    the construction-time sweep."""
+    try:
+        os.link(stolen, lease)
+        os.unlink(stolen)
+    except FileExistsError:
+        os.unlink(stolen)
+    except OSError:
+        if not os.path.exists(lease):
+            try:
+                os.rename(stolen, lease)
+            except OSError:
+                pass
+
+
 @contextmanager
 def _leased(path: str):
     """O_EXCL lease-file mutual exclusion (VERDICT r13 #6) — the
@@ -208,27 +230,7 @@ def _leased(path: str):
                 except OSError:
                     dead = False
                 if not dead:
-                    # stat→rename TOCTOU lost — put the live lease
-                    # back.  link never overwrites: if a third waiter
-                    # won the name meanwhile, the rival's
-                    # token-verifying heartbeat detects the loss.
-                    try:
-                        os.link(stolen, lease)
-                        os.unlink(stolen)
-                    except FileExistsError:
-                        os.unlink(stolen)
-                    except OSError:
-                        # filesystem without hardlinks (exFAT, some
-                        # FUSE/SMB): best-effort non-clobber
-                        # rename-back; never unlink a live lease we
-                        # could not restore — leave it as .stale.
-                        # debris for the sweep, detectable by the
-                        # rival's heartbeat
-                        if not os.path.exists(lease):
-                            try:
-                                os.rename(stolen, lease)
-                            except OSError:
-                                pass
+                    _restore_lease(stolen, lease)
                     time.sleep(0.05)
                     continue
                 os.unlink(stolen)
@@ -266,13 +268,27 @@ def _leased(path: str):
     finally:
         stop.set()
         beater.join(timeout=_LEASE_TTL)
+        # release by rename-then-verify, not read-then-unlink: between
+        # a read of our own token and the unlink, a stealer (we may
+        # have stalled past the TTL) can replace the lease with a NEW
+        # holder's — the unverified unlink would delete the rival's
+        # live lease.  After the rename we exclusively own the moved
+        # file, so the verdict cannot be invalidated.
+        moved = f"{lease}.stale.{token}"
         try:
-            with open(lease) as fh:
-                mine = fh.read() == token
-            if mine:
-                os.unlink(lease)
+            os.rename(lease, moved)
         except OSError:
             pass  # stolen after a stall: nothing of ours to remove
+        else:
+            try:
+                with open(moved) as fh:
+                    mine = fh.read() == token
+            except OSError:
+                mine = False
+            if mine:
+                os.unlink(moved)
+            else:
+                _restore_lease(moved, lease)
 
 
 @contextmanager

@@ -568,6 +568,33 @@ def test_lease_steal_toctou_restores_live_rival(tmp_path, lease_mode,
     assert not [n for n in left if ".lease" in n], left
 
 
+def test_lease_release_never_unlinks_rival(tmp_path, lease_mode,
+                                           monkeypatch):
+    """Release must verify ownership AFTER taking exclusive custody
+    (rename), not before unlink: a holder that stalled past the TTL
+    and was stolen from would otherwise read its own token, then
+    unlink the NEW holder's lease that a stealer put there in
+    between.  Simulated: the lease is replaced by a rival's while the
+    context is held; exit must restore it untouched."""
+    import os as _os
+
+    from mapreduce_spark.plans import registry as R
+
+    monkeypatch.setattr(R, "_LEASE_TTL", 0.4)
+    path = str(tmp_path / "locks" / "x.lock")
+    lease = path + ".lease"
+    with R._leased(path):
+        _os.unlink(lease)  # stealer's rename+recreate, compressed
+        with open(lease, "w") as f:
+            f.write("rival-live")
+    with open(lease) as f:
+        assert f.read() == "rival-live", "release ate the rival's lease"
+    debris = [n for n in _os.listdir(_os.path.dirname(lease))
+              if ".stale." in n]
+    assert not debris, debris
+    _os.unlink(lease)
+
+
 def test_two_engines_concurrent_build_converges_lease(
     spark, sf_dir, tmp_path, lease_mode
 ):
