@@ -179,7 +179,28 @@ def main() -> None:
     print("near-dup clusters:",
           clusters.select("cluster_id").distinct().count(),
           "docs removed:", near_dups.count())
-    samp = sampling.stratified_sample(keep, 10, stratum_col="lang")
+    # PII scrub (C4/FineWeb-style) — counts + token redaction, one
+    # codegen'd scan; no Python in the hot path
+    from mapreduce_spark.extensions import text as tx
+
+    scrubbed = keep.withColumn("text", tx.redact_pii("text"))
+    pii = tx.pii_features(keep).agg(
+        F.sum("n_emails").alias("emails"), F.sum("n_urls").alias("urls")
+    ).collect()[0]
+    print("pii scrub:", dict(pii.asDict()))
+
+    # model-based quality filter: MLlib fits, scoring is one JVM
+    # sigmoid over literal coefficients
+    feats = tx.quality_features(scrubbed)
+    labeled = feats.withColumn(  # demo labels: long+diverse = good
+        "label", ((F.col("n_tokens") >= 40)
+                  & (F.col("distinct_ratio") > 0.4)).cast("long"))
+    model = tx.fit_quality_filter(labeled)
+    kept_q = tx.score_quality(scrubbed, model) \
+        .filter(F.col("model_score") > 0.5)
+    print("quality filter kept:", kept_q.count(), "/", keep.count())
+
+    samp = sampling.stratified_sample(scrubbed, 10, stratum_col="lang")
     packed = sampling.pack_sequences(
         samp.select("doc_id", "lang",
                     F.size(F.split("text", " ")).cast("long")
