@@ -361,7 +361,8 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
 
 
 def _assign_cells(nd: DataFrame,
-                  cents: list[list[float]]) -> DataFrame:
+                  cents: list[list[float]],
+                  r: int = 1) -> DataFrame:
     """Nearest-centroid cell per vector.
 
     Small codebooks (≤8 cells) stay pure-Column: per-centroid dots in
@@ -376,7 +377,34 @@ def _assign_cells(nd: DataFrame,
     codegen time and collapses long before the data does (44 cells ×
     64 dims already 3×'d the bench); the UDF path is flat in plan size
     and BLAS-fast per row regardless of codebook size.
+
+    ``r`` > 1 is MULTI-ASSIGNMENT (the classic IVF recall lever for
+    cluster-poor corpora, e.g. Jégou et al.'s multiple-assignment):
+    each vector lands in its ``r`` nearest cells — r rows per vector,
+    primary (argmax) cell first in emission order — trading r× index
+    storage for candidate coverage when neighbors straddle cell
+    boundaries.  Always the UDF path (one ``argpartition`` per batch,
+    stable-tie-broken to match the r=1 argmax), exploded JVM-side.
     """
+    r = max(1, min(int(r), len(cents)))
+    if r > 1:
+        CT_m = np.asarray(cents, dtype=np.float64).T  # (dim, k)
+
+        @F.pandas_udf("array<int>")
+        def _cells_r(vs: pd.Series) -> pd.Series:
+            M = np.array(vs.tolist(), dtype=np.float64)
+            D = M @ CT_m  # (batch, k)
+            # full argsort (descending, stable) keeps ties on the
+            # FIRST index — bit-identical primary cell to the r=1
+            # argmax path; k≈√N codebooks keep this cheap per batch
+            order = np.argsort(-D, axis=1, kind="stable")[:, :r]
+            return pd.Series(list(order.astype("int32")))
+
+        return (
+            nd.withColumn("_cells", _cells_r(F.col("nv")))
+            .withColumn("cell", F.explode("_cells"))
+            .drop("_cells")
+        )
     if len(cents) * len(cents[0]) <= 512:
         dots = F.array(
             *[
@@ -412,6 +440,7 @@ def _assign_cells(nd: DataFrame,
 def ivf_index(emb: DataFrame, n_cells: int | None = None,
               id_col: str = "vec_id", vec_col: str = "embedding",
               nd: DataFrame | None = None,
+              assign_r: int = 1,
               ) -> tuple[DataFrame, list[list[float]]]:
     """One-time IVF index build: ``((vid, nv, cell) DataFrame,
     centroids)``.
@@ -426,7 +455,12 @@ def ivf_index(emb: DataFrame, n_cells: int | None = None,
     ``cell IN (…)`` that prunes parquet partitions — each query batch
     reads only the ~nprobe·√N rows it scores, never the corpus.
     Centroids are a √N×dim driver list — persist as JSON beside the
-    index."""
+    index.
+
+    ``assign_r`` > 1 multi-assigns each vector to its r nearest cells
+    (see :func:`_assign_cells`) — pass the SAME value to
+    :func:`write_ivf_index` so the bundle meta records it and
+    :func:`ivf_topk` dedupes candidates."""
     if n_cells is None:
         n = emb.count()
         n_cells = max(8, min(4096, int(n ** 0.5)))
@@ -435,7 +469,7 @@ def ivf_index(emb: DataFrame, n_cells: int | None = None,
     cents = ivf_centroids(
         emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd
     )
-    return _assign_cells(nd, cents), cents
+    return _assign_cells(nd, cents, r=assign_r), cents
 
 
 class _QRow(NamedTuple):
@@ -473,6 +507,9 @@ class IVFIndex(NamedTuple):
     cells: DataFrame
     vids: DataFrame
     centroids: list
+    # bundle assign_r (multi-assignment width): >1 means cells holds r
+    # rows per vector and ivf_topk must dedupe (qid, vid) candidates
+    assign_r: int = 1
 
 
 def _cell_fit(cents: list[list[float]]):
@@ -517,6 +554,7 @@ def _load_meta(path: str) -> dict:
     meta.setdefault("gen", 0)
     meta.setdefault("appended_fit_sum", 0.0)
     meta.setdefault("appended_fit_n", 0)
+    meta.setdefault("assign_r", 1)
     return meta
 
 
@@ -570,10 +608,17 @@ def _sweep_gens(path: str, keep: int) -> None:
 
 
 def _write_bundle(index: DataFrame, centroids: list, path: str,
-                  gen: int) -> dict:
+                  gen: int, assign_r: int = 1) -> dict:
     """Unlocked core of :func:`write_ivf_index` (callers hold the
     bundle lock): write generation ``gen`` stores, commit the meta
-    gen pointer, sweep older generations."""
+    gen pointer, sweep older generations.
+
+    ``assign_r`` > 1: ``index`` holds r rows per vector (one per
+    assigned cell).  The vid sidecar dedupes to one (vid, nv) row per
+    vector (same nv on every copy), and ``base_n`` records VECTORS
+    (rows // r — exact because :func:`_assign_cells` clamps r to the
+    codebook size), keeping the growth/retrain arithmetic in vector
+    units on both sides."""
     from pyspark import StorageLevel
     from pyspark.sql import Observation
 
@@ -604,8 +649,15 @@ def _write_bundle(index: DataFrame, centroids: list, path: str,
             .write.partitionBy("cell").mode("overwrite")
             .parquet(cells_dir)
         )
+        sidecar = index.select("vid", "nv")
+        if assign_r > 1:
+            # one (vid, nv) row per VECTOR: a multi-assigned store
+            # carries r copies, and a duplicated sidecar would hand
+            # ivf_topk duplicate query rows (duplicate probe sets and
+            # an inline q table with repeated qids)
+            sidecar = sidecar.dropDuplicates(["vid"])
         (
-            index.select("vid", "nv")
+            sidecar
             .repartitionByRange("vid")
             .sortWithinPartitions("vid")
             .write.mode("overwrite")
@@ -620,12 +672,13 @@ def _write_bundle(index: DataFrame, centroids: list, path: str,
     m = obs.get
     meta = {
         "gen": gen,
-        "base_n": int(m["n"] or 0),
+        "base_n": int(m["n"] or 0) // max(1, assign_r),
         "appended_n": 0,
         "base_mean_fit": float(m["fit"]) if m["fit"] is not None
         else None,
         "appended_fit_sum": 0.0,
         "appended_fit_n": 0,
+        "assign_r": int(assign_r),
     }
     _write_meta(path, meta)  # COMMIT: readers switch to gen here
     _sweep_gens(path, gen)
@@ -633,7 +686,7 @@ def _write_bundle(index: DataFrame, centroids: list, path: str,
 
 
 def write_ivf_index(index: DataFrame, centroids: list,
-                    path: str) -> dict:
+                    path: str, assign_r: int = 1) -> dict:
     """Persist an :func:`ivf_index` result as a self-contained bundle:
 
     - ``cells/``  — partitionBy("cell"): query batches read only their
@@ -667,7 +720,8 @@ def write_ivf_index(index: DataFrame, centroids: list,
         gen = (old["gen"] + 1
                if os.path.exists(os.path.join(path, "meta.json"))
                else 0)
-        return _write_bundle(index, centroids, path, gen)
+        return _write_bundle(index, centroids, path, gen,
+                             assign_r=assign_r)
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -715,7 +769,10 @@ def _compact_core(spark, path: str, meta: dict) -> dict:
     store = spark.read.parquet(cells_dir).select(
         "vid", "nv", F.col("cell").cast("int").alias("cell")
     )
-    return _write_bundle(store, cents, path, meta["gen"] + 1)
+    # a multi-assigned store already holds its r rows per vector with
+    # the right cells — the compact rewrites them as-is
+    return _write_bundle(store, cents, path, meta["gen"] + 1,
+                         assign_r=int(meta.get("assign_r") or 1))
 
 
 # ivf_append retrain thresholds (documented contract): recommend a
@@ -781,8 +838,12 @@ def ivf_append(path: str, new_emb: DataFrame,
             nd = normalized(new_emb, id_col, vec_col)
         obs = Observation()
         fit = _cell_fit(cents)
+        # inherit the bundle's multi-assignment width: a batch appended
+        # at a different r would break the store's r-rows-per-vector
+        # invariant that compact/retrain and base_n arithmetic rely on
+        asg_r = max(1, min(int(meta.get("assign_r") or 1), len(cents)))
         assigned = (
-            _assign_cells(nd, cents)
+            _assign_cells(nd, cents, r=asg_r)
             .withColumn("_fit", fit(F.col("nv"), F.col("cell")))
             .observe(obs, F.count(F.lit(1)).alias("n"),
                      F.avg("_fit").alias("fit"))
@@ -797,8 +858,13 @@ def ivf_append(path: str, new_emb: DataFrame,
                 .write.partitionBy("cell").mode("append")
                 .parquet(cells_dir)
             )
+            sidecar = assigned.select("vid", "nv")
+            if asg_r > 1:
+                # same one-row-per-vector sidecar contract as
+                # _write_bundle (the snapshot holds r rows per vid)
+                sidecar = sidecar.dropDuplicates(["vid"])
             (
-                assigned.select("vid", "nv")
+                sidecar
                 .repartitionByRange("vid")
                 .sortWithinPartitions("vid")
                 .write.mode("append")
@@ -811,7 +877,9 @@ def ivf_append(path: str, new_emb: DataFrame,
             # blocks — this call was ineffective until the helper)
             release_local_checkpoint(assigned)
         m = obs.get
-        n = int(m["n"] or 0)
+        # vector units (rows // r), matching base_n — exact: r is
+        # clamped to the codebook so every vector emits exactly r rows
+        n = int(m["n"] or 0) // asg_r
         mean_fit = float(m["fit"]) if m["fit"] is not None else None
         meta["appended_n"] = int(meta.get("appended_n") or 0) + n
         if mean_fit is not None:
@@ -851,15 +919,15 @@ def ivf_append(path: str, new_emb: DataFrame,
 def read_ivf_index(spark, path: str) -> IVFIndex:
     """Re-open a :func:`write_ivf_index` bundle (at its current
     generation — re-call after a compact/retrain rewrite)."""
-    cells_dir, vids_dir, cent_path = _bundle_paths(
-        path, _load_meta(path)["gen"]
-    )
+    meta = _load_meta(path)
+    cells_dir, vids_dir, cent_path = _bundle_paths(path, meta["gen"])
     with open(cent_path) as f:
         cents = json.load(f)
     return IVFIndex(
         cells=spark.read.parquet(cells_dir),
         vids=spark.read.parquet(vids_dir),
         centroids=cents,
+        assign_r=int(meta.get("assign_r") or 1),
     )
 
 
@@ -919,6 +987,11 @@ def ivf_maintain(spark, path: str,
                     "growth": growth, "meta": new_meta}
         cells_dir, _, _ = _bundle_paths(path, meta["gen"])
         store = spark.read.parquet(cells_dir).select("vid", "nv")
+        asg_r = int(meta.get("assign_r") or 1)
+        if asg_r > 1:
+            # the multi-assigned store holds r (vid, nv) copies —
+            # train and reassign on one row per VECTOR
+            store = store.dropDuplicates(["vid"])
         n_total = int(meta.get("base_n") or 0) + int(
             meta.get("appended_n") or 0
         )
@@ -934,9 +1007,9 @@ def ivf_maintain(spark, path: str,
             F.xxhash64("vid").alias("vid"), "nv"
         )
         cents = ivf_centroids(None, k, nd=sample_src)
-        assigned = _assign_cells(store, cents)
+        assigned = _assign_cells(store, cents, r=asg_r)
         new_meta = _write_bundle(assigned, cents, path,
-                                 meta["gen"] + 1)
+                                 meta["gen"] + 1, assign_r=asg_r)
         return {"action": action, "fit_drop": fit_drop,
                 "growth": growth, "meta": new_meta}
 
@@ -950,6 +1023,7 @@ def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,
              index: DataFrame | IVFIndex | None = None,
              centroids: list[list[float]] | None = None,
              query_vectors: dict[int, list[float]] | None = None,
+             assign_r: int = 1,
              ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per
     query, rerank candidates exactly.  Scans corpus·nprobe/n_cells.
@@ -988,12 +1062,20 @@ def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,
     - ``index`` as a bare cells DataFrame — legacy fallback; the vid
       lookup cannot prune a cell-partitioned layout and reads every
       partition's (vid, nv) columns.  Fine inline, wrong at scale —
-      pass an ``IVFIndex`` or ``query_vectors`` instead."""
+      pass an ``IVFIndex`` or ``query_vectors`` instead.
+
+    ``assign_r`` (round 14): multi-assignment width for the inline /
+    bare-frame paths — an :class:`IVFIndex` carries its own bundle
+    value and overrides this.  r > 1 indexes each vector under its r
+    nearest cells so candidates survive cell-boundary straddling (the
+    structure-free-corpus recall lever); candidate (qid, vid) pairs
+    are collapsed before ranking."""
     if index is not None:
         if isinstance(index, IVFIndex):
             cents = index.centroids if centroids is None else centroids
             lookup = index.vids
             assigned = index.cells
+            assign_r = index.assign_r
         else:
             # bare cells DataFrame: the centroids list is required
             # regardless of the query-vector source (probe selection
@@ -1014,6 +1096,11 @@ def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,
             qrows = lookup.filter(
                 F.col("vid").isin(query_ids)
             ).select("vid", "nv").collect()
+            if assign_r > 1:
+                # a BARE multi-assigned cells frame used as the lookup
+                # carries r rows per vid (the IVFIndex sidecar is
+                # already deduped at write time)
+                qrows = list({r.vid: r for r in qrows}.values())
     else:
         if n_cells is None or nprobe is None:
             n = emb.count()
@@ -1036,7 +1123,7 @@ def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,
             qrows = _normalize_query_vectors(query_vectors)
         else:
             qrows = nd.filter(F.col("vid").isin(query_ids)).collect()
-        assigned = _assign_cells(nd, cents)
+        assigned = _assign_cells(nd, cents, r=assign_r)
     C = np.array(cents)
     probes = []  # (qid, cell)
     for r in qrows:
@@ -1090,9 +1177,16 @@ def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,
         cand = cand.filter(F.col("vid") != F.col("qid"))
     cand = cand.join(F.broadcast(q), "qid")
     cos = _dot(F.col("nv"), F.col("qv"))
-    # no distinct needed: a vector sits in exactly one cell and the
-    # probed cells per query are distinct, so (qid, vid) is unique
+    # r=1: no distinct needed — a vector sits in exactly one cell and
+    # the probed cells per query are distinct, so (qid, vid) is unique.
+    # r>1: a vector reached through two probed cells would occupy two
+    # of a query's k slots — collapse before ranking (the duplicate
+    # rows carry the identical cosine, max == any).
     scored = cand.select("qid", "vid", cos.alias("cosine"))
+    if assign_r > 1:
+        scored = scored.groupBy("qid", "vid").agg(
+            F.max("cosine").alias("cosine")
+        )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vid")
     )
