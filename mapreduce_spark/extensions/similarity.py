@@ -622,6 +622,10 @@ def _write_bundle(index: DataFrame, centroids: list, path: str,
     from pyspark import StorageLevel
     from pyspark.sql import Observation
 
+    # mirror _assign_cells' clamp: a requested r beyond the codebook
+    # produced len(centroids) rows per vector, and meta/base_n must
+    # record the EFFECTIVE width or the vector-unit division is wrong
+    assign_r = max(1, min(int(assign_r), len(centroids)))
     cells_dir, vids_dir, cent_path = _bundle_paths(path, gen)
     # sweep a crashed earlier attempt at this same generation
     for d in (cells_dir, vids_dir):

@@ -54,7 +54,7 @@ def test_assign_cells_r2_matches_numpy_top2(rnd_emb):
     assert all(len(v) == 2 for v in got.values())
 
 
-def test_assign_r_clamped_to_codebook(rnd_emb):
+def test_assign_r_clamped_to_codebook(rnd_emb, tmp_path):
     nd = similarity.normalized(rnd_emb).limit(50)
     cents = similarity.ivf_centroids(rnd_emb, 8, nd=nd)
     rows = similarity._assign_cells(nd, cents, r=99).collect()
@@ -63,6 +63,14 @@ def test_assign_r_clamped_to_codebook(rnd_emb):
         per[r.vid].add(r.cell)
     # r clamps to len(cents): every vector in every cell, no dupes
     assert all(len(cells) == len(cents) for cells in per.values())
+    # the bundle meta records the EFFECTIVE width, so base_n stays in
+    # vector units even for an over-asked r
+    meta = similarity.write_ivf_index(
+        similarity._assign_cells(nd, cents, r=99), cents,
+        str(tmp_path / "bc"), assign_r=99,
+    )
+    assert meta["assign_r"] == len(cents)
+    assert meta["base_n"] == 50
 
 
 def test_r2_dominates_r1_and_no_duplicate_slots(rnd_emb):

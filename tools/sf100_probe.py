@@ -280,7 +280,7 @@ def synthesize_random_embeddings(spark, out_dir: str, n: int,
 
 def measure_recall(spark, sf_dir: str, work_dir: str,
                    nprobes=(4, 8, 16, 32), k: int = 10,
-                   n_queries: int = 20) -> dict:
+                   n_queries: int = 20, assign_r: int = 1) -> dict:
     """IVF recall@k vs the exact cosine top-k at the SAME scale the
     latency was measured (VERDICT r13 #2): build the bundle once, run
     the amortized ivf_topk per nprobe, score against one exact
@@ -289,10 +289,10 @@ def measure_recall(spark, sf_dir: str, work_dir: str,
     from mapreduce_spark.extensions import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = {"vectors": emb.count()}
+    out = {"vectors": emb.count(), "assign_r": assign_r}
     dest = os.path.join(work_dir, "bundle")
-    idx, cents = similarity.ivf_index(emb)
-    similarity.write_ivf_index(idx, cents, dest)
+    idx, cents = similarity.ivf_index(emb, assign_r=assign_r)
+    similarity.write_ivf_index(idx, cents, dest, assign_r=assign_r)
     bundle = similarity.read_ivf_index(spark, dest)
     out["n_cells"] = len(cents)
     qids = list(range(n_queries))
@@ -347,6 +347,42 @@ def main_recall() -> None:
         res["rand200k"] = measure_recall(spark, "/tmp/rnd200k", wd)
     with tempfile.TemporaryDirectory(prefix="recr100-") as wd:
         res["rand2m"] = measure_recall(spark, "/tmp/rnd2m", wd)
+    print(json.dumps(res))
+
+
+def main_recall_multiassign() -> None:
+    """Round-14 follow-up: the same recall sweep on the structure-free
+    corpora with multi-assignment r=2 and r=3 — the axis the r=1 sweep
+    measured weakest (rand2m 0.28 @ nprobe=8)."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_random_embeddings(spark, "/tmp/rnd200k", 200_000)
+    synthesize_random_embeddings(spark, "/tmp/rnd2m", 2_000_000)
+    res = {}
+    for r in (2, 3):
+        with tempfile.TemporaryDirectory(prefix=f"mar{r}-") as wd:
+            res[f"rand200k_r{r}"] = measure_recall(
+                spark, "/tmp/rnd200k", wd, assign_r=r
+            )
+        with tempfile.TemporaryDirectory(prefix=f"mbr{r}-") as wd:
+            res[f"rand2m_r{r}"] = measure_recall(
+                spark, "/tmp/rnd2m", wd, assign_r=r
+            )
+        print(json.dumps({k: v for k, v in res.items()
+                          if k.endswith(f"_r{r}")}), flush=True)
     print(json.dumps(res))
 
 
@@ -630,6 +666,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "recall":
         main_recall()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "recall-ma":
+        main_recall_multiassign()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         main_ivf()
