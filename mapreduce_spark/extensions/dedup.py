@@ -819,6 +819,135 @@ def embedding_near_dup_pairs(
     return embedding_near_dup_blocked(emb, threshold, id_col, vec_col)
 
 
+SEMANTIC_MAX_CELL = 20_000
+
+
+def semantic_dedup(emb: DataFrame, threshold: float,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   n_cells: int | None = None,
+                   keep: str = "central",
+                   max_cell: int = SEMANTIC_MAX_CELL,
+                   corpus_count: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication" — public paper): k-means-cluster the embedding
+    space, then greedily suppress items whose cosine to an
+    already-kept item in the SAME cluster reaches ``threshold``.
+
+    Unlike :func:`embedding_near_dup_pairs` (which materializes the
+    full pair graph for downstream CC), this is corpus → pruned corpus
+    in one pass: the quadratic work is confined to within-cluster
+    tiles, so total cost is O(N · cell_size · d) with cell_size bounded
+    by ``max_cell`` — never an all-pairs product.
+
+    - Clustering reuses the IVF quantizer (``similarity.ivf_centroids``
+      + the Arrow-batched cell assignment): one training sample, one
+      distributed assignment pass.
+    - Each cell is pruned independently in one ``applyInPandas`` task:
+      members are visited in deterministic order (``keep="central"``:
+      by descending cosine-to-centroid — the most typical exemplar of
+      each semantic group survives; ``keep="diverse"``: ascending, the
+      paper's low-similarity-to-centroid rule — ties broken by id) and
+      an item is kept iff its max cosine against the kept set so far
+      is below ``threshold`` (one BLAS matvec per item).
+    - Cells larger than ``max_cell`` are hash-sub-split first (driven
+      by a broadcast per-cell size map), bounding task memory at
+      ``max_cell · dim`` doubles regardless of corpus skew.  Dups that
+      straddle a sub-split (or a cell boundary — inherent to SemDeDup)
+      both survive; the same bounded-miss trade LSH banding makes.
+
+    Returns one row per vector: ``(vid, cell, fit, is_dup, kept_by)``
+    — ``fit`` the cosine to its centroid, ``kept_by`` the suppressing
+    kept vector's id (self for keepers, matching exact_dedup's
+    canonical-member convention).  Filter ``~is_dup`` for survivors.
+    """
+    if keep not in ("central", "diverse"):
+        raise ValueError(
+            f"semantic_dedup: keep must be 'central' or 'diverse', "
+            f"got {keep!r}"
+        )
+    from mapreduce_spark.extensions import similarity as sim
+
+    nd = normalized_vectors(emb, id_col, vec_col)
+    if n_cells is None:
+        n = (int(corpus_count) if corpus_count is not None
+             else emb.select(id_col).count())
+        n_cells = max(8, min(4096, int(n ** 0.5)))
+    cents = sim.ivf_centroids(
+        emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd
+    )
+    fit = sim._cell_fit(cents)
+    assigned = (
+        sim._assign_cells(nd, cents)
+        .withColumn("fit", fit(F.col("nv"), F.col("cell")))
+    )
+    # bound the per-task group: sub-split any cell beyond max_cell.
+    # sizes is n_cells rows — broadcast by construction
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    staged = (
+        assigned.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "_sub",
+            F.pmod(
+                F.xxhash64("vid"),
+                F.greatest(
+                    F.ceil(F.col("_m") / F.lit(int(max_cell))),
+                    F.lit(1),
+                ),
+            ).cast("int"),
+        )
+    )
+    thr = float(threshold)
+    central = keep == "central"
+    out_schema = T.StructType([
+        T.StructField("vid", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("fit", T.DoubleType()),
+        T.StructField("is_dup", T.BooleanType()),
+        T.StructField("kept_by", T.LongType()),
+    ])
+
+    def prune(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        fits = pdf["fit"].to_numpy(dtype=np.float64)
+        M = np.array(pdf["nv"].tolist(), dtype=np.float64)
+        # deterministic visit order: fit desc (central) / asc
+        # (diverse), id-asc tie-break (lexsort: last key is primary)
+        order = np.lexsort((ids, -fits if central else fits))
+        m, d = M.shape
+        K = np.empty((m, d))        # kept vectors, insertion order
+        kept_ids = np.empty(m, dtype=np.int64)
+        nk = 0
+        is_dup = np.zeros(m, dtype=bool)
+        kept_by = np.empty(m, dtype=np.int64)
+        for i in order:
+            if nk:
+                s = K[:nk] @ M[i]
+                j = int(np.argmax(s))
+                if s[j] >= thr:
+                    is_dup[i] = True
+                    kept_by[i] = kept_ids[j]
+                    continue
+            K[nk] = M[i]
+            kept_ids[nk] = ids[i]
+            nk += 1
+            kept_by[i] = ids[i]
+        return pd.DataFrame({
+            "vid": ids,
+            "cell": pdf["cell"].to_numpy(dtype=np.int32),
+            "fit": fits,
+            "is_dup": is_dup,
+            "kept_by": kept_by,
+        })
+
+    return staged.groupBy("cell", "_sub").applyInPandas(
+        prune, out_schema
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate clustering — connected components over the near-dup graph
 # ---------------------------------------------------------------------------

@@ -215,6 +215,22 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style within-cluster semantic pruning
+    (dedup.semantic_dedup): k-means cells + per-cell greedy cosine
+    suppression — corpus in, keep/suppress verdict out.  Bench-only
+    row (the greedy rule is not SQL-expressible; the operator is
+    pinned end-to-end against a numpy replica in
+    tests/test_semantic_dedup.py)."""
+    out = dedup.semantic_dedup(
+        _emb(spark, sf_dir), 0.95, n_cells=16
+    )
+    return out.select(
+        "vid", "cell", F.round("fit", 4).alias("fit"),
+        "is_dup", "kept_by",
+    )
+
+
 def x_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.cosine_topk(
         _emb(spark, sf_dir), TOPK_QUERIES, TOPK_K
@@ -570,6 +586,7 @@ EXT_BENCH_QUERIES = {
     "x_mm_ppm": x_mm_ppm,
     "x_mm_wav": x_mm_wav,
     "x_pack_bpe": x_pack_bpe,
+    "x_dedup_semantic": x_dedup_semantic,
 }
 
 
