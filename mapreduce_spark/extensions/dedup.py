@@ -883,22 +883,24 @@ def semantic_dedup(emb: DataFrame, threshold: float,
         .withColumn("fit", fit(F.col("nv"), F.col("cell")))
     )
     # bound the per-task group: sub-split any cell beyond max_cell.
-    # sizes is n_cells rows — broadcast by construction
-    sizes = assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("_m")
-    )
-    staged = (
-        assigned.join(F.broadcast(sizes), "cell")
-        .withColumn(
-            "_sub",
-            F.pmod(
-                F.xxhash64("vid"),
-                F.greatest(
-                    F.ceil(F.col("_m") / F.lit(int(max_cell))),
-                    F.lit(1),
+    # cell size via an unbounded window, NOT a groupBy+join — the join
+    # shape would reference the assignment subtree twice and evaluate
+    # the corpus-wide pandas UDF two times; the window rides the same
+    # by-cell exchange the applyInPandas needs anyway
+    from pyspark.sql import Window as _W
+
+    staged = assigned.withColumn(
+        "_sub",
+        F.pmod(
+            F.xxhash64("vid"),
+            F.greatest(
+                F.ceil(
+                    F.count(F.lit(1)).over(_W.partitionBy("cell"))
+                    / F.lit(int(max_cell))
                 ),
-            ).cast("int"),
-        )
+                F.lit(1),
+            ),
+        ).cast("int"),
     )
     thr = float(threshold)
     central = keep == "central"

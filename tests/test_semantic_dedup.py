@@ -120,3 +120,19 @@ def test_max_cell_subsplit_bounds_groups(planted):
 def test_invalid_keep_mode(planted):
     with pytest.raises(ValueError, match="central"):
         dedup.semantic_dedup(planted, 0.9, keep="best")
+
+
+def test_single_assignment_evaluation(planted):
+    """The cell-size sub-split must ride a window over the one
+    assignment pass — a groupBy+join shape would evaluate the
+    corpus-wide assignment UDF twice (one ArrowEvalPython subtree per
+    reference)."""
+    import re
+
+    # force the >512-literal UDF assignment path (n_cells * dim)
+    plan = (
+        dedup.semantic_dedup(planted, 0.99, n_cells=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly two pandas stages: the cell assignment and the fit
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 2
