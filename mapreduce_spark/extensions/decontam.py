@@ -94,8 +94,19 @@ def repeated_ngrams(docs: DataFrame, n: int = 8, min_df: int = 2,
     ``(doc_id, ngrams, rep_hits, rep_fraction)`` where ``rep_hits``
     counts the document's distinct n-grams whose corpus document
     frequency is ≥ ``min_df`` (the gram appears in that many
-    documents — per-doc distinctness makes count == df)."""
-    ex = _postings(docs, n, text, id_col)
+    documents — per-doc distinctness makes count == df).
+
+    The postings frame feeds BOTH the df count and the membership
+    join; persisted so the shingle explode runs once (the lazy form
+    re-shingled the corpus twice — AQE's broadcast of the df side
+    defeats the exchange reuse that would otherwise dedupe the two
+    scans).  Spark's LRU block manager reclaims the blocks; at scale
+    they spill to local disk like the minhash shingle frame."""
+    from pyspark import StorageLevel
+
+    ex = _postings(docs, n, text, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rep = ex.groupBy("g").count() \
         .filter(F.col("count") >= min_df) \
         .select("g", F.lit(1).alias("_rep"))

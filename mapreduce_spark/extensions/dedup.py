@@ -182,10 +182,29 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
         .withColumn("sz", F.count(F.lit(1)).over(wD))
         .withColumn("rn", F.row_number().over(wDo))
         .filter(keep)
-        .select("doc_id", "s", "sz")
+        .select("doc_id", "s", "sz", "rn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin POSITIONAL filter (Xiao et al., Lemma 2 shape): J ≥ τ
+    # needs overlap ≥ τ/(1+τ)·(|A|+|B|), and at a pair's FIRST prefix
+    # collision no shared token precedes the colliding one (the prefix
+    # holds each doc's lowest-ranked tokens, so an earlier shared
+    # token would itself be an earlier collision), hence
+    # overlap ≤ 1 + min(|A|−rnₐ, |B|−rn_b) there.  Filtering every
+    # collision row by its own bound keeps exactly the pairs whose
+    # first collision passes (OR semantics via the distinct), so no
+    # qualifying pair is lost — but pairs that only collide on LATE
+    # prefix ranks are dropped before the distinct + verification
+    # joins (measured r15 at sf0.1: 309,803 → far fewer candidate
+    # pairs for the same 25 verified outputs; verification was the
+    # operator's dominant CPU).
+    overlap_req = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("a.sz") + F.col("b.sz")
+    )
+    pos_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
     cand = (
         a.join(
             b,
@@ -193,7 +212,8 @@ def jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: J ≥ τ needs τ·|A| ≤ |B| ≤ |A|/τ
             & (F.col("b.sz") * threshold <= F.col("a.sz"))
-            & (F.col("a.sz") * threshold <= F.col("b.sz")),
+            & (F.col("a.sz") * threshold <= F.col("b.sz"))
+            & (pos_bound >= overlap_req),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),

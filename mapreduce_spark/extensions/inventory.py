@@ -53,7 +53,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_features(_docs(spark, sf_dir))
+    # right_size at the call site: quality_features itself is a
+    # plan-pinned pure map (no exchange), but the one-file fixture
+    # scan serializes its string work onto a single task
+    from mapreduce_spark.extensions.util import right_size
+
+    return text.quality_features(right_size(_docs(spark, sf_dir)))
 
 
 def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +128,11 @@ def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" cc admin"), s(i), F.lit("@example.net"),
         )).otherwise(F.lit("")),
     )
-    return _docs(spark, sf_dir).select("doc_id", aug.alias("text"))
+    from mapreduce_spark.extensions.util import right_size
+
+    return right_size(_docs(spark, sf_dir)).select(
+        "doc_id", aug.alias("text")
+    )
 
 
 def x_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,10 +17,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_spark.extensions.util import right_size
+
 # Whitespace tokens — the fixture corpus is space-separated ASCII.
 def tokens(text: Column | str = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.split(c, " ")
+
+
+def _with_tokens(text: Column | str, fn) -> Column:
+    """Evaluate ``fn(wv)`` with the token array bound ONCE as a lambda
+    variable.
+
+    Higher-order-function lambdas are interpreted per element, and an
+    outer expression referenced INSIDE a lambda body is re-evaluated on
+    every lambda call — embedding ``split(text)`` in a per-shingle
+    lambda re-tokenizes the whole document once per shingle, O(tokens²)
+    per doc (the same trap documented at util.normalized_vectors for
+    norms; measured r15: 4.1 → 0.6 CPU-s on the 5k-doc shingle pass).
+    Wrapping the computation in ``transform(array(w), fn)[1]`` binds
+    the tokenization to a lambda VARIABLE (a slot read per reference),
+    so the document is split exactly once per row."""
+    w = tokens(text)
+    return F.element_at(F.transform(F.array(w), fn), 1)
 
 
 # BPE-ish subword-boundary tokens: word pieces + isolated punctuation.
@@ -34,17 +53,34 @@ def bpe_tokens(text: Column | str = "text") -> Column:
 
 def shingles(n: int, text: Column | str = "text") -> Column:
     """Distinct word n-gram shingles, pure JVM (transform over a
-    sequence of start offsets; no explode, no Python)."""
-    w = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(w, i, F.lit(n))),
-    )
-    return F.array_distinct(
-        F.when(F.size(w) >= n, grams).otherwise(
-            F.array().cast("array<string>")
+    sequence of start offsets; no explode, no Python).
+
+    The token array is bound once via :func:`_with_tokens` and each
+    gram is a flat ``concat`` of ``element_at`` reads — values are
+    byte-identical to the previous ``concat_ws(slice(...))`` form
+    (space-joined tokens, no nulls from split), but the per-shingle
+    cost drops from re-splitting the document (O(tokens) per gram)
+    to n array reads (measured r15: ~7× less CPU on the hottest
+    kernel shared by jaccard/minhash/decontam/rep_ngrams/fp)."""
+
+    def grams(wv: Column) -> Column:
+        def gram(i: Column) -> Column:
+            parts = [F.element_at(wv, i.cast("int"))]
+            for j in range(1, n):
+                parts.append(F.lit(" "))
+                parts.append(
+                    F.element_at(wv, (i + F.lit(j)).cast("int"))
+                )
+            return F.concat(*parts)
+
+        seq = F.sequence(F.lit(1), F.size(wv) - F.lit(n - 1))
+        return F.array_distinct(
+            F.when(F.size(wv) >= n, F.transform(seq, gram)).otherwise(
+                F.array().cast("array<string>")
+            )
         )
-    )
+
+    return _with_tokens(text, grams)
 
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -204,7 +240,7 @@ def add_lang_id(df: DataFrame, text: str = "text",
     scores are computed exactly once per row."""
     scores = lang_scores(text)
     c = F.coalesce(F.col(text), F.lit(""))
-    staged = df.withColumns({
+    staged = right_size(df).withColumns({
         "_lang_sarr": F.array(*scores.values()),
         "_lang_cjk": _class_ratio(c, CJK_RANGE),
         "_lang_kana": _class_ratio(c, KANA_RANGE),
@@ -293,7 +329,7 @@ def fingerprints(df: DataFrame, text: str = "text",
     rolling = F.array_min(
         F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16))
     )
-    return df.select(
+    return right_size(df).select(
         "doc_id",
         F.md5(F.col(text)).alias("text_md5"),
         F.coalesce(rolling, F.lit("")).alias("rolling_fp"),
@@ -425,7 +461,9 @@ def redact_pii(text: Column | str = "text") -> Column:
 
 
 def pii_features(df: DataFrame, text: str = "text") -> DataFrame:
-    """Per-doc PII scrub frame: category counts + the redacted text."""
+    """Per-doc PII scrub frame: category counts + the redacted text.
+    Kept a pure exchange-free map (plan-pinned): callers that need
+    small-input parallelism right_size the input themselves."""
     return df.select(
         "doc_id",
         *pii_counts(text).values(),
@@ -440,29 +478,42 @@ def repetition_features(df: DataFrame, text: str = "text") -> DataFrame:
     the single most repeated token.  Both are narrow single-scan JVM
     expressions (zip_with bigrams; a per-distinct-token filter count
     — O(distinct·n) per doc, fine at document scale), no shuffle, and
-    exactly mirrored in DuckDB list functions for the oracle."""
-    w = tokens(text)
-    n = F.size(w)
-    pair_len = F.greatest(n - 1, F.lit(0))
-    bi = F.zip_with(
-        F.slice(w, 1, pair_len),
-        F.slice(w, 2, pair_len),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    dup_bigram = F.when(
-        F.size(bi) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi),
-    ).otherwise(F.lit(0.0))
-    counts = F.transform(
-        F.array_distinct(w),
-        lambda t: F.size(F.filter(w, lambda x: x == t)),
-    )
-    top_token = F.coalesce(
-        F.array_max(counts) / F.greatest(n, F.lit(1)),
-        F.lit(0.0),
-    )
-    return df.select(
+    exactly mirrored in DuckDB list functions for the oracle.
+
+    The token array is bound once (:func:`_with_tokens`): the former
+    shape embedded ``split(text)`` inside the per-distinct-token
+    count lambda, re-tokenizing the document once per distinct token
+    (O(distinct·tokens) splits per doc)."""
+
+    def feats(wv: Column) -> Column:
+        n = F.size(wv)
+        pair_len = F.greatest(n - F.lit(1), F.lit(0))
+        bi = F.zip_with(
+            F.slice(wv, 1, pair_len),
+            F.slice(wv, 2, pair_len),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        dup_bigram = F.when(
+            F.size(bi) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi),
+        ).otherwise(F.lit(0.0))
+        counts = F.transform(
+            F.array_distinct(wv),
+            lambda t: F.size(F.filter(wv, lambda x: x == t)),
+        )
+        top_token = F.coalesce(
+            F.array_max(counts) / F.greatest(n, F.lit(1)),
+            F.lit(0.0),
+        )
+        return F.struct(
+            F.round(dup_bigram, 4).alias("d"),
+            F.round(top_token, 4).alias("t"),
+        )
+
+    return right_size(df).select(
+        "doc_id", _with_tokens(text, feats).alias("_rf")
+    ).select(
         "doc_id",
-        F.round(dup_bigram, 4).alias("dup_bigram_ratio"),
-        F.round(top_token, 4).alias("top_token_ratio"),
+        F.col("_rf.d").alias("dup_bigram_ratio"),
+        F.col("_rf.t").alias("top_token_ratio"),
     )
