@@ -60,8 +60,14 @@ FEATURE_SCHEMA = T.StructType(
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Demo media table: the text payload as a binary column.  Stands
     in for real image/audio bytes so the binary plumbing is testable
-    with the shipped fixtures."""
-    return docs.select(
+    with the shipped fixtures.
+
+    right_size: the one-file fixture scan otherwise serializes every
+    downstream mapInPandas decode onto a single Python worker (a
+    no-op at scale, where the input has many splits)."""
+    from mapreduce_spark.extensions.util import right_size
+
+    return right_size(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("text").alias("modality"),
         F.encode("text", "UTF-8").alias("data"),
@@ -378,7 +384,9 @@ def documents_as_ppm(docs: DataFrame) -> DataFrame:
         f" 1, {need})"
     )
     header = f"P6\n{PPM_W} {PPM_H}\n255\n"
-    return docs.select(
+    from mapreduce_spark.extensions.util import right_size
+
+    return right_size(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("modality"),
         F.encode(F.concat(F.lit(header), body), "UTF-8").alias("data"),
@@ -408,7 +416,9 @@ def documents_as_wav(docs: DataFrame) -> DataFrame:
             out.append(encode_wav(samples, WAV_RATE, 1))
         return pd.Series(out)
 
-    return docs.select(
+    from mapreduce_spark.extensions.util import right_size
+
+    return right_size(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("modality"),
         to_wav(F.col("text")).alias("data"),
@@ -440,7 +450,9 @@ def documents_as_png(docs: DataFrame) -> DataFrame:
             out.append(encode_png(px))
         return pd.Series(out)
 
-    return docs.select(
+    from mapreduce_spark.extensions.util import right_size
+
+    return right_size(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("modality"),
         to_png(F.col("text")).alias("data"),

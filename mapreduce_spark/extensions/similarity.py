@@ -130,15 +130,15 @@ def rp_lsh_candidates(emb: DataFrame, query_ids: list[int],
     """Candidate (qid, vid) pairs sharing ≥1 signature band with a
     query.  The join key is (band, band-bits) — uniformly distributed,
     so the self-join never sees the quadratic blowup of all-pairs."""
-    dim = len(emb.select(vec_col).first()[0])
-    planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
     if nd is None:
         nd = normalized(emb, id_col, vec_col)
     # band values via the Arrow-batched sign kernel (_band_values):
     # one numpy sign(M @ Pᵀ) + bit-pack per batch — value-identical to
     # the per-plane column fold (plane i → band i//bits, weight
-    # 1<<(i%bits)) but without n_planes interpreted HOF aggregates
-    bands = _band_values(planes, band_bits)(F.col("nv"))
+    # 1<<(i%bits)) but without n_planes interpreted HOF aggregates.
+    # Passing the plane COUNT defers hyperplane construction to the
+    # first batch, dropping the dim-probe job this path used to pay.
+    bands = _band_values(n_planes, band_bits)(F.col("nv"))
     bucketed = nd.select(
         "vid", "nv", F.posexplode(bands).alias("band", "bval")
     )
@@ -178,22 +178,48 @@ def rp_lsh_topk(emb: DataFrame, query_ids: list[int], k: int,
 # LSH-routed near-dup (candidates-then-verify, for high thresholds)
 # ---------------------------------------------------------------------------
 
-def _band_values(planes: "np.ndarray", band_bits: int):
+def _band_values(planes: "np.ndarray | int", band_bits: int):
     """Arrow-batched kernel: nv → array<long> of LSH band values.
 
     One numpy sign(M @ Pᵀ) per batch, bits packed per band — the
     column-expression equivalent (n_planes × aggregate/zip_with HOFs)
     is CodegenFallback, interpreted per element, and inflates the plan
-    quadratically with plane count."""
-    n_planes = planes.shape[0]
-    n_bands = n_planes // band_bits
-    weights = (1 << np.arange(band_bits, dtype=np.int64))
+    quadratically with plane count.
+
+    ``planes`` may be the hyperplane matrix OR a bare plane COUNT: an
+    int defers :func:`_hyperplanes` construction to the first Arrow
+    batch (dimension read off the batch), which removes the caller's
+    driver-side dim-probe job (``emb.select(vec).first()``) — the
+    planes are md5-deterministic, so every task builds the identical
+    matrix, and the ~n_planes·dim md5s are amortized per task."""
+    lazy_n = None
+    if isinstance(planes, (int, np.integer)):
+        lazy_n = int(planes)
+    else:
+        planes = np.asarray(planes, dtype=np.float64)
+    state: dict = {}
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bands(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        P = state.get("P")
+        if P is None:
+            if lazy_n is not None:
+                dim = len(vs.iloc[0])
+                P = np.asarray(
+                    _hyperplanes(dim, lazy_n), dtype=np.float64
+                )
+            else:
+                P = planes
+            state["P"] = P
+            state["nb"] = P.shape[0] // band_bits
+            state["w"] = 1 << np.arange(band_bits, dtype=np.int64)
         M = np.array(vs.tolist(), dtype=np.float64)  # (batch, dim)
-        bits = (M @ planes.T >= 0).astype(np.int64)  # (batch, n_planes)
-        packed = bits.reshape(len(M), n_bands, band_bits) @ weights
+        bits = (M @ P.T >= 0).astype(np.int64)  # (batch, n_planes)
+        packed = (
+            bits.reshape(len(M), state["nb"], band_bits) @ state["w"]
+        )
         return pd.Series(list(packed))
 
     return bands
@@ -219,10 +245,8 @@ def near_dup_lsh(emb: DataFrame, threshold: float,
     buckets) + candidate distinct + two verification joins — the same
     candidates-then-verify shape as MinHash LSH.
     """
-    dim = len(emb.select(vec_col).first()[0])
-    planes = np.asarray(_hyperplanes(dim, n_planes), dtype=np.float64)
     sigs = normalized(emb, id_col, vec_col).withColumn(
-        "bands", _band_values(planes, band_bits)(F.col("nv"))
+        "bands", _band_values(n_planes, band_bits)(F.col("nv"))
     ).persist()
     buckets = sigs.select(
         "vid", F.posexplode("bands").alias("band", "bval")
@@ -267,7 +291,8 @@ TRAIN_PER_CELL = 64
 def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding",
-                  nd: DataFrame | None = None) -> list[list[float]]:
+                  nd: DataFrame | None = None,
+                  corpus_count: int | None = None) -> list[list[float]]:
     """Deterministic mini k-means over a bounded training sample.
 
     Seeds are the k lowest-id vectors at a fixed stride (unchanged
@@ -303,10 +328,14 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
     def _direct():
         return src.orderBy("vid").limit(n).collect()
 
-    if src.rdd.getNumPartitions() <= 8:
+    # ``corpus_count``: callers that already know N (ivf_topk's sizing
+    # count, pipelines) skip the sizing job here — one fewer count per
+    # inline build (driver-latency, not data, at every scale)
+    if corpus_count is None and src.rdd.getNumPartitions() <= 8:
         sample = _direct()
     else:
-        total = src.count()
+        total = (int(corpus_count) if corpus_count is not None
+                 else src.count())
         if total <= n:
             sample = _direct()
         else:
@@ -1106,6 +1135,7 @@ def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,
                 # already deduped at write time)
                 qrows = list({r.vid: r for r in qrows}.values())
     else:
+        n = None
         if n_cells is None or nprobe is None:
             n = emb.count()
             if n_cells is None:
@@ -1115,8 +1145,11 @@ def ivf_topk(emb: DataFrame | None, query_ids: list[int] | None,
 
         if nd is None:
             nd = normalized(emb, id_col, vec_col)
+        # the sizing count above doubles as ivf_centroids'
+        # corpus_count, so training never re-counts the corpus
         cents = ivf_centroids(
-            emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd
+            emb, n_cells, id_col=id_col, vec_col=vec_col, nd=nd,
+            corpus_count=n,
         )
         # query_vectors is honored on the inline path too (round 12,
         # ADVICE r11): previously it was silently ignored here — qrows
