@@ -62,12 +62,11 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     in for real image/audio bytes so the binary plumbing is testable
     with the shipped fixtures.
 
-    right_size: the one-file fixture scan otherwise serializes every
-    downstream mapInPandas decode onto a single Python worker (a
-    no-op at scale, where the input has many splits)."""
-    from mapreduce_spark.extensions.util import right_size
-
-    return right_size(docs).select(
+    No right_size on the one-file fixture scan: the A/B (r15) measured
+    the repartition LOSING both wall and CPU here — the demo decode is
+    too cheap to amortize shuffling the media payload, and a real
+    media table arrives with many splits."""
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("text").alias("modality"),
         F.encode("text", "UTF-8").alias("data"),
@@ -384,9 +383,7 @@ def documents_as_ppm(docs: DataFrame) -> DataFrame:
         f" 1, {need})"
     )
     header = f"P6\n{PPM_W} {PPM_H}\n255\n"
-    from mapreduce_spark.extensions.util import right_size
-
-    return right_size(docs).select(
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("modality"),
         F.encode(F.concat(F.lit(header), body), "UTF-8").alias("data"),
@@ -416,9 +413,7 @@ def documents_as_wav(docs: DataFrame) -> DataFrame:
             out.append(encode_wav(samples, WAV_RATE, 1))
         return pd.Series(out)
 
-    from mapreduce_spark.extensions.util import right_size
-
-    return right_size(docs).select(
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("modality"),
         to_wav(F.col("text")).alias("data"),
@@ -450,9 +445,7 @@ def documents_as_png(docs: DataFrame) -> DataFrame:
             out.append(encode_png(px))
         return pd.Series(out)
 
-    from mapreduce_spark.extensions.util import right_size
-
-    return right_size(docs).select(
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("modality"),
         to_png(F.col("text")).alias("data"),

@@ -330,8 +330,13 @@ def ivf_centroids(emb: DataFrame, k: int = 16, iters: int = 2,
 
     # ``corpus_count``: callers that already know N (ivf_topk's sizing
     # count, pipelines) skip the sizing job here — one fewer count per
-    # inline build (driver-latency, not data, at every scale)
-    if corpus_count is None and src.rdd.getNumPartitions() <= 8:
+    # inline build (driver-latency, not data, at every scale).  The
+    # narrow-scan fast path stays FIRST regardless: at ≤8 partitions
+    # TakeOrdered's fan-in is already bounded, and the quantile
+    # prefilter would cost an extra full pass (r15: the corpus_count
+    # plumb initially bypassed this check, sending small builds down
+    # the approxQuantile path — pure regression at fixture scale).
+    if src.rdd.getNumPartitions() <= 8:
         sample = _direct()
     else:
         total = (int(corpus_count) if corpus_count is not None
