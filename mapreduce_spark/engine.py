@@ -72,6 +72,19 @@ from mapreduce_spark.sources.docs import (
 
 log = logging.getLogger("mapreduce_spark.engine")
 
+# Minimum total input bytes before a structured build's scan is fanned
+# out across the cores (see ``extensions.util.fanout_width``).  Below
+# this the serial encode is cheaper than the round-robin exchange plus
+# the extra AQE shuffle-stage job it adds (~0.1-0.3 s of scheduler
+# round-trip under co-tenant contention — the drift mode
+# tests/test_jobcount.py pins against).  1 MiB of parquet is several
+# MB decoded ≈ >0.5 s of serial encode, which dominates that overhead.
+# Env-tunable for clusters whose scheduling or scan economics differ;
+# at real scale the splits>=cores check makes the whole probe a no-op.
+_FANOUT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES", 1 << 20)
+)
+
 
 def observed(obs: Observation) -> dict | None:
     """``Observation.get``, tolerating a metrics row that never
@@ -473,12 +486,26 @@ class Engine:
         ``extra_entries`` appends pre-built (possibly guarded) struct
         Columns to the emit array — the refresh's ``_vw = -1``
         changed-doc sentinel rides the same scan this way."""
+        from mapreduce_spark.extensions.util import right_size
         from mapreduce_spark.operators.mapphase import (
             spec_needs_vdoc,
             spec_output_columns,
             with_vdoc,
         )
 
+        # the fixture tables are single-row-group parquet files, so the
+        # scan feeding the (JVM, codegen'd) fused encode can never run
+        # on more than one task no matter how Spark splits the file —
+        # spread the encode across the cores with one small round-robin
+        # exchange of the raw rows.  At scale the input has more splits
+        # than cores and right_size is a no-op; below _FANOUT_MIN_BYTES
+        # the serial encode is cheaper than the exchange + extra AQE
+        # job.  Measured (r15, quiet window, lineitem group alone):
+        # wall 17.7→4.3 s at +10 CPU-s (shuffle-row decode replacing
+        # the vectorized scan under the encode); the persist below
+        # keeps the range-partitioner's sampling pass from re-running
+        # the widened encode.
+        src = right_size(src, min_bytes=_FANOUT_MIN_BYTES)
         if any(
             spec_needs_vdoc(s) for v in vdefs for s in v._spec_list
         ):
@@ -1219,17 +1246,26 @@ class Engine:
     def _build(self, vdef: ViewDef, raw_df: DataFrame) -> DataFrame:
         """Run the map phase over raw-schema rows (non-deleted only).
 
-        Deliberately NO input repartition here: the encode work runs
-        map-side on the scan splits, and measurements at sf0.1 show an
-        up-front round-robin shuffle costs more than the parallelism
-        it buys (the range partitioner's sampling pass would also run
-        over the extra exchange).  On a real cluster the scan split
-        count comes from ``spark.sql.files.maxPartitionBytes`` — tune
-        that, not the plan."""
+        Structured (JVM-codegen) specs repartition the input to core
+        count first: the fixture files are single-row-group parquet, so
+        the encode otherwise serializes onto one task — and the range
+        partitioner's sampling pass re-runs it serially a second time
+        (r15 measurement: q18's build chain was wall-bound on exactly
+        this).  The round-robin exchange's map side is the serial scan
+        either way, so it adds little; at scale (splits ≥ cores) and
+        below _FANOUT_MIN_BYTES (dimension tables, where the extra AQE
+        job costs more than the fan-out buys) ``right_size`` is a
+        no-op.  The Python/interpreted path stays on the scan splits:
+        fanning it out multiplies Python-worker init across tasks,
+        measured as a clear CPU loss (r15)."""
+        from mapreduce_spark.extensions.util import right_size
+
         raw_df = self._pre_map(TABLES[vdef.table], raw_df)
         m = vdef.map_def
         if hasattr(m, "specs"):  # VariantJSView: compiled raw JS
             m = m.specs
+        if isinstance(m, (MapSpec, list)):
+            raw_df = right_size(raw_df, min_bytes=_FANOUT_MIN_BYTES)
         if isinstance(m, MapSpec):
             return build_view_structured_on(raw_df, m)
         if isinstance(m, list):
@@ -1309,22 +1345,38 @@ class Engine:
                 built = self._build(vdef, src)
                 # the range partitioner SAMPLES its child to pick
                 # bounds — a second full execution of the build plan.
-                # Free for JVM MapSpec encodes; for the Python
-                # interpreter path it doubles the dominant cost, so
-                # cache the built rows across the sample+write passes
-                # (measured 10.2 s → ~6 s for the sf0.1 interpreted
-                # fixture view)
+                # Cache the built rows across the sample+write passes
+                # when that second execution is expensive: the Python
+                # interpreter path (it doubles the dominant cost;
+                # measured 10.2 s → ~6 s for the sf0.1 interpreted
+                # fixture view) and a structured encode that ``_build``
+                # fanned out (the sampling pass would re-run the
+                # widened encode — the fused path persists for the
+                # same reason).  A structured encode running on its
+                # scan splits re-samples a cheap columnar scan; the
+                # persist would only spend memory on it.
+                from mapreduce_spark.extensions.util import (
+                    fanout_width,
+                )
+
+                m = vdef.map_def
+                if hasattr(m, "specs"):
+                    m = m.specs
                 heavy = isinstance(vdef.map_def, tuple) and callable(
                     vdef.map_def[1]
                 )
-                if heavy:
+                cache = heavy or (
+                    isinstance(m, (MapSpec, list))
+                    and fanout_width(src, min_bytes=_FANOUT_MIN_BYTES)
+                )
+                if cache:
                     built = built.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     stats = self._write_sorted(
                         built, os.path.join(vdir, base_rel)
                     )
                 finally:
-                    if heavy:
+                    if cache:
                         built.unpersist()
                 # per-doc emit counts are written LAZILY at the first
                 # refresh (_ensure_counts) — read-only views never pay

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import Column, DataFrame
@@ -81,7 +82,52 @@ def normalized_vectors(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
-def right_size(df: DataFrame, min_factor: int = 1) -> DataFrame:
+def fanout_width(df: DataFrame, min_factor: int = 1,
+                 min_bytes: int = 0) -> int:
+    """Partition count ``right_size`` would fan ``df`` out to, or 0.
+
+    Exposed separately so a caller that must decide something ELSE
+    based on whether the fan-out will happen (e.g. the engine's
+    persist-across-sampling-passes choice) can ask without building
+    a throwaway repartitioned frame.
+
+    ``min_bytes`` gates the fan-out on total input size: below it the
+    serial compute is cheaper than the exchange plus the extra AQE
+    shuffle-stage job the repartition costs (a 4 KB dimension table
+    gains nothing from 32 tasks).  Sizes are read from the local
+    filesystem; non-local or unstat-able inputs are assumed big
+    (fan out) — at real scale the file-count check already made this
+    a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not (0 < len(files) < target):
+        return 0
+    if min_bytes:
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        for uri in files:
+            parts = urlparse(uri)
+            if parts.scheme not in ("", "file"):
+                total = min_bytes  # remote store: size unknown
+                break
+            try:
+                total += os.path.getsize(unquote(parts.path))
+            except OSError:
+                total = min_bytes
+                break
+            if total >= min_bytes:
+                break
+        if total < min_bytes:
+            return 0
+    return target
+
+
+def right_size(df: DataFrame, min_factor: int = 1,
+               min_bytes: int = 0) -> DataFrame:
     """Ensure a CPU-bound stage has at least one partition per core.
 
     Small inputs (one parquet file) arrive as a single split, which
@@ -92,12 +138,7 @@ def right_size(df: DataFrame, min_factor: int = 1) -> DataFrame:
     split count ≥ file count) instead of ``df.rdd.getNumPartitions()``,
     which would force the whole lineage through RDD conversion planning
     on every call.  Non-file-backed frames (inputFiles empty) pass
-    through untouched."""
-    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        return df
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+    through untouched.  See ``fanout_width`` for the ``min_bytes``
+    size gate."""
+    n = fanout_width(df, min_factor=min_factor, min_bytes=min_bytes)
+    return df.repartition(n) if n else df
