@@ -66,7 +66,15 @@ def test_repeated_ngrams_known_answers(docs):
 def test_plan_shape(docs):
     """The scale contract: the corpus side of contamination pays ONE
     wide exchange (the per-doc re-group) — the benchmark probe is a
-    broadcast hash join — and nothing runs in Python."""
+    broadcast hash join — and nothing runs in Python.
+
+    Asserted on a clean cache: repeated_ngrams persists its postings
+    frame (by design, like the minhash shingle frame), and Spark's
+    CacheManager substitutes any later identical subtree with the
+    cached blocks — legitimate reuse, but it would make this test's
+    InMemory check depend on test order rather than on
+    contamination's own plan."""
+    docs.sparkSession.catalog.clearCache()
     c = decontam.contamination(docs, docs.limit(1), n=3)
     p = c._jdf.queryExecution().executedPlan().toString()
     assert p.count("BroadcastHashJoin") == 1
