@@ -38,8 +38,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from mapreduce_spark.extensions.dedup import _dot
 from mapreduce_spark.extensions.util import (
+    dot_col as _dot,
     normalized_vectors,
     release_local_checkpoint,
     right_size,

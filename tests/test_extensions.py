@@ -19,6 +19,37 @@ def emb(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# util kernels
+# ---------------------------------------------------------------------------
+
+def test_dot_pairs_matches_hof_fold(emb):
+    """The Arrow pair-dot kernel (kept as the documented alternative
+    to the JVM fold — see util.dot_col's r15 A/B note) agrees with
+    the fold to float64 reorder tolerance, and evaluates ONCE under a
+    filter on its output column (the §4.4 duplicate-evaluation shape
+    it guards against)."""
+    from mapreduce_spark.extensions.util import (
+        dot_col,
+        dot_pairs,
+        normalized_vectors,
+    )
+
+    nd = normalized_vectors(emb).limit(200)
+    both = nd.select(
+        dot_col(F.col("nv"), F.col("nv")).alias("h"),
+        dot_pairs(F.col("nv"), F.col("nv")).alias("a"),
+    ).collect()
+    assert both
+    assert all(abs(r.h - r.a) < 1e-9 for r in both)
+
+    filtered = nd.select(
+        "vid", dot_pairs(F.col("nv"), F.col("nv")).alias("d")
+    ).filter(F.col("d") >= 0.5)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+
+# ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
 
